@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Iteration helper (not part of the driver contract): run a subset of
+  * `SparkEntry.queries` with full stack traces, write results like
+  * Verify does. Usage: runMain graft.Dev <sfDir> <outDir> [name ...]
+  * With no names: run everything. With `-x`: print explain(formatted).
+  */
+object Dev {
+  def main(args: Array[String]): Unit = {
+    val explain = args.contains("-x")
+    val rest = args.filterNot(_ == "-x")
+    val sfDir = rest(0)
+    val outDir = rest(1)
+    val names = if (rest.length > 2) rest.drop(2).toSet
+                else SparkEntry.queries.keySet
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    var failed = 0
+    SparkEntry.queries.filter(k => names(k._1)).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        if (explain) { println(s"== $name =="); df.explain("formatted") }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        println(s"[dev] $name OK")
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          println(s"[dev] $name FAILED: ${e.getMessage}")
+          e.printStackTrace()
+      }
+    }
+    // keep the oracle snapshot fresh so tools/verify_local.py never
+    // compares against stale SQL
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -1,0 +1,223 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Typed UDAF (SURVEY §2.4 op 32): weighted average, weight = quantity.
+  * An `Aggregator` gets partial (map-side) aggregation for free — the
+  * buffer is merged across partitions, so at 100 TB the shuffle carries
+  * one (wsum, w) pair per group per partition, not raw rows.
+  */
+case class WeightedIn(price: Double, weight: Double)
+case class WeightedBuf(var wsum: Double, var w: Double)
+
+object WeightedAvg extends Aggregator[WeightedIn, WeightedBuf, Double] {
+  override def zero: WeightedBuf = WeightedBuf(0.0, 0.0)
+  override def reduce(b: WeightedBuf, a: WeightedIn): WeightedBuf = {
+    b.wsum += a.price * a.weight; b.w += a.weight; b
+  }
+  override def merge(b1: WeightedBuf, b2: WeightedBuf): WeightedBuf = {
+    b1.wsum += b2.wsum; b1.w += b2.w; b1
+  }
+  override def finish(b: WeightedBuf): Double =
+    if (b.w == 0.0) Double.NaN else b.wsum / b.w
+  override def bufferEncoder: Encoder[WeightedBuf] = Encoders.product[WeightedBuf]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** Aggregations (SURVEY.md §2.4). All group-bys are hash aggregates
+  * with automatic partial aggregation (map-side combine) — the only
+  * data crossing the shuffle is one row per (partition, group).
+  * Doubles produced by aggregation are rounded to 6dp on both sides
+  * (double addition is order-sensitive; SURVEY §5.2).
+  */
+object Aggs extends OpModule {
+
+  override def ops: Seq[Op] = Seq(
+
+    // flagship — TPC-H Q1 shape (SparkEntry.entry points here)
+    Op("agg_hash_group",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+                CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6) AS DOUBLE) AS sum_qty,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6) AS DOUBLE) AS sum_base_price,
+                CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))), 6) AS DOUBLE) AS sum_disc_price,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
+                round(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+                count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    Op("agg_global",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(
+          dsum(col("l_quantity")).as("total_qty"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_revenue"),
+          round(min("l_extendedprice"), 6).as("min_price"),
+          round(max("l_extendedprice"), 6).as("max_price"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders")),
+      Some("""SELECT CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 6) AS DOUBLE) AS total_qty,
+                CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))), 6) AS DOUBLE) AS total_revenue,
+                round(min(l_extendedprice), 6) AS min_price,
+                round(max(l_extendedprice), 6) AS max_price,
+                count(*) AS n_rows,
+                count(DISTINCT l_orderkey) AS n_orders
+              FROM lineitem""")),
+
+    Op("agg_count_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 6).as("total_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events, round(sum(value), 6) AS total_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // HLL++ sketch — not DuckDB-comparable; ScalaTest asserts ±5% of exact
+    Op("agg_approx_hll",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
+    Op("agg_rollup",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        // SQL rendering: DataFrame rollup + post-agg orderBy on grouping
+        // cols trips DetectAmbiguousSelfJoin (Expand duplicates attrs);
+        // the SQL path resolves cleanly and plans identically
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .select("r_name", "n_name", "c_acctbal")
+          .createOrReplaceTempView("graft_cust_geo_rollup")
+        s.sql("""SELECT r_name, n_name,
+                   round(sum(c_acctbal), 6) AS acct_total,
+                   count(*) AS n_cust
+                 FROM graft_cust_geo_rollup
+                 GROUP BY ROLLUP (r_name, n_name)
+                 ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+      },
+      Some("""SELECT r_name, n_name, round(sum(c_acctbal), 6) AS acct_total,
+                count(*) AS n_cust
+              FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              GROUP BY ROLLUP (r_name, n_name)
+              ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+
+    Op("agg_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 6).as("sum_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 6) AS sum_qty,
+                round(avg(l_discount), 6) AS avg_disc, count(*) AS n
+              FROM lineitem
+              GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY l_returnflag ASC NULLS FIRST,
+                       l_linestatus ASC NULLS FIRST""")),
+
+    Op("agg_grouping_sets",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .createOrReplaceTempView("graft_cust_geo")
+        s.sql("""SELECT r_name, n_name,
+                   grouping_id(r_name, n_name) AS gid,
+                   round(sum(c_acctbal), 6) AS acct_total, count(*) AS n_cust
+                 FROM graft_cust_geo
+                 GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+                 ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+      },
+      Some("""SELECT r_name, n_name,
+                CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
+                round(sum(c_acctbal), 6) AS acct_total, count(*) AS n_cust
+              FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+              ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+
+    Op("agg_filtered",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(sum(when(col("value") > 100.0, col("value"))), 6).as("big_value_sum"),
+          count(when(col("value") > 100.0, lit(1))).as("n_big"),
+          round(sum(when(col("user_id") % 2 === 0, col("value")).otherwise(lit(0.0))), 6)
+            .as("even_user_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+                round(sum(CASE WHEN value > 100.0 THEN value END), 6) AS big_value_sum,
+                count(CASE WHEN value > 100.0 THEN 1 END) AS n_big,
+                round(sum(CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END), 6)
+                  AS even_user_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Op("agg_udaf_weighted",
+      (s, d) => {
+        val wavg = udaf(WeightedAvg)
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("weighted_avg_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+                  AS weighted_avg_price,
+                count(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Op("agg_percentile",
+      // exact interpolated percentile (Spark `percentile` ≡ DuckDB
+      // `quantile_cont`). At 100 TB you'd switch to approx_percentile
+      // (t-digest) — exact percentile needs all values per group.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events")
+        s.sql("""SELECT event_type,
+                   round(percentile(value, 0.5), 6) AS p50,
+                   round(percentile(value, 0.9), 6) AS p90,
+                   round(percentile(value, 0.99), 6) AS p99
+                 FROM graft_events GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.9), 6) AS p90,
+                round(quantile_cont(value, 0.99), 6) AS p99
+              FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}

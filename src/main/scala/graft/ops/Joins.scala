@@ -1,0 +1,245 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.3): equi joins in every flavor, theta /
+  * range, multi-way star, sequence self-join, and an as-of join built
+  * from a union+window rewrite (SURVEY.md §4.3).
+  *
+  * 100 TB notes: fact⋈fact goes through sort-merge (pinned with
+  * `hint("merge")` where bench stability matters); fact⋈dim is pinned
+  * broadcast so no shuffle of the fact side ever happens; the star
+  * query leaves join order to Catalyst/AQE, which reorders with
+  * runtime stats. The as-of rewrite is a single shuffle on the join
+  * key + one in-partition sort — the same stage shape a dedicated
+  * distributed as-of operator would produce.
+  */
+object Joins extends OpModule {
+
+  override def ops: Seq[Op] = Seq(
+
+    Op("join_inner_smj",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+          .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+            col("o_totalprice"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice,
+                l_extendedprice * (1.0 - l_discount) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    Op("join_inner_bhj",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d).filter(col("p_size") <= 15)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "inner")
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_items,
+                CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))), 6) AS DOUBLE) AS revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_size <= 15
+              GROUP BY p_brand ORDER BY p_brand""")),
+
+    Op("join_left_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_big_orders"),
+            round(coalesce(sum("o_totalprice"), lit(0.0)), 6).as("big_total"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+                round(coalesce(sum(o_totalprice), 0.0), 6) AS big_total
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_totalprice > 300000.0
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    Op("join_full_outer",
+      (s, d) => {
+        val rich = Tables.customer(s, d).filter(col("c_acctbal") > 5000.0)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+        rich.join(big, rich("c_custkey") === big("o_custkey"), "full")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_acctbal"), col("n_big"))
+          .orderBy("custkey")
+      },
+      Some("""WITH rich AS (
+                SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0),
+              big AS (
+                SELECT o_custkey, count(*) AS n_big FROM orders
+                WHERE o_totalprice > 300000.0 GROUP BY o_custkey)
+              SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, n_big
+              FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+              ORDER BY custkey""")),
+
+    Op("join_semi",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+              ORDER BY c_custkey""")),
+
+    Op("join_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+              ORDER BY c_custkey""")),
+
+    Op("join_cross",
+      (s, d) => Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey"),
+      Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+              FROM region CROSS JOIN nation
+              ORDER BY r_regionkey, n_nationkey""")),
+
+    Op("join_theta_range",
+      // purchases within 1h after a click by the same user: equi key +
+      // range band — executes as shuffled join on user_id with the range
+      // predicate as post-join filter (the distributed-safe plan shape).
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val buys = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("bu"), col("ts").as("buy_ts"),
+            col("event_id").as("purchase_id"))
+        clicks.join(buys,
+            col("cu") === col("bu") &&
+            col("buy_ts") >= col("click_ts") &&
+            col("buy_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.user_id AS user_id, c.event_id AS click_id,
+                     b.event_id AS purchase_id
+              FROM events c JOIN events b
+                ON c.user_id = b.user_id
+               AND b.ts >= c.ts AND b.ts < c.ts + INTERVAL 1 HOUR
+              WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+              ORDER BY click_id, purchase_id""")),
+
+    Op("join_asof",
+      // as-of join (SURVEY §2.3 op 21, §4.3): each event ↔ latest order
+      // of the same customer with o_orderdate <= ts. Union-tag + window
+      // rewrite: one shuffle on the key, one in-partition sort,
+      // last(ignoreNulls) carries the most recent order forward. Ties on
+      // o_orderdate break by max o_orderkey (deterministic).
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_custkey").as("key"), col("o_orderdate").as("t"),
+          col("o_orderkey"), col("o_totalprice"),
+          lit(0).as("is_event"), lit(null).cast("long").as("event_id"))
+        val e = Tables.events(s, d).select(
+          col("user_id").as("key"), col("ts").as("t"),
+          lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(1).as("is_event"), col("event_id"))
+        val w = Window.partitionBy("key")
+          .orderBy(col("t").asc, col("is_event").asc,
+            col("o_orderkey").asc_nulls_first, col("event_id").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.unionByName(e)
+          .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+          .withColumn("asof_price", last(col("o_totalprice"), ignoreNulls = true).over(w))
+          .filter(col("is_event") === 1)
+          .select(col("event_id"), col("key").as("user_id"),
+            col("asof_orderkey"), col("asof_price"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ranked AS (
+                SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (PARTITION BY e.event_id
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e LEFT JOIN orders o
+                  ON o.o_custkey = e.user_id
+                 AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+              SELECT event_id, user_id,
+                     o_orderkey AS asof_orderkey, o_totalprice AS asof_price
+              FROM ranked WHERE rn = 1 ORDER BY event_id""")),
+
+    Op("join_star_multiway",
+      // 5-table star: Catalyst/AQE pick broadcast for the dim chain and
+      // reorder; only lineitem⋈orders shuffles.
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+                CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))), 6) AS DOUBLE) AS revenue,
+                count(*) AS n_items
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    Op("join_self_prev",
+      // sequence self-join: each event ↔ the same user's previous event
+      // (row_number pairing; the lag() rendering is op win_lag_lead).
+      (s, d) => {
+        val e = Tables.events(s, d).select("event_id", "user_id", "ts", "event_type")
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val r = e.withColumn("rn", row_number().over(w))
+        val prev = r.select(col("user_id").as("p_user"), col("rn").as("p_rn"),
+          col("event_id").as("prev_event_id"), col("event_type").as("prev_type"))
+        r.join(prev, col("user_id") === col("p_user") && col("rn") === col("p_rn") + 1)
+          .select("event_id", "user_id", "event_type", "prev_event_id", "prev_type")
+          .orderBy("event_id")
+      },
+      Some("""WITH r AS (
+                SELECT event_id, user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events)
+              SELECT a.event_id, a.user_id, a.event_type,
+                     b.event_id AS prev_event_id, b.event_type AS prev_type
+              FROM r a JOIN r b
+                ON a.user_id = b.user_id AND a.rn = b.rn + 1
+              ORDER BY a.event_id"""))
+  )
+}

@@ -1,0 +1,232 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters, casts, null handling, sort/limit and
+  * set operations (SURVEY.md §2.1, §2.2, §2.6, §2.7).
+  *
+  * Determinism contract for every oracled op (SURVEY.md §5.2):
+  * total ordering over a unique key set, `round(x, 6)` on any double
+  * produced by an aggregation, and no raw timestamp columns in the
+  * output (rendered via `date_format` instead, so Spark-parquet and
+  * DuckDB value spaces agree).
+  *
+  * 100 TB notes: every op here is a single scan → narrow transforms
+  * (no shuffle except the final presentation sort, which at scale
+  * would be dropped or replaced by a bounded top-k); projections and
+  * filters are written so Catalyst pushes them into the parquet
+  * reader (verified via `PushedFilters` in explain).
+  */
+object Relational extends OpModule {
+
+  override def ops: Seq[Op] = Seq(
+    // ── §2.1 scans ────────────────────────────────────────────────
+    Op("scan_parquet",
+      (s, d) => Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+              FROM nation ORDER BY n_nationkey""")),
+
+    Op("scan_pushdown",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .filter(col("l_quantity") > 45 &&
+          col("l_shipdate") < lit("1996-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+              FROM lineitem
+              WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1996-06-01'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── §2.2 row expressions ──────────────────────────────────────
+    Op("project_expr",
+      // per-row IEEE arithmetic is bit-identical across engines when the
+      // expression shape matches — no rounding needed (unlike aggregates)
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("charge"),
+          (col("l_quantity") + lit(10.0)).as("qty_plus"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1.0 - l_discount) AS revenue,
+                l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+                l_quantity + 10.0 AS qty_plus
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    Op("filter_pred",
+      (s, d) => Tables.orders(s, d)
+        .filter((col("o_orderstatus").isin("F", "P") &&
+          col("o_totalprice").between(1000.0, 200000.0) &&
+          col("o_orderpriority").like("1-%")) ||
+          (col("o_orderpriority") === "5-LOW" && !(col("o_totalprice") > 5000.0)))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+              FROM orders
+              WHERE (o_orderstatus IN ('F','P')
+                     AND o_totalprice BETWEEN 1000.0 AND 200000.0
+                     AND o_orderpriority LIKE '1-%')
+                 OR (o_orderpriority = '5-LOW' AND NOT (o_totalprice > 5000.0))
+              ORDER BY o_orderkey""")),
+
+    Op("case_when",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid")
+            .when(col("l_quantity") < 45, "high")
+            .otherwise("bulk").as("qty_tier"),
+          when(col("l_returnflag") === "R", col("l_extendedprice"))
+            .as("returned_price"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_quantity < 10 THEN 'low'
+                     WHEN l_quantity < 30 THEN 'mid'
+                     WHEN l_quantity < 45 THEN 'high'
+                     ELSE 'bulk' END AS qty_tier,
+                CASE WHEN l_returnflag = 'R' THEN l_extendedprice END
+                  AS returned_price
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    Op("cast_types",
+      // Spark CAST(double AS int) truncates toward zero; DuckDB rounds —
+      // oracle side uses trunc() to pin the Spark semantics.
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("long").as("price_long"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderdate").cast("date").cast("string").as("date_str"),
+          lit("42").cast("int").as("parsed_int"),
+          col("o_orderkey").cast("double").as("key_dbl"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                CAST(trunc(o_totalprice) AS BIGINT) AS price_long,
+                CAST(o_orderkey AS VARCHAR) AS key_str,
+                CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+                CAST('42' AS INTEGER) AS parsed_int,
+                CAST(o_orderkey AS DOUBLE) AS key_dbl
+              FROM orders ORDER BY o_orderkey""")),
+
+    Op("cond_null_fns",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("status_np"),
+          coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING"))
+            .as("status_filled"),
+          greatest(col("o_totalprice"), lit(50000.0)).as("floor_price"),
+          least(col("o_totalprice"), lit(50000.0)).as("cap_price"),
+          nullif(col("o_orderstatus"), lit("P")).isNull.as("was_pending"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                nullif(o_orderstatus, 'P') AS status_np,
+                coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+                greatest(o_totalprice, 50000.0) AS floor_price,
+                least(o_totalprice, 50000.0) AS cap_price,
+                nullif(o_orderstatus, 'P') IS NULL AS was_pending
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ── §2.6 sort / limit ─────────────────────────────────────────
+    Op("sort_multi",
+      (s, d) => Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_totalprice").desc_nulls_last, col("o_orderkey").asc),
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+              FROM orders
+              ORDER BY o_orderpriority ASC NULLS FIRST,
+                       o_totalprice DESC NULLS LAST, o_orderkey ASC""")),
+
+    Op("limit_topk",
+      // ORDER BY + LIMIT compiles to TakeOrderedAndProject: each task
+      // keeps a k-row heap, driver merges — no global sort at scale.
+      (s, d) => Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")),
+
+    // ── §2.7 set operations ───────────────────────────────────────
+    Op("set_union_all",
+      (s, d) => {
+        val e = Tables.events(s, d).select("event_id", "user_id", "event_type")
+        e.filter(col("event_type") === "click")
+          .unionByName(e.filter(col("event_type") === "purchase"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'
+              ORDER BY event_id""")),
+
+    Op("set_union_distinct",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.filter(col("event_type") === "click").select("user_id")
+          .union(e.filter(col("event_type") === "purchase").select("user_id"))
+          .distinct()
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+              UNION
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              ORDER BY user_id""")),
+
+    Op("set_intersect",
+      // (user, day) granularity: days on which a user both clicked and
+      // purchased — user_id alone degenerates to "all users" at sf≥0.01
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast("date").as("day"),
+            col("event_type"))
+        e.filter(col("event_type") === "click").select("user_id", "day")
+          .intersect(e.filter(col("event_type") === "purchase").select("user_id", "day"))
+          .orderBy("user_id", "day")
+      },
+      Some("""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events WHERE event_type = 'purchase'
+              ORDER BY user_id, day""")),
+
+    Op("set_except",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast("date").as("day"),
+            col("event_type"))
+        e.filter(col("event_type") === "view").select("user_id", "day")
+          .except(e.filter(col("event_type") === "purchase").select("user_id", "day"))
+          .orderBy("user_id", "day")
+      },
+      Some("""SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events WHERE event_type = 'view'
+              EXCEPT
+              SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events WHERE event_type = 'purchase'
+              ORDER BY user_id, day""")),
+
+    Op("set_except_all",
+      // bag difference: multiplicity-aware (user with 3 views and 1
+      // purchase keeps 2 rows). Identical rows are interchangeable, so
+      // ordering by user_id alone is still hash-stable.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.filter(col("event_type") === "view").select("user_id")
+          .exceptAll(e.filter(col("event_type") === "purchase").select("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'view'
+              EXCEPT ALL
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              ORDER BY user_id"""))
+  )
+}

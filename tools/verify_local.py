@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python3 tools/verify_local.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify),
+runs the matching oracle SQL from <verifyOutDir>/oracle_sql.json in
+DuckDB with views over <sfDir>/*.parquet, sorts columns by name, and
+compares row-by-row. Reports per-query PASS/FAIL with the first diff.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    # match driver-style value hashing: stringify everything
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output parquet")
+            n_fail += 1
+            continue
+        try:
+            ours = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            ref = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        ours = ours[sorted(ours.columns)]
+        ref = ref[sorted(ref.columns)]
+        if list(ours.columns) != list(ref.columns):
+            print(f"FAIL {name}: columns {list(ours.columns)} vs {list(ref.columns)}")
+            n_fail += 1
+            continue
+        if len(ours) != len(ref):
+            print(f"FAIL {name}: rows {len(ours)} vs {len(ref)}")
+            n_fail += 1
+            continue
+        ok = True
+        o_rows = ours.itertuples(index=False, name=None)
+        r_rows = ref.itertuples(index=False, name=None)
+        for i, (a, b) in enumerate(zip(o_rows, r_rows)):
+            na, nb = tuple(map(norm, a)), tuple(map(norm, b))
+            if na != nb:
+                print(f"FAIL {name}: row {i} differs\n  ours: {na}\n  ref : {nb}")
+                ok = False
+                n_fail += 1
+                break
+        if ok:
+            dtypes = ",".join(str(t) for t in ours.dtypes)
+            rdtypes = ",".join(str(t) for t in ref.dtypes)
+            warn = "" if dtypes == rdtypes else f"  [dtype warn: {dtypes} vs {rdtypes}]"
+            print(f"PASS {name} ({len(ours)} rows){warn}")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, "
+          f"{len(oracle) - n_pass - n_fail} skipped ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
