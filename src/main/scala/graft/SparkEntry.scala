@@ -11,7 +11,9 @@ object SparkEntry {
   private def modules: Seq[OpModule] = Seq(
     ops.Relational,
     ops.Joins,
-    ops.Aggs)
+    ops.Aggs,
+    ops.Windows,
+    ops.Functions)
 
   lazy val all: Seq[Op] = {
     val xs = modules.flatMap(_.ops)

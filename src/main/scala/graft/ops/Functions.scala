@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructField, StructType}
+
+/** Scalar function surface (SURVEY.md §2.8): one query per family,
+  * each a battery over one table projected to a deterministic,
+  * DuckDB-reproducible output.
+  *
+  * Parity rules baked into the oracle SQL (probed against DuckDB 1.0):
+  *  - Spark INT-returning fns (length/year/rank/size/...) are BIGINT
+  *    in DuckDB → CAST to INTEGER on the oracle side;
+  *  - Spark `floor`/`ceil` return LONG → CAST DuckDB DOUBLE result;
+  *  - Spark `dayofweek` is 1=Sunday, DuckDB 0=Sunday → +1;
+  *  - `pmod` has no DuckDB twin → ((a % b) + b) % b;
+  *  - `bround` ≡ DuckDB `round_even`;
+  *  - libm-backed fns (ln/log10/exp) may differ by 1 ulp → round 6dp;
+  *  - higher-order fns: Spark `aggregate` left-fold ≡ DuckDB
+  *    `list_reduce` left-fold after `::DOUBLE` promotion (bit-exact).
+  * All HOFs are Catalyst-native lambda expressions — codegen'd, no
+  * UDF/serialization cost, safe in the 100 TB hot path.
+  */
+object Functions extends OpModule {
+
+  override def ops: Seq[Op] = Seq(
+
+    Op("fn_string",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("lang"), lit(":"), col("source")).as("tag"),
+          upper(substring(col("text"), 1, 12)).as("head_upper"),
+          lower(col("source")).as("src_lower"),
+          trim(lpad(col("lang"), 6, "_")).as("lang_padded"),
+          length(col("text")).as("n_chars_fn"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          substring(regexp_replace(col("text"), "[aeiou]", "*"), 1, 30)
+            .as("devoweled_head"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          col("text").like("%data%").as("mentions_data"),
+          substring(translate(col("text"), " ", "_"), 1, 20).as("snake_head"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                lang || ':' || source AS tag,
+                upper(substring(text, 1, 12)) AS head_upper,
+                lower(source) AS src_lower,
+                trim(lpad(lang, 6, '_')) AS lang_padded,
+                CAST(length(text) AS INTEGER) AS n_chars_fn,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                substring(regexp_replace(text, '[aeiou]', '*', 'g'), 1, 30)
+                  AS devoweled_head,
+                regexp_extract(text, '([a-z]+)', 1) AS first_word,
+                text LIKE '%data%' AS mentions_data,
+                substring(replace(text, ' ', '_'), 1, 20) AS snake_head
+              FROM documents ORDER BY doc_id""")),
+
+    Op("fn_datetime",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").cast("string")
+            .as("order_month"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("days_since"),
+          add_months(col("o_orderdate"), 3).cast("string").as("due_date"),
+          // parquet timestamp[ms] arrives as TIMESTAMP_NTZ; with a UTC
+          // session the NTZ→LTZ cast is the identity instant
+          (unix_micros(col("o_orderdate").cast("timestamp")) / lit(1000000L))
+            .cast("long").as("epoch_s"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+            .cast("string").as("month_start"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+                  AS order_month,
+                CAST(year(o_orderdate) AS INTEGER) AS yr,
+                CAST(month(o_orderdate) AS INTEGER) AS mo,
+                CAST(day(o_orderdate) AS INTEGER) AS dom,
+                CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+                CAST(date_diff('day', DATE '1995-01-01',
+                  CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+                CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR)
+                  AS due_date,
+                epoch_us(o_orderdate) // 1000000 AS epoch_s,
+                CAST(make_date(CAST(year(o_orderdate) AS INTEGER),
+                  CAST(month(o_orderdate) AS INTEGER), 1) AS VARCHAR)
+                  AS month_start
+              FROM orders ORDER BY o_orderkey""")),
+
+    Op("fn_math",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          round(col("p_retailprice"), 1).as("price_r1"),
+          bround(col("p_retailprice"), 1).as("price_even1"),
+          floor(col("p_retailprice")).as("price_floor"),
+          ceil(col("p_retailprice")).as("price_ceil"),
+          abs(col("p_retailprice") - lit(1000.0)).as("dist_1k"),
+          round(pow(col("p_size"), 2), 6).as("size_sq"),
+          round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
+          round(log(col("p_retailprice")), 6).as("price_ln"),
+          round(log10(col("p_retailprice")), 6).as("price_log10"),
+          round(exp(-col("p_retailprice") / lit(1000.0)), 6).as("price_nexp"),
+          pmod(col("p_partkey"), lit(7)).as("key_mod7"),
+          signum(col("p_retailprice") - lit(1200.0)).as("price_sign"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                round(p_retailprice, 1) AS price_r1,
+                round_even(p_retailprice, 1) AS price_even1,
+                CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+                CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+                abs(p_retailprice - 1000.0) AS dist_1k,
+                round(pow(p_size, 2), 6) AS size_sq,
+                round(sqrt(p_retailprice), 6) AS price_sqrt,
+                round(ln(p_retailprice), 6) AS price_ln,
+                round(log10(p_retailprice), 6) AS price_log10,
+                round(exp(-p_retailprice / 1000.0), 6) AS price_nexp,
+                ((p_partkey % 7) + 7) % 7 AS key_mod7,
+                CAST(sign(p_retailprice - 1200.0) AS DOUBLE) AS price_sign
+              FROM part ORDER BY p_partkey""")),
+
+    Op("fn_array",
+      // posexplode + higher-order lambdas over the 64-dim embedding;
+      // the fold promotes FLOAT→DOUBLE before multiply so both engines
+      // accumulate identically, left-to-right
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")), 6)
+            .as("norm_sq"),
+          array_max(slice(col("embedding"), 1, 8)).as("max8"),
+          posexplode(col("embedding")))
+        .withColumnRenamed("col", "val")
+        .select("vec_id", "pos", "val", "n_pos", "norm_sq", "max8")
+        .orderBy("vec_id", "pos"),
+      Some("""SELECT vec_id,
+                CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+                unnest(embedding) AS val,
+                CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+                round(list_reduce(
+                  list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                  (a, b) -> a + b), 6) AS norm_sq,
+                list_max(embedding[1:8]) AS max8
+              FROM embeddings ORDER BY vec_id, pos""")),
+
+    Op("fn_map",
+      (s, d) => {
+        val m = from_json(col("props"), MapType(StringType, IntegerType))
+        Tables.events(s, d)
+          .select(col("event_id"),
+            element_at(m, "k").as("k_val"),
+            size(map_keys(m)).as("n_keys"),
+            array_join(map_keys(m), ",").as("keys_csv"),
+            element_at(map_values(m), 1).as("first_val"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+                CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+                array_to_string(json_keys(props), ',') AS keys_csv,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS first_val
+              FROM events ORDER BY event_id""")),
+
+    Op("fn_json",
+      (s, d) => {
+        val k = from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType)))).getField("k")
+        Tables.events(s, d)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").as("k_str"),
+            k.as("k_int"),
+            to_json(struct(k.as("k"))).as("rebuilt"),
+            json_tuple(col("props"), "k").as("k_tuple"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+                to_json(struct_pack(k := CAST(json_extract_string(props, '$.k')
+                  AS INTEGER))) AS rebuilt,
+                json_extract_string(props, '$.k') AS k_tuple
+              FROM events ORDER BY event_id""")),
+
+    Op("fn_hash_ids",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("text_md5"),
+          sha2(col("text"), 256).as("text_sha256"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+              FROM documents ORDER BY doc_id""")),
+
+    // Spark-specific hash/id surface — no DuckDB equivalents (SURVEY
+    // §2.8 parity rule): covered by ScalaTest determinism asserts.
+    Op("fn_hash_spark",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          xxhash64(col("text")).as("text_xxh64"),
+          hash(col("text"), col("lang")).as("row_hash"),
+          crc32(col("text").cast("binary")).as("text_crc32"),
+          monotonically_increasing_id().as("synthetic_id"))
+        .orderBy("doc_id"),
+      None)
+  )
+}

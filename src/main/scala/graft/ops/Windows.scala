@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.5). Determinism idioms: every
+  * row_number/ntile/first/last window orders by a unique key tuple
+  * (rank/dense_rank may order by the semantic key alone — ties get
+  * equal ranks deterministically); running double sums stay small
+  * enough that round-6dp absorbs fp association differences (DuckDB
+  * computes window aggregates over a segment tree, Spark
+  * sequentially).
+  *
+  * 100 TB note: all windows partition by a high-cardinality key
+  * (customer/user), so state per partition stays bounded; none of
+  * these use a global (unpartitioned) window, which would serialize
+  * on one task.
+  */
+object Windows extends OpModule {
+
+  override def ops: Seq[Op] = Seq(
+
+    Op("win_ranking",
+      (s, d) => {
+        val byDateUnique = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val byDate = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            row_number().over(byDateUnique).as("rn"),
+            rank().over(byDate).as("rnk"),
+            dense_rank().over(byDate).as("drnk"),
+            ntile(4).over(byDateUnique).as("quartile"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS INTEGER) AS rn,
+                CAST(rank() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC) AS INTEGER) AS rnk,
+                CAST(dense_rank() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC) AS INTEGER) AS drnk,
+                CAST(ntile(4) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS INTEGER) AS quartile
+              FROM orders ORDER BY o_orderkey""")),
+
+    Op("win_lag_lead",
+      // inter-event gap per user in exact integer microseconds
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            lag(col("event_id"), 1).over(w).as("prev_event_id"),
+            lead(col("event_id"), 1).over(w).as("next_event_id"),
+            (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+              .as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                lag(event_id, 1) OVER w AS prev_event_id,
+                lead(event_id, 1) OVER w AS next_event_id,
+                epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER w) AS gap_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              ORDER BY event_id""")),
+
+    Op("win_running",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(sum(col("o_totalprice")).over(w), 6).as("running_spend"),
+            count(lit(1)).over(w).as("running_orders"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                round(sum(o_totalprice) OVER w, 6) AS running_spend,
+                count(*) OVER w AS running_orders
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ORDER BY o_orderkey""")),
+
+    Op("win_range_frame",
+      // 7-day trailing spend per user: RANGE frame over epoch seconds.
+      // RANGE includes all peers of the current key value in both
+      // engines, so no tiebreak is needed for determinism.
+      (s, d) => Tables.events(s, d)
+        .withColumn("epoch_s", unix_micros(col("ts")).divide(lit(1000000L)).cast("long"))
+        .select(col("event_id"), col("user_id"), col("epoch_s"),
+          round(sum(col("value")).over(
+            Window.partitionBy("user_id").orderBy(col("epoch_s").asc)
+              .rangeBetween(-7L * 86400L, 0L)), 6).as("spend_7d"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s,
+                round(sum(value) OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 ASC
+                  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 6) AS spend_7d
+              FROM events ORDER BY event_id""")),
+
+    Op("win_first_last",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            first(col("o_totalprice")).over(w).as("first_price"),
+            last(col("o_totalprice")).over(w).as("latest_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                first_value(o_totalprice) OVER w AS first_price,
+                last_value(o_totalprice) OVER w AS latest_price
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY o_orderkey""")),
+
+    Op("win_topk_group",
+      // idiomatic Spark top-k-per-key: rank window + filter — at scale
+      // this is one shuffle on the group key, no global sort
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice
+              FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                    FROM orders)
+              WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+  )
+}
