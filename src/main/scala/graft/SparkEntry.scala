@@ -13,7 +13,8 @@ object SparkEntry {
     ops.Joins,
     ops.Aggs,
     ops.Windows,
-    ops.Functions)
+    ops.Functions,
+    ops.EventOps)
 
   lazy val all: Seq[Op] = {
     val xs = modules.flatMap(_.ops)

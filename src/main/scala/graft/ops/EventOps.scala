@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Batch renderings of the streaming / event-sourcing layer
+  * (SURVEY.md §2.9). Each op shares its transform body with the
+  * streaming path in [[graft.streaming.EventStreams]]; the ops here
+  * run that body under `spark.read` so the DuckDB oracle can grade
+  * it, while EventStreamSpec replays the same body under
+  * `readStream` and asserts equivalence (SURVEY §5.2.3).
+  *
+  * All timestamps are exported as exact epoch microseconds (longs) —
+  * never raw timestamp columns — so Spark-parquet and DuckDB value
+  * spaces can't disagree on timezone rendering.
+  */
+object EventOps extends OpModule {
+
+  override def ops: Seq[Op] = Seq(
+
+    Op("stream_envelope",
+      (s, d) => EventStreams.envelope(Tables.events(s, d))
+        .select(col("position"), col("pk"),
+          unix_micros(col("ts")).as("ts_us"), col("op"),
+          col("after.value").as("after_value"),
+          element_at(col("meta"), "k").as("meta_k"))
+        .orderBy("position"),
+      Some("""SELECT event_id AS position, user_id AS pk,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                CASE WHEN event_type = 'signup' THEN 'I'
+                     WHEN event_type = 'error' THEN 'D'
+                     ELSE 'U' END AS op,
+                value AS after_value,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS meta_k
+              FROM events ORDER BY position""")),
+
+    Op("stream_filter_route",
+      (s, d) => EventStreams.filterRoute(Tables.events(s, d))
+        .select("event_id", "user_id", "event_type", "route")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type,
+                ((user_id % 4) + 4) % 4 AS route
+              FROM events WHERE event_type <> 'view'
+              ORDER BY event_id""")),
+
+    Op("win_tumbling",
+      (s, d) => EventStreams.tumbling(Tables.events(s, d))
+        .orderBy("hour_start_us", "event_type"),
+      Some("""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+                  * 3600000000 AS hour_start_us,
+                event_type, count(*) AS n_events,
+                round(sum(value), 6) AS total_value
+              FROM events
+              GROUP BY 1, event_type
+              ORDER BY hour_start_us, event_type""")),
+
+    Op("win_sliding",
+      // 1h window sliding 15m: every event lands in exactly 4 windows;
+      // the oracle reproduces Spark's epoch-aligned window starts by
+      // flooring to the slide and stepping back k slides
+      (s, d) => EventStreams.sliding(Tables.events(s, d))
+        .orderBy("win_start_us", "event_type"),
+      Some("""SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) - k)
+                  * 900000000 AS win_start_us,
+                event_type, count(*) AS n_events,
+                round(sum(value), 6) AS total_value
+              FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+              GROUP BY 1, event_type
+              ORDER BY win_start_us, event_type""")),
+
+    Op("win_session",
+      // per-user sessions, 30m inactivity gap; oracle is the classic
+      // lag→gap-flag→running-sum sessionization (new session when the
+      // gap is >= 30m, matching Spark's exclusive session end)
+      (s, d) => EventStreams.sessionized(Tables.events(s, d))
+        .orderBy("user_id", "session_start_us"),
+      Some("""WITH e AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value
+                FROM events),
+              flagged AS (
+                SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                             OR tus - lag(tus) OVER w >= 1800000000
+                           THEN 1 ELSE 0 END AS new_s
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+              sess AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM flagged)
+              SELECT user_id, min(tus) AS session_start_us,
+                count(*) AS n_events, round(sum(value), 6) AS total_value
+              FROM sess GROUP BY user_id, sid
+              ORDER BY user_id, session_start_us""")),
+
+    // watermark semantics are unobservable in batch (nothing is late);
+    // EventStreamSpec injects late rows through the streaming path
+    Op("stream_watermark_late",
+      (s, d) => EventStreams.watermarkedTumbling(Tables.events(s, d))
+        .orderBy("hour_start_us", "event_type"),
+      None),
+
+    Op("stream_dedup",
+      // effectively-once by position: testdata event_ids are unique so
+      // the batch form equals DISTINCT; EventStreamSpec replays with
+      // injected duplicates to prove the dedup actually fires
+      (s, d) => EventStreams.dedupByPosition(
+          Tables.events(s, d).select("event_id", "user_id", "event_type"))
+        .orderBy("event_id"),
+      Some("""SELECT DISTINCT event_id, user_id, event_type
+              FROM events ORDER BY event_id""")),
+
+    Op("stream_stateful_fold",
+      // the event-sourcing heart: typed per-key state machine via
+      // mapGroupsWithState, run here in batch mode (same code path the
+      // stream uses; the fold is order-insensitive so both agree)
+      (s, d) => EventStreams.statefulFold(
+          EventStreams.toFoldEvents(Tables.events(s, d)))
+        .toDF()
+        .withColumn("balance", round(col("balance"), 6))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n_events,
+                round(sum(value), 6) AS balance,
+                max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_seen_us
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    Op("cdc_apply_upsert",
+      (s, d) => EventStreams.cdcApplyUpsert(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some("""WITH env AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       ELSE 'U' END AS op,
+                  event_type, value
+                FROM events),
+              r AS (
+                SELECT *, row_number() OVER (PARTITION BY pk
+                  ORDER BY tts DESC, position DESC) AS rn
+                FROM env)
+              SELECT pk AS user_id, position AS last_position, op,
+                epoch_us(tts) AS ts_us, event_type AS last_event_type,
+                value AS last_value
+              FROM r WHERE rn = 1 AND op <> 'D'
+              ORDER BY user_id""")),
+
+    Op("stream_join_static",
+      (s, d) => EventStreams.enrichWithCustomer(
+          Tables.events(s, d), Tables.customer(s, d))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, c_name, c_mktsegment
+              FROM events JOIN customer ON user_id = c_custkey
+              ORDER BY event_id""")),
+
+    Op("stream_join_stream",
+      (s, d) => EventStreams.clickToPurchase(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some("""SELECT c.user_id AS user_id, count(*) AS n_pairs
+              FROM events c JOIN events b
+                ON c.user_id = b.user_id
+               AND b.ts >= c.ts AND b.ts < c.ts + INTERVAL 1 HOUR
+              WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+              GROUP BY 1 ORDER BY user_id"""))
+  )
+}

@@ -1,0 +1,211 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.types._
+
+/** Event-sourcing / broadcasting layer (SURVEY.md §2.9) — the
+  * meepo-equivalent core re-expressed on Structured Streaming.
+  *
+  * The `events` table stands in for the CDC feed: `user_id` is the
+  * primary key, `event_id` the binlog position, `ts` the commit
+  * timestamp. Every transform here is written against a plain
+  * `DataFrame` so one body serves both `read` (oracled batch
+  * rendering) and `readStream` (the real streaming path) — the
+  * batch↔stream equivalence tests in EventStreamSpec hold the two
+  * together.
+  *
+  * 100 TB / production notes:
+  *  - all stateful ops key by `user_id` → state is partitioned across
+  *    executors by the shuffle; nothing aggregates to a single task;
+  *  - the streaming source would be Kafka in production (unavailable
+  *    offline — SURVEY §7); the file source exercises the same
+  *    micro-batch machinery, offsets and commit log included;
+  *  - fan-out persists the micro-batch once and writes N sinks from
+  *    the cached copy — one source scan regardless of sink count,
+  *    idempotent per (sink, batchId).
+  */
+object EventStreams {
+
+  /** Raw parquet schema for `readStream` (ts = int64 nanos; the
+    * nanosAsLong conf makes the parquet reader accept it). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Bounded stream over the same parquet the batch path reads.
+    * The testdata table is a single file and the streaming file source
+    * requires a directory basePath — a glob character in the path
+    * switches the source to listing mode over the parent directory.
+    */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.configure(spark)
+    spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  // ── op 54: change-feed envelope (binlog parse analog) ───────────
+  /** Map app events onto a CDC envelope: op ∈ I/U/D, primary key,
+    * position, commit ts, after-image, metadata. */
+  def envelope(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").as("position"),
+      col("user_id").as("pk"),
+      col("ts"),
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .otherwise("U").as("op"),
+      struct(col("user_id"), col("event_type"), col("value")).as("after"),
+      from_json(col("props"), MapType(StringType, IntegerType)).as("meta"))
+
+  // ── op 55: subscription filter + key routing ────────────────────
+  /** Subscription rules: drop uninteresting ops, assign each event a
+    * sink route by key hash, co-locate a route's events in one
+    * partition (meepo's per-PK ordered delivery). */
+  def filterRoute(events: DataFrame, nSinks: Int = 4): DataFrame =
+    events.filter(col("event_type") =!= "view")
+      .withColumn("route", pmod(col("user_id"), lit(nSinks)))
+      .repartition(col("route"))
+
+  // ── ops 56-58: time windows ─────────────────────────────────────
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("total_value"))
+      .select(unix_micros(col("w.start")).as("hour_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("total_value"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("total_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("total_value"))
+
+  // ── op 59: watermark + windowed agg (late-data tolerance) ───────
+  def watermarkedTumbling(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    tumbling(events.withWatermark("ts", delay))
+
+  // ── op 60: idempotent delivery (at-least-once → effectively-once)
+  def dedupByPosition(events: DataFrame): DataFrame =
+    events.dropDuplicates(Seq("event_id"))
+
+  // ── op 61: event-sourcing fold (typed per-key state machine) ────
+  case class FoldEvent(event_id: Long, user_id: Long, ts_us: Long,
+      event_type: String, value: Double)
+  case class UserState(n_events: Long, balance: Double, last_seen_us: Long)
+  case class UserFold(user_id: Long, n_events: Long, balance: Double,
+      last_seen_us: Long)
+
+  def toFoldEvents(events: DataFrame): Dataset[FoldEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .as[FoldEvent]
+  }
+
+  /** Fold a user's event history into current state. The fold is
+    * order-insensitive (count/sum/max) so batch iterator order and
+    * micro-batch arrival order converge on the same state — the
+    * property that makes at-least-once replay safe. Runs unchanged
+    * under batch (single invocation per key) and streaming (state
+    * carried in the StateStore across micro-batches).
+    */
+  def statefulFold(ds: Dataset[FoldEvent]): Dataset[UserFold] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserFold](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[FoldEvent], state: GroupState[UserState]) =>
+          var s = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          events.foreach { e =>
+            s = UserState(s.n_events + 1, s.balance + e.value,
+              math.max(s.last_seen_us, e.ts_us))
+          }
+          state.update(s)
+          UserFold(userId, s.n_events, s.balance, s.last_seen_us)
+      }
+  }
+
+  // ── op 62: materialize / replay (last-write-wins upsert) ────────
+  /** Apply the ordered change stream onto current-table state:
+    * last-write-wins per primary key, deletes (op=D) removed. The
+    * batch rendering is the standard row_number window; the streaming
+    * form is `statefulFold` (op 61) keeping the envelope instead of
+    * aggregates.
+    */
+  def cdcApplyUpsert(events: DataFrame): DataFrame = {
+    val env = envelope(events)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk")
+      .orderBy(col("ts").desc, col("position").desc)
+    env.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("pk").as("user_id"), col("position").as("last_position"),
+        col("op"), unix_micros(col("ts")).as("ts_us"),
+        col("after.event_type").as("last_event_type"),
+        col("after.value").as("last_value"))
+  }
+
+  // ── op 63: stream × static enrichment ───────────────────────────
+  def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer),
+        events("user_id") === customer("c_custkey"), "inner")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_mktsegment"))
+
+  // ── op 64: stream-stream interval join ──────────────────────────
+  /** Correlate clicks with purchases by the same user within 1h.
+    * Under streaming both sides carry watermarks so join state is
+    * bounded; in batch the same body is a plain interval join.
+    */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    def side(tpe: String, pfx: String) = {
+      val base = events.filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
+          col("event_id").as(s"${pfx}_id"))
+      if (base.isStreaming) base.withWatermark(s"${pfx}_ts", "1 hour") else base
+    }
+    val clicks = side("click", "c")
+    val buys = side("purchase", "b")
+    clicks.join(buys,
+        col("c_user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  // ── op 65: broadcast fan-out (one stream → N sinks) ─────────────
+  /** meepo's core "broadcasting": each micro-batch is persisted once
+    * and written to every sink path; per-batch overwrite into a
+    * batchId-keyed directory makes redelivery idempotent.
+    */
+  def fanOut(events: DataFrame, sinkDirs: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.persist()
+        try sinkDirs.foreach { dir =>
+          batch.write.mode("overwrite").parquet(s"$dir/batch_$batchId")
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,160 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch↔stream equivalence and streaming-only semantics
+  * (SURVEY.md §5.2.3): the same transform body must produce identical
+  * results under `read` and `readStream`, late data must be dropped
+  * past the watermark, duplicated delivery must dedup, a restart from
+  * checkpoint must neither lose nor duplicate, and fan-out sinks must
+  * all see the same batch.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private def batchEvents: DataFrame = Tables.events(spark, sf001)
+  private def streamEvents: DataFrame = EventStreams.readEventStream(spark, sf001)
+
+  test("tumbling window: stream (complete mode) equals batch") {
+    val batch = EventStreams.tumbling(batchEvents)
+      .orderBy("hour_start_us", "event_type").collect().toSeq
+    val stream = runToMemory(EventStreams.tumbling(streamEvents), "t_tumbling", "complete")
+      .orderBy("hour_start_us", "event_type").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionized: stream (complete mode) equals batch") {
+    val batch = EventStreams.sessionized(batchEvents)
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    val stream = runToMemory(EventStreams.sessionized(streamEvents), "t_session", "complete")
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("stateful fold: streaming state machine converges to batch state") {
+    val batch = EventStreams.statefulFold(EventStreams.toFoldEvents(batchEvents))
+      .toDF().withColumn("balance", round(col("balance"), 6))
+      .orderBy("user_id").collect().toSeq
+    val streamed = runToMemory(
+      EventStreams.statefulFold(EventStreams.toFoldEvents(streamEvents)).toDF(),
+      "t_fold", "update")
+    // update mode emits one row per key per micro-batch; final state =
+    // last emission per key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val finalState = streamed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("balance", round(col("balance"), 6))
+      .orderBy("user_id").collect().toSeq
+    assert(finalState == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("dedup: at-least-once delivery (every event twice) folds to exactly-once") {
+    val dir = tmpDir("graft_dup")
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    ev.union(ev).write.mode("overwrite").parquet(s"$dir/in")
+    val raw = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val got = runToMemory(
+      EventStreams.dedupByPosition(raw.select("event_id", "user_id", "event_type")),
+      "t_dedup", "append")
+    assert(got.count() == ev.count())
+    assert(got.select("event_id").distinct().count() == ev.count())
+  }
+
+  test("watermark: rows later than the threshold are dropped from closed windows") {
+    import spark.implicits._
+    val dir = tmpDir("graft_late")
+    val base = "2024-06-01"
+    def mk(rows: Seq[(Long, String, Long, String, Double, String)]) =
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .select(col("event_id"),
+          unix_micros(to_timestamp(col("tss"))).multiply(1000L).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    // batch 1: two rows in [10:00,11:00) + one at 12:00 → watermark 11:50
+    mk(Seq((1L, s"$base 10:00:00", 1L, "click", 1.0, "{}"),
+        (2L, s"$base 10:05:00", 1L, "click", 1.0, "{}"),
+        (3L, s"$base 12:00:00", 1L, "click", 1.0, "{}")))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = EventStreams.watermarkedTumbling(stream)
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("t_late").start()
+    q.processAllAvailable()
+    // batch 2: a late row at 10:10, far below the 11:50 watermark
+    mk(Seq((4L, s"$base 10:10:00", 1L, "click", 99.0, "{}")))
+      .write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to close everything
+    mk(Seq((5L, s"$base 15:00:00", 1L, "click", 1.0, "{}")))
+      .write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_late")
+      .select("hour_start_us", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toMap2
+    val h10 = unixMicrosOf(s"$base 10:00:00")
+    // the closed 10:00 window counts 2 events — the late row (id 4,
+    // value 99) was dropped, not merged and not re-emitted
+    assert(out(h10) == (2L, 2.0))
+  }
+
+  implicit private class MapOps(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[Long, (Long, Double)] =
+      rows.map { case (k, a, b) => k -> (a, b) }.toMap
+  }
+  private def unixMicrosOf(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+
+  test("checkpoint replay: restart neither loses nor duplicates") {
+    val dir = tmpDir("graft_replay")
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 === 1)
+    half1.write.mode("overwrite").parquet(s"$dir/in")
+    def startQuery() = spark.readStream
+      .schema(EventStreams.rawSchema).parquet(s"$dir/in")
+      .select("event_id", "user_id")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    half2.write.mode("append").parquet(s"$dir/in")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // third run with no new data must emit nothing new
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == ev.count())
+    assert(out.select("event_id").distinct().count() == ev.count())
+  }
+
+  test("fan-out: every sink receives the identical batch exactly once") {
+    val dir = tmpDir("graft_fanout")
+    val sinks = Seq(s"$dir/sinkA", s"$dir/sinkB", s"$dir/sinkC")
+    val q = EventStreams.fanOut(
+      streamEvents.select("event_id", "user_id", "event_type"),
+      sinks, s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val n = Tables.events(spark, sf001).count()
+    val contents = sinks.map { s =>
+      val df = spark.read.parquet(s"$s/batch_0")
+      (df.count(), df.orderBy("event_id").collect().toSeq)
+    }
+    assert(contents.forall(_._1 == n))
+    assert(contents.distinct.size == 1)
+  }
+}

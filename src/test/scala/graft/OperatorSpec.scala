@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator batch specs on sf0.001 (seed=42 data → stable
+  * goldens). The DuckDB oracle (driver t2 / tools/verify_local.py) is
+  * the deep gate; these pin basic shape, a few golden values, and the
+  * non-oracled ops (HLL accuracy, Spark-specific hashes).
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("registry: every op has a unique key; oracled keys ⊆ query keys") {
+    val keys = SparkEntry.all.map(_.key)
+    assert(keys.distinct.size == keys.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size >= 45)
+  }
+
+  test("entry: flagship runs on sf0.001 with rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query executes on sf0.001 and has a nonempty schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf001)
+      assert(df.schema.nonEmpty, s"$name: empty schema")
+      df.count() // must not throw
+    }
+  }
+
+  test("agg_hash_group golden: full-table quantity sum is stable") {
+    val rows = SparkEntry.queries("agg_hash_group")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.lineitem(spark, sf001)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp")).count()
+    assert(total == expected, s"expected $expected counted, got $total")
+  }
+
+  test("agg_approx_hll: HLL estimate within 5% of exact") {
+    SparkEntry.queries("agg_approx_hll")(spark, sf01).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("join_asof: matched order is never later than the event") {
+    val df = SparkEntry.queries("join_asof")(spark, sf001)
+    // every event matches (orders end 2001, events start 2024) and the
+    // as-of price is a real order price
+    assert(df.filter(col("asof_orderkey").isNull).count() == 0)
+    val o = Tables.orders(spark, sf001).select(col("o_orderkey").as("k"))
+    assert(df.join(o, df("asof_orderkey") === col("k"), "left_anti").count() == 0)
+  }
+
+  test("win_topk_group: at most 3 rows per customer, ranked by price") {
+    val df = SparkEntry.queries("win_topk_group")(spark, sf001)
+    val over = df.groupBy("o_custkey").count().filter(col("count") > 3)
+    assert(over.count() == 0)
+  }
+
+  test("set ops algebra: |A∪B| = |A| + |B| - |A∩B| on (user, day) sets") {
+    val e = Tables.events(spark, sf001)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+    val a = e.filter(col("event_type") === "click").select("user_id", "day").distinct()
+    val b = e.filter(col("event_type") === "purchase").select("user_id", "day").distinct()
+    val union = a.union(b).distinct().count()
+    val inter = a.intersect(b).count()
+    assert(union == a.count() + b.count() - inter)
+  }
+
+  test("fn_hash_spark: xxhash64 deterministic across runs") {
+    val h1 = SparkEntry.queries("fn_hash_spark")(spark, sf001)
+      .select("doc_id", "text_xxh64").collect().toSeq
+    val h2 = SparkEntry.queries("fn_hash_spark")(spark, sf001)
+      .select("doc_id", "text_xxh64").collect().toSeq
+    assert(h1 == h2)
+  }
+
+  test("cdc_apply_upsert: one row per surviving key, deletes removed") {
+    val df = SparkEntry.queries("cdc_apply_upsert")(spark, sf001)
+    assert(df.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    assert(df.filter(col("op") === "D").count() == 0)
+  }
+}
