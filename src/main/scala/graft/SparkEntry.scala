@@ -14,7 +14,9 @@ object SparkEntry {
     ops.Aggs,
     ops.Windows,
     ops.Functions,
-    ops.EventOps)
+    ops.EventOps,
+    ops.LlmOps,
+    ops.Multimodal)
 
   lazy val all: Seq[Op] = {
     val xs = modules.flatMap(_.ops)

@@ -1,0 +1,357 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import graft.functions.SeededFnvHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators (SURVEY.md §2.10): dedup (exact +
+  * MinHash-LSH near), similarity search, vector math, text analysis /
+  * quality, n-grams, multimodal record assembly.
+  *
+  * Everything stays in Catalyst-native higher-order functions and the
+  * custom codegen'd [[SeededFnvHash]] — no Scala-closure UDFs in any
+  * hot path.
+  *
+  * 100 TB notes per op are on the individual methods; the common
+  * theme: shuffle on content-derived keys (hash buckets, LSH bands)
+  * so work distributes by data, never by a driver-side loop.
+  */
+object LlmOps extends OpModule {
+
+  /** whitespace-normalized lowercase text */
+  private def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  private def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** MinHash + banded LSH near-duplicate pairs over (doc_id, text).
+    *
+    * shingle(3-gram) → k seeded FNV hashes → min per seed → `bands`
+    * bands of k/bands rows → band-bucket self-join → candidate pairs →
+    * exact-Jaccard confirm at `jaccardMin`.
+    *
+    * At 100 TB the self-join shuffles only (band_id, band_hash,
+    * doc_id) tuples — candidates meet in hash buckets, so cost scales
+    * with collisions, not corpus²; the Jaccard confirm touches only
+    * candidate pairs. The k hash computations fuse into one codegen
+    * stage over the shingle array.
+    */
+  def nearDupPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      jaccardMin: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val toks = tokens(col("text"))
+    val shingles = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+      .otherwise(array(normText(col("text"))))
+    val withSh = docs.select(col("doc_id"), toks.as("toks"),
+      shingles.as("shingles"))
+    // one minhash per seed: min over the shingle set of seeded FNV
+    val minhashes = array((0 until k).map { j =>
+      array_min(transform(col("shingles"),
+        s => call_function("graft_seeded_hash", s, lit(j.toLong))))
+    }: _*)
+    val banded = withSh
+      .withColumn("mh", minhashes)
+      .select(col("doc_id"), col("toks"),
+        posexplode(array((0 until bands).map { b =>
+          hash(slice(col("mh"), b * rows + 1, rows), lit(b))
+        }: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("doc_id").as("doc_a"), col("band_id"),
+      col("band_hash"), col("toks").as("toks_a"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
+      col("band_hash").as("band_hash_b"), col("toks").as("toks_b"))
+    val candidates = a.join(b,
+        col("band_id") === col("band_id_b") &&
+        col("band_hash") === col("band_hash_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "toks_a", "toks_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val sa = array_distinct(col("toks_a"))
+    val sb = array_distinct(col("toks_b"))
+    candidates
+      .withColumn("jaccard", round(
+        size(array_intersect(sa, sb)).cast("double") /
+          size(array_union(sa, sb)).cast("double"), 6))
+      .filter(col("jaccard") >= jaccardMin)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Brute-force top-k cosine neighbors (the verifiable baseline).
+    * 100 TB path: replace the crossJoin candidate generation with
+    * LSH bucketing (random-hyperplane SimHash bands over the same
+    * banded-join machinery as [[nearDupPairs]]) or an IVF coarse
+    * quantizer (cluster-id equi-join), keeping this exact scorer for
+    * the per-bucket refine step.
+    */
+  def simSearch(emb: DataFrame, nProbes: Int, topK: Int): DataFrame = {
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    def sumsq(c: Column): Column =
+      aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val dot = aggregate(
+      zip_with(col("p_emb"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = probes.crossJoin(emb)
+      .withColumn("cosine", round(
+        dot / (sqrt(sumsq(col("p_emb"))) * sqrt(sumsq(col("embedding")))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("p_id", "rank", "vec_id", "cosine")
+  }
+
+  override def ops: Seq[Op] = Seq(
+
+    Op("llm_dedup_exact",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
+        Tables.documents(s, d)
+          .withColumn("text_hash", md5(normText(col("text"))))
+          .withColumn("rn", row_number().over(w.orderBy(col("doc_id").asc)))
+          .withColumn("n_copies", count(lit(1)).over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "text_hash", "n_copies")
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                    AS text_hash
+                FROM documents),
+              r AS (
+                SELECT doc_id, text_hash,
+                  row_number() OVER (PARTITION BY text_hash
+                    ORDER BY doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY text_hash) AS n_copies
+                FROM h)
+              SELECT doc_id, text_hash, n_copies FROM r WHERE rn = 1
+              ORDER BY doc_id""")),
+
+    Op("llm_dedup_near",
+      // not DuckDB-expressible (seeded-hash family); property-tested in
+      // LlmSpec. The registered query runs recall-demonstrably: corpus ∪
+      // one-token-truncated clones must pair up with their originals.
+      (s, d) => {
+        SeededFnvHash.register(s)
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val toks = tokens(col("text"))
+        val clones = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        nearDupPairs(docs.unionByName(clones), k = 16, bands = 4,
+          jaccardMin = 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    Op("llm_simsearch",
+      (s, d) => {
+        val out = simSearch(Tables.embeddings(s, d), nProbes = 5, topK = 10)
+        out.orderBy("p_id", "rank")
+      },
+      Some("""WITH probes AS (
+                SELECT vec_id AS p_id, embedding AS p_emb
+                FROM embeddings WHERE vec_id < 5),
+              scored AS (
+                SELECT p_id, vec_id,
+                  round(
+                    list_reduce(list_transform(range(1, 65),
+                      i -> p_emb[i]::DOUBLE * embedding[i]::DOUBLE),
+                      (a, b) -> a + b)
+                    / (sqrt(list_reduce(list_transform(p_emb,
+                         x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))
+                     * sqrt(list_reduce(list_transform(embedding,
+                         x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))),
+                    6) AS cosine
+                FROM probes, embeddings),
+              ranked AS (
+                SELECT p_id, vec_id, cosine,
+                  row_number() OVER (PARTITION BY p_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored)
+              SELECT p_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine
+              FROM ranked WHERE rank <= 10
+              ORDER BY p_id, rank""")),
+
+    Op("llm_vector_ops",
+      (s, d) => {
+        def fold(c: Column, f: Column => Column): Column =
+          aggregate(c, lit(0.0), (acc, x) => acc + f(x.cast("double")))
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            round(sqrt(fold(col("embedding"), x => x * x)), 6).as("l2_norm"),
+            round(fold(col("embedding"), abs), 6).as("l1_norm"),
+            round(fold(col("embedding"), identity) / lit(64.0), 6).as("vmean"),
+            array_max(col("embedding")).as("vmax"),
+            array_min(col("embedding")).as("vmin"),
+            round(element_at(col("embedding"), 1).cast("double") /
+              sqrt(fold(col("embedding"), x => x * x)), 6).as("unit0"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, label,
+                round(sqrt(list_reduce(list_transform(embedding,
+                  x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)), 6) AS l2_norm,
+                round(list_reduce(list_transform(embedding,
+                  x -> abs(x::DOUBLE)), (a, b) -> a + b), 6) AS l1_norm,
+                round(list_reduce(list_transform(embedding,
+                  x -> x::DOUBLE), (a, b) -> a + b) / 64.0, 6) AS vmean,
+                list_max(embedding) AS vmax,
+                list_min(embedding) AS vmin,
+                round(embedding[1]::DOUBLE /
+                  sqrt(list_reduce(list_transform(embedding,
+                    x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)), 6) AS unit0
+              FROM embeddings ORDER BY vec_id""")),
+
+    Op("llm_text_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(tokens(col("text"))).as("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast("long")).as("total_tokens"),
+          round(sum(col("n_toks").cast("long")).cast("double") / count(lit(1)), 6)
+            .as("avg_tokens"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+            .as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang"),
+      Some("""WITH t AS (
+                SELECT lang, source, n_chars,
+                  len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                    AS n_toks
+                FROM documents)
+              SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6) AS avg_tokens,
+                round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+                count(DISTINCT source) AS n_sources
+              FROM t GROUP BY lang ORDER BY lang""")),
+
+    Op("llm_text_quality",
+      // quality scoring + n-gram-free language ID heuristic: stopword
+      // hit-rate + token diversity (corpus text is lowercase
+      // pseudo-words, so punctuation/digit ratios are degenerate here)
+      (s, d) => {
+        val stop = array(Seq("the", "of", "and", "to", "a", "in", "is",
+          "for", "on", "with").map(lit): _*)
+        val toks = tokens(col("text"))
+        // quality derives from the UNROUNDED ratio: rounding an
+        // already-rounded value can land exactly on a .5 boundary where
+        // Spark (exact decimal) and DuckDB (fp-scaled) disagree
+        val uniqRaw = size(array_distinct(toks)).cast("double") / size(toks)
+        Tables.documents(s, d)
+          .withColumn("n_toks", size(toks))
+          .withColumn("uniq_ratio", round(uniqRaw, 6))
+          .withColumn("stop_ratio", round(
+            size(filter(toks, t => array_contains(stop, t))).cast("double")
+              / size(toks), 6))
+          .withColumn("quality", round(
+            uniqRaw * 0.5 +
+              least(col("n_toks").cast("double") / 50.0, lit(1.0)) * 0.5, 6))
+          .withColumn("lang_guess",
+            when(col("stop_ratio") > 0.02, "en_like").otherwise("other"))
+          .select("doc_id", "lang", "n_toks", "uniq_ratio", "stop_ratio",
+            "quality", "lang_guess")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM documents)
+              SELECT doc_id, lang,
+                CAST(len(toks) AS INTEGER) AS n_toks,
+                round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                  AS uniq_ratio,
+                round(CAST(len(list_filter(toks, t -> t IN ('the','of','and',
+                  'to','a','in','is','for','on','with'))) AS DOUBLE)
+                  / len(toks), 6) AS stop_ratio,
+                round(
+                  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5 +
+                  least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5, 6)
+                  AS quality,
+                CASE WHEN round(CAST(len(list_filter(toks, t -> t IN ('the',
+                  'of','and','to','a','in','is','for','on','with')))
+                  AS DOUBLE) / len(toks), 6) > 0.02
+                  THEN 'en_like' ELSE 'other' END AS lang_guess
+              FROM t ORDER BY doc_id""")),
+
+    Op("llm_fingerprint",
+      // rolling polynomial hash over per-token xxhash64 — Spark-only
+      // hash family, no oracle; determinism pinned in LlmSpec
+      // shift/xor mixing instead of h*31+x: multiplicative rolling
+      // hashes overflow-trap under Spark 4's default ANSI mode
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(transform(tokens(col("text")), t => xxhash64(t)),
+            lit(0L), (h, x) => shiftleft(h, 5)
+              .bitwiseXOR(shiftrightunsigned(h, 27)).bitwiseXOR(x))
+            .as("fingerprint"))
+        .orderBy("doc_id"),
+      None),
+
+    Op("llm_ngrams_tf",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val grams = transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+        val exploded = Tables.documents(s, d)
+          .select(col("lang"), explode(grams).as("ngram"))
+          .groupBy("lang", "ngram").agg(count(lit(1)).as("tf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("tf").desc, col("ngram").asc)
+        exploded.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("lang", "rank", "ngram", "tf")
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH t AS (
+                SELECT lang,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM documents),
+              g AS (
+                SELECT lang, unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+                FROM t),
+              tf AS (
+                SELECT lang, ngram, count(*) AS tf FROM g GROUP BY lang, ngram),
+              ranked AS (
+                SELECT lang, ngram, tf,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY tf DESC, ngram ASC) AS rank
+                FROM tf)
+              SELECT lang, CAST(rank AS INTEGER) AS rank, ngram, tf
+              FROM ranked WHERE rank <= 5 ORDER BY lang, rank""")),
+
+    Op("llm_multimodal",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        docs.join(emb, docs("doc_id") === emb("vec_id"), "inner")
+          .select(col("doc_id"),
+            struct(col("text"), col("lang"), col("embedding"), col("label"))
+              .as("record"))
+          .filter(col("record.lang").isin("en", "fr") && col("record.label") < 8)
+          .select(col("doc_id"), col("record.lang").as("lang"),
+            col("record.label").as("label"),
+            length(col("record.text")).as("text_len"),
+            round(aggregate(col("record.embedding"), lit(0.0),
+              (a, x) => a + x.cast("double") * x.cast("double")), 6)
+              .as("emb_sumsq"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, label,
+                CAST(length(text) AS INTEGER) AS text_len,
+                round(list_reduce(list_transform(embedding,
+                  x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b), 6) AS emb_sumsq
+              FROM documents JOIN embeddings ON doc_id = vec_id
+              WHERE lang IN ('en', 'fr') AND label < 8
+              ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.SeededFnvHash
+import graft.ops.{LlmOps, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Property-style checks for the non-oracled LLM ops (SURVEY §5.2.4):
+  * near-dedup recall on crafted fixtures, seeded-hash independence and
+  * stability, fingerprint determinism, simsearch geometry, multimodal
+  * pipeline shape.
+  */
+class LlmSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("seeded hash: deterministic, seed-sensitive, codegen==interpreted") {
+    SeededFnvHash.register(spark)
+    val df = Tables.documents(spark, sf001).limit(50)
+      .select(col("doc_id"),
+        call_function("graft_seeded_hash", col("text"), lit(1L)).as("h1"),
+        call_function("graft_seeded_hash", col("text"), lit(2L)).as("h2"))
+    val rows = df.collect()
+    // different seeds give different hash functions
+    assert(rows.forall(r => r.getLong(1) != r.getLong(2)))
+    // stable across executions
+    assert(df.collect().toSeq == rows.toSeq)
+    // matches the direct Scala implementation (interpreted path)
+    val direct = Tables.documents(spark, sf001).limit(50).collect().map { r =>
+      SeededFnvHash.hashUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getAs[String]("text")), 1L)
+    }
+    assert(rows.map(_.getLong(1)).toSeq == direct.toSeq)
+  }
+
+  test("near-dedup: exact duplicates and small edits are caught; disjoint docs are not") {
+    SeededFnvHash.register(spark)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val edited = base.replace("gamma", "zz1") // 1-token edit
+    val disjoint = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val df = docsDf(Seq(1L -> base, 2L -> base, 3L -> edited, 4L -> disjoint))
+    // 8 bands × 2 rows: a ~0.71-Jaccard pair collides with p≈0.996
+    // (4×4 banding would miss ~30% of the time at this similarity)
+    val pairs = LlmOps.nearDupPairs(df, k = 16, bands = 8, jaccardMin = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact duplicate must always be caught")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "1-token edit at 20 tokens should collide in at least one band")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "disjoint doc must not pair")
+    // exact duplicate has jaccard 1.0
+    val j12 = LlmOps.nearDupPairs(df, k = 16, bands = 8, jaccardMin = 0.5)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .select("jaccard").head().getDouble(0)
+    assert(j12 == 1.0)
+  }
+
+  test("near-dedup is idempotent on an already-deduped corpus") {
+    SeededFnvHash.register(spark)
+    val df = docsDf(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight",
+      3L -> "red orange yellow green blue indigo violet purple"))
+    assert(LlmOps.nearDupPairs(df, jaccardMin = 0.5).count() == 0)
+  }
+
+  test("simsearch: self is always rank 1 with cosine 1; cosine bounded") {
+    val out = LlmOps.simSearch(Tables.embeddings(spark, sf001), nProbes = 5, topK = 10)
+    val r1 = out.filter(col("rank") === 1).collect()
+    assert(r1.length == 5)
+    assert(r1.forall(r => r.getAs[Long]("p_id") == r.getAs[Long]("vec_id")))
+    assert(r1.forall(r => math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
+    val all = out.select("cosine").collect().map(_.getDouble(0))
+    assert(all.forall(c => c >= -1.0000001 && c <= 1.0000001))
+  }
+
+  test("fingerprint: deterministic and (near-)unique across the corpus") {
+    val q = SparkEntry.queries("llm_fingerprint")
+    val a = q(spark, sf001).collect().toSeq
+    val b = q(spark, sf001).collect().toSeq
+    assert(a == b)
+    val n = a.size
+    val distinct = a.map(_.getAs[Long]("fingerprint")).distinct.size
+    assert(distinct > n * 9 / 10, s"$distinct distinct of $n")
+  }
+
+  test("multimodal pipeline: schema, determinism, distributed shape") {
+    val docs = Tables.documents(spark, sf001)
+    val out = Multimodal.mediaPipeline(docs)
+    val df = out.toDF()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("doc_id", "media_type", "n_bytes", "features"))
+    val rows = df.orderBy("doc_id").collect()
+    assert(rows.length == docs.count())
+    // n_bytes == n_chars (ascii corpus) — metadata survives the stub decode
+    val chars = docs.select("doc_id", "n_chars").orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Int]("n_bytes")).toSeq ==
+      chars.map(_.getAs[Long]("n_chars").toInt).toSeq)
+    // fixed feature dim; histogram normalized
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(f.length == Multimodal.FeatureDim)
+      assert(math.abs(f.sum - 1.0f) < 1e-3)
+    }
+    // deterministic under repartition (no partition-order dependence)
+    val re = Multimodal.mediaPipeline(docs.repartition(7)).toDF()
+      .orderBy("doc_id").collect()
+    assert(re.map(r => (r.getLong(0), r.getInt(2))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getInt(2))).toSeq)
+  }
+}
