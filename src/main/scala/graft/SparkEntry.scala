@@ -16,7 +16,8 @@ object SparkEntry {
     ops.Functions,
     ops.EventOps,
     ops.LlmOps,
-    ops.Multimodal)
+    ops.Multimodal,
+    ops.Extension)
 
   lazy val all: Seq[Op] = {
     val xs = modules.flatMap(_.ops)

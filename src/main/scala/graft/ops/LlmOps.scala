@@ -40,13 +40,17 @@ object LlmOps extends OpModule {
   def nearDupPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
       jaccardMin: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val toks = tokens(col("text"))
-    val shingles = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-      .otherwise(array(normText(col("text"))))
-    val withSh = docs.select(col("doc_id"), toks.as("toks"),
-      shingles.as("shingles"))
+    // materialize the token array BEFORE any lambda references it: an
+    // unbound expression inside a higher-order-function body re-evaluates
+    // per array element (regexp+split × n_shingles — 10× slower at sf0.1)
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
+      normText(col("text")).as("norm"))
+    val t = col("toks")
+    val shingles = when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+      .otherwise(array(col("norm")))
+    val withSh = toked.select(col("doc_id"), col("toks"), shingles.as("shingles"))
     // one minhash per seed: min over the shingle set of seeded FNV
     val minhashes = array((0 until k).map { j =>
       array_min(transform(col("shingles"),
@@ -297,10 +301,13 @@ object LlmOps extends OpModule {
 
     Op("llm_ngrams_tf",
       (s, d) => {
-        val toks = tokens(col("text"))
-        val grams = transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+        // tokens materialized first — see nearDupPairs note on HOF
+        // re-evaluation
+        val t = col("toks")
+        val grams = transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", slice(t, i + 1, lit(2))))
         val exploded = Tables.documents(s, d)
+          .select(col("lang"), tokens(col("text")).as("toks"))
           .select(col("lang"), explode(grams).as("ngram"))
           .groupBy("lang", "ngram").agg(count(lit(1)).as("tf"))
         val w = org.apache.spark.sql.expressions.Window

@@ -89,6 +89,19 @@ class LlmSpec extends SparkSpec {
     assert(distinct > n * 9 / 10, s"$distinct distinct of $n")
   }
 
+  test("udtf: generator rendering equals typed flatMap rendering") {
+    import spark.implicits._
+    val viaGenerator = SparkEntry.queries("udtf_explode_props")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val viaFlatMap = Tables.documents(spark, sf001)
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ").zipWithIndex.map { case (t, i) => (id, i, t) }
+      }
+      .orderBy("_1", "_2").collect().toSeq
+    assert(viaGenerator == viaFlatMap)
+  }
+
   test("multimodal pipeline: schema, determinism, distributed shape") {
     val docs = Tables.documents(spark, sf001)
     val out = Multimodal.mediaPipeline(docs)
