@@ -151,11 +151,38 @@ object Joins extends OpModule {
               ORDER BY click_id, purchase_id""")),
 
     Op("join_asof",
-      // as-of join (SURVEY §2.3 op 21, §4.3): each event ↔ latest order
-      // of the same customer with o_orderdate <= ts. Union-tag + window
-      // rewrite: one shuffle on the key, one in-partition sort,
-      // last(ignoreNulls) carries the most recent order forward. Ties on
-      // o_orderdate break by max o_orderkey (deterministic).
+      // native as-of operator (graft.plans.AsOfJoin): LogicalPlan +
+      // Strategy + streaming sort-merge exec. Each event ↔ latest order
+      // of the same customer with o_orderdate <= ts; o_orderdate ties
+      // break by max o_orderkey. Same oracle as join_asof_window.
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("ts_ntz", col("ts").cast("timestamp_ntz"))
+        val o = Tables.orders(s, d)
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        graft.plans.AsOfJoin.asof(e, o,
+            "user_id", "o_custkey", "ts_ntz", "o_orderdate", "o_orderkey")
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("asof_orderkey"),
+            col("o_totalprice").as("asof_price"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ranked AS (
+                SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (PARTITION BY e.event_id
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e LEFT JOIN orders o
+                  ON o.o_custkey = e.user_id
+                 AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+              SELECT event_id, user_id,
+                     o_orderkey AS asof_orderkey, o_totalprice AS asof_price
+              FROM ranked WHERE rn = 1 ORDER BY event_id""")),
+
+    Op("join_asof_window",
+      // the pure-built-ins rewrite of the same as-of semantics (SURVEY
+      // §4.3 v1): union-tag + window last(ignoreNulls). One shuffle on
+      // the key, one in-partition sort — kept for comparison with the
+      // native operator above.
       (s, d) => {
         val o = Tables.orders(s, d).select(
           col("o_custkey").as("key"), col("o_orderdate").as("t"),

@@ -1,0 +1,175 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.types.PhysicalDataType
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native as-of join (SURVEY.md §2.3 op 21, §4.3 v2): for each left
+  * row, attach the single right row with the same key and the
+  * greatest right-time <= left-time (ties broken by the largest
+  * tiebreak value); left rows with no match null-extend.
+  *
+  * Built as a first-class operator — LogicalPlan node → Strategy →
+  * physical BinaryExecNode — instead of the union+window rewrite
+  * (kept as `join_asof_window` for comparison). The physical plan
+  * declares ClusteredDistribution on the key and a per-partition
+  * (key, time) sort requirement, so EnsureRequirements inserts
+  * exactly one hash shuffle + sort per side; the merge itself is a
+  * streaming O(n+m) per-partition pass holding ONE buffered right
+  * row — no window state, no unioned wide schema. At 100 TB this is
+  * the same stage shape as a sort-merge join, with memory O(1) per
+  * partition beyond the sort.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression, rightTie: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyOrd = PhysicalDataType.ordering(leftKey.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val timeOrd = PhysicalDataType.ordering(leftTime.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val rightSchema = right.output
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rightSchema.size)
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(outAttrs, outAttrs)
+      val rBuf = rIter.buffered
+      var candidate: InternalRow = null
+      var prevKey: Any = null
+      var havePrev = false
+
+      lIter.map { lRow =>
+        val k = lKey.eval(lRow)
+        val t = lTime.eval(lRow)
+        if (k == null) {
+          joined(lRow, nullRight)
+        } else {
+          if (!havePrev || keyOrd.compare(k, prevKey) != 0) {
+            candidate = null
+            prevKey = k
+            havePrev = true
+          }
+          // advance the right side up to (key, time]: every consumed
+          // equal-key row with time <= t supersedes the previous
+          // candidate (right is sorted by time then tiebreak)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rk = rKey.eval(rRow)
+            if (rk == null) { rBuf.next() } // null keys never match
+            else {
+              val c = keyOrd.compare(rk, k)
+              if (c < 0) { rBuf.next() }
+              else if (c == 0 && timeOrd.compare(rTime.eval(rRow), t) <= 0) {
+                candidate = rBuf.next().copy()
+              } else advancing = false
+            }
+          }
+          joined(lRow, if (candidate ne null) candidate else nullRight)
+        }
+      }.map(project)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+
+  /** Idempotent runtime registration — works on driver-built sessions
+    * (no builder access needed); `GraftExtensions` is the
+    * SparkSessionExtensions route for builder-owned sessions. */
+  def register(spark: SparkSession): Unit = {
+    val strategies = spark.sessionState.experimentalMethods.extraStrategies
+    if (!strategies.contains(AsOfStrategy)) {
+      spark.sessionState.experimentalMethods.extraStrategies =
+        strategies :+ AsOfStrategy
+    }
+  }
+
+  /** left-outer as-of: each left row ↔ latest right row (same key,
+    * rightTime <= leftTime, max tiebreak on time ties). Columns are
+    * named (derived expressions: `withColumn` first) — in Spark 4 a
+    * public Column wraps a lazily-resolved node that only becomes a
+    * concrete Catalyst expression through analysis, so the node is
+    * built from the analyzed children's attributes. Left and right
+    * time columns must share a physical type.
+    */
+  def asof(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String, rightTie: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lp = Bridge.analyzedPlan(left)
+    val rp = Bridge.analyzedPlan(right)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asof: column $n not in [${p.output.map(_.name).mkString(",")}]"))
+    require(attr(lp, leftTime).dataType == attr(rp, rightTime).dataType,
+      s"asof: time columns must share a type, got " +
+        s"${attr(lp, leftTime).dataType} vs ${attr(rp, rightTime).dataType}")
+    Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
+      attr(lp, leftKey), attr(rp, rightKey),
+      attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTie)))
+  }
+}
+
+/** SparkSessionExtensions entry point:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsOfStrategy)
+}

@@ -46,6 +46,14 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("join_asof: native operator plans AsOfJoinExec and equals the window rewrite") {
+    val native = SparkEntry.queries("join_asof")(spark, sf001)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected custom exec in:\n$plan")
+    val rewrite = SparkEntry.queries("join_asof_window")(spark, sf001)
+    assert(native.collect().toSeq == rewrite.collect().toSeq)
+  }
+
   test("join_asof: matched order is never later than the event") {
     val df = SparkEntry.queries("join_asof")(spark, sf001)
     // every event matches (orders end 2001, events start 2024) and the
