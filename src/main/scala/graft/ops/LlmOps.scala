@@ -110,6 +110,60 @@ object LlmOps extends OpModule {
       .select("p_id", "rank", "vec_id", "cosine")
   }
 
+  private def cosineCols(a: Column, b: Column): Column = {
+    def sumsq(c: Column): Column =
+      aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x) / (sqrt(sumsq(a)) * sqrt(sumsq(b)))
+  }
+
+  /** IVF-flat similarity search — the 100 TB path. Coarse quantizer:
+    * `nCentroids` seed vectors (smallest vec_ids — deterministic);
+    * every corpus vector is assigned to its nearest centroid once
+    * (n×C distances, C small, centroids broadcast). A query then
+    * scores only the vectors in its `nProbe` nearest buckets, so the
+    * exact-cosine refine touches ~(nProbe/C)·n candidates instead of
+    * n. With nProbe = nCentroids this degrades gracefully to exact
+    * brute force (asserted in LlmSpec, along with recall@10 vs the
+    * exact scorer).
+    *
+    * At scale: `assign` is written once as a bucketed/partitioned
+    * table keyed by cid, so a query's candidate fetch is a partition-
+    * pruned scan + broadcast join — no shuffle of the corpus per
+    * query batch.
+    */
+  def simSearchIvf(emb: DataFrame, nProbes: Int, topK: Int,
+      nCentroids: Int = 8, nProbe: Int = 3): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    // one-pass assignment: nearest centroid per corpus vector
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("c_sim").desc, col("cid").asc)
+    val assign = emb.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosineCols(col("embedding"), col("c_emb")))
+      .withColumn("c_rn", row_number().over(wAssign))
+      .filter(col("c_rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    // probes pick their nProbe nearest buckets
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(col("pc_sim").desc, col("cid").asc)
+    val probeBuckets = probes.crossJoin(broadcast(centroids))
+      .withColumn("pc_sim", cosineCols(col("p_emb"), col("c_emb")))
+      .withColumn("pc_rn", row_number().over(wProbe))
+      .filter(col("pc_rn") <= nProbe)
+      .select(col("p_id"), col("p_emb"), col("cid"))
+    // exact refine inside the probed buckets only
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    probeBuckets.join(assign, "cid")
+      .withColumn("cosine", round(cosineCols(col("p_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= topK)
+      .select("p_id", "rank", "vec_id", "cosine")
+  }
+
   override def ops: Seq[Op] = Seq(
 
     Op("llm_dedup_exact",
@@ -181,6 +235,14 @@ object LlmOps extends OpModule {
               SELECT p_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine
               FROM ranked WHERE rank <= 10
               ORDER BY p_id, rank""")),
+
+    // IVF path: recall vs the exact scorer is property-tested in
+    // LlmSpec (and exact when nProbe = nCentroids); no DuckDB oracle —
+    // the assignment step's argmax has no portable rendering
+    Op("llm_simsearch_ivf",
+      (s, d) => simSearchIvf(Tables.embeddings(s, d), nProbes = 5, topK = 10)
+        .orderBy("p_id", "rank"),
+      None),
 
     Op("llm_vector_ops",
       (s, d) => {

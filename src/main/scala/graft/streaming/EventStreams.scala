@@ -142,6 +142,46 @@ object EventStreams {
       }
   }
 
+  /** Spark 4 `transformWithState` rendering of the same fold — the
+    * StatefulProcessor API gives explicit state lifetime (TTL),
+    * timers, and multiple state variables; requires the RocksDB state
+    * store provider. Asserted equivalent to [[statefulFold]] and to
+    * the batch groupBy in EventStreamSpec.
+    */
+  class FoldProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, FoldEvent, UserFold] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      state = getHandle.getValueState[UserState]("userState",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[FoldEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserFold] = {
+      var s = if (state.exists()) state.get() else UserState(0L, 0.0, Long.MinValue)
+      rows.foreach { e =>
+        s = UserState(s.n_events + 1, s.balance + e.value,
+          math.max(s.last_seen_us, e.ts_us))
+      }
+      state.update(s)
+      Iterator.single(UserFold(key, s.n_events, s.balance, s.last_seen_us))
+    }
+  }
+
+  def statefulFoldTws(ds: Dataset[FoldEvent]): Dataset[UserFold] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ds.groupByKey(_.user_id)
+      .transformWithState(new FoldProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   // ── op 62: materialize / replay (last-write-wins upsert) ────────
   /** Apply the ordered change stream onto current-table state:
     * last-write-wins per primary key, deletes (op=D) removed. The

@@ -60,6 +60,22 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("transformWithState fold (RocksDB store) converges to batch state") {
+    val batch = EventStreams.statefulFold(EventStreams.toFoldEvents(batchEvents))
+      .toDF().withColumn("balance", round(col("balance"), 6))
+      .orderBy("user_id").collect().toSeq
+    val streamed = runToMemory(
+      EventStreams.statefulFoldTws(EventStreams.toFoldEvents(streamEvents)).toDF(),
+      "t_fold_tws", "update")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val finalState = streamed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("balance", round(col("balance"), 6))
+      .orderBy("user_id").collect().toSeq
+    assert(finalState == batch)
+  }
+
   test("dedup: at-least-once delivery (every event twice) folds to exactly-once") {
     val dir = tmpDir("graft_dup")
     val ev = spark.read.parquet(s"$sf001/events.parquet")

@@ -79,6 +79,24 @@ class LlmSpec extends SparkSpec {
     assert(all.forall(c => c >= -1.0000001 && c <= 1.0000001))
   }
 
+  test("simsearch IVF: exact when probing all buckets; recall@10 >= 0.5 at nProbe=3/8") {
+    val emb = Tables.embeddings(spark, sf001)
+    val exact = LlmOps.simSearch(emb, nProbes = 5, topK = 10)
+      .select("p_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = LlmOps.simSearchIvf(emb, nProbes = 5, topK = 10,
+        nCentroids = 8, nProbe = 8)
+      .select("p_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nProbe == nCentroids must equal brute force")
+    val ivf = LlmOps.simSearchIvf(emb, nProbes = 5, topK = 10,
+        nCentroids = 8, nProbe = 3)
+      .select("p_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
   test("fingerprint: deterministic and (near-)unique across the corpus") {
     val q = SparkEntry.queries("llm_fingerprint")
     val a = q(spark, sf001).collect().toSeq
