@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.FoldEvent
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based checks (SURVEY §5.2.4) against tiny generated event
+  * logs: the distributed operators must agree with naive in-memory
+  * reference implementations for arbitrary inputs, not just the
+  * testdata corpus.
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSession.spark
+
+  private val genEvent: Gen[FoldEvent] = for {
+    id <- Gen.choose(1L, 500L)
+    user <- Gen.choose(1L, 5L)
+    ts <- Gen.choose(1L, 1000L)
+    tpe <- Gen.oneOf("signup", "click", "view", "purchase", "error")
+    v <- Gen.choose(-100, 100).map(_ / 4.0)
+  } yield FoldEvent(id, user, ts * 1000000L, tpe, v)
+
+  /** unique event_ids (the position key) */
+  private val genLog: Gen[List[FoldEvent]] =
+    Gen.listOfN(40, genEvent).map(_.groupBy(_.event_id).map(_._2.head).toList)
+
+  private def toEventsDf(log: List[FoldEvent]) = {
+    val s = spark
+    import s.implicits._
+    log.toDF()
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+  }
+
+  property("cdc_apply_upsert == in-memory last-write-wins fold") =
+    Prop.forAll(genLog) { log =>
+      val got = EventStreams.cdcApplyUpsert(toEventsDf(log))
+        .select("user_id", "last_position").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = log.groupBy(_.user_id).flatMap { case (u, evs) =>
+        val last = evs.maxBy(e => (e.ts_us, e.event_id))
+        if (last.event_type == "error") None // op=D → key removed
+        else Some((u, last.event_id))
+      }.toSet
+      got == expected
+    }
+
+  property("stateful fold == naive per-key fold") =
+    Prop.forAll(genLog) { log =>
+      val s = spark
+      import s.implicits._
+      val got = EventStreams.statefulFold(log.toDS())
+        .collect().map(f => (f.user_id, f.n_events,
+          math.round(f.balance * 1e6), f.last_seen_us)).toSet
+      val expected = log.groupBy(_.user_id).map { case (u, evs) =>
+        (u, evs.size.toLong,
+          math.round(evs.map(_.value).sum * 1e6),
+          evs.map(_.ts_us).max)
+      }.toSet
+      got == expected
+    }
+
+  property("dedup by position is idempotent and keeps one row per id") =
+    Prop.forAll(genLog) { log =>
+      val df = toEventsDf(log)
+      val doubled = df.union(df)
+      val once = EventStreams.dedupByPosition(doubled)
+      val twice = EventStreams.dedupByPosition(once)
+      once.count() == log.size && twice.count() == log.size
+    }
+
+  property("exceptAll multiplicity: |A\\B|(u) == max(0, a_u - b_u)") =
+    Prop.forAll(genLog, genLog) { (la, lb) =>
+      val s = spark
+      import s.implicits._
+      val a = la.map(_.user_id).toDF("user_id")
+      val b = lb.map(_.user_id).toDF("user_id")
+      val got = a.exceptAll(b).groupBy("user_id").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val ca = la.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+      val cb = lb.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+      val expected = ca.flatMap { case (u, n) =>
+        val d = n - cb.getOrElse(u, 0L)
+        if (d > 0) Some(u -> d) else None
+      }
+      got == expected
+    }
+}
