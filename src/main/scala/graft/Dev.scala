@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
 object Dev {
   def main(args: Array[String]): Unit = {
     val explain = args.contains("-x")
-    val rest = args.filterNot(_ == "-x")
+    val timing = args.contains("-t")
+    val rest = args.filterNot(a => a == "-x" || a == "-t")
     val sfDir = rest(0)
     val outDir = rest(1)
     val names = if (rest.length > 2) rest.drop(2).toSet
@@ -28,6 +29,13 @@ object Dev {
       try {
         val df = fn(spark, sfDir)
         if (explain) { println(s"== $name =="); df.explain("formatted") }
+        if (timing) {
+          (1 to 3).foreach { i =>
+            val t0 = System.nanoTime()
+            val n = fn(spark, sfDir).count()
+            println(f"[dev] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+          }
+        }
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         println(s"[dev] $name OK")
       } catch {
