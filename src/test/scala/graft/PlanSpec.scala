@@ -1,0 +1,64 @@
+package graft
+
+/** Plan-shape regression guards: the properties that make these
+  * operators scale are plan properties (pushdown reaching the scan,
+  * dims broadcast, partial aggregation, whole-stage codegen) — assert
+  * them so a refactor can't silently trade a broadcast for a shuffle
+  * or push a filter off the reader.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf01)
+    // collect() executes THIS QueryExecution, finalizing its adaptive
+    // plan so codegen spans are visible (count() would plan separately)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_pushdown: filter and projection reach the parquet reader") {
+    val p = planOf("scan_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_shipdate), " +
+      "GreaterThan(l_quantity,45.0)") || p.contains("GreaterThan(l_quantity,45.0)"),
+      s"quantity filter not pushed:\n$p")
+    assert(p.contains("LessThan(l_shipdate"), s"shipdate filter not pushed:\n$p")
+    // pruned read schema: only the three needed columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double"), s"projection not pruned:\n$p")
+  }
+
+  test("join_inner_bhj: dimension is broadcast, fact side never shuffles") {
+    val p = planOf("join_inner_bhj")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("join_inner_smj: large-large join is sort-merge as pinned") {
+    val p = planOf("join_inner_smj")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("agg_hash_group: partial (map-side) + final hash aggregation") {
+    val p = planOf("agg_hash_group")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("function batteries run inside whole-stage codegen") {
+    for (q <- Seq("fn_string", "fn_math", "project_expr")) {
+      val p = planOf(q)
+      // codegen'd operators print as *(n) in the finalized plan
+      assert(p.contains("*("), s"$q fell out of codegen:\n$p")
+    }
+  }
+
+  test("limit_topk plans TakeOrderedAndProject (bounded heap, no global sort)") {
+    val p = planOf("limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("seeded-hash expression participates in codegen (no UDF wrapper)") {
+    val p = planOf("udf_expr_hash")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+}
