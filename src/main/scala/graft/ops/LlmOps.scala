@@ -117,6 +117,67 @@ object LlmOps extends OpModule {
       lit(0.0), (acc, x) => acc + x) / (sqrt(sumsq(a)) * sqrt(sumsq(b)))
   }
 
+  /** 64-bit SimHash near-duplicate detection. Per document: seeded
+    * hash per token → per-bit vote (+1/−1 weighted by occurrence) →
+    * sign vector packed into one long. Candidate pairs come from a
+    * 4×16-bit band join — pigeonhole guarantees every pair within
+    * hamming distance 3 shares at least one exact band — then the
+    * hamming radius is confirmed with bit_count(xor).
+    *
+    * At 100 TB: the fingerprint is one long per document (vs k
+    * minhashes), the band join shuffles (band_id, 16-bit value,
+    * doc_id) only, and radius confirmation touches candidates alone.
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // functions.shiftleft/shiftrightunsigned only take Int bit counts;
+    // the bit index here is a lambda-bound Column → call the SQL
+    // builtins by name
+    val bitsOf = (h: Column) => transform(sequence(lit(0), lit(63)),
+      b => when(call_function("shiftrightunsigned", h, b)
+        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+    val votes = aggregate(
+      transform(col("toks"), t => call_function("graft_seeded_hash", t, lit(0L))),
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b))
+    val packed = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val fp = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), packed.as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map { b =>
+        shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))
+      }: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
+    val a = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+      col("band_id"), col("band_val"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+      col("band_id").as("band_id_b"), col("band_val").as("band_val_b"))
+    a.join(b, col("band_id") === col("band_id_b") &&
+        col("band_val") === col("band_val_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact embedding-cosine near-duplicate pairs. Brute-force n²
+    * scorer (oracle-verifiable); the 100 TB candidate path is the
+    * same banded/IVF bucketing as [[simSearchIvf]]/[[simHashPairs]]
+    * with this scorer applied per bucket.
+    */
+  def embedNearDup(emb: DataFrame, tau: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(cosineCols(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cosine") >= tau)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** IVF-flat similarity search — the 100 TB path. Coarse quantizer:
     * `nCentroids` seed vectors (smallest vec_ids — deterministic);
     * every corpus vector is assigned to its nearest centroid once
@@ -235,6 +296,60 @@ object LlmOps extends OpModule {
               SELECT p_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine
               FROM ranked WHERE rank <= 10
               ORDER BY p_id, rank""")),
+
+    // SimHash: Spark-only hash family → no oracle; recall/precision on
+    // crafted fixtures + fingerprint locality pinned in LlmSpec
+    Op("llm_dedup_simhash",
+      (s, d) => {
+        SeededFnvHash.register(s)
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val toks = tokens(col("text"))
+        val clones = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        simHashPairs(docs.unionByName(clones), maxHamming = 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    Op("llm_dedup_embed",
+      (s, d) => embedNearDup(Tables.embeddings(s, d), tau = 0.45)
+        .orderBy("vec_a", "vec_b"),
+      Some("""WITH scored AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  round(
+                    list_reduce(list_transform(range(1, 65),
+                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+                      (x, y) -> x + y)
+                    / (sqrt(list_reduce(list_transform(a.embedding,
+                         x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+                     * sqrt(list_reduce(list_transform(b.embedding,
+                         x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))),
+                    6) AS cosine
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id)
+              SELECT vec_a, vec_b, cosine FROM scored
+              WHERE cosine >= 0.45 ORDER BY vec_a, vec_b""")),
+
+    Op("llm_token_count",
+      // whitespace tokens vs a BPE-ish regex segmentation (letter runs /
+      // digit runs / single other-chars), plus compression ratio
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .as("bpe_tokens"),
+          round(col("n_chars").cast("double") /
+            size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))), 6)
+            .as("chars_per_token"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                  AS INTEGER) AS bpe_tokens,
+                round(CAST(n_chars AS DOUBLE) /
+                  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')), 6)
+                  AS chars_per_token
+              FROM documents ORDER BY doc_id""")),
 
     // IVF path: recall vs the exact scorer is property-tested in
     // LlmSpec (and exact when nProbe = nCentroids); no DuckDB oracle —

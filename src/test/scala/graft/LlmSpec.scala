@@ -79,6 +79,35 @@ class LlmSpec extends SparkSpec {
     assert(all.forall(c => c >= -1.0000001 && c <= 1.0000001))
   }
 
+  test("simhash: identical docs at hamming 0, small edits within radius, disjoint docs out") {
+    SeededFnvHash.register(spark)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val edited = base.replace("tok7", "zz") // 1-token edit of 40
+    val disjoint = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = docsDf(Seq(1L -> base, 2L -> base, 3L -> edited, 4L -> disjoint))
+    val pairs = LlmOps.simHashPairs(df, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0, "identical docs must be hamming 0")
+    assert(pairs.contains((1L, 3L)), "1/40-token edit must stay within radius")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      "disjoint doc must not pair within radius")
+  }
+
+  test("embedding near-dup: symmetric-free pairs, all above threshold, none missed") {
+    val emb = Tables.embeddings(spark, sf001)
+    val got = LlmOps.embedNearDup(emb, tau = 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    assert(got.keys.forall { case (a, b) => a < b })
+    assert(got.values.forall(_ >= 0.4))
+    // spot-check completeness against the exact scorer: every top-10
+    // neighbor of probe 0 with cosine >= 0.4 must appear as a pair
+    val fromSearch = LlmOps.simSearch(emb, nProbes = 1, topK = 10)
+      .filter(col("cosine") >= 0.4 && col("vec_id") =!= 0).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(fromSearch.forall(v => got.contains((0L, v)) || got.contains((v, 0L))))
+  }
+
   test("simsearch IVF: exact when probing all buckets; recall@10 >= 0.5 at nProbe=3/8") {
     val emb = Tables.embeddings(spark, sf001)
     val exact = LlmOps.simSearch(emb, nProbes = 5, topK = 10)
