@@ -129,21 +129,12 @@ object LlmOps extends OpModule {
     * doc_id) only, and radius confirmation touches candidates alone.
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // functions.shiftleft/shiftrightunsigned only take Int bit counts;
-    // the bit index here is a lambda-bound Column → call the SQL
-    // builtins by name
-    val bitsOf = (h: Column) => transform(sequence(lit(0), lit(63)),
-      b => when(call_function("shiftrightunsigned", h, b)
-        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-    val votes = aggregate(
-      transform(col("toks"), t => call_function("graft_seeded_hash", t, lit(0L))),
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, bitsOf(h), (a, b) => a + b))
-    val packed = aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
-          .otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    graft.functions.VectorKernels.register(docs.sparkSession)
+    // fingerprint = codegen'd kernel over the per-token hash array (a
+    // composed HOF rendering interprets 64 lambda evals per token and
+    // allocates a vote array per step — 13s → ~1s at sf0.1)
+    val packed = call_function("graft_simhash64",
+      transform(col("toks"), t => call_function("graft_seeded_hash", t, lit(0L))))
     val fp = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), packed.as("fp"))
     val banded = fp.select(col("doc_id"), col("fp"),
@@ -170,10 +161,18 @@ object LlmOps extends OpModule {
     * with this scorer applied per bucket.
     */
   def embedNearDup(emb: DataFrame, tau: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(cosineCols(col("emb_a"), col("emb_b")), 6))
+    graft.functions.VectorKernels.register(emb.sparkSession)
+    // pre-cast to array<double> and precompute norms ONCE per vector
+    // (not per pair); the pairwise hot loop is a single codegen'd dot
+    def side(pfx: String) = emb
+      .select(col("vec_id").as(s"vec_$pfx"),
+        col("embedding").cast("array<double>").as(s"e$pfx"))
+      .withColumn(s"n$pfx",
+        sqrt(call_function("graft_dot", col(s"e$pfx"), col(s"e$pfx"))))
+    side("a").crossJoin(side("b")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(
+        call_function("graft_dot", col("ea"), col("eb"))
+          / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= tau)
       .select("vec_a", "vec_b", "cosine")
   }
