@@ -92,17 +92,12 @@ object LlmOps extends OpModule {
     * the per-bucket refine step.
     */
   def simSearch(emb: DataFrame, nProbes: Int, topK: Int): DataFrame = {
+    graft.functions.VectorKernels.register(emb.sparkSession)
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
-    def sumsq(c: Column): Column =
-      aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-    val dot = aggregate(
-      zip_with(col("p_emb"), col("embedding"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
     val scored = probes.crossJoin(emb)
       .withColumn("cosine", round(
-        dot / (sqrt(sumsq(col("p_emb"))) * sqrt(sumsq(col("embedding")))), 6))
+        cosineCols(col("p_emb"), col("embedding")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("p_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -110,11 +105,15 @@ object LlmOps extends OpModule {
       .select("p_id", "rank", "vec_id", "cosine")
   }
 
+  /** Cosine via the codegen'd dot kernel. float→double is a widening
+    * (exact) cast, and the kernel folds left-to-right, so values stay
+    * bit-identical to the HOF/`list_reduce` renderings the oracles use.
+    * Callers must have VectorKernels registered on the session.
+    */
   private def cosineCols(a: Column, b: Column): Column = {
-    def sumsq(c: Column): Column =
-      aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x) / (sqrt(sumsq(a)) * sqrt(sumsq(b)))
+    def dot(x: Column, y: Column): Column =
+      call_function("graft_dot", x.cast("array<double>"), y.cast("array<double>"))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
   /** 64-bit SimHash near-duplicate detection. Per document: seeded
@@ -194,6 +193,7 @@ object LlmOps extends OpModule {
     */
   def simSearchIvf(emb: DataFrame, nProbes: Int, topK: Int,
       nCentroids: Int = 8, nProbe: Int = 3): DataFrame = {
+    graft.functions.VectorKernels.register(emb.sparkSession)
     val centroids = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
     // one-pass assignment: nearest centroid per corpus vector
