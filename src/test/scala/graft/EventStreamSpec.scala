@@ -60,6 +60,18 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("filter/route co-locates every key in exactly one partition (ordered delivery)") {
+    val routed = EventStreams.filterRoute(batchEvents, nSinks = 4)
+    val spread = routed
+      .withColumn("pid", spark_partition_id())
+      .groupBy("user_id").agg(countDistinct(col("pid")).as("n_parts"))
+      .filter(col("n_parts") > 1)
+    // meepo's per-primary-key ordering guarantee rests on this: one
+    // partition per key means one consumer sees a key's events in order
+    assert(spread.count() == 0)
+    assert(routed.select("route").distinct().count() <= 4)
+  }
+
   test("transformWithState fold (RocksDB store) converges to batch state") {
     val batch = EventStreams.statefulFold(EventStreams.toFoldEvents(batchEvents))
       .toDF().withColumn("balance", round(col("balance"), 6))
