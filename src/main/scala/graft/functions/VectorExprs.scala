@@ -68,6 +68,58 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_minhash(array<string>, k) → array<long>: the k MinHash
+  * signature minima in one pass (k seeded FNV hashes per shingle,
+  * seeds 0..k-1 — identical values to k separate
+  * array_min(transform(...)) passes, without k interpreted lambda
+  * traversals). */
+case class MinHashArray(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) if k > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires array<string> and k > 0, got $other / k=$k")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.minhash(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.minhash($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** graft_shingles(array<string>, n) → array<string>: space-joined
+  * n-gram shingles (requires numElements >= n; callers guard). */
+case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) if n > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires array<string> and n > 0, got $other / n=$n")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorKernels {
 
   /** left-to-right fold — bit-compatible with aggregate/list_reduce */
@@ -98,6 +150,40 @@ object VectorKernels {
     fp
   }
 
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      var j = 0
+      while (j < k) {
+        val h = SeededFnvHash.hashUtf8(s, j.toLong)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val cnt = toks.numElements()
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](
+      math.max(0, cnt - n + 1))
+    var i = 0
+    while (i <= cnt - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+
   /** Idempotent SQL registration of all graft kernels. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -105,6 +191,20 @@ object VectorKernels {
       exprs => DoubleArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => ShingleArray(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles n must be a literal integer, got $other")
+      }), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      exprs => MinHashArray(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash k must be a literal integer, got $other")
+      }), "built-in")
     SeededFnvHash.register(spark)
   }
 }

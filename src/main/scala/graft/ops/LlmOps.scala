@@ -43,19 +43,17 @@ object LlmOps extends OpModule {
     // materialize the token array BEFORE any lambda references it: an
     // unbound expression inside a higher-order-function body re-evaluates
     // per array element (regexp+split × n_shingles — 10× slower at sf0.1)
+    graft.functions.VectorKernels.register(docs.sparkSession)
     val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
       normText(col("text")).as("norm"))
     val t = col("toks")
-    val shingles = when(size(t) >= 3,
-      transform(sequence(lit(0), size(t) - 3),
-        i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+    val shingles = when(size(t) >= 3, call_function("graft_shingles", t, lit(3)))
       .otherwise(array(col("norm")))
     val withSh = toked.select(col("doc_id"), col("toks"), shingles.as("shingles"))
-    // one minhash per seed: min over the shingle set of seeded FNV
-    val minhashes = array((0 until k).map { j =>
-      array_min(transform(col("shingles"),
-        s => call_function("graft_seeded_hash", s, lit(j.toLong))))
-    }: _*)
+    // all k signature minima in one codegen'd pass (seeds 0..k-1 —
+    // value-identical to k separate array_min(transform(...)) passes)
+    graft.functions.VectorKernels.register(docs.sparkSession)
+    val minhashes = call_function("graft_minhash", col("shingles"), lit(k))
     val banded = withSh
       .withColumn("mh", minhashes)
       .select(col("doc_id"), col("toks"),
