@@ -202,6 +202,18 @@ object Aggs extends OpModule {
                 count(*) AS n
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // the 100 TB percentile: bounded-memory sketch vs the exact op
+    // below; accuracy pinned in OperatorSpec (±1% of exact rank value)
+    Op("agg_approx_percentile",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events_ap")
+        s.sql("""SELECT event_type,
+                   approx_percentile(value, 0.5, 10000) AS p50_approx,
+                   approx_percentile(value, 0.99, 10000) AS p99_approx
+                 FROM graft_events_ap GROUP BY event_type ORDER BY event_type""")
+      },
+      None),
+
     Op("agg_percentile",
       // exact interpolated percentile (Spark `percentile` ≡ DuckDB
       // `quantile_cont`). At 100 TB you'd switch to approx_percentile

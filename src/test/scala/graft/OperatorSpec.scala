@@ -46,6 +46,17 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("agg_approx_percentile tracks the exact percentile within 1%") {
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = SparkEntry.queries("agg_percentile")(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= math.max(1.0, v * 0.01),
+        s"$k: approx ${approx(k)} vs exact $v")
+    }
+  }
+
   test("join_asof: native operator plans AsOfJoinExec and equals the window rewrite") {
     val native = SparkEntry.queries("join_asof")(spark, sf001)
     val plan = native.queryExecution.executedPlan.toString
