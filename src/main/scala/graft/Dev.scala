@@ -16,6 +16,11 @@ object Dev {
     val outDir = rest(1)
     val names = if (rest.length > 2) rest.drop(2).toSet
                 else SparkEntry.queries.keySet
+    val unknown = names -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would otherwise run nothing, exit 0, and leave stale parquet " +
+        "for verify_local.py to PASS against")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -47,19 +52,9 @@ object Dev {
     }
     // keep the oracle snapshot fresh so tools/verify_local.py never
     // compares against stale SQL
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      SparkEntry.oracleSqlJson)
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

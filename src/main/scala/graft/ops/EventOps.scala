@@ -24,7 +24,8 @@ object EventOps extends OpModule {
         .select(col("position"), col("pk"),
           unix_micros(col("ts")).as("ts_us"), col("op"),
           col("after.value").as("after_value"),
-          element_at(col("meta"), "k").as("meta_k"))
+          // ANSI-safe: NULL (like the oracle) when props lacks "k"
+          try_element_at(col("meta"), lit("k")).as("meta_k"))
         .orderBy("position"),
       Some("""SELECT event_id AS position, user_id AS pk,
                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

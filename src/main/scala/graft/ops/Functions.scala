@@ -148,12 +148,15 @@ object Functions extends OpModule {
     Op("fn_map",
       (s, d) => {
         val m = from_json(col("props"), MapType(StringType, IntegerType))
+        // try_element_at, not element_at: under ANSI mode (Spark 4
+        // default) a missing map key would throw instead of matching
+        // the oracle's NULL
         Tables.events(s, d)
           .select(col("event_id"),
-            element_at(m, "k").as("k_val"),
+            try_element_at(m, lit("k")).as("k_val"),
             size(map_keys(m)).as("n_keys"),
             array_join(map_keys(m), ",").as("keys_csv"),
-            element_at(map_values(m), 1).as("first_val"))
+            try_element_at(map_values(m), lit(1)).as("first_val"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id,

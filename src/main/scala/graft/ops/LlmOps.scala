@@ -52,32 +52,34 @@ object LlmOps extends OpModule {
     val withSh = toked.select(col("doc_id"), col("toks"), shingles.as("shingles"))
     // all k signature minima in one codegen'd pass (seeds 0..k-1 —
     // value-identical to k separate array_min(transform(...)) passes)
-    graft.functions.VectorKernels.register(docs.sparkSession)
     val minhashes = call_function("graft_minhash", col("shingles"), lit(k))
+    // the band self-join carries ONLY (doc_id, band_id, band_hash) —
+    // token arrays would otherwise cross the shuffle 2×bands times;
+    // they re-attach via doc_id joins on the (small) candidate set
     val banded = withSh
       .withColumn("mh", minhashes)
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"),
         posexplode(array((0 until bands).map { b =>
           hash(slice(col("mh"), b * rows + 1, rows), lit(b))
         }: _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("doc_id").as("doc_a"), col("band_id"),
-      col("band_hash"), col("toks").as("toks_a"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
-      col("band_hash").as("band_hash_b"), col("toks").as("toks_b"))
+      col("band_hash").as("band_hash_b"))
     val candidates = a.join(b,
         col("band_id") === col("band_id_b") &&
         col("band_hash") === col("band_hash_b") &&
         col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "toks_a", "toks_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    val sa = array_distinct(col("toks_a"))
-    val sb = array_distinct(col("toks_b"))
+    val tokSets = withSh.select(col("doc_id"), array_distinct(col("toks")).as("tokset"))
     candidates
+      .join(tokSets.select(col("doc_id").as("doc_a"), col("tokset").as("set_a")), "doc_a")
+      .join(tokSets.select(col("doc_id").as("doc_b"), col("tokset").as("set_b")), "doc_b")
       .withColumn("jaccard", round(
-        size(array_intersect(sa, sb)).cast("double") /
-          size(array_union(sa, sb)).cast("double"), 6))
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"), 6))
       .filter(col("jaccard") >= jaccardMin)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -476,10 +478,14 @@ object LlmOps extends OpModule {
     Op("llm_ngrams_tf",
       (s, d) => {
         // tokens materialized first — see nearDupPairs note on HOF
-        // re-evaluation
+        // re-evaluation. The size>=2 guard matters: sequence(0, -1)
+        // DESCENDS to [0,-1] and slice(t, 0, 2) is a runtime error on
+        // a single-token doc
         val t = col("toks")
-        val grams = transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", slice(t, i + 1, lit(2))))
+        val grams = when(size(t) >= 2,
+          transform(sequence(lit(0), size(t) - 2),
+            i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+          .otherwise(array().cast("array<string>"))
         val exploded = Tables.documents(s, d)
           .select(col("lang"), tokens(col("text")).as("toks"))
           .select(col("lang"), explode(grams).as("ngram"))

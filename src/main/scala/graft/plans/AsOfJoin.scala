@@ -90,7 +90,9 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val k = lKey.eval(lRow)
         val t = lTime.eval(lRow)
-        if (k == null) {
+        if (k == null || t == null) {
+          // SQL comparison semantics: a null key or null left time
+          // matches nothing → null-extend without consuming right rows
           joined(lRow, nullRight)
         } else {
           if (!havePrev || keyOrd.compare(k, prevKey) != 0) {
@@ -109,8 +111,12 @@ case class AsOfJoinExec(
             else {
               val c = keyOrd.compare(rk, k)
               if (c < 0) { rBuf.next() }
-              else if (c == 0 && timeOrd.compare(rTime.eval(rRow), t) <= 0) {
-                candidate = rBuf.next().copy()
+              else if (c == 0) {
+                val rt = rTime.eval(rRow)
+                if (rt == null) { rBuf.next() } // null time never matches
+                else if (timeOrd.compare(rt, t) <= 0) {
+                  candidate = rBuf.next().copy()
+                } else advancing = false
               } else advancing = false
             }
           }
@@ -160,6 +166,12 @@ object AsOfJoin {
     require(attr(lp, leftTime).dataType == attr(rp, rightTime).dataType,
       s"asof: time columns must share a type, got " +
         s"${attr(lp, leftTime).dataType} vs ${attr(rp, rightTime).dataType}")
+    // no analyzer cast insertion happens on a custom node: mismatched
+    // key types would hash-partition Int 5 and Long 5 to different
+    // partitions and then ClassCastException in the merge ordering
+    require(attr(lp, leftKey).dataType == attr(rp, rightKey).dataType,
+      s"asof: key columns must share a type, got " +
+        s"${attr(lp, leftKey).dataType} vs ${attr(rp, rightKey).dataType}")
     Bridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       attr(lp, leftKey), attr(rp, rightKey),
       attr(lp, leftTime), attr(rp, rightTime), attr(rp, rightTie)))

@@ -174,8 +174,14 @@ object EventStreams {
   def statefulFoldTws(ds: Dataset[FoldEvent]): Dataset[UserFold] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // transformWithState requires the RocksDB provider. Session-conf
+    // side effect — scoped to streaming inputs only (batch doesn't read
+    // it) and documented: queries resuming an HDFS-provider checkpoint
+    // on the same session must reset this conf first.
+    if (ds.isStreaming) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
     ds.groupByKey(_.user_id)
       .transformWithState(new FoldProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
