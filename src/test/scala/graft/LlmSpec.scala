@@ -60,13 +60,19 @@ class LlmSpec extends SparkSpec {
     assert(j12 == 1.0)
   }
 
-  test("near-dedup is idempotent on an already-deduped corpus") {
+  test("near-dedup is idempotent on an already-deduped corpus, short docs included") {
     SeededFnvHash.register(spark)
     val df = docsDf(Seq(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
       2L -> "one two three four five six seven eight",
-      3L -> "red orange yellow green blue indigo violet purple"))
+      3L -> "red orange yellow green blue indigo violet purple",
+      4L -> "single", // < 3 tokens: whole-text shingle fallback branch
+      5L -> "two tokens"))
     assert(LlmOps.nearDupPairs(df, jaccardMin = 0.5).count() == 0)
+    // identical short docs still pair through the fallback shingle
+    val withDup = docsDf(Seq(6L -> "single", 7L -> "single"))
+    assert(LlmOps.nearDupPairs(df.unionByName(withDup), jaccardMin = 0.5)
+      .filter(col("doc_a") === 6 && col("doc_b") === 7).count() == 1)
   }
 
   test("simsearch: self is always rank 1 with cosine 1; cosine bounded") {

@@ -65,6 +65,36 @@ class OperatorSpec extends SparkSpec {
     assert(native.collect().toSeq == rewrite.collect().toSeq)
   }
 
+  test("join_asof: null left times null-extend instead of matching or crashing") {
+    val e = Tables.events(spark, sf001)
+      .withColumn("ts_ntz",
+        when(col("event_id") % 2 === 0, col("ts").cast("timestamp_ntz")))
+    val o = Tables.orders(spark, sf001)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = graft.plans.AsOfJoin.asof(e, o,
+      "user_id", "o_custkey", "ts_ntz", "o_orderdate", "o_orderkey")
+    val nullTs = out.filter(col("ts_ntz").isNull)
+    assert(nullTs.count() > 0)
+    assert(nullTs.filter(col("o_orderkey").isNotNull).count() == 0,
+      "null event time must never match an order")
+    assert(out.filter(col("ts_ntz").isNotNull)
+      .filter(col("o_orderkey").isNull).count() == 0,
+      "non-null rows keep matching as before")
+  }
+
+  test("join_asof: mismatched key types are rejected up front") {
+    val e = Tables.events(spark, sf001)
+      .withColumn("ts_ntz", col("ts").cast("timestamp_ntz"))
+      .withColumn("user_int", col("user_id").cast("int"))
+    val o = Tables.orders(spark, sf001)
+      .select("o_custkey", "o_orderdate", "o_orderkey")
+    val err = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin.asof(e, o,
+        "user_int", "o_custkey", "ts_ntz", "o_orderdate", "o_orderkey")
+    }
+    assert(err.getMessage.contains("key columns must share a type"))
+  }
+
   test("join_asof: matched order is never later than the event") {
     val df = SparkEntry.queries("join_asof")(spark, sf001)
     // every event matches (orders end 2001, events start 2024) and the
