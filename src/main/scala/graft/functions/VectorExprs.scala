@@ -68,6 +68,31 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_simhash_text(array<string>) → long: seeded-FNV hash per
+  * token + per-bit votes + sign packing in one kernel (fuses the
+  * transform(toks, hash) stage into SimHash64). */
+case class SimHashText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_text requires array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_text"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.simhashText(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.simhashText($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_minhash(array<string>, k) → array<long>: the k MinHash
   * signature minima in one pass (k seeded FNV hashes per shingle,
   * seeds 0..k-1 — identical values to k separate
@@ -150,6 +175,26 @@ object VectorKernels {
     fp
   }
 
+  /** value-identical to simhash64(transform(toks, seeded_hash(_, 0))) */
+  def simhashText(toks: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = SeededFnvHash.hashUtf8(toks.getUTF8String(i), 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
   def minhash(shingles: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = shingles.numElements()
@@ -191,6 +236,8 @@ object VectorKernels {
       exprs => DoubleArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash_text",
+      exprs => SimHashText(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_shingles",
       exprs => ShingleArray(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

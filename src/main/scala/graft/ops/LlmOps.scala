@@ -129,11 +129,10 @@ object LlmOps extends OpModule {
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     graft.functions.VectorKernels.register(docs.sparkSession)
-    // fingerprint = codegen'd kernel over the per-token hash array (a
-    // composed HOF rendering interprets 64 lambda evals per token and
-    // allocates a vote array per step — 13s → ~1s at sf0.1)
-    val packed = call_function("graft_simhash64",
-      transform(col("toks"), t => call_function("graft_seeded_hash", t, lit(0L))))
+    // fingerprint = one fused kernel (hash + votes + packing): the
+    // composed HOF rendering interpreted 64 lambda evals per token and
+    // allocated a vote array per step — 13s → ~1s at sf0.1
+    val packed = call_function("graft_simhash_text", col("toks"))
     val fp = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), packed.as("fp"))
     val banded = fp.select(col("doc_id"), col("fp"),
