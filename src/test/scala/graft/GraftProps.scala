@@ -75,6 +75,32 @@ object GraftProps extends Properties("graft") {
       once.count() == log.size && twice.count() == log.size
     }
 
+  property("native as-of join == in-memory latest-at-or-before reference") =
+    Prop.forAll(genLog, genLog) { (le, re) =>
+      val s = spark
+      import s.implicits._
+      // left: events keyed by user with a time; right: "orders" derived
+      // from an independent log (key, time, position, payload)
+      val left = le.map(e => (e.event_id, e.user_id, e.ts_us))
+        .toDF("l_id", "l_key", "l_t")
+      val right = re.map(e => (e.user_id, e.ts_us, e.event_id, e.value))
+        .toDF("r_key", "r_t", "r_pos", "r_val")
+      val got = graft.plans.AsOfJoin
+        .asof(left, right, "l_key", "r_key", "l_t", "r_t", "r_pos")
+        .select("l_id", "r_pos").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      val byKey = re.groupBy(_.user_id)
+      val expected = le.map { l =>
+        val m = byKey.getOrElse(l.user_id, Nil)
+          .filter(_.ts_us <= l.ts_us)
+          .sortBy(e => (e.ts_us, e.event_id))
+          .lastOption.map(_.event_id)
+        l.event_id -> m
+      }.toMap
+      got == expected
+    }
+
   property("exceptAll multiplicity: |A\\B|(u) == max(0, a_u - b_u)") =
     Prop.forAll(genLog, genLog) { (la, lb) =>
       val s = spark
