@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session once (scan + shuffle + codegen machinery) so the
+    // ~5-10s JVM cold-start doesn't land on whichever query happens to
+    // iterate first and distort its number
+    try {
+      val w = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      w.groupBy("l_returnflag").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

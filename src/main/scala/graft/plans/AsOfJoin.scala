@@ -65,6 +65,13 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  // rows never leave their left partition: advertise the left child's
+  // partitioning so a downstream groupBy/join on the same key reuses
+  // it instead of re-exchanging
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrd = PhysicalDataType.ordering(leftKey.dataType)
       .asInstanceOf[Ordering[Any]]
