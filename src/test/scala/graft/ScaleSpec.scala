@@ -23,6 +23,57 @@ class ScaleSpec extends SparkSpec {
     assert(plain.exists(_._1 == 0L))
   }
 
+  test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // shrink the thresholds so test-sized data counts as skewed
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      // with only 4 shuffle partitions each non-skew partition still
+      // carries ~1/4 of the keys, so the default 5x-median factor never
+      // trips at test scale
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 95% of the fact lands on key 0, ×20 rows, with incompressible
+      // padding — shuffle skew statistics are COMPRESSED bytes, so a
+      // constant pad would deflate below any threshold
+      val fact = Tables.events(spark, sf001)
+        .withColumn("k", when(col("event_id") % 20 =!= 0, 0L).otherwise(col("user_id")))
+        .withColumn("rep", explode(array((1 to 20).map(lit): _*)))
+        .withColumn("pad", concat(md5(concat(col("event_id"), col("rep"))),
+          md5(concat(col("rep"), col("event_id"))),
+          md5(concat(col("event_id"), lit("x"), col("rep")))))
+        .select("k", "event_id", "pad")
+        // skew splits happen on MAP-side block boundaries: a
+        // single-file scan means one mapper and one unsplittable
+        // block, so give the join shuffle several mappers
+        .repartition(8)
+      // NOTE no distinct(): OptimizeSkewedJoin pattern-matches
+      // SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — an aggregate
+      // between the Sort and the stage (as distinct() leaves) makes the
+      // rule skip the join entirely
+      val dim = Tables.events(spark, sf001)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("dk"))
+      // sum(length(pad)) keeps the wide column flowing through the
+      // shuffle (column pruning would shrink the skewed partition below
+      // any threshold); the downstream agg must NOT group by the join
+      // key — a same-key groupBy forbids the split because it would
+      // break the required distribution
+      val joined = fact.join(dim, col("k") === col("dk"))
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("bytes"))
+      val row = joined.collect().head
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"), s"skew split did not fire:\n$plan")
+      // correctness under the split
+      assert(row.getLong(0) ==
+        fact.join(dim, col("k") === col("dk")).count())
+    } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     val wh = tmpDir("graft_warehouse")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
