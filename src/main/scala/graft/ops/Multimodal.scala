@@ -43,31 +43,82 @@ object Multimodal extends OpModule {
       (pmod(col("n_chars"), lit(64)) + 1).cast("int").as("width"),
       (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("height"))
 
-  /** STUB decode: a real implementation would decode `media` with an
-    * image/audio library here (unavailable in this container). The
-    * deterministic fake — an 8-bin byte histogram normalized by
-    * length — preserves everything the Spark contract cares about:
-    * per-partition iteration, fixed-size Array[Float] output, no
-    * driver round-trip.
+  /** Binary PPM (P6) decoder — pure JVM, no codec libraries, so the
+    * image path of the pipeline is REAL end-to-end. Returns
+    * (width, height, rgb bytes) or None for malformed input.
+    */
+  def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    var pos = 0
+    def skipWs(): Unit = {
+      var in = true
+      while (in && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else in = false
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val start = pos
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+      new String(bytes, start, pos - start, "US-ASCII")
+    }
+    try {
+      if (token() != "P6") return None
+      val (w, h, maxv) = (token().toInt, token().toInt, token().toInt)
+      if (w <= 0 || h <= 0 || maxv != 255) return None
+      pos += 1 // single whitespace after maxval
+      val n = w * h * 3
+      if (bytes.length - pos < n) return None
+      Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n)))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** Feature extraction. `image/ppm` media decodes for real (P6
+    * parser above → per-channel means + dimensions); other media
+    * types fall back to the STUB path — a real pipeline would invoke
+    * the codec library here (unavailable in this container) — a
+    * deterministic byte histogram that keeps the Spark contract fully
+    * exercised: per-partition iteration, fixed-size Array[Float]
+    * output, no driver round-trip.
     */
   def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = records.sparkSession
     import spark.implicits._
     records.mapPartitions { it =>
-      // real decoder init would happen once per partition here
+      // real decoder init (codec contexts, buffers) happens once per
+      // partition here
       it.map { r =>
-        val hist = new Array[Float](FeatureDim)
-        var i = 0
-        while (i < r.media.length) {
-          hist((r.media(i) & 0xff) % FeatureDim) += 1.0f
-          i += 1
+        val feats = new Array[Float](FeatureDim)
+        val decoded = if (r.media_type == "image/ppm") decodePpm(r.media) else None
+        decoded match {
+          case Some((w, h, rgb)) =>
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < rgb.length) { sums(i % 3) += rgb(i) & 0xff; i += 1 }
+            val px = (w * h).toFloat
+            feats(0) = sums(0) / px / 255f // mean R
+            feats(1) = sums(1) / px / 255f // mean G
+            feats(2) = sums(2) / px / 255f // mean B
+            feats(3) = (sums(0) + sums(1) + sums(2)) / (3f * px * 255f) // brightness
+            feats(4) = w.toFloat
+            feats(5) = h.toFloat
+            feats(6) = w.toFloat / h
+            feats(7) = 1.0f // decoded-for-real marker
+          case None => // STUB: normalized byte histogram
+            var i = 0
+            while (i < r.media.length) {
+              feats((r.media(i) & 0xff) % FeatureDim) += 1.0f
+              i += 1
+            }
+            var j = 0
+            while (j < FeatureDim) {
+              feats(j) = if (r.media.length == 0) 0.0f else feats(j) / r.media.length
+              j += 1
+            }
         }
-        var j = 0
-        while (j < FeatureDim) {
-          hist(j) = if (r.media.length == 0) 0.0f else hist(j) / r.media.length
-          j += 1
-        }
-        MediaFeatures(r.doc_id, r.media_type, r.media.length, hist)
+        MediaFeatures(r.doc_id, r.media_type, r.media.length, feats)
       }
     }
   }

@@ -155,6 +155,34 @@ class LlmSpec extends SparkSpec {
     assert(viaGenerator == viaFlatMap)
   }
 
+  test("multimodal: PPM images decode for real — exact channel means and dims") {
+    import spark.implicits._
+    def ppm(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate(w * h * 3)(i => (i % 3 match {
+        case 0 => r; case 1 => g; case _ => b
+      }).toByte)
+      header ++ px
+    }
+    val records = Seq(
+      Multimodal.MediaRecord(1L, ppm(4, 2, 255, 0, 128), "image/ppm", 4, 2),
+      Multimodal.MediaRecord(2L, ppm(8, 8, 10, 20, 30), "image/ppm", 8, 8),
+      Multimodal.MediaRecord(3L, "not an image".getBytes, "image/ppm", 1, 1),
+      Multimodal.MediaRecord(4L, "plain bytes".getBytes, "video/mp4", 1, 1))
+      .toDS()
+    val out = Multimodal.extractFeatures(records)
+      .collect().map(f => f.doc_id -> f.features).toMap
+    // solid-color image: exact means, exact dims, decode marker set
+    assert(out(1L).toSeq == Seq(1.0f, 0.0f, 128f / 255f,
+      (255f + 0f + 128f) / (3 * 255f), 4f, 2f, 2f, 1f))
+    assert(out(2L)(4) == 8f && out(2L)(5) == 8f && out(2L)(7) == 1f)
+    assert(math.abs(out(2L)(0) - 10f / 255f) < 1e-6)
+    // malformed "ppm" and non-image types fall back to the stub
+    // histogram (marker stays a histogram bin, sums to ~1)
+    assert(out(3L).sum > 0.99f && out(3L).sum < 1.01f)
+    assert(out(4L).sum > 0.99f && out(4L).sum < 1.01f)
+  }
+
   test("multimodal pipeline: schema, determinism, distributed shape") {
     val docs = Tables.documents(spark, sf001)
     val out = Multimodal.mediaPipeline(docs)
