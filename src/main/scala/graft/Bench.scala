@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every registered query on
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON line on stdout. Round-2
+  * hardening (VERDICT.md "What's wrong" #4 / "Next round" #7):
+  *  - the JSON is ALSO written to a file (`SPARK_GRAFT_BENCH_OUT`,
+  *    default `BENCH_LOCAL.json` in the cwd) so sbt log noise around
+  *    the stdout line can't cost the gate signal;
+  *  - a query that throws is recorded as `"<name>": -1` plus an entry
+  *    in an `"errors"` object (name → exception) and a stderr line —
+  *    failures are loud, never a silently-near-zero time;
+  *  - queries whose first run pays one-time codegen (simhash kernel,
+  *    PPM encode) are re-run after the sweep and reported under
+  *    `"steady"` so the headline number reflects warm cost.
+  */
 object Bench {
+  // first run of these pays one-time whole-stage/kernel codegen; the
+  // steady-state number is the honest throughput figure
+  private val SteadyRerun = Seq("llm_dedup_simhash", "llm_multimodal_decode")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,15 +35,44 @@ object Bench {
       val w = spark.read.parquet(s"$sfDir/lineitem.parquet")
       w.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timed(name: String, run: () => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { run(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          errors(name) = e.toString.replaceAll("[\"\\n\\r]", " ").take(200)
+          System.err.println(s"[bench] FAILED $name: $e")
+          -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> timed(name, () => { fn(spark, sfDir).count(); () })
+    }
+    val steady = SteadyRerun.filter(SparkEntry.queries.contains).map { name =>
+      name -> timed(s"steady:$name", () =>
+        { SparkEntry.queries(name)(spark, sfDir).count(); () })
+    }
+
+    def obj(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errObj = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries contribute -1 marker times; exclude them from the
+    // headline total so a broken query can't LOWER the number
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${obj(results)},"steady":${obj(steady)},""" +
+      s""""errors":$errObj,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

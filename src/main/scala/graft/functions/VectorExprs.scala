@@ -145,6 +145,40 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_rpbands(array<double>, r, bands, seed) → array<long>:
+  * banded random-hyperplane (sign-random-projection) LSH signature.
+  * Bit t of r·bands total bits = sign of the projection of the vector
+  * onto a Rademacher ±1 hyperplane derived from splitmix64(seed, t,
+  * dim); bits pack r-per-band into `bands` longs. Two vectors at
+  * angle θ agree on each bit with probability ≈ 1 − θ/π, so a banded
+  * equi-join on (band_id, band_value) yields near-neighbor candidate
+  * pairs without any corpus×corpus product — the same machinery as
+  * the MinHash/SimHash text paths, for dense embeddings.
+  */
+case class RandomProjBands(child: Expression, r: Int, bands: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if r > 0 && r <= 64 && bands > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_rpbands requires array<double>, 0 < r <= 64, bands > 0; " +
+        s"got $other / r=$r / bands=$bands")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rpbands"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.rpBands(input.asInstanceOf[ArrayData], r, bands, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.rpBands($c, $r, $bands, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorKernels {
 
   /** left-to-right fold — bit-compatible with aggregate/list_reduce */
@@ -212,6 +246,34 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** splitmix64 finalizer — the per-(bit, dim) Rademacher source */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z ^= (z >>> 30); z *= 0xbf58476d1ce4e5b9L
+    z ^= (z >>> 27); z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def rpBands(vec: ArrayData, r: Int, bands: Int, seed: Long): ArrayData = {
+    val d = vec.numElements()
+    val out = new Array[Long](bands)
+    val nBits = r * bands
+    var t = 0
+    while (t < nBits) {
+      val base = seed * 0x9e3779b97f4a7c15L + t.toLong * 0x100000001b3L
+      var p = 0.0
+      var j = 0
+      while (j < d) {
+        if ((mix(base + j) & 1L) == 1L) p += vec.getDouble(j)
+        else p -= vec.getDouble(j)
+        j += 1
+      }
+      if (p > 0) out(t / r) |= (1L << (t % r))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     val cnt = toks.numElements()
@@ -245,6 +307,16 @@ object VectorKernels {
         case other => throw new IllegalArgumentException(
           s"graft_shingles n must be a literal integer, got $other")
       }), "built-in")
+    def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_rpbands $what must be a literal integer, got $other")
+    }
+    reg.createOrReplaceTempFunction("graft_rpbands",
+      exprs => RandomProjBands(exprs(0), litInt(exprs(1), "r"),
+        litInt(exprs(2), "bands"), litInt(exprs(3), "seed").toLong), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => MinHashArray(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

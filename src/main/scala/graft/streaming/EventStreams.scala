@@ -66,12 +66,22 @@ object EventStreams {
 
   // ── op 55: subscription filter + key routing ────────────────────
   /** Subscription rules: drop uninteresting ops, assign each event a
-    * sink route by key hash, co-locate a route's events in one
-    * partition (meepo's per-PK ordered delivery). */
-  def filterRoute(events: DataFrame, nSinks: Int = 4): DataFrame =
+    * sink route by key hash, and shuffle on (route, pk) so every
+    * primary key's events land in exactly one partition (meepo's
+    * per-PK ordered delivery) WITHOUT capping parallelism at the sink
+    * count: partitioning by `route` alone makes `nSinks` tasks do all
+    * routing work at 100 TB, while (route, pk) keeps the co-location
+    * guarantee and spreads each route's keys across `nPartitions`
+    * tasks (a sink consumes its route's partitions key-ordered).
+    */
+  def filterRoute(events: DataFrame, nSinks: Int = 4,
+      nPartitions: Int = 0): DataFrame = {
+    val nPart = if (nPartitions > 0) nPartitions
+      else events.sparkSession.sessionState.conf.numShufflePartitions
     events.filter(col("event_type") =!= "view")
       .withColumn("route", pmod(col("user_id"), lit(nSinks)))
-      .repartition(col("route"))
+      .repartition(nPart, col("route"), col("user_id"))
+  }
 
   // ── ops 56-58: time windows ─────────────────────────────────────
   def tumbling(events: DataFrame): DataFrame =

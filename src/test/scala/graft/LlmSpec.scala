@@ -132,6 +132,72 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("simsearch exact-IVF equals brute force at two SFs (bucket-bound rescue is exact)") {
+    for (sf <- Seq(sf001, sf01)) {
+      val emb = Tables.embeddings(spark, sf)
+      val brute = LlmOps.simSearch(emb, nProbes = 5, topK = 10)
+        .orderBy("p_id", "rank").collect().toSeq
+      val exact = LlmOps.simSearchIvfExact(emb, nProbes = 5, topK = 10)
+        .orderBy("p_id", "rank").collect().toSeq
+      assert(exact == brute, s"exact-IVF diverged from brute force at $sf")
+      assert(brute.nonEmpty)
+    }
+  }
+
+  test("exact-IVF on clustered data: buckets are tight, bound can prune, result stays exact") {
+    import spark.implicits._
+    // 4 well-separated one-hot clusters + deterministic jitter; seeds
+    // (vec_id 0..3) land one per cluster
+    val rows = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(64) { j =>
+        ((if (j == c) 1.0 else 0.0) + 0.05 * math.sin((i + 1.0) * (j + 3.0))).toFloat
+      }
+      (i, v.toSeq)
+    }
+    val embC = rows.toDF("vec_id", "embedding")
+    val brute = LlmOps.simSearch(embC, nProbes = 2, topK = 5)
+      .orderBy("p_id", "rank").collect().toSeq
+    val exact = LlmOps.simSearchIvfExact(embC, nProbes = 2, topK = 5, nCentroids = 4)
+      .orderBy("p_id", "rank").collect().toSeq
+    assert(exact == brute)
+    // bucket geometry is tight → the phase-2 bound cos(θ_pc − α_max)
+    // excludes far buckets (~cos 0.15) against s_k (~0.97)
+    val aMax = LlmOps.assignBuckets(embC, LlmOps.lloydCentroids(embC, 4))
+      .agg(max("alpha")).head.getDouble(0)
+    assert(aMax < 0.5, s"cluster assignment angles should be tight, max=$aMax")
+    // with real cluster structure even nProbe=1 (no rescue) is already
+    // perfect — the approximate fast path earns its keep here
+    val ivf1 = LlmOps.simSearchIvf(embC, nProbes = 2, topK = 5,
+        nCentroids = 4, nProbe = 1)
+      .select("p_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf1 == bruteSet, "nProbe=1 should be exact on separated clusters")
+  }
+
+  test("banded embed near-dup equals brute force on the planted workload; candidates prune") {
+    for (sf <- Seq(sf001, sf01)) {
+      val emb = Tables.embeddings(spark, sf)
+      val ed = col("embedding").cast("array<double>")
+      val u = emb.select(col("vec_id"), ed.as("embedding"))
+        .unionByName(emb.select((col("vec_id") + 1000000L).as("vec_id"),
+          zip_with(ed, reverse(ed),
+            (x, y) => lit(0.9) * x + lit(0.1) * y).as("embedding")))
+      val brute = LlmOps.embedNearDup(u, tau = 0.8)
+        .orderBy("vec_a", "vec_b").collect().toSeq
+      val banded = LlmOps.embedNearDupBanded(u, tau = 0.8)
+        .orderBy("vec_a", "vec_b").collect().toSeq
+      // recall property (VERDICT r1 next-round #1): the LSH candidate
+      // stage must not lose a single qualifying pair on this margin
+      assert(banded == brute, s"banded path lost/gained pairs at $sf")
+      assert(brute.nonEmpty)
+      val n = u.count()
+      val nCand = LlmOps.rpBandCandidates(u).count()
+      assert(nCand * 4 < n * (n - 1) / 2,
+        s"LSH candidates must prune the pair space: $nCand of ${n * (n - 1) / 2}")
+    }
+  }
+
   test("fingerprint: deterministic and (near-)unique across the corpus") {
     val q = SparkEntry.queries("llm_fingerprint")
     val a = q(spark, sf001).collect().toSeq
