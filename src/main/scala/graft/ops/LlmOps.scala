@@ -333,12 +333,20 @@ object LlmOps extends OpModule {
 
   private[graft] def ivfIndex(emb: DataFrame, nCentroids: Int,
       cacheKey: Option[String]): IvfIdx = {
-    def build(): IvfIdx = {
+    // Cache lifetime contract (ADVICE r3): the assignment DataFrame is
+    // persisted ONLY on the keyed path, where the entry — keyed by
+    // (session-identity, corpus key, C) — lives for the session and is
+    // the in-session stand-in for a cid-partitioned corpus table. The
+    // keyed cache assumes an immutable corpus per key (true for the
+    // driver's parquet fixtures); a changed corpus needs a new key.
+    // The anonymous path persists nothing, so repeated un-keyed calls
+    // cannot leak block-manager memory.
+    def build(persist: Boolean): IvfIdx = {
       val (cids, cents) = collectCentroids(lloydCentroids(emb, nCentroids))
-      val assign = assignTo(emb, cids, cents)
+      val assign0 = assignTo(emb, cids, cents)
         .select(col("vec_id"), col("e"), col("cid"),
           acos(col("c_sim")).as("alpha"))
-        .cache()
+      val assign = if (persist) assign0.cache() else assign0
       val am = assign.groupBy("cid").agg(max("alpha").as("alpha_max"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       // an empty bucket (possible only with duplicate seed vectors)
@@ -348,8 +356,17 @@ object LlmOps extends OpModule {
     cacheKey match {
       case Some(k) =>
         val key = s"${System.identityHashCode(emb.sparkSession)}|$k|c$nCentroids"
-        ivfCache.getOrElseUpdate(key, build())
-      case None => build()
+        ivfCache.getOrElseUpdate(key, build(persist = true))
+      case None => build(persist = false)
+    }
+  }
+
+  /** Evict and unpersist every cached IVF index for `spark` — the
+    * teardown hook for a long-lived service embedding this library. */
+  def evictIvfCache(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prefix = s"${System.identityHashCode(spark)}|"
+    ivfCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      ivfCache.remove(k).foreach(_.assign.unpersist(blocking = false))
     }
   }
 
@@ -367,7 +384,9 @@ object LlmOps extends OpModule {
         call_function("graft_cos_centroids", col("p_emb"), typedLit(idx.cents)))
       .select(col("p_id"), col("p_emb"),
         posexplode(array_sort(zip_with(
-          col("cs"), typedLit(idx.cids.indices.toSeq),
+          // .toList, not .toSeq — a Range IS a Seq, and typedLit
+          // rejects Range literals (UNSUPPORTED_FEATURE.LITERAL_TYPE)
+          col("cs"), typedLit(idx.cids.indices.toList),
           (c, i) => struct(acos(c).as("theta"), i.as("idx"))))))
       .select(col("p_id"), col("p_emb"), (col("pos") + 1).as("c_rn"),
         element_at(typedLit(idx.cids), col("col.idx") + 1).as("cid"),
@@ -399,11 +418,11 @@ object LlmOps extends OpModule {
       nCentroids: Int = 8, cacheKey: Option[String] = None): DataFrame = {
     graft.functions.VectorKernels.register(emb.sparkSession)
     val nProbe = math.max(1, nCentroids / 2)
-    val (centroids, assign) = ivfIndex(emb, nCentroids, cacheKey)
-    val stats = assign.groupBy("cid").agg(max("alpha").as("alpha_max"))
+    val idx = ivfIndex(emb, nCentroids, cacheKey)
+    val assign = idx.assign
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("p_id"), col("embedding").cast("array<double>").as("p_emb"))
-    val ranked = rankCentroids(probes, centroids)
+    val ranked = rankCentroids(probes, idx)
     // clamp1 on the scorer too (ADVICE r2): a degenerate zero-norm
     // vector must score deterministically low in both phases, never
     // NaN-high; on well-formed data the clamp is a no-op after round-6
@@ -420,9 +439,10 @@ object LlmOps extends OpModule {
       .groupBy("p_id")
       .agg(max(when(col("rk") === topK, col("cosine"))).as("kth"))
       .select(col("p_id"), coalesce(col("kth"), lit(-2.0)).as("s_k"))
+    // `ranked` already carries each bucket's alpha_max (attached per
+    // row by rankCentroids from the index metadata) — no stats join
     val phase2 = scoreBuckets(
       ranked.filter(col("c_rn") > nProbe)
-        .join(broadcast(stats), "cid")
         .join(broadcast(sk), "p_id")
         .filter(cos(greatest(col("theta") - col("alpha_max"), lit(0.0)))
           >= col("s_k") - lit(1e-5))
@@ -444,16 +464,16 @@ object LlmOps extends OpModule {
       nCentroids: Int = 8, nProbe: Int = 3,
       cacheKey: Option[String] = None): DataFrame = {
     graft.functions.VectorKernels.register(emb.sparkSession)
-    val (centroids, assign) = ivfIndex(emb, nCentroids, cacheKey)
+    val idx = ivfIndex(emb, nCentroids, cacheKey)
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("p_id"), col("embedding").cast("array<double>").as("p_emb"))
-    val probeBuckets = rankCentroids(probes, centroids)
+    val probeBuckets = rankCentroids(probes, idx)
       .filter(col("c_rn") <= nProbe)
       .select(col("p_id"), col("p_emb"), col("cid"))
     // exact refine inside the probed buckets only
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("p_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    probeBuckets.join(assign.select("vec_id", "e", "cid"), "cid")
+    probeBuckets.join(idx.assign.select("vec_id", "e", "cid"), "cid")
       .withColumn("cosine", round(clamp1(cosineCols(col("p_emb"), col("e"))), 6))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= topK)
