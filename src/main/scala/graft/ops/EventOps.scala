@@ -36,6 +36,73 @@ object EventOps extends OpModule {
                 CAST(json_extract_string(props, '$.k') AS INTEGER) AS meta_k
               FROM events ORDER BY position""")),
 
+    Op("cdc_envelope_full",
+      // Debezium-shaped envelope: txn grouping + before/after row
+      // images + DDL events (VERDICT r3 #4). Flattened to scalar
+      // columns so the DuckDB compare never depends on struct
+      // rendering; the streaming rendering (per-key StateStore before-
+      // images) is held equivalent in EventStreamSpec.
+      (s, d) => EventStreams.envelopeTxn(Tables.events(s, d))
+        .select(col("position"), col("pk"),
+          unix_micros(col("ts")).as("ts_us"), col("op"),
+          col("txn_id"), col("txn_seq"),
+          col("before.value").as("before_value"),
+          col("after.value").as("after_value"),
+          col("ddl_stmt"))
+        .orderBy("position"),
+      Some("""WITH base AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       WHEN event_type = 'view' THEN 'DDL'
+                       ELSE 'U' END AS op,
+                  value, event_id // 16 AS txn_id, event_id % 16 AS txn_seq
+                FROM events),
+              r AS (
+                SELECT *, lag(value) OVER (PARTITION BY pk
+                  ORDER BY tts, position) AS prev_value
+                FROM base WHERE op <> 'DDL')
+              SELECT position, pk, epoch_us(tts) AS ts_us, op,
+                txn_id, txn_seq,
+                CASE WHEN op = 'I' THEN NULL ELSE prev_value END AS before_value,
+                CASE WHEN op = 'D' THEN NULL ELSE value END AS after_value,
+                CAST(NULL AS VARCHAR) AS ddl_stmt
+              FROM r
+              UNION ALL
+              SELECT position, pk, epoch_us(tts), op, txn_id, txn_seq,
+                NULL, NULL,
+                'ALTER TABLE events ADD PARTITION (txn=' ||
+                  CAST(txn_id AS VARCHAR) || ')'
+              FROM base WHERE op = 'DDL'
+              ORDER BY position""")),
+
+    Op("cdc_txn_groups",
+      // per-transaction apply unit: op counters, position span, commit
+      // ts, distinct keys — one shuffle on txn_id, counters partial-
+      // aggregated map-side
+      (s, d) => EventStreams.txnGroups(Tables.events(s, d))
+        .orderBy("txn_id"),
+      Some("""WITH env AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       WHEN event_type = 'view' THEN 'DDL'
+                       ELSE 'U' END AS op,
+                  event_id // 16 AS txn_id
+                FROM events)
+              SELECT txn_id, count(*) AS n_ops,
+                CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+                CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+                CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+                CAST(sum(CASE WHEN op = 'DDL' THEN 1 ELSE 0 END) AS BIGINT) AS n_ddl,
+                min(position) AS first_position,
+                max(position) AS last_position,
+                max(epoch_us(tts)) AS commit_ts_us,
+                count(DISTINCT pk) AS n_keys
+              FROM env GROUP BY txn_id ORDER BY txn_id""")),
+
     Op("stream_filter_route",
       (s, d) => EventStreams.filterRoute(Tables.events(s, d))
         .select("event_id", "user_id", "event_type", "route")

@@ -64,6 +64,122 @@ object EventStreams {
       struct(col("user_id"), col("event_type"), col("value")).as("after"),
       from_json(col("props"), MapType(StringType, IntegerType)).as("meta"))
 
+  // ── op 54b: full-fidelity envelope (txn, before-images, DDL) ────
+  /** Debezium-shaped change record (VERDICT r3 next-round #4 — the
+    * CDC data model a real consumer expects):
+    *
+    *  - **txn grouping**: a synthetic transaction = a window of `txnW`
+    *    consecutive binlog positions (`txn_id = position DIV txnW`,
+    *    `txn_seq = position % txnW`) — the offline stand-in for the
+    *    BEGIN…COMMIT grouping a binlog parser emits; at 100 TB the
+    *    grouping key arrives WITH the feed, and everything downstream
+    *    (per-txn aggregation, atomic apply) is keyed on it unchanged.
+    *  - **row images**: I → (null, after); U → (before, after);
+    *    D → (before, null), where `before` is the previous row event's
+    *    image for the same pk in log order — in batch a `lag` window
+    *    per pk, in streaming [[cdcEnvelopeStream]]'s per-key state.
+    *  - **DDL events**: `view` events play the schema-change role —
+    *    no pk row images, a statement payload instead, interleaved at
+    *    their log position like binlog QUERY events.
+    *
+    * The batch rendering assumes the log is position-ordered (true of
+    * a binlog); the streaming rendering processes arrival order and
+    * sorts within each micro-batch, which agrees with batch whenever
+    * delivery preserves log order per key.
+    */
+  def envelopeTxn(events: DataFrame, txnW: Int = 16): DataFrame = {
+    val base = events.select(
+      col("event_id").as("position"),
+      col("user_id").as("pk"),
+      col("ts"),
+      when(col("event_type") === "signup", "I")
+        .when(col("event_type") === "error", "D")
+        .when(col("event_type") === "view", "DDL")
+        .otherwise("U").as("op"),
+      struct(col("event_type"), col("value")).as("image"))
+      .withColumn("txn_id", expr(s"position DIV $txnW"))
+      .withColumn("txn_seq", col("position") % txnW)
+    val imageType = base.schema("image").dataType
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy(col("ts"), col("position"))
+    val rowEvents = base.filter(col("op") =!= "DDL")
+      .withColumn("prev", lag(col("image"), 1).over(w))
+      .select(col("position"), col("pk"), col("ts"), col("op"),
+        col("txn_id"), col("txn_seq"),
+        when(col("op") === "I", lit(null).cast(imageType))
+          .otherwise(col("prev")).as("before"),
+        when(col("op") === "D", lit(null).cast(imageType))
+          .otherwise(col("image")).as("after"),
+        lit(null).cast(StringType).as("ddl_stmt"))
+    val ddlEvents = base.filter(col("op") === "DDL")
+      .select(col("position"), col("pk"), col("ts"), col("op"),
+        col("txn_id"), col("txn_seq"),
+        lit(null).cast(imageType).as("before"),
+        lit(null).cast(imageType).as("after"),
+        concat(lit("ALTER TABLE events ADD PARTITION (txn="),
+          col("txn_id").cast(StringType), lit(")")).as("ddl_stmt"))
+    rowEvents.unionByName(ddlEvents)
+  }
+
+  /** Per-transaction summary over [[envelopeTxn]] — the unit a CDC
+    * consumer applies atomically. One shuffle on txn_id; op counters
+    * partial-aggregate map-side. */
+  def txnGroups(events: DataFrame, txnW: Int = 16): DataFrame = {
+    def nOf(op: String) = sum((col("op") === op).cast("long"))
+    envelopeTxn(events, txnW)
+      .groupBy("txn_id")
+      .agg(count(lit(1)).as("n_ops"),
+        nOf("I").as("n_inserts"), nOf("U").as("n_updates"),
+        nOf("D").as("n_deletes"), nOf("DDL").as("n_ddl"),
+        min("position").as("first_position"),
+        max("position").as("last_position"),
+        max(unix_micros(col("ts"))).as("commit_ts_us"),
+        countDistinct("pk").as("n_keys"))
+  }
+
+  /** Streaming rendering of [[envelopeTxn]]: per-key state carries the
+    * last row-event image, so before-images come from the StateStore
+    * instead of a lag window (unsupported over streams). DDL events
+    * pass through without touching state. Emits in Append mode via
+    * flatMapGroupsWithState — one record per input event.
+    */
+  case class CdcRecord(position: Long, pk: Long, ts_us: Long, op: String,
+      txn_id: Long, txn_seq: Long, before_value: Option[Double],
+      after_value: Option[Double], ddl_stmt: Option[String])
+  case class CdcImage(event_type: String, value: Double)
+
+  def cdcEnvelopeStream(ds: Dataset[FoldEvent], txnW: Int = 16): Dataset[CdcRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcImage, CdcRecord](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (pk: Long, events: Iterator[FoldEvent], state: GroupState[CdcImage]) =>
+          var last = state.getOption
+          val out = events.toVector.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            val op = e.event_type match {
+              case "signup" => "I"; case "error" => "D"
+              case "view" => "DDL"; case _ => "U"
+            }
+            val txnId = e.event_id / txnW
+            if (op == "DDL")
+              CdcRecord(e.event_id, pk, e.ts_us, op, txnId, e.event_id % txnW,
+                None, None,
+                Some(s"ALTER TABLE events ADD PARTITION (txn=$txnId)"))
+            else {
+              val before = if (op == "I") None else last.map(_.value)
+              val after = if (op == "D") None else Some(e.value)
+              last = Some(CdcImage(e.event_type, e.value))
+              CdcRecord(e.event_id, pk, e.ts_us, op, txnId, e.event_id % txnW,
+                before, after, None)
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   // ── op 55: subscription filter + key routing ────────────────────
   /** Subscription rules: drop uninteresting ops, assign each event a
     * sink route by key hash, and shuffle on (route, pk) so every

@@ -93,6 +93,32 @@ class EventStreamSpec extends SparkSpec {
     assert(finalState == batch)
   }
 
+  test("cdc envelope: streaming before-images (StateStore) equal batch lag window") {
+    // batch rendering: lag window per pk; streaming rendering: per-key
+    // state via flatMapGroupsWithState. Same flattened record set.
+    val batch = EventStreams.envelopeTxn(batchEvents)
+      .select(col("position"), col("pk"), unix_micros(col("ts")).as("ts_us"),
+        col("op"), col("txn_id"), col("txn_seq"),
+        col("before.value").as("before_value"),
+        col("after.value").as("after_value"), col("ddl_stmt"))
+      .orderBy("position").collect().toSeq
+    val streamed = runToMemory(
+      EventStreams.cdcEnvelopeStream(EventStreams.toFoldEvents(streamEvents)).toDF(),
+      "t_cdc_env", "append")
+      .orderBy("position").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // the envelope carries all four op kinds, and images follow the
+    // Debezium contract: I has no before, D has no after, DDL has
+    // neither but carries a statement
+    val byOp = batch.groupBy(_.getString(3))
+    assert(byOp.keySet == Set("I", "U", "D", "DDL"))
+    assert(byOp("I").forall(_.isNullAt(6)))
+    assert(byOp("D").forall(_.isNullAt(7)))
+    assert(byOp("DDL").forall(r => r.isNullAt(6) && r.isNullAt(7) && !r.isNullAt(8)))
+    assert(byOp("U").exists(r => !r.isNullAt(6)))
+  }
+
   test("dedup: at-least-once delivery (every event twice) folds to exactly-once") {
     val dir = tmpDir("graft_dup")
     val ev = spark.read.parquet(s"$sf001/events.parquet")
