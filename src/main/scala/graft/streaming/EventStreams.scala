@@ -297,17 +297,21 @@ object EventStreams {
     }
   }
 
-  def statefulFoldTws(ds: Dataset[FoldEvent]): Dataset[UserFold] = {
-    val spark = ds.sparkSession
-    import spark.implicits._
-    // transformWithState requires the RocksDB provider. Session-conf
-    // side effect — scoped to streaming inputs only (batch doesn't read
-    // it) and documented: queries resuming an HDFS-provider checkpoint
-    // on the same session must reset this conf first.
-    if (ds.isStreaming) {
+  /** transformWithState requires the RocksDB provider. Session-conf
+    * side effect — scoped to streaming inputs only (batch doesn't read
+    * it) and documented: queries resuming an HDFS-provider checkpoint
+    * on the same session must reset this conf first. */
+  private[streaming] def requireRocksDb(spark: SparkSession,
+      isStreaming: Boolean): Unit =
+    if (isStreaming) {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     }
+
+  def statefulFoldTws(ds: Dataset[FoldEvent]): Dataset[UserFold] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    requireRocksDb(spark, ds.isStreaming)
     ds.groupByKey(_.user_id)
       .transformWithState(new FoldProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),

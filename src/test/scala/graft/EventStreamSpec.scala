@@ -119,6 +119,129 @@ class EventStreamSpec extends SparkSpec {
     assert(byOp("U").exists(r => !r.isNullAt(6)))
   }
 
+  test("session timers: event-time timers close idle sessions (TWS)") {
+    import spark.implicits._
+    import graft.streaming.StatefulProcessors
+    val dir = tmpDir("graft_sess_timer")
+    Tables.configure(spark)
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    ev.write.mode("overwrite").parquet(s"$dir/in")
+    val raw = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val timed = raw.select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      .as[StatefulProcessors.TimedEvent]
+      .withWatermark("ts", "0 seconds")
+    val q = StatefulProcessors.sessionsWithTimers(timed).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_sess_timer").start()
+    q.processAllAvailable()
+    // sentinel 2h past the data pushes the watermark beyond every
+    // session's last_event + 30m gap → the TIMERS must close the tail
+    // sessions in the no-data batch; no user sends further events
+    val sentinel = Tables.events(spark, sf001)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) + 2L * 3600 * 1000 * 1000
+    Seq((9999999L, sentinel * 1000L, 10000000L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_sess_timer")
+      .filter(col("user_id") =!= 10000000L)
+      .withColumn("total_value", round(col("total_value"), 6))
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    // every real user's every session was closed — by inline gap or by
+    // timer — and the closed set equals the batch session_window result
+    val batch = EventStreams.sessionized(batchEvents)
+      .select(col("user_id"), col("session_start_us"), col("n_events"),
+        col("total_value"))
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("profile: MapState counters + bounded ListState across micro-batches (TWS)") {
+    import spark.implicits._
+    import graft.streaming.StatefulProcessors
+    val dir = tmpDir("graft_profile")
+    Tables.configure(spark)
+    val evs = EventStreams.toFoldEvents(batchEvents).collect().toSeq
+    // split by TIME so cross-batch arrival order equals log order and
+    // the bounded error buffer's contents are deterministic
+    val mid = (evs.map(_.ts_us).min + evs.map(_.ts_us).max) / 2
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val tsUs = expr("ts DIV 1000")
+    ev.filter(tsUs < mid).write.mode("overwrite").parquet(s"$dir/in")
+    val raw = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = StatefulProcessors.userProfiles(EventStreams.toFoldEvents(raw)).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_profile").start()
+    q.processAllAvailable()
+    ev.filter(tsUs >= mid).write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    // final emission per user = the one with the largest n_total
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_total").desc)
+    val streamed = spark.table("t_profile")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n_total", "n_types", "top_type", "recent_error_ids")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getSeq[Long](4).toList)).toSet
+    val expected = evs.groupBy(_.user_id).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts_us, e.event_id))
+      val counts = sorted.groupBy(_.event_type).view.mapValues(_.size.toLong).toMap
+      val top = counts.toSeq.minBy { case (t, n) => (-n, t) }._1
+      val errs = sorted.filter(_.event_type == "error").map(_.event_id).takeRight(3)
+      (u, es.size.toLong, counts.size.toLong, top, errs.toList)
+    }.toSet
+    assert(streamed == expected)
+    assert(expected.exists(_._5.size == 3), "no user exercised the list cap")
+  }
+
+  test("fold bootstraps from a batch snapshot, then resumes from the log (TWS)") {
+    import spark.implicits._
+    import graft.streaming.StatefulProcessors
+    val dir = tmpDir("graft_bootstrap")
+    Tables.configure(spark)
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    // snapshot = batch fold of the log's first half (the materialized
+    // table a cdc_apply/fold job wrote yesterday)...
+    val snapshot = EventStreams.statefulFold(EventStreams.toFoldEvents(
+      batchEvents.filter(col("event_id") % 2 === 0)))
+    // ...then the stream tails ONLY the second half
+    ev.filter(col("event_id") % 2 === 1).write.mode("overwrite").parquet(s"$dir/in")
+    val raw = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val got = runToMemory(
+      StatefulProcessors.statefulFoldFrom(
+        EventStreams.toFoldEvents(raw), snapshot).toDF(),
+      "t_bootstrap", "update")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val streamed = got.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("balance", round(col("balance"), 6))
+      .orderBy("user_id").collect().toSeq
+    // a key emitted by the stream must carry snapshot + tail combined —
+    // equal to the batch fold over the FULL log for that key
+    val streamedKeys = streamed.map(_.getLong(0)).toSet
+    val batch = EventStreams.statefulFold(EventStreams.toFoldEvents(batchEvents))
+      .toDF().withColumn("balance", round(col("balance"), 6))
+      .orderBy("user_id").collect().toSeq
+      .filter(r => streamedKeys.contains(r.getLong(0)))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // and the counts prove the bootstrap actually contributed: some key
+    // must have more events than the tail alone could supply
+    val tailCounts = EventStreams.toFoldEvents(
+        batchEvents.filter(col("event_id") % 2 === 1))
+      .collect().groupBy(_.user_id).view.mapValues(_.length).toMap
+    assert(streamed.exists(r =>
+      r.getLong(1) > tailCounts.getOrElse(r.getLong(0), 0).toLong))
+  }
+
   test("dedup: at-least-once delivery (every event twice) folds to exactly-once") {
     val dir = tmpDir("graft_dup")
     val ev = spark.read.parquet(s"$sf001/events.parquet")
