@@ -187,8 +187,12 @@ object EventStreams {
     * per-PK ordered delivery) WITHOUT capping parallelism at the sink
     * count: partitioning by `route` alone makes `nSinks` tasks do all
     * routing work at 100 TB, while (route, pk) keeps the co-location
-    * guarantee and spreads each route's keys across `nPartitions`
-    * tasks (a sink consumes its route's partitions key-ordered).
+    * guarantee and spreads work across `nPartitions` tasks. Note the
+    * hash mixes routes across partitions — a partition holds several
+    * routes, and a route spans many partitions; what's guaranteed is
+    * per-KEY ordering (one partition per pk). A sink selects its
+    * route's rows (e.g. the fan-out filter), it does not own whole
+    * partitions.
     */
   def filterRoute(events: DataFrame, nSinks: Int = 4,
       nPartitions: Int = 0): DataFrame = {
