@@ -373,19 +373,26 @@ object EventStreams {
 
   // ── op 65: broadcast fan-out (one stream → N sinks) ─────────────
   /** meepo's core "broadcasting": each micro-batch is persisted once
-    * and written to every sink path; per-batch overwrite into a
-    * batchId-keyed directory makes redelivery idempotent.
+    * and every [[Sink]] writes from the cached copy — one source scan
+    * regardless of sink count. Delivery to each sink is at-least-once
+    * (a crash mid-fan-out redelivers the batch on restart), and the
+    * [[Sink]] contract makes that effectively-once: every impl is
+    * idempotent per batchId (SinkContractSpec).
     */
-  def fanOut(events: DataFrame, sinkDirs: Seq[String],
+  def fanOutTo(events: DataFrame, sinks: Seq[Sink],
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.persist()
-        try sinkDirs.foreach { dir =>
-          batch.write.mode("overwrite").parquet(s"$dir/batch_$batchId")
-        } finally batch.unpersist()
+        try sinks.foreach(_.write(batch.toDF(), batchId))
+        finally batch.unpersist()
         ()
       }
       .start()
+
+  /** Directory convenience: one [[ParquetDirSink]] per path. */
+  def fanOut(events: DataFrame, sinkDirs: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    fanOutTo(events, sinkDirs.map(new ParquetDirSink(_)), checkpointDir)
 }
