@@ -483,6 +483,50 @@ object LlmOps extends OpModule {
       .select("p_id", "rank", "vec_id", "cosine")
   }
 
+  /** Character n-gram language ID, Cavnar–Trenkle style (the n-gram
+    * heuristic of the classic "N-Gram-Based Text Categorization"):
+    * build a top-`topK` character-trigram profile per language from a
+    * supervised train split (`doc_id % trainMod != 0`), then classify
+    * every document by profile-hit count (ties → lexicographically
+    * smallest language; no hits → "und").
+    *
+    * Everything is declarative and scale-shaped: the profile build is
+    * one explode + groupBy whose OUTPUT is bounded (langs × topK rows)
+    * regardless of corpus size; scoring is one explode + broadcast
+    * join against that profile + per-doc argmax. No driver
+    * materialization, no per-doc loops; at 100 TB the profile is built
+    * once and reused across batches like any dimension table.
+    */
+  def langId(docs: DataFrame, topK: Int = 200, trainMod: Int = 5): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      normText(col("text")).as("txt"))
+    // guard: Spark's sequence(1, n) runs DESCENDING for n < 1, so a
+    // short text must yield an empty array, not trigrams of garbage
+    val tris = base.selectExpr("doc_id", "lang",
+      """CASE WHEN char_length(txt) < 3 THEN array()
+           ELSE array_distinct(transform(sequence(1, char_length(txt) - 2),
+             i -> substr(txt, i, 3))) END AS ts""")
+    val wProf = org.apache.spark.sql.expressions.Window
+      .partitionBy("plang").orderBy(col("c").desc, col("t").asc)
+    val profile = tris.filter(col("doc_id") % trainMod =!= 0)
+      .select(col("lang").as("plang"), explode(col("ts")).as("t"))
+      .groupBy("plang", "t").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wProf))
+      .filter(col("rn") <= topK)
+      .select("plang", "t")
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("m").desc, col("plang").asc)
+    val best = tris.select(col("doc_id"), explode(col("ts")).as("t"))
+      .join(broadcast(profile), "t")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("m"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang"))
+    base.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("plang"), lit("und")).as("lang_pred"))
+  }
+
   override def ops: Seq[Op] = Seq(
 
     Op("llm_dedup_exact",
@@ -713,6 +757,50 @@ object LlmOps extends OpModule {
                 round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
                 count(DISTINCT source) AS n_sources
               FROM t GROUP BY lang ORDER BY lang""")),
+
+    Op("llm_lang_id",
+      // real n-gram language ID (vs llm_text_quality's stopword
+      // heuristic): character-trigram profiles per language — see
+      // [[langId]]. On THIS corpus the lang labels are uncorrelated
+      // with the text (shared vocab, verified), so predictions sit at
+      // chance; the oracle grades the deterministic pipeline, and
+      // LlmSpec proves classifier QUALITY on a planted corpus whose
+      // languages genuinely differ.
+      (s, d) => langId(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH base AS (
+                SELECT doc_id, lang,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
+                FROM documents),
+              tris AS (
+                SELECT doc_id, lang,
+                  CASE WHEN length(txt) < 3 THEN []
+                    ELSE list_distinct(list_transform(
+                      generate_series(1, length(txt) - 2),
+                      i -> txt[i:i+2])) END AS ts
+                FROM base),
+              prof AS (
+                SELECT plang, t FROM (
+                  SELECT lang AS plang, t, count(*) AS c,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY count(*) DESC, t ASC) AS rn
+                  FROM (SELECT lang, unnest(ts) AS t FROM tris
+                        WHERE doc_id % 5 <> 0)
+                  GROUP BY lang, t) WHERE rn <= 200),
+              m AS (
+                SELECT d.doc_id, k.plang, count(*) AS m
+                FROM (SELECT doc_id, unnest(ts) AS t FROM tris) d
+                JOIN prof k ON d.t = k.t
+                GROUP BY 1, 2),
+              best AS (
+                SELECT doc_id, plang,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY m DESC, plang ASC) AS rn
+                FROM m)
+              SELECT b.doc_id, b.lang, coalesce(p.plang, 'und') AS lang_pred
+              FROM base b LEFT JOIN
+                (SELECT doc_id, plang FROM best WHERE rn = 1) p
+                ON b.doc_id = p.doc_id
+              ORDER BY b.doc_id""")),
 
     Op("llm_text_quality",
       // quality scoring + n-gram-free language ID heuristic: stopword

@@ -198,6 +198,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("lang-id: trigram profiles separate planted languages on holdout") {
+    import spark.implicits._
+    // three synthetic "languages" with disjoint character inventories —
+    // the driver corpus's lang labels are uncorrelated with its text
+    // (shared vocab), so classifier QUALITY is proven here instead
+    val rnd = new scala.util.Random(42)
+    def word(alphabet: String): String =
+      (0 until 3 + rnd.nextInt(5)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def doc(alphabet: String): String =
+      (0 until 12 + rnd.nextInt(20)).map(_ => word(alphabet)).mkString(" ")
+    val alphabets = Map("alpha" -> "abcdefghijklm", "omega" -> "nopqrstuvwxyz",
+      "digit" -> "0123456789")
+    val docs = (0L until 300L).map { i =>
+      val lang = Seq("alpha", "omega", "digit")((i % 3).toInt)
+      (i, doc(alphabets(lang)), lang)
+    }.toDF("doc_id", "text", "lang")
+    val pred = LlmOps.langId(docs, topK = 200, trainMod = 5)
+    // holdout = docs excluded from the profile build
+    val holdout = pred.filter(col("doc_id") % 5 === 0)
+    val n = holdout.count()
+    val correct = holdout.filter(col("lang") === col("lang_pred")).count()
+    assert(n > 0)
+    assert(correct.toDouble / n >= 0.95,
+      s"holdout accuracy ${correct.toDouble / n} below 0.95")
+    // the oracled corpus path stays total: every doc gets a prediction
+    val full = LlmOps.langId(Tables.documents(spark, sf001))
+    assert(full.filter(col("lang_pred").isNull).count() == 0)
+  }
+
   test("fingerprint: deterministic and (near-)unique across the corpus") {
     val q = SparkEntry.queries("llm_fingerprint")
     val a = q(spark, sf001).collect().toSeq
