@@ -146,6 +146,41 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_char_ngrams(string, n) → array<string>: all character
+  * n-grams of the input in order, one O(len·n) pass (empty array when
+  * the string is shorter than n). Exists because the declarative
+  * rendering — `transform(sequence(1, len-2), i -> substr(s, i, 3))` —
+  * is quadratic twice over: `substr` re-seeks the UTF-8 string from
+  * the start per element, and any non-trivial expression the lambda
+  * captures is re-evaluated per element (the repo's known HOF
+  * hazard — see nearDupPairs). Indexing is by UTF-16 code unit, which
+  * equals code points for BMP text (all fixture corpora); astral
+  * chars would split into surrogate halves.
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType if n > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_ngrams requires string and n > 0, got $other / n=$n")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.charNgrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.charNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_rpbands(array<double>, r, bands, seed) → array<long>:
   * banded random-hyperplane (sign-random-projection) LSH signature.
   * Bit t of r·bands total bits = sign of the projection of the vector
@@ -392,9 +427,35 @@ object VectorKernels {
       out.asInstanceOf[Array[Any]])
   }
 
+  /** One pass over the (decoded-once) string; see [[CharNgrams]]. */
+  def charNgrams(s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    if (len < n) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    } else {
+      val out = new Array[Any](len - n + 1)
+      var i = 0
+      while (i <= len - n) {
+        out(i) = org.apache.spark.unsafe.types.UTF8String
+          .fromString(str.substring(i, i + n))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** Idempotent SQL registration of all graft kernels. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_char_ngrams",
+      exprs => CharNgrams(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_char_ngrams n must be a literal integer, got $other")
+      }), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DoubleArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",

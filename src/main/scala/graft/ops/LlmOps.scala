@@ -498,14 +498,17 @@ object LlmOps extends OpModule {
     * once and reused across batches like any dimension table.
     */
   def langId(docs: DataFrame, topK: Int = 200, trainMod: Int = 5): DataFrame = {
+    graft.functions.VectorKernels.register(docs.sparkSession)
     val base = docs.select(col("doc_id"), col("lang"),
       normText(col("text")).as("txt"))
-    // guard: Spark's sequence(1, n) runs DESCENDING for n < 1, so a
-    // short text must yield an empty array, not trigrams of garbage
-    val tris = base.selectExpr("doc_id", "lang",
-      """CASE WHEN char_length(txt) < 3 THEN array()
-           ELSE array_distinct(transform(sequence(1, char_length(txt) - 2),
-             i -> substr(txt, i, 3))) END AS ts""")
+    // trigrams via the fused kernel — the declarative transform+substr
+    // rendering was quadratic per doc (O(i) UTF-8 re-seek per element
+    // AND the captured normalization re-evaluated per element, the
+    // known HOF hazard): 60 s → sub-second at sf0.1. The kernel
+    // returns [] for texts shorter than n, so no length guard.
+    val tris = base.select(col("doc_id"), col("lang"),
+      array_distinct(
+        call_function("graft_char_ngrams", col("txt"), lit(3))).as("ts"))
     val wProf = org.apache.spark.sql.expressions.Window
       .partitionBy("plang").orderBy(col("c").desc, col("t").asc)
     val profile = tris.filter(col("doc_id") % trainMod =!= 0)
@@ -867,18 +870,16 @@ object LlmOps extends OpModule {
 
     Op("llm_ngrams_tf",
       (s, d) => {
-        // tokens materialized first — see nearDupPairs note on HOF
-        // re-evaluation. The size>=2 guard matters: sequence(0, -1)
-        // DESCENDS to [0,-1] and slice(t, 0, 2) is a runtime error on
-        // a single-token doc
-        val t = col("toks")
-        val grams = when(size(t) >= 2,
-          transform(sequence(lit(0), size(t) - 2),
-            i => concat_ws(" ", slice(t, i + 1, lit(2)))))
-          .otherwise(array().cast("array<string>"))
+        // bigrams via the fused graft_shingles kernel (value-identical
+        // to the old transform+slice+concat_ws HOF rendering, which
+        // paid interpreted lambda evals per gram); the kernel returns
+        // [] below n tokens so no size guard is needed
+        graft.functions.VectorKernels.register(s)
         val exploded = Tables.documents(s, d)
           .select(col("lang"), tokens(col("text")).as("toks"))
-          .select(col("lang"), explode(grams).as("ngram"))
+          .select(col("lang"),
+            explode(call_function("graft_shingles", col("toks"), lit(2)))
+              .as("ngram"))
           .groupBy("lang", "ngram").agg(count(lit(1)).as("tf"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lang").orderBy(col("tf").desc, col("ngram").asc)
