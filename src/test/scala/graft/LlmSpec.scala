@@ -198,6 +198,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("char-ngram kernel: matches the declarative rendering, handles edges") {
+    graft.functions.VectorKernels.register(spark)
+    import spark.implicits._
+    val df = Seq("hello world", "ab", "abc", "", "日本語テスト", "xy z")
+      .toDF("s")
+    val got = df.selectExpr("graft_char_ngrams(s, 3) AS g").collect()
+      .map(_.getSeq[String](0).toList)
+    // reference: same extraction, spelled declaratively (safe here —
+    // tiny input, no captured expressions)
+    val ref = df.selectExpr(
+      """CASE WHEN char_length(s) < 3 THEN array()
+         ELSE transform(sequence(1, char_length(s) - 2),
+           i -> substr(s, i, 3)) END AS g""").collect()
+      .map(_.getSeq[String](0).toList)
+    assert(got.toSeq == ref.toSeq)
+    assert(got(1).isEmpty && got(3).isEmpty)          // below n → []
+    assert(got(2) == List("abc"))
+    assert(got(4).head == "日本語")                    // BMP multibyte
+    // interpreted path (nullSafeEval) agrees with codegen
+    val expr = graft.functions.CharNgrams(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello"),
+        org.apache.spark.sql.types.StringType), 3)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until interp.numElements())
+      .map(i => interp.getUTF8String(i).toString) == Seq("hel", "ell", "llo"))
+  }
+
   test("lang-id: trigram profiles separate planted languages on holdout") {
     import spark.implicits._
     // three synthetic "languages" with disjoint character inventories —
