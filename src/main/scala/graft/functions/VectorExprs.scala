@@ -254,6 +254,41 @@ case class BestCentroid(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** graft_quant8(array<double>) → struct<scale:double, q:array<int>>:
+  * symmetric per-vector int8 quantization — the embedding-compression
+  * step of a training-data pipeline (4× smaller than float32, 8× than
+  * the double widening). scale = max|x| / 127; q_i = floor(x_i/scale
+  * + 0.5) (round-half-up, sign-symmetric enough for quantization and
+  * bit-identical between Spark and the DuckDB oracle, unlike
+  * banker's-rounding `round`). An all-zero vector gets scale 0 and
+  * q = 0s. One fused pass; the declarative transform rendering would
+  * re-evaluate the captured scale aggregate per element (the standing
+  * HOF hazard — see CharNgrams).
+  */
+case class Quant8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_quant8 requires array<double>, got $other")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "graft_quant8"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.quant8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.quant8($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_cos_centroids(array<double>, array<array<double>>) →
   * array<double>: clamped cosine to every centroid (array order), one
   * pass — feeds the per-probe bucket ranking without a window. */
@@ -427,6 +462,29 @@ object VectorKernels {
       out.asInstanceOf[Array[Any]])
   }
 
+  /** Symmetric int8 quantization, one pass; see [[Quant8]]. */
+  def quant8(e: ArrayData): InternalRow = {
+    val n = e.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(e.getDouble(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val q = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      q(i) = if (scale == 0.0) 0
+        else math.floor(e.getDouble(i) / scale + 0.5).toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+  }
+
   /** One pass over the (decoded-once) string; see [[CharNgrams]]. */
   def charNgrams(s: org.apache.spark.unsafe.types.UTF8String,
       n: Int): ArrayData = {
@@ -456,6 +514,8 @@ object VectorKernels {
         case other => throw new IllegalArgumentException(
           s"graft_char_ngrams n must be a literal integer, got $other")
       }), "built-in")
+    reg.createOrReplaceTempFunction("graft_quant8",
+      exprs => Quant8(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DoubleArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",

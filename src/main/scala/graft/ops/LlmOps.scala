@@ -736,6 +736,41 @@ object LlmOps extends OpModule {
                     x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)), 6) AS unit0
               FROM embeddings ORDER BY vec_id""")),
 
+    Op("llm_vector_quant",
+      // symmetric int8 embedding quantization (graft_quant8 kernel):
+      // the compression step before storing/shipping a 100 TB
+      // embedding corpus. Emits per-vector scale, the quantized
+      // codes, and the max reconstruction error, which is bounded by
+      // scale/2 by construction — the oracle recomputes all three.
+      (s, d) => {
+        graft.functions.VectorKernels.register(s)
+        val e = col("embedding").cast("array<double>")
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), call_function("graft_quant8", e).as("qz"), e.as("e"))
+          .select(col("vec_id"), col("qz.scale").as("scale"), col("qz.q").as("q"),
+            round(aggregate(zip_with(col("qz.q"), col("e"),
+                (qi, xi) => abs(qi * col("qz.scale") - xi)),
+              lit(0.0), (acc, v) => greatest(acc, v)), 9).as("max_err"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH t AS (
+                SELECT vec_id,
+                  list_transform(embedding, x -> x::DOUBLE) AS e,
+                  list_max(list_transform(embedding,
+                    x -> abs(x::DOUBLE))) / 127.0 AS scale
+                FROM embeddings),
+              q AS (
+                SELECT vec_id, e, scale,
+                  list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                    ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END) AS q
+                FROM t)
+              SELECT vec_id, scale, q,
+                round(list_reduce(
+                  list_transform(range(1, len(q) + 1),
+                    i -> abs(q[i] * scale - e[i])),
+                  (a, b) -> CASE WHEN b > a THEN b ELSE a END), 9) AS max_err
+              FROM q ORDER BY vec_id""")),
+
     Op("llm_text_stats",
       (s, d) => Tables.documents(s, d)
         .select(col("lang"), col("source"), col("n_chars"),

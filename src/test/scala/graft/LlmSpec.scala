@@ -227,6 +227,21 @@ class LlmSpec extends SparkSpec {
       .map(i => interp.getUTF8String(i).toString) == Seq("hel", "ell", "llo"))
   }
 
+  test("quant8: codes bounded by ±127, reconstruction error bounded by scale/2") {
+    graft.functions.VectorKernels.register(spark)
+    val rows = SparkEntry.queries("llm_vector_quant")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val maxErr = r.getDouble(3)
+      assert(q.forall(v => v >= -127 && v <= 127), s"code out of range: $r")
+      // round-half-up quantization error is at most half a step
+      assert(maxErr <= scale / 2 + 1e-12, s"error above scale/2: $r")
+      assert(scale >= 0.0)
+    }
+  }
+
   test("lang-id: trigram profiles separate planted languages on holdout") {
     import spark.implicits._
     // three synthetic "languages" with disjoint character inventories —

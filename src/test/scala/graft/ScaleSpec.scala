@@ -112,4 +112,32 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS g_cust_b")
     }
   }
+
+  test("IVF assignment as a cid-partitioned table: bucket fetch prunes partitions") {
+    // the documented 100 TB layout (LlmOps.ivfIndex Scaladoc): the
+    // corpus assignment is written ONCE partitioned by centroid id, so
+    // a query batch's candidate fetch is a partition-pruned scan of
+    // only its probed buckets — never a full-corpus read
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf001)
+    val idx = graft.ops.LlmOps.ivfIndex(emb, nCentroids = 8, cacheKey = None)
+    val dir = tmpDir("graft_ivf_table")
+    idx.assign.write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val table = spark.read.parquet(dir)
+    val probed = table.filter(col("cid").isin(2L, 5L))
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    // the cid predicate must land in PartitionFilters (directory
+    // pruning), not PushedFilters (row-group skipping at best)
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"cid filter did not reach partition pruning:\n$plan")
+    // and the pruned read returns exactly the two buckets
+    val expect = idx.assign.filter(col("cid").isin(2L, 5L)).count()
+    assert(probed.count() == expect && expect > 0)
+    // bucket directories exist per cid — the physical layout a
+    // 1000-executor fetch would list
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("cid=")).toSet
+    assert(dirs.size == 8, s"expected 8 cid partitions, got $dirs")
+  }
 }
