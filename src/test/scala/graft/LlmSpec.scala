@@ -132,6 +132,28 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("simsearch IVF: recall@10 curve is monotone in nProbe, reaching 1.0") {
+    // the operating curve a user tunes against: more probed buckets →
+    // recall can only improve (same index, superset of candidates),
+    // ending at exact when every bucket is probed
+    val emb = Tables.embeddings(spark, sf001)
+    val exact = LlmOps.simSearch(emb, nProbes = 5, topK = 10)
+      .select("p_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val curve = Seq(1, 2, 4, 8).map { nProbe =>
+      val got = LlmOps.simSearchIvf(emb, nProbes = 5, topK = 10,
+          nCentroids = 8, nProbe = nProbe, cacheKey = Some("recall-curve"))
+        .select("p_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      nProbe -> (got & exact).size.toDouble / exact.size
+    }
+    val recalls = curve.map(_._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone: $curve")
+    assert(recalls.last == 1.0, s"full probe not exact: $curve")
+    assert(recalls.head > 0.0, s"single probe found nothing: $curve")
+  }
+
   test("simsearch exact-IVF equals brute force at two SFs (bucket-bound rescue is exact)") {
     for (sf <- Seq(sf001, sf01)) {
       val emb = Tables.embeddings(spark, sf)
