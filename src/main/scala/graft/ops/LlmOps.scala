@@ -483,6 +483,64 @@ object LlmOps extends OpModule {
       .select("p_id", "rank", "vec_id", "cosine")
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
+    * PPJoin family's core trick) — completes the dedup battery with
+    * the one family whose result is fully SQL-oracle-able (MinHash/
+    * SimHash pairs are seeded-hash approximations; this is the exact
+    * set-similarity ground truth they approximate).
+    *
+    * Theorem (prefix filter): order every doc's shingle set by one
+    * GLOBAL order (here: ascending document frequency, rarest first,
+    * ties by value); if J(a,b) ≥ τ then the first
+    * |s| − ⌈τ·|s|⌉ + 1 shingles of a and of b share an element. So the
+    * self-join explodes only PREFIXES — dominated by rare shingles
+    * with small postings — and the exact Jaccard confirm touches
+    * candidates only. At 100 TB this is the standard exact
+    * set-similarity join: no corpus×corpus product, shuffle carries
+    * (shingle, doc_id) prefix postings, and full shingle arrays move
+    * only for candidate pairs.
+    */
+  def jaccardPairs(docs: DataFrame, tau: Double = 0.6,
+      shingleN: Int = 3): DataFrame = {
+    // shingleN is the collision-density dial: longer shingles make the
+    // shingle space sparser, so prefix postings (and candidate pairs)
+    // shrink. A Zipfian real-world vocabulary is fine at 3; this
+    // fixture corpus draws from ~30 tokens, so every 3-gram is common
+    // and the registered query uses 5 (measured 9 s → sub-second at
+    // sf0.1 with an identical high-similarity pair set).
+    graft.functions.VectorKernels.register(docs.sparkSession)
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
+      normText(col("text")).as("norm"))
+    val sh = when(size(col("toks")) >= shingleN,
+      call_function("graft_shingles", col("toks"), lit(shingleN)))
+      .otherwise(array(col("norm")))
+    // the prefix theorem needs ONE CONSISTENT total order on shingles —
+    // any order. Lexicographic (array_sort) keeps the whole pipeline
+    // shuffle-free up to the candidate join: no document-frequency
+    // aggregation, no re-assembly join, and the subtree each self-join
+    // branch recomputes is just scan → kernel → sort-per-row. The
+    // classic rarest-first order is a posting-size heuristic worth its
+    // extra df join only when the shingle space is dense.
+    val sorted = toked.select(col("doc_id"),
+      array_sort(array_distinct(sh)).as("sh"))
+    val pref = sorted.select(col("doc_id"), size(col("sh")).as("n"), col("sh"))
+      .select(col("doc_id"),
+        explode(slice(col("sh"), lit(1),
+          (col("n") - ceil(col("n") * tau) + 1).cast("int"))).as("s"))
+    val a = pref.select(col("doc_id").as("doc_a"), col("s"))
+    val b = pref.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
+    val cand = a.join(b, col("s") === col("s_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    val sa = sorted.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sorted.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Character n-gram language ID, Cavnar–Trenkle style (the n-gram
     * heuristic of the classic "N-Gram-Based Text Categorization"):
     * build a top-`topK` character-trigram profile per language from a
@@ -575,6 +633,68 @@ object LlmOps extends OpModule {
           .orderBy("doc_a", "doc_b")
       },
       None),
+
+    Op("llm_dedup_jaccard",
+      // exact n-gram Jaccard pairs (prefix filter, [[jaccardPairs]]) on
+      // the same corpus ∪ truncated-clones workload as llm_dedup_near —
+      // and, unlike the seeded-hash families, fully oracled: the DuckDB
+      // side prunes by shared-shingle inverted index (necessary for
+      // J > 0, so exact) then brute-confirms. τ=0.8: clone pairs sit at
+      // J≈0.95 and the tight threshold keeps prefixes short — this
+      // 30-word-vocabulary corpus is the worst case for prefix
+      // filtering (every shingle is common; real corpora are Zipfian
+      // with genuinely rare prefixes), so the registered operating
+      // point is the high-similarity dedup setting, not a fuzzy search
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val toks = tokens(col("text"))
+        val clones = docs.select(
+          col("doc_id").bitwiseOR(lit(1L << 40)).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        jaccardPairs(docs.unionByName(clones), tau = 0.8, shingleN = 5)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH raw AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                -- NB DuckDB list slices are END-INCLUSIVE ([:-1] keeps
+                -- the last element); slice by explicit length instead
+                SELECT d.doc_id | (1::BIGINT << 40) AS doc_id,
+                  array_to_string(tk[1:len(tk) - 1], ' ') AS text
+                FROM (SELECT doc_id, string_split(
+                    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                    ' ') AS tk FROM documents) d),
+              t AS (
+                SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM raw),
+              s AS (
+                SELECT doc_id,
+                  CASE WHEN len(toks) >= 5 THEN
+                    list_distinct(list_transform(
+                      generate_series(1, len(toks) - 4),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4]))
+                  ELSE [norm] END AS sh
+                FROM t),
+              ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+              j AS (
+                SELECT c.doc_a, c.doc_b,
+                  len(list_intersect(sa.sh, sb.sh)) AS inter,
+                  len(sa.sh) AS na, len(sb.sh) AS nb
+                FROM cand c
+                JOIN s sa ON sa.doc_id = c.doc_a
+                JOIN s sb ON sb.doc_id = c.doc_b)
+              SELECT doc_a, doc_b,
+                round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+              FROM j
+              WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+              ORDER BY doc_a, doc_b""")),
 
     Op("llm_simsearch",
       // primary = EXACT adaptive IVF (bucket bound rescue); the oracle

@@ -249,6 +249,33 @@ class LlmSpec extends SparkSpec {
       .map(i => interp.getUTF8String(i).toString) == Seq("hel", "ell", "llo"))
   }
 
+  test("jaccard prefix filter: equals the all-pairs ground truth (no misses)") {
+    import spark.implicits._
+    // prefix filtering is an EXACT technique — the candidate set must
+    // contain every pair the quadratic scan finds, at every tau tested
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text").limit(120)
+    for (tau <- Seq(0.5, 0.8)) {
+      val fast = LlmOps.jaccardPairs(docs, tau)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      val toks = split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+      graft.functions.VectorKernels.register(spark)
+      val sets = docs.select(col("doc_id"),
+        array_distinct(when(size(toks) >= 3,
+          call_function("graft_shingles", toks, lit(3)))
+          .otherwise(array(concat_ws(" ", toks)))).as("sh"))
+      val brute = sets.as("a").crossJoin(sets.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (size(col("a.sh")) + size(col("b.sh")) - col("inter")), 6))
+        .filter(col("jaccard") >= tau)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("jaccard"))
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(fast == brute, s"prefix filter diverged from brute force at tau=$tau")
+    }
+  }
+
   test("quant8: codes bounded by ±127, reconstruction error bounded by scale/2") {
     graft.functions.VectorKernels.register(spark)
     val rows = SparkEntry.queries("llm_vector_quant")(spark, sf001).collect()
