@@ -255,6 +255,49 @@ class EventStreamSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == ev.count())
   }
 
+  test("dedup within watermark: duplicates in-horizon collapse, state stays bounded") {
+    import spark.implicits._
+    // dropDuplicatesWithinWatermark is the production form of op 60:
+    // dedup state is EVICTED once the watermark passes an event's time
+    // + delay, so state is bounded by the horizon instead of growing
+    // with the full history (the SCALE.md claim, exercised here).
+    val dir = tmpDir("graft_dedup_wm")
+    val base = "2024-06-01"
+    def mk(rows: Seq[(Long, String)]) =
+      rows.toDF("event_id", "tss")
+        .select(col("event_id"),
+          unix_micros(to_timestamp(col("tss"))).multiply(1000L).as("ts"),
+          lit(1L).as("user_id"), lit("click").as("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+    // batch 1: event 1 twice (dup within the batch) + event 2
+    mk(Seq((1L, s"$base 10:00:00"), (1L, s"$base 10:00:00"),
+        (2L, s"$base 10:30:00")))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val raw = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "10 minutes")
+    val q = raw.dropDuplicatesWithinWatermark(Seq("event_id"))
+      .select("event_id", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_dedup_wm").start()
+    q.processAllAvailable()
+    // batch 2: a redelivery of event 1 arriving WAY past the horizon —
+    // its dedup state was evicted, so the duplicate is emitted again;
+    // that is the documented contract (dedup guaranteed only within
+    // the watermark delay), proving state does not persist forever
+    mk(Seq((3L, s"$base 13:00:00"))).write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    mk(Seq((1L, s"$base 12:55:00"))).write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t_dedup_wm").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    // in-horizon duplicate collapsed: event 1 appeared once in batch 1
+    assert(ids.count(_ == 1L) == 2,
+      s"expected the in-batch dup collapsed AND the post-eviction redelivery emitted: $ids")
+    assert(ids.count(_ == 2L) == 1 && ids.count(_ == 3L) == 1, ids.toString)
+  }
+
   test("watermark: rows later than the threshold are dropped from closed windows") {
     import spark.implicits._
     val dir = tmpDir("graft_late")
