@@ -62,6 +62,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("r4 operators: no cross product in jaccard; partial agg in txn groups") {
+    // prefix-filtered set-similarity must reach candidates through an
+    // equi-join on prefix shingles — never an all-pairs product
+    val pj = planOf("llm_dedup_jaccard")
+    assert(!pj.contains("CartesianProduct") && !pj.contains("BroadcastNestedLoopJoin"),
+      s"jaccard plans a cross product:\n$pj")
+    // per-txn counters partial-aggregate map-side before the txn_id
+    // shuffle — the property that makes txnGroups one narrow exchange
+    val pt = planOf("cdc_txn_groups")
+    assert("HashAggregate".r.findAllIn(pt).size >= 2,
+      s"expected partial+final HashAggregate:\n$pt")
+    // language-ID scoring joins the bounded profile via broadcast —
+    // the corpus side never shuffles for the profile lookup
+    val pl = planOf("llm_lang_id")
+    assert(pl.contains("BroadcastHashJoin"), s"profile not broadcast:\n$pl")
+  }
+
   test("simsearch plans: no cross product, no full-corpus window (VERDICT r3 #3)") {
     // the r2 scale-killers were (a) an all-pairs product and (b) a
     // row_number window ranking the ENTIRE corpus per probe. Pin their
