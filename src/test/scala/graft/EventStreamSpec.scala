@@ -108,6 +108,29 @@ class EventStreamSpec extends SparkSpec {
       .orderBy("position").collect().toSeq
     assert(streamed == batch)
     assert(batch.nonEmpty)
+    // multi-batch: split the log BY TIME so arrival order equals log
+    // order — the before-image chain must thread THROUGH the batch
+    // boundary via the StateStore, not restart
+    import spark.implicits._
+    val dir = tmpDir("graft_cdc_multi")
+    Tables.configure(spark)
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val evs = EventStreams.toFoldEvents(batchEvents).collect()
+    val mid = (evs.map(_.ts_us).min + evs.map(_.ts_us).max) / 2
+    ev.filter(expr("ts DIV 1000") < mid).write.mode("overwrite").parquet(s"$dir/in")
+    val raw = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStreams.cdcEnvelopeStream(EventStreams.toFoldEvents(raw)).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_cdc_env2").start()
+    q.processAllAvailable()
+    ev.filter(expr("ts DIV 1000") >= mid).write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    val multi = spark.table("t_cdc_env2")
+      .orderBy("position").collect().toSeq
+    assert(multi == batch,
+      "before-images did not thread through the micro-batch boundary")
     // the envelope carries all four op kinds, and images follow the
     // Debezium contract: I has no before, D has no after, DDL has
     // neither but carries a statement
