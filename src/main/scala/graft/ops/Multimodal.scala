@@ -47,8 +47,15 @@ object Multimodal extends OpModule {
     * image path of the pipeline is REAL end-to-end. Returns
     * (width, height, rgb bytes) or None for malformed input.
     */
-  def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    var pos = 0
+  def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodePpmAt(bytes, 0).map { case (w, h, rgb, _) => (w, h, rgb) }
+
+  /** Decode one P6 frame starting at `start`; also returns the offset
+    * just past the frame, so concatenated frames (the toy "video"
+    * container for [[sampleFrames]]) parse sequentially. */
+  def decodePpmAt(bytes: Array[Byte],
+      start: Int): Option[(Int, Int, Array[Byte], Int)] = {
+    var pos = start
     def skipWs(): Unit = {
       var in = true
       while (in && pos < bytes.length) {
@@ -60,9 +67,9 @@ object Multimodal extends OpModule {
     }
     def token(): String = {
       skipWs()
-      val start = pos
+      val s0 = pos
       while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
-      new String(bytes, start, pos - start, "US-ASCII")
+      new String(bytes, s0, pos - s0, "US-ASCII")
     }
     try {
       if (token() != "P6") return None
@@ -71,8 +78,49 @@ object Multimodal extends OpModule {
       pos += 1 // single whitespace after maxval
       val n = w * h * 3
       if (bytes.length - pos < n) return None
-      Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n)))
+      Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n), pos + n))
     } catch { case _: NumberFormatException => None }
+  }
+
+  /** Nearest-neighbor RGB resize — the real thing, not a stub: source
+    * pixel (floor(x·w/tw), floor(y·h/th)) per target pixel. */
+  def resizeRgb(w: Int, h: Int, rgb: Array[Byte],
+      tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * w / tw
+        val si = (sy * w + sx) * 3
+        val di = (y * tw + x) * 3
+        out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse a concatenated-P6 "video" and keep every `every`-th frame
+    * (frame 0 always kept) — the frame-sampling step of a video
+    * pipeline, real end-to-end on the toy container. */
+  def sampleFrames(bytes: Array[Byte],
+      every: Int): Seq[(Int, Int, Int, Array[Byte])] = {
+    val out = Seq.newBuilder[(Int, Int, Int, Array[Byte])]
+    var pos = 0
+    var idx = 0
+    var ok = true
+    while (ok && pos < bytes.length) {
+      decodePpmAt(bytes, pos) match {
+        case Some((w, h, rgb, next)) =>
+          if (idx % every == 0) out += ((idx, w, h, rgb))
+          pos = next; idx += 1
+        case None => ok = false
+      }
+    }
+    out.result()
   }
 
   /** Feature extraction. `image/ppm` media decodes for real (P6
@@ -129,6 +177,96 @@ object Multimodal extends OpModule {
     extractFeatures(packMedia(docs).as[MediaRecord])
   }
 
+  // ── real-PPM packing + resize + frame-sample (builder mandate) ────
+
+  /** Deterministic REAL P6 images from the corpus: header + the first
+    * w·h·3 text bytes (cycled when short). Unlike [[packMedia]]'s
+    * opaque blobs, every byte of these decodes. */
+  def packPpm(docs: DataFrame, w: Int = 4, h: Int = 4): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        MediaRecord(id, ppmBytes(text, w, h, 0), "image/ppm", w, h)
+    }
+  }
+
+  private[ops] def ppmBytes(text: String, w: Int, h: Int, phase: Int): Array[Byte] = {
+    val payload = text.getBytes("UTF-8")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val n = w * h * 3
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < n) {
+      out(header.length + i) =
+        if (payload.isEmpty) 0 else payload((i + phase) % payload.length)
+      i += 1
+    }
+    out
+  }
+
+  case class MediaResized(doc_id: Long, w: Int, h: Int, tw: Int, th: Int,
+      brightness_in: Float, brightness_out: Float)
+  case class FrameFeature(doc_id: Long, frame_idx: Int, w: Int, h: Int,
+      brightness: Float)
+
+  private def brightness(rgb: Array[Byte]): Float = {
+    var s = 0L
+    var i = 0
+    while (i < rgb.length) { s += rgb(i) & 0xff; i += 1 }
+    if (rgb.isEmpty) 0f else s.toFloat / rgb.length / 255f
+  }
+
+  /** Decode → nearest-neighbor resize → re-featurize, per partition —
+    * the thumbnail/normalize step of an image pipeline. Non-decodable
+    * records are dropped (a real pipeline routes them to a dead-letter
+    * sink; the registered query's inputs always decode). */
+  def resizeImages(records: Dataset[MediaRecord], tw: Int,
+      th: Int): Dataset[MediaResized] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        decodePpm(r.media).map { case (w, h, rgb) =>
+          val small = resizeRgb(w, h, rgb, tw, th)
+          MediaResized(r.doc_id, w, h, tw, th,
+            brightness(rgb), brightness(small))
+        }
+      }
+    }
+  }
+
+  /** Concatenated-P6 "video" → sampled frames → per-frame features.
+    * One input row fans out to ceil(n_frames/every) rows — the
+    * explode-shaped step of a video pipeline, still per-partition. */
+  def sampleVideoFrames(videos: Dataset[MediaRecord],
+      every: Int): Dataset[FrameFeature] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.mapPartitions { it =>
+      it.flatMap { r =>
+        sampleFrames(r.media, every).map { case (idx, w, h, rgb) =>
+          FrameFeature(r.doc_id, idx, w, h, brightness(rgb))
+        }
+      }
+    }
+  }
+
+  /** Toy videos: `frames` consecutive P6 frames phased through the
+    * text bytes, so every frame differs deterministically. */
+  def packVideos(docs: DataFrame, w: Int = 4, h: Int = 4,
+      frames: Int = 4): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val parts = (0 until frames).map(f => ppmBytes(text, w, h, f * 7))
+        val media = parts.reduce(_ ++ _)
+        MediaRecord(id, media, "video/ppmseq", w, h)
+    }
+  }
+
   override def ops: Seq[Op] = Seq(
     // no oracle: the decode stub is Spark-side only; MultimodalSpec
     // pins schema, determinism, and partition behavior
@@ -139,6 +277,23 @@ object Multimodal extends OpModule {
           round(element_at(col("features"), 1), 6).as("f0"),
           round(element_at(col("features"), 2), 6).as("f1"))
         .orderBy("doc_id"),
+      None),
+
+    // no oracle (binary pipeline is Spark-side only); MultimodalSpec
+    // pins resize math on hand-built images, determinism, fan-out shape
+    Op("llm_multimodal_resize",
+      (s, d) => resizeImages(packPpm(Tables.documents(s, d)), tw = 2, th = 2)
+        .toDF()
+        .withColumn("brightness_in", round(col("brightness_in"), 6))
+        .withColumn("brightness_out", round(col("brightness_out"), 6))
+        .orderBy("doc_id"),
+      None),
+
+    Op("llm_multimodal_frames",
+      (s, d) => sampleVideoFrames(packVideos(Tables.documents(s, d)), every = 2)
+        .toDF()
+        .withColumn("brightness", round(col("brightness"), 6))
+        .orderBy("doc_id", "frame_idx"),
       None)
   )
 }

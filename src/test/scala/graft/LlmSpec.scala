@@ -371,6 +371,46 @@ class LlmSpec extends SparkSpec {
     assert(out(4L).sum > 0.99f && out(4L).sum < 1.01f)
   }
 
+  test("multimodal resize: nearest-neighbor picks exact source pixels") {
+    import spark.implicits._
+    // 2×2 image with four distinct solid pixels: R G / B W
+    val header = "P6\n2 2\n255\n".getBytes("US-ASCII")
+    val px = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val rec = Seq(Multimodal.MediaRecord(7L, header ++ px, "image/ppm", 2, 2)).toDS()
+    // downsample to 1×1: nearest-neighbor (floor mapping) keeps the
+    // TOP-LEFT pixel, so brightness_out is pure red = 255/(3·255)
+    val down = Multimodal.resizeImages(rec, 1, 1).collect().head
+    assert(down.w == 2 && down.tw == 1)
+    assert(math.abs(down.brightness_out - 1f / 3f) < 1e-6)
+    // upsample 2×2 → 4×4 replicates pixels: brightness is UNCHANGED
+    val up = Multimodal.resizeImages(rec, 4, 4).collect().head
+    assert(math.abs(up.brightness_in - up.brightness_out) < 1e-6)
+    // raw resize math: 4×4 of the same image tiles each source pixel 2×2
+    val big = Multimodal.resizeRgb(2, 2, px, 4, 4)
+    assert(big.length == 4 * 4 * 3)
+    assert((big(0), big(1), big(2)) == (px(0), px(1), px(2)))          // (0,0)←(0,0)
+    assert((big(3), big(4), big(5)) == (px(0), px(1), px(2)))          // (1,0)←(0,0)
+    assert((big(6), big(7), big(8)) == (px(3), px(4), px(5)))          // (2,0)←(1,0)
+  }
+
+  test("multimodal frame-sample: every-kth frame of a concatenated video") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"))
+      .toDF("doc_id", "text")
+    val vids = Multimodal.packVideos(docs, w = 4, h = 4, frames = 5)
+    // 5 frames sampled every 2 → indices 0, 2, 4
+    val frames = Multimodal.sampleVideoFrames(vids, every = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(f => f.w == 4 && f.h == 4))
+    // phased payloads: consecutive sampled frames genuinely differ
+    assert(frames.map(_.brightness).distinct.length > 1)
+    // determinism: a second run produces identical rows
+    val again = Multimodal.sampleVideoFrames(vids, every = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(again.toSeq == frames.toSeq)
+  }
+
   test("multimodal pipeline: schema, determinism, distributed shape") {
     val docs = Tables.documents(spark, sf001)
     val out = Multimodal.mediaPipeline(docs)
