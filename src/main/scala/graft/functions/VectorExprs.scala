@@ -352,8 +352,23 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** ADVICE r4: checkInputDataTypes accepts containsNull=true arrays
+    * (the parquet-sourced embedding cast carries that flag even when
+    * no element is ever null), so the kernels must not read a null
+    * slot as 0.0/garbage silently — they reject it loudly instead. */
+  private def noNulls(a: ArrayData, kernel: String): Unit = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$kernel: null element at index $i — array<double> kernel inputs must be null-free")
+      i += 1
+    }
+  }
+
   /** left-to-right fold — bit-compatible with aggregate/list_reduce */
   def dot(a: ArrayData, b: ArrayData): Double = {
+    noNulls(a, "graft_dot"); noNulls(b, "graft_dot")
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
@@ -426,6 +441,7 @@ object VectorKernels {
   }
 
   def rpBands(vec: ArrayData, r: Int, bands: Int, seed: Long): ArrayData = {
+    noNulls(vec, "graft_rpbands")
     val d = vec.numElements()
     val out = new Array[Long](bands)
     val nBits = r * bands
@@ -464,6 +480,7 @@ object VectorKernels {
 
   /** Symmetric int8 quantization, one pass; see [[Quant8]]. */
   def quant8(e: ArrayData): InternalRow = {
+    noNulls(e, "graft_quant8")
     val n = e.numElements()
     var maxAbs = 0.0
     var i = 0

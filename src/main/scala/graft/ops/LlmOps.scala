@@ -358,7 +358,10 @@ object LlmOps extends OpModule {
     }
     cacheKey match {
       case Some(k) =>
-        val key = s"${System.identityHashCode(emb.sparkSession)}|$k|c$nCentroids"
+        // keyed on sessionUUID (ADVICE r4): collision-free, unlike
+        // identityHashCode, and never aliases another live session's
+        // cached assignment
+        val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(emb.sparkSession)}|$k|c$nCentroids"
         ivfCache.getOrElseUpdate(key, build(persist = true))
       case None => build(persist = false)
     }
@@ -367,7 +370,7 @@ object LlmOps extends OpModule {
   /** Evict and unpersist every cached IVF index for `spark` — the
     * teardown hook for a long-lived service embedding this library. */
   def evictIvfCache(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val prefix = s"${System.identityHashCode(spark)}|"
+    val prefix = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}|"
     ivfCache.keys.filter(_.startsWith(prefix)).foreach { k =>
       ivfCache.remove(k).foreach(_.assign.unpersist(blocking = false))
     }
@@ -860,14 +863,17 @@ object LlmOps extends OpModule {
       // symmetric int8 embedding quantization (graft_quant8 kernel):
       // the compression step before storing/shipping a 100 TB
       // embedding corpus. Emits per-vector scale, the quantized
-      // codes, and the max reconstruction error, which is bounded by
-      // scale/2 by construction — the oracle recomputes all three.
+      // codes (as a CSV digest — the driver's checker sorts/hashes
+      // scalar columns only), and the max reconstruction error, which
+      // is bounded by scale/2 by construction — the oracle recomputes
+      // all three.
       (s, d) => {
         graft.functions.VectorKernels.register(s)
         val e = col("embedding").cast("array<double>")
         Tables.embeddings(s, d)
           .select(col("vec_id"), call_function("graft_quant8", e).as("qz"), e.as("e"))
-          .select(col("vec_id"), col("qz.scale").as("scale"), col("qz.q").as("q"),
+          .select(col("vec_id"), col("qz.scale").as("scale"),
+            concat_ws(",", col("qz.q").cast("array<string>")).as("q_csv"),
             round(aggregate(zip_with(col("qz.q"), col("e"),
                 (qi, xi) => abs(qi * col("qz.scale") - xi)),
               lit(0.0), (acc, v) => greatest(acc, v)), 9).as("max_err"))
@@ -884,7 +890,8 @@ object LlmOps extends OpModule {
                   list_transform(e, x -> CASE WHEN scale = 0 THEN 0
                     ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END) AS q
                 FROM t)
-              SELECT vec_id, scale, q,
+              SELECT vec_id, scale,
+                array_to_string(q, ',') AS q_csv,
                 round(list_reduce(
                   list_transform(range(1, len(q) + 1),
                     i -> abs(q[i] * scale - e[i])),

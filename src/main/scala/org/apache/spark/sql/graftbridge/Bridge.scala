@@ -21,4 +21,10 @@ object Bridge {
 
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Collision-free per-session identity (ADVICE r4: identityHashCode
+    * keys can alias across live sessions) — `sessionUUID` is
+    * private[sql] in Spark 4's public facade. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 }

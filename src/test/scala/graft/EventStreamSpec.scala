@@ -142,6 +142,46 @@ class EventStreamSpec extends SparkSpec {
     assert(byOp("U").exists(r => !r.isNullAt(6)))
   }
 
+  test("cdc apply-upsert evolves schema on DDL: stream equals batch, pre-DDL backfills NULL") {
+    import spark.implicits._
+    // controlled log exercising BOTH branches: key 1 settles before
+    // the DDL (new column backfills NULL), key 2 after it (carries
+    // the value), key 3's final image is a delete (absent)
+    val mini = Seq(
+      (1L, 1L, 1000000L, "click", 1.5),
+      (2L, 2L, 1000000L, "signup", 2.0),
+      (3L, 3L, 1500000L, "signup", 0.5),
+      (4L, 9L, 2000000L, "view", 0.0), // ← the ADD COLUMN DDL
+      (5L, 2L, 3000000L, "purchase", 7.25),
+      (6L, 3L, 4000000L, "error", 0.0))
+      .toDF("event_id", "user_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val evolved = EventStreams.cdcApplyUpsertEvolving(mini)
+      .orderBy("user_id").collect().toSeq
+    assert(evolved.map(_.getLong(0)) == Seq(1L, 2L))
+    assert(evolved(0).isNullAt(6), "pre-DDL winner must backfill NULL")
+    assert(evolved(1).getDouble(6) == 14.5, "post-DDL winner must carry the new column")
+
+    // full-corpus batch ↔ stream equivalence; ddlPos plays the schema-
+    // registry role for the streaming consumer
+    val batch = EventStreams.cdcApplyUpsertEvolving(batchEvents)
+      .orderBy("user_id").collect().toSeq
+    val ddlPos = batchEvents.filter(col("event_type") === "view")
+      .agg(min("event_id")).collect()(0).getLong(0)
+    val streamed = runToMemory(
+      EventStreams.cdcApplyUpsertEvolvingStream(
+        EventStreams.toFoldEvents(streamEvents), ddlPos).toDF(),
+      "t_evolve", "update")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    val finalState = streamed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .drop("rn", "n_seen")
+      .orderBy("user_id").collect().toSeq
+    assert(finalState == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("session timers: event-time timers close idle sessions (TWS)") {
     import spark.implicits._
     import graft.streaming.StatefulProcessors

@@ -282,7 +282,7 @@ class LlmSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val scale = r.getDouble(1)
-      val q = r.getSeq[Int](2)
+      val q = r.getString(2).split(',').filter(_.nonEmpty).map(_.toInt).toSeq
       val maxErr = r.getDouble(3)
       assert(q.forall(v => v >= -127 && v <= 127), s"code out of range: $r")
       // round-half-up quantization error is at most half a step

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{EventStreams, MemorySink, ParquetDirSink, Sink}
+import graft.streaming.{EventStreams, JdbcUpsertSink, MemorySink, ParquetDirSink, Sink}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -31,7 +31,12 @@ class SinkContractSpec extends SparkSpec {
     }
     def memState(): Map[Long, Long] =
       mem.batches.map { case (k, v) => k -> v.size.toLong }.toMap
-    Seq(pq -> (() => pqState()), mem -> (() => memState()))
+    // keep Derby's log out of the repo cwd
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val jdbc = new JdbcUpsertSink(s"jdbc:derby:$dir/db;create=true", "T_EVENTS",
+      pk = Seq("id"))
+    Seq(pq -> (() => pqState()), mem -> (() => memState()),
+      jdbc -> (() => jdbc.appliedBatches))
   }
 
   test("contract: redelivery of the same batchId leaves state unchanged") {
@@ -54,6 +59,35 @@ class SinkContractSpec extends SparkSpec {
       assert(state() == Map(0L -> 100L, 1L -> 7L),
         s"${sink.name}: repeated redelivery changed state")
     }
+  }
+
+  test("jdbc upsert: merge semantics, replayed old batch cannot regress rows") {
+    import spark.implicits._
+    val dir = tmpDir("graft_sink_jdbc")
+    System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val sink = new JdbcUpsertSink(url, "T_UP", pk = Seq("id"))
+    def target(): Map[Long, String] = {
+      val p = new java.util.Properties()
+      p.put("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      spark.read.jdbc(url, "T_UP", p).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val a = Seq((1L, "a"), (2L, "a")).toDF("id", "payload")
+    val b = Seq((2L, "b"), (3L, "c")).toDF("id", "payload")
+    sink.write(a, 0L)
+    assert(target() == Map(1L -> "a", 2L -> "a"))
+    sink.write(b, 1L)
+    assert(target() == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // crash-redelivery of the OLD batch 0 after batch 1 was applied:
+    // the batchId replay check must skip it — 2 stays "b"
+    sink.write(a, 0L)
+    assert(target() == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // a batch with duplicate pk rows reduces to ONE deterministic
+    // final image per key (greatest non-pk tuple)
+    val dup = Seq((4L, "x"), (4L, "z"), (4L, "y")).toDF("id", "payload")
+    sink.write(dup, 2L)
+    assert(target()(4L) == "z")
   }
 
   test("fan-out through the trait: heterogeneous sinks see identical batches") {

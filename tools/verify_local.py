@@ -55,6 +55,21 @@ def main():
             print(f"FAIL {name}: columns {list(ours.columns)} vs {list(ref.columns)}")
             n_fail += 1
             continue
+        # Driver-faithful normalization: the driver sort_values's every
+        # column before hashing. An array-typed column makes pandas
+        # raise TypeError (unhashable numpy.ndarray) — that is a driver
+        # FAIL, so it must be a local FAIL too (r4's llm_vector_quant
+        # escaped precisely because this step was missing).
+        try:
+            ours = ours.sort_values(by=list(ours.columns),
+                                    kind="mergesort").reset_index(drop=True)
+            ref = ref.sort_values(by=list(ref.columns),
+                                  kind="mergesort").reset_index(drop=True)
+        except TypeError as e:
+            print(f"FAIL {name}: driver-style sort failed "
+                  f"(array-typed column in oracled output?): {e}")
+            n_fail += 1
+            continue
         if len(ours) != len(ref):
             print(f"FAIL {name}: rows {len(ours)} vs {len(ref)}")
             n_fail += 1
