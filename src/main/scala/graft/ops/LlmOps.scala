@@ -551,12 +551,15 @@ object LlmOps extends OpModule {
     * every document by profile-hit count (ties → lexicographically
     * smallest language; no hits → "und").
     *
-    * Everything is declarative and scale-shaped: the profile build is
-    * one explode + groupBy whose OUTPUT is bounded (langs × topK rows)
-    * regardless of corpus size; scoring is one explode + broadcast
-    * join against that profile + per-doc argmax. No driver
-    * materialization, no per-doc loops; at 100 TB the profile is built
-    * once and reused across batches like any dimension table.
+    * Everything is scale-shaped: the profile build is one explode +
+    * groupBy whose OUTPUT is bounded (langs × topK rows) regardless
+    * of corpus size; that bounded profile then ships to executors as
+    * plan literals (the IVF-centroid pattern — the one acceptable
+    * driver materialization class) and scoring is a single
+    * shuffle-free codegen pass: per-lang array_intersect sizes +
+    * struct argmax, no explode, no join, no window. At 100 TB the
+    * profile is built once and reused across batches like any
+    * dimension table.
     */
   def langId(docs: DataFrame, topK: Int = 200, trainMod: Int = 5): DataFrame = {
     graft.functions.VectorKernels.register(docs.sparkSession)
@@ -568,8 +571,9 @@ object LlmOps extends OpModule {
     // known HOF hazard): 60 s → sub-second at sf0.1. The kernel
     // returns [] for texts shorter than n, so no length guard.
     val tris = base.select(col("doc_id"), col("lang"),
-      array_distinct(
-        call_function("graft_char_ngrams", col("txt"), lit(3))).as("ts"))
+      coalesce(array_distinct(
+          call_function("graft_char_ngrams", col("txt"), lit(3))),
+        typedLit(Seq.empty[String])).as("ts"))
     val wProf = org.apache.spark.sql.expressions.Window
       .partitionBy("plang").orderBy(col("c").desc, col("t").asc)
     val profile = tris.filter(col("doc_id") % trainMod =!= 0)
@@ -578,17 +582,34 @@ object LlmOps extends OpModule {
       .withColumn("rn", row_number().over(wProf))
       .filter(col("rn") <= topK)
       .select("plang", "t")
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("m").desc, col("plang").asc)
-    val best = tris.select(col("doc_id"), explode(col("ts")).as("t"))
-      .join(broadcast(profile), "t")
-      .groupBy("doc_id", "plang").agg(count(lit(1)).as("m"))
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("plang"))
-    base.join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        coalesce(col("plang"), lit("und")).as("lang_pred"))
+    // Scoring (r5, VERDICT r4 #7): the profile is BOUNDED metadata
+    // (langs × topK trigrams), so it rides to executors as plan
+    // literals — like the IVF centroids — and per-doc match counts
+    // become size(array_intersect(ts, <lang's trigrams>)): ONE
+    // shuffle-free codegen pass over the corpus, replacing the
+    // explode → broadcast join → groupBy → per-doc window pipeline
+    // (4 stages and 2 corpus-sized shuffles of trigram rows).
+    // Value-identical: ts is distinct, so the intersect size IS the
+    // join-count m; argmax tie-break (m desc, plang asc) is encoded
+    // as max over (m, -langIndex) structs.
+    val profMap = profile.collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1).map { case (l, ts) => l -> ts.map(_._2).toSeq }
+    val langs = profMap.keys.toSeq.sorted
+    if (langs.isEmpty)
+      base.select(col("doc_id"), col("lang"), lit("und").as("lang_pred"))
+    else {
+      val scored = langs.zipWithIndex.map { case (l, i) =>
+        struct(size(array_intersect(col("ts"), typedLit(profMap(l)))).as("m"),
+          lit(-i).as("ni"))
+      }
+      tris.select(col("doc_id"), col("lang"),
+          array_max(array(scored: _*)).as("best"))
+        .select(col("doc_id"), col("lang"),
+          when(col("best.m") > 0,
+            element_at(typedLit(langs.toList), -col("best.ni") + 1))
+            .otherwise(lit("und")).as("lang_pred"))
+    }
   }
 
   override def ops: Seq[Op] = Seq(

@@ -3,11 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.types.PhysicalDataType
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** Native as-of join (SURVEY.md §2.3 op 21, §4.3 v2): for each left
@@ -26,12 +28,14 @@ import org.apache.spark.sql.graftbridge.Bridge
   * the same stage shape as a sort-merge join, with memory O(1) per
   * partition beyond the sort.
   *
-  * Settlement vs the window rewrite (VERDICT r3 #6, measured r4 at
-  * sf0.1 steady-state): native 0.63–0.76 s, rewrite 0.39–0.42 s. The
-  * delta is per-stage overhead at toy scale (two exchanges + two small
-  * sorts vs one exchange + one bigger sort), not the merge loop — the
-  * r4 unboxed fast path below removed the per-row boxing and it moved
-  * the number only marginally. The native operator stays REGISTERED
+  * Settlement vs the window rewrite (VERDICT r3 #6, r4 measurements;
+  * r5 numbers in BASELINE.md): native 0.87 cold / 0.52 warm vs
+  * rewrite 0.45/0.23 at local[32] sf0.1, AFTER the r5 whole-stage
+  * codegen below fused the merge into the span. The remaining delta
+  * is per-stage overhead at toy scale (two exchanges + two small
+  * sorts vs one exchange + one bigger sort), not the merge loop —
+  * no merge-side change can remove a whole exchange. The native
+  * operator stays REGISTERED
   * because it is the right plan at 100 TB, where the rewrite loses on
   * two axes that the toy benchmark cannot see:
   *  - shuffle volume: the union shuffles EVERY row at the combined
@@ -65,7 +69,8 @@ object AsOfStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression, rightTie: Expression,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -219,6 +224,125 @@ case class AsOfJoinExec(
         if (fastPath) fastLoop else genericLoop
       lIter.map(l => project(loop(l)))
     }
+  }
+
+  // ── whole-stage codegen (VERDICT r4 next-round #6) ──────────────
+  // The exec is a produce ROOT, like SortMergeJoinExec: it pulls both
+  // (shuffled+sorted) children as plain iterators and generates the
+  // unboxed merge loop directly into processNext(), fusing with every
+  // downstream operator in the span — no iterator allocation, no
+  // JoinedRow, no per-row virtual calls. Codegen is offered only on
+  // the long-backed fast path; other key/time types take the
+  // interpreted doExecute above.
+
+  private def fastOrdinals: (Int, Int, Int, Int) = (
+    longOrdinal(leftKey, left.output), longOrdinal(leftTime, left.output),
+    longOrdinal(rightKey, right.output), longOrdinal(rightTime, right.output))
+
+  override def supportCodegen: Boolean = {
+    val (a, b, c, d) = fastOrdinals
+    a >= 0 && b >= 0 && c >= 0 && d >= 0
+  }
+
+  // each consume()'d row aliases the mutable candidate buffer and the
+  // current left row — downstream buffering needs a copy
+  override def needCopyResult: Boolean = true
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val (lKeyOrd, lTimeOrd, rKeyOrd, rTimeOrd) = fastOrdinals
+    val unsafeRowCls = "org.apache.spark.sql.catalyst.expressions.UnsafeRow"
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+    // one-row lookahead on the right side (null = consumed)
+    val rightRow = ctx.addMutableState("InternalRow", "asofRightRow")
+    val cand = ctx.addMutableState("InternalRow", "asofCandidate")
+    val candBuf = ctx.addMutableState(unsafeRowCls, "asofCandBuf")
+    val prevKey = ctx.addMutableState("long", "asofPrevKey")
+    val havePrev = ctx.addMutableState("boolean", "asofHavePrev")
+    val leftRow = ctx.freshName("leftRow")
+    val matched = ctx.freshName("matched")
+    val k = ctx.freshName("k")
+    val t = ctx.freshName("t")
+    val rk = ctx.freshName("rk")
+    val adv = ctx.freshName("advancing")
+
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = cand
+    // right-side columns null-extend when no candidate matched; the
+    // candidate read is guarded so it only runs when `matched`
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val ev = BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val guarded =
+        code"""
+           |boolean $isNull = true;
+           |$jt $value = ${CodeGenerator.defaultValue(a.dataType)};
+           |if ($matched) {
+           |  ${ev.code}
+           |  $isNull = ${ev.isNull};
+           |  $value = ${ev.value};
+           |}
+         """.stripMargin
+      ExprCode(guarded, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    val allVarsCode = (leftVars ++ rightVars).map(_.code.toString).mkString("\n")
+    val outVars = (leftVars ++ rightVars).map(_.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.EmptyBlock))
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  boolean $matched = false;
+       |  if (!$leftRow.isNullAt($lKeyOrd) && !$leftRow.isNullAt($lTimeOrd)) {
+       |    long $k = $leftRow.getLong($lKeyOrd);
+       |    long $t = $leftRow.getLong($lTimeOrd);
+       |    if (!$havePrev || $prevKey != $k) {
+       |      $cand = null; $prevKey = $k; $havePrev = true;
+       |    }
+       |    boolean $adv = true;
+       |    while ($adv) {
+       |      if ($rightRow == null) {
+       |        if (!$rightInput.hasNext()) break;
+       |        $rightRow = (InternalRow) $rightInput.next();
+       |      }
+       |      if ($rightRow.isNullAt($rKeyOrd)) { $rightRow = null; continue; }
+       |      long $rk = $rightRow.getLong($rKeyOrd);
+       |      if ($rk < $k) { $rightRow = null; }
+       |      else if ($rk == $k) {
+       |        if ($rightRow.isNullAt($rTimeOrd)) { $rightRow = null; }
+       |        else if ($rightRow.getLong($rTimeOrd) <= $t) {
+       |          if ($rightRow instanceof $unsafeRowCls) {
+       |            if ($candBuf == null) {
+       |              $candBuf = (($unsafeRowCls) $rightRow).copy();
+       |            } else {
+       |              $candBuf.copyFrom(($unsafeRowCls) $rightRow);
+       |            }
+       |            $cand = $candBuf;
+       |          } else {
+       |            $cand = $rightRow.copy();
+       |          }
+       |          $rightRow = null;
+       |        } else { $adv = false; }
+       |      } else { $adv = false; }
+       |    }
+       |    $matched = ($cand != null);
+       |  }
+       |  $allVarsCode
+       |  ${consume(ctx, outVars).trim}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

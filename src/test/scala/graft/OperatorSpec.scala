@@ -63,6 +63,27 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("AsOfJoin"), s"expected custom exec in:\n$plan")
     val rewrite = SparkEntry.queries("join_asof_window")(spark, sf001)
     assert(native.collect().toSeq == rewrite.collect().toSeq)
+    // r5: the merge participates in whole-stage codegen — the exec
+    // must sit INSIDE a WholeStageCodegen span (long-backed key/time
+    // here, so the codegen fast path must engage), not fall back to
+    // the interpreted iterator pipeline. Under AQE codegen collapse
+    // happens per stage, so inspect the FINAL plan post-execution.
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def spanContains(p: SparkPlan): Boolean = p match {
+      case _: InputAdapter => false
+      case _: graft.plans.AsOfJoinExec => true
+      case other => other.children.exists(spanContains)
+    }
+    def deepFind(p: SparkPlan): Boolean = p match {
+      case w: WholeStageCodegenExec if spanContains(w.child) => true
+      case a: AdaptiveSparkPlanExec => deepFind(a.executedPlan)
+      case q: QueryStageExec => deepFind(q.plan)
+      case other => other.children.exists(deepFind)
+    }
+    assert(deepFind(native.queryExecution.executedPlan),
+      s"AsOfJoinExec outside any codegen span:\n" +
+        s"${native.queryExecution.executedPlan}")
   }
 
   test("join_asof: null left times null-extend instead of matching or crashing") {

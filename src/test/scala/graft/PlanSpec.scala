@@ -73,10 +73,13 @@ class PlanSpec extends SparkSpec {
     val pt = planOf("cdc_txn_groups")
     assert("HashAggregate".r.findAllIn(pt).size >= 2,
       s"expected partial+final HashAggregate:\n$pt")
-    // language-ID scoring joins the bounded profile via broadcast —
-    // the corpus side never shuffles for the profile lookup
+    // r5: language-ID scoring ships the bounded profile as plan
+    // literals — ONE shuffle-free codegen pass over the corpus: no
+    // join of any kind, no explode (Generate), intersect-size argmax
     val pl = planOf("llm_lang_id")
-    assert(pl.contains("BroadcastHashJoin"), s"profile not broadcast:\n$pl")
+    assert(!pl.contains("Join"), s"lang_id scoring should be join-free:\n$pl")
+    assert(!pl.contains("Generate"), s"lang_id scoring should not explode:\n$pl")
+    assert(pl.contains("array_intersect"), s"expected literal-profile intersects:\n$pl")
   }
 
   test("simsearch plans: no cross product, no full-corpus window (VERDICT r3 #3)") {
