@@ -240,6 +240,36 @@ object EventOps extends OpModule {
               FROM r WHERE rn = 1 AND op <> 'D'
               ORDER BY user_id""")),
 
+    Op("cdc_apply_ddl_lifecycle",
+      // full DDL lifecycle from the log's DDL stream: ADD (backfill
+      // NULL) + RENAME value→amount (metadata-only, retroactive) +
+      // DROP event_type (gone for all rows) — the oracle pins the
+      // post-lifecycle schema; per-stage schemas pinned in
+      // EventStreamSpec on crafted logs
+      (s, d) => EventStreams.cdcApplyDdlLifecycle(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some("""WITH env AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       WHEN event_type = 'view' THEN 'DDL'
+                       ELSE 'U' END AS op,
+                  event_type, value
+                FROM events),
+              d AS (SELECT min(position) AS add_pos FROM env WHERE op = 'DDL'),
+              r AS (
+                SELECT *, row_number() OVER (PARTITION BY pk
+                  ORDER BY tts DESC, position DESC) AS rn
+                FROM env WHERE op <> 'DDL')
+              SELECT pk AS user_id, position AS last_position, op,
+                epoch_us(tts) AS ts_us,
+                value AS last_amount,
+                CASE WHEN position >= (SELECT add_pos FROM d)
+                     THEN round(value * 2, 6) END AS last_value2
+              FROM r WHERE rn = 1 AND op <> 'D'
+              ORDER BY user_id""")),
+
     Op("stream_join_static",
       (s, d) => EventStreams.enrichWithCustomer(
           Tables.events(s, d), Tables.customer(s, d))

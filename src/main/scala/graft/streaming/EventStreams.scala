@@ -375,6 +375,64 @@ object EventStreams {
           round(col("after.value") * 2, 6)).as("last_value2"))
   }
 
+  // ── op 62c: full DDL lifecycle (ADD → RENAME → DROP) ────────────
+  /** The consumer's schema REGISTRY: fold the log's DDL stream (in
+    * position order) into schema actions. The synthetic corpus's DDL
+    * events carry a generated statement, so the registry assigns the
+    * lifecycle deterministically by ordinal: 1st DDL = ADD COLUMN
+    * `v2`, 2nd = RENAME `value` → `amount`, 3rd = DROP `event_type`;
+    * later DDLs are no-ops. Bounded driver metadata (≤ 3 positions) —
+    * the schema-registry pattern, like the IVF centroids.
+    */
+  private[graft] def ddlRegistry(events: DataFrame): Seq[Long] =
+    envelopeTxn(events).filter(col("op") === "DDL")
+      .select("position").orderBy("position").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** [[cdcApplyUpsertEvolving]] generalized to the full DDL lifecycle
+    * — the materialized table reflects every schema action the log's
+    * DDL stream has committed, warehouse-style:
+    *
+    *  - **ADD** (1st DDL): new column; images from that position on
+    *    carry it, earlier winners backfill NULL (value semantics
+    *    identical to [[cdcApplyUpsertEvolving]]);
+    *  - **RENAME** (2nd DDL): metadata-only — every winner surfaces
+    *    the old `value` field under the new name `last_amount`
+    *    (Iceberg-style field-id mapping: the physical field is
+    *    untouched, the logical name changes retroactively);
+    *  - **DROP** (3rd DDL): `last_event_type` leaves the schema —
+    *    dropped for ALL rows, old and new, exactly like a warehouse
+    *    DROP COLUMN.
+    *
+    * The registered query runs on corpora where all three DDLs exist,
+    * so the oracle pins the full-lifecycle schema; the per-stage
+    * schemas (0/1/2 DDLs seen) are pinned on crafted logs in
+    * EventStreamSpec.
+    */
+  def cdcApplyDdlLifecycle(events: DataFrame): DataFrame = {
+    val ddls = ddlRegistry(events)
+    val addPos = ddls.headOption
+    val renamed = ddls.size >= 2
+    val dropped = ddls.size >= 3
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk")
+      .orderBy(col("ts").desc, col("position").desc)
+    val winners = envelopeTxn(events).filter(col("op") =!= "DDL")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+    val valueName = if (renamed) "last_amount" else "last_value"
+    val cols = Seq(
+      col("pk").as("user_id"), col("position").as("last_position"),
+      col("op"), unix_micros(col("ts")).as("ts_us")) ++
+      (if (dropped) Nil
+       else Seq(col("after.event_type").as("last_event_type"))) ++
+      Seq(col("after.value").as(valueName)) ++
+      addPos.toSeq.map(p =>
+        when(col("position") >= p, round(col("after.value") * 2, 6))
+          .as("last_value2"))
+    winners.select(cols: _*)
+  }
+
   /** Streaming rendering of [[cdcApplyUpsertEvolving]]: per-key state
     * keeps the current winner; `ddlPos` is consumer config (in a real
     * deployment the schema registry position, learned from the DDL
@@ -484,4 +542,42 @@ object EventStreams {
   def fanOut(events: DataFrame, sinkDirs: Seq[String],
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     fanOutTo(events, sinkDirs.map(new ParquetDirSink(_)), checkpointDir)
+
+  // ── op 65b: routed fan-out (per-consumer subscription rules) ────
+  /** A consumer subscription: one sink receives one SLICE of the feed
+    * — meepo's per-consumer routing (consumers subscribe to specific
+    * tables/databases/columns, not the whole firehose). `where` is
+    * any Catalyst predicate; empty `columns` means the full row.
+    */
+  case class Route(sink: Sink, where: org.apache.spark.sql.Column,
+      columns: Seq[String] = Nil)
+
+  /** Fan out one change feed to N subscribed consumers: the
+    * micro-batch is persisted ONCE, then every route applies its
+    * filter + projection against the cached copy — one source scan
+    * regardless of consumer count, and each sink ships only its
+    * slice's bytes. Delivery inherits the [[Sink]] contract
+    * (at-least-once per (sink, batchId); every bundled sink
+    * idempotent), and a route whose predicate matches nothing still
+    * writes the empty batch, so batchId bookkeeping stays dense.
+    *
+    * 100 TB note: the slice transforms run distributed on the cached
+    * batch (Catalyst prunes columns per route); the driver only
+    * sequences the writes, exactly like [[fanOutTo]].
+    */
+  def fanOutRouted(events: DataFrame, routes: Seq[Route],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.persist()
+        try routes.foreach { r =>
+          val sliced = batch.toDF().filter(r.where)
+          val projected =
+            if (r.columns.isEmpty) sliced else sliced.select(r.columns.map(col): _*)
+          r.sink.write(projected, batchId)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
 }

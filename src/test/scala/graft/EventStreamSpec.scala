@@ -182,6 +182,41 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("ddl lifecycle: ADD then RENAME then DROP evolve the materialized schema in log order") {
+    import spark.implicits._
+    def log(nDdl: Int): DataFrame = {
+      val rowEvents = Seq(
+        (1L, 1L, 1000000L, "click", 1.5),
+        (6L, 2L, 6000000L, "purchase", 7.25))
+      // DDL positions interleave between the two row events
+      val ddls = (0 until nDdl).map(i => (2L + i, 9L, (2000000L + i), "view", 0.0))
+      (rowEvents ++ ddls).toDF("event_id", "user_id", "ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    }
+    def schemaOf(nDdl: Int): Seq[String] =
+      EventStreams.cdcApplyDdlLifecycle(log(nDdl)).columns.toSeq
+    // 0 DDLs: the plain upsert schema, original names
+    assert(schemaOf(0) == Seq("user_id", "last_position", "op", "ts_us",
+      "last_event_type", "last_value"))
+    // 1 DDL: ADD — new column appears, old names intact
+    assert(schemaOf(1) == Seq("user_id", "last_position", "op", "ts_us",
+      "last_event_type", "last_value", "last_value2"))
+    // 2 DDLs: RENAME — value surfaces as amount, retroactively
+    assert(schemaOf(2) == Seq("user_id", "last_position", "op", "ts_us",
+      "last_event_type", "last_amount", "last_value2"))
+    // 3 DDLs: DROP — event_type leaves the schema for ALL rows
+    assert(schemaOf(3) == Seq("user_id", "last_position", "op", "ts_us",
+      "last_amount", "last_value2"))
+    // value semantics across the lifecycle: key 1 settled before the
+    // ADD position (NULL backfill), key 2 after it (carries 2·value);
+    // the RENAME is metadata-only so the numbers are unchanged
+    val rows = EventStreams.cdcApplyDdlLifecycle(log(3))
+      .orderBy("user_id").collect().toSeq
+    assert(rows.map(_.getLong(0)) == Seq(1L, 2L))
+    assert(rows(0).getDouble(4) == 1.5 && rows(0).isNullAt(5))
+    assert(rows(1).getDouble(4) == 7.25 && rows(1).getDouble(5) == 14.5)
+  }
+
   test("session timers: event-time timers close idle sessions (TWS)") {
     import spark.implicits._
     import graft.streaming.StatefulProcessors

@@ -117,4 +117,33 @@ object GraftProps extends Properties("graft") {
       }
       got == expected
     }
+
+  property("jdbc upsert sink: redelivered batch sequences converge to the in-order fold") = {
+    // arbitrary 3-batch sequences delivered with crash-redeliveries
+    // interleaved (0,1,0,2,1): the replay-marker skip + pk-deduped
+    // MERGE must land exactly the state of applying each batch ONCE
+    // in first-delivery order, with the greatest value winning per
+    // (batch, pk) — the Sink contract under at-least-once delivery
+    val genBatch = Gen.listOfN(6, for {
+      k <- Gen.choose(1L, 4L)
+      v <- Gen.choose(0, 50)
+    } yield (k, v))
+    Prop.forAll(Gen.listOfN(3, genBatch)) { batches =>
+      val s = spark
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_jdbc_prop").toString
+      System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+      val url = s"jdbc:derby:$dir/db;create=true"
+      val sink = new graft.streaming.JdbcUpsertSink(url, "T_PROP", Seq("id"))
+      List(0, 1, 0, 2, 1).foreach(i => sink.write(batches(i).toDF("id", "v"), i.toLong))
+      val p = new java.util.Properties()
+      p.put("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val got = spark.read.jdbc(url, "T_PROP", p).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = batches.foldLeft(Map.empty[Long, Int]) { (m, b) =>
+        m ++ b.groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).max }
+      }
+      got == want
+    }
+  }
 }

@@ -90,6 +90,36 @@ class SinkContractSpec extends SparkSpec {
     assert(target()(4L) == "z")
   }
 
+  test("routed fan-out: each subscriber receives exactly its filtered/projected slice") {
+    val dir = tmpDir("graft_sink_routed")
+    Tables.configure(spark)
+    val clicks = new MemorySink("clicks")
+    val purchases = new MemorySink("purchases")
+    val routes = Seq(
+      EventStreams.Route(clicks, col("event_type") === "click",
+        columns = Seq("event_id", "user_id")),
+      EventStreams.Route(purchases, col("event_type") === "purchase"))
+    val stream = EventStreams.readEventStream(spark, sf001)
+      .select("event_id", "user_id", "event_type", "value")
+    val q = EventStreams.fanOutRouted(stream, routes, s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val ev = Tables.events(spark, sf001)
+    // clicks subscriber: filtered AND column-pruned
+    val wantClicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id").orderBy("event_id").collect().toSeq
+    val gotClicks = clicks.batches.values.flatten.toSeq.sortBy(_.getLong(0))
+    assert(gotClicks == wantClicks)
+    assert(gotClicks.nonEmpty && gotClicks.head.length == 2)
+    // purchases subscriber: full-width rows of its slice only
+    val wantBuys = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id").collect().toSeq
+    val gotBuys = purchases.batches.values.flatten.toSeq.sortBy(_.getLong(0))
+    assert(gotBuys == wantBuys)
+    assert(gotBuys.forall(_.getString(2) == "purchase"))
+  }
+
   test("fan-out through the trait: heterogeneous sinks see identical batches") {
     val dir = tmpDir("graft_sink_fanout")
     Tables.configure(spark)
