@@ -227,6 +227,58 @@ object LlmOps extends OpModule {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Approximate top-k cosine search via random-hyperplane LSH
+    * buckets — the STATELESS scale path beside IVF
+    * ([[simSearchIvfExact]]): no training, no index build, no session
+    * cache. Each vector hashes to `bands` r-bit band values in one
+    * kernel pass ([[graft.functions.RandomProjBands]]); a probe's
+    * candidates are the corpus vectors sharing at least one
+    * (band_id, band_val); the exact codegen'd scorer + a
+    * probe-partitioned top-k window run on candidates only. The right
+    * trade for append-heavy / streaming corpora where an IVF coarse
+    * quantizer would churn: hashing is stateless, so new vectors
+    * bucket themselves with zero re-indexing. Recall is tuned by
+    * (r, bands) and pinned in LlmSpec for the registered parameters
+    * (seeded-hash family → no DuckDB oracle, like the other LSH
+    * entries; scores themselves are exact, also pinned).
+    *
+    * 100 TB: the band join ships only (id, band_id, band_val)
+    * triples — embeddings re-attach BY ID to the candidate set — and
+    * the ranking window is probe-partitioned over candidates, never
+    * the corpus. Degrade path is a larger candidate set, never n².
+    */
+  def simSearchLsh(emb: DataFrame, nProbes: Int, topK: Int, r: Int = 6,
+      bands: Int = 24, seed: Long = 7L): DataFrame = {
+    graft.functions.VectorKernels.register(emb.sparkSession)
+    val banded = emb.select(col("vec_id"),
+        posexplode(call_function("graft_rpbands",
+          col("embedding").cast("array<double>"), lit(r), lit(bands), lit(seed))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
+    val cand = banded.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("p_id"), col("band_id"), col("band_val"))
+      .join(banded.select(col("vec_id"),
+        col("band_id").as("band_id_b"), col("band_val").as("band_val_b")),
+        col("band_id") === col("band_id_b") &&
+          col("band_val") === col("band_val_b"))
+      .select("p_id", "vec_id")
+      .dropDuplicates("p_id", "vec_id")
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("n", sqrt(call_function("graft_dot", col("e"), col("e"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .join(vecs.select(col("vec_id").as("p_id"), col("e").as("pe"),
+        col("n").as("pn")), "p_id")
+      .join(vecs, "vec_id")
+      .withColumn("cosine", round(
+        call_function("graft_dot", col("pe"), col("e")) / (col("pn") * col("n")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("p_id", "rank", "vec_id", "cosine")
+  }
+
   /** IVF-flat similarity search — the 100 TB path. Coarse quantizer:
     * `nCentroids` seed vectors (smallest vec_ids — deterministic);
     * every corpus vector is assigned to its nearest centroid once
@@ -848,6 +900,13 @@ object LlmOps extends OpModule {
       // shares the persisted IVF index with llm_simsearch via cacheKey
       (s, d) => simSearchIvf(Tables.embeddings(s, d), nProbes = 5, topK = 10,
           cacheKey = Some(d))
+        .orderBy("p_id", "rank"),
+      None),
+
+    Op("llm_simsearch_lsh",
+      // stateless LSH-bucketed ANN (no index build — the streaming/
+      // append-heavy trade); recall + exact-score pins in LlmSpec
+      (s, d) => simSearchLsh(Tables.embeddings(s, d), nProbes = 5, topK = 10)
         .orderBy("p_id", "rank"),
       None),
 

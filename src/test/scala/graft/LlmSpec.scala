@@ -132,6 +132,30 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("simsearch LSH: candidates-only scoring is exact, recall@10 pinned, no self-miss") {
+    val emb = Tables.embeddings(spark, sf001)
+    val exact = LlmOps.simSearch(emb, nProbes = 5, topK = 10)
+    val lsh = LlmOps.simSearchLsh(emb, nProbes = 5, topK = 10)
+    val exactScores = exact.select("p_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lshRows = lsh.select("p_id", "vec_id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // every surfaced pair that brute force also ranks must carry the
+    // IDENTICAL cosine — the LSH layer only prunes candidates, the
+    // scorer itself is exact
+    lshRows.foreach { case (pair, c) =>
+      exactScores.get(pair).foreach(e => assert(e == c, s"score drift at $pair"))
+    }
+    // a probe always collides with itself on every band → rank-1 self
+    val self = lsh.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(self.forall { case (p, v) => p == v }, s"self-miss: $self")
+    // recall at the registered (r=6, bands=24) parameters, fixed seed
+    val exactSet = exactScores.keySet
+    val recall = (lshRows.map(_._1).toSet & exactSet).size.toDouble / exactSet.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
   test("simsearch IVF: recall@10 curve is monotone in nProbe, reaching 1.0") {
     // the operating curve a user tunes against: more probed buckets →
     // recall can only improve (same index, superset of candidates),
