@@ -227,6 +227,67 @@ object LlmOps extends OpModule {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Deterministic content-hash train/validation/test assignment —
+    * the split step of a training-data pipeline. The bucket is the
+    * first 32 bits of md5(normalized text) mod 100 (90/5/5), so:
+    *
+    *  - splits are STABLE across runs, clusters, and engine versions
+    *    (no RNG, no partition-order dependence — `df.sample` has
+    *    both);
+    *  - byte-identical documents land in the SAME split by
+    *    construction, so exact duplicates can never straddle the
+    *    train/test boundary (the classic leakage bug with row-id or
+    *    random splits).
+    *
+    * One codegen pass, no shuffle; at 100 TB the assignment is a
+    * projection pushed to wherever the corpus is scanned.
+    */
+  def trainSplit(docs: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(normText(col("text"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test"))
+  }
+
+  /** N-gram decontamination — detect test documents whose content
+    * overlaps the train split (the GPT-3/PaLM-style n-gram collision
+    * check): any test doc sharing at least one `n`-token shingle with
+    * any train doc is flagged, with the collision counts a filtering
+    * policy needs. Docs shorter than `n` tokens carry no shingles and
+    * cannot collide (standard).
+    *
+    * Scale shape: per-doc DISTINCT shingles explode once, the
+    * test×train meeting happens in an equi-join ON THE SHINGLE — work
+    * shuffles by content, collisions meet in hash buckets, no doc×doc
+    * product anywhere. At 100 TB you'd join on xxhash64(shingle)
+    * to cut shuffle bytes (the false-positive rate of a 64-bit hash
+    * is negligible for a flag-and-review pipeline); the string join
+    * here keeps the DuckDB oracle exact.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 8): DataFrame = {
+    graft.functions.VectorKernels.register(docs.sparkSession)
+    val sp = trainSplit(docs).select("doc_id", "split")
+    val ngrams = docs.join(sp, "doc_id")
+      .select(col("doc_id"), col("split"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(
+          call_function("graft_shingles", col("toks"), lit(n)))).as("ng"))
+    val train = ngrams.filter(col("split") === "train")
+      .select(col("ng"), col("doc_id").as("train_doc"))
+    val test = ngrams.filter(col("split") === "test")
+      .select(col("ng"), col("doc_id").as("test_doc"))
+    test.join(train, "ng")
+      .groupBy("test_doc")
+      .agg(countDistinct(col("ng")).as("n_shared_ngrams"),
+        countDistinct(col("train_doc")).as("n_train_docs"))
+      .select(col("test_doc").as("doc_id"),
+        col("n_shared_ngrams"), col("n_train_docs"))
+  }
+
   /** Approximate top-k cosine search via random-hyperplane LSH
     * buckets — the STATELESS scale path beside IVF
     * ([[simSearchIvfExact]]): no training, no index build, no session
@@ -902,6 +963,58 @@ object LlmOps extends OpModule {
           cacheKey = Some(d))
         .orderBy("p_id", "rank"),
       None),
+
+    Op("llm_train_split",
+      // deterministic content-hash split assignment (90/5/5): stable
+      // across runs and engines, exact dups can never straddle splits
+      (s, d) => trainSplit(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH s AS (
+                SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5(lower(trim(
+                    regexp_replace(text, '\s+', ' ', 'g')))), 1, 8)) AS BIGINT)
+                    % 100 AS bucket
+                FROM documents)
+              SELECT doc_id, lang, bucket,
+                CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'validation'
+                     ELSE 'test' END AS split
+              FROM s ORDER BY doc_id""")),
+
+    Op("llm_decontaminate",
+      // n-gram contamination check: test docs sharing an n-token
+      // shingle with any train doc, with collision counts. Registered
+      // at n=4 — the synthetic shared-vocab corpus produces natural
+      // collisions at that length at every SF (16/15/259 docs); real
+      // pipelines dial n to 8-13 via the parameter, and a planted-leak
+      // test pins the n=8 path in LlmSpec
+      (s, d) => decontaminate(Tables.documents(s, d), n = 4).orderBy("doc_id"),
+      Some("""WITH s AS (
+                SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
+                FROM documents),
+              sp AS (
+                SELECT doc_id, txt,
+                  CASE WHEN CAST(('0x' || substr(md5(txt), 1, 8)) AS BIGINT)
+                         % 100 < 90 THEN 'train'
+                       WHEN CAST(('0x' || substr(md5(txt), 1, 8)) AS BIGINT)
+                         % 100 < 95 THEN 'validation'
+                       ELSE 'test' END AS split
+                FROM s),
+              tk AS (
+                SELECT doc_id, split, string_split(txt, ' ') AS toks
+                FROM sp WHERE len(string_split(txt, ' ')) >= 4),
+              ng AS (
+                SELECT doc_id, split,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+3], ' ')))) AS ng
+                FROM tk)
+              SELECT t.doc_id AS doc_id,
+                count(DISTINCT t.ng) AS n_shared_ngrams,
+                count(DISTINCT r.doc_id) AS n_train_docs
+              FROM ng t JOIN ng r ON t.ng = r.ng
+              WHERE t.split = 'test' AND r.split = 'train'
+              GROUP BY 1 ORDER BY doc_id""")),
 
     Op("llm_simsearch_lsh",
       // stateless LSH-bucketed ANN (no index build — the streaming/

@@ -156,6 +156,60 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("train split: content-determined, 90/5/5 shaped, exact dups never straddle") {
+    val docs = Tables.documents(spark, sf001)
+    val sp = LlmOps.trainSplit(docs)
+    val counts = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    // hash buckets approximate the 90/5/5 target on 500 docs
+    assert(counts("train") / n > 0.8 && counts("train") / n < 0.97, s"$counts")
+    assert(counts.keySet == Set("train", "validation", "test"))
+    // determinism: re-running assigns identically
+    assert(sp.orderBy("doc_id").collect().toSeq ==
+      LlmOps.trainSplit(docs).orderBy("doc_id").collect().toSeq)
+    // the leakage guarantee: identical text → identical split, so a
+    // byte-duplicate can never land train-side AND test-side
+    import spark.implicits._
+    val dup = Seq((1L, "same exact text here", "en"),
+      (2L, "same exact text here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dupSplits = LlmOps.trainSplit(dup).select("split").collect()
+      .map(_.getString(0)).toSet
+    assert(dupSplits.size == 1, s"exact dups straddled splits: $dupSplits")
+  }
+
+  test("decontaminate: a planted 8-gram leak from train into test is flagged") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def bucketOf(text: String): Long = {
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val hex = MessageDigest.getInstance("MD5").digest(norm.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    // a train-side base document and a salted near-copy that keeps an
+    // 8-token run intact; salts are searched (deterministically) until
+    // the base hashes train-side and the leak hashes test-side — the
+    // content-hash split can't be chosen, so we choose the content
+    val eight = "alpha beta gamma delta epsilon zeta eta theta"
+    val base = (0 until 1000).iterator.map(i => s"$eight filler$i tail")
+      .find(bucketOf(_) < 90).get
+    val leak = (0 until 10000).iterator.map(i => s"prefix$i $eight end")
+      .find(bucketOf(_) >= 95).get
+    val clean = (0 until 10000).iterator
+      .map(i => s"unrelated words only nothing shared at all salt$i")
+      .find(bucketOf(_) >= 95).get
+    val docs = Seq((1L, base, "en"), (2L, leak, "en"), (3L, clean, "en"))
+      .toDF("doc_id", "text", "lang")
+    val flagged = LlmOps.decontaminate(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(flagged.contains(2L), s"planted leak not flagged: $flagged")
+    assert(flagged(2L)._1 >= 1 && flagged(2L)._2 == 1L)
+    assert(!flagged.contains(3L), "clean test doc wrongly flagged")
+    assert(!flagged.contains(1L), "train doc cannot be flagged")
+  }
+
   test("simsearch IVF: recall@10 curve is monotone in nProbe, reaching 1.0") {
     // the operating curve a user tunes against: more probed buckets →
     // recall can only improve (same index, superset of candidates),
