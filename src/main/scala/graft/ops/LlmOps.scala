@@ -252,6 +252,28 @@ object LlmOps extends OpModule {
           .otherwise("test"))
   }
 
+  /** Deterministic stratified downsampling — rebalance a corpus by
+    * keeping a per-language fraction of documents (the standard move
+    * against overrepresented languages/domains when mixing training
+    * data). The keep decision is content-keyed (md5 bucket per mille
+    * < rate·1000), NOT random: re-runs keep the same documents,
+    * byte-identical duplicates are kept or dropped TOGETHER, and the
+    * decision composes consistently with [[trainSplit]]. One codegen
+    * projection + filter, no shuffle, pushdown-friendly.
+    */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val bucket = conv(substring(md5(normText(col("text"))), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        (rate * 1000).cast("long").as("keep_below"))
+      .filter(col("bucket") < col("keep_below"))
+      .select("doc_id", "lang", "bucket")
+  }
+
   /** N-gram decontamination — detect test documents whose content
     * overlaps the train split (the GPT-3/PaLM-style n-gram collision
     * check): any test doc sharing at least one `n`-token shingle with
@@ -1015,6 +1037,25 @@ object LlmOps extends OpModule {
               FROM ng t JOIN ng r ON t.ng = r.ng
               WHERE t.split = 'test' AND r.split = 'train'
               GROUP BY 1 ORDER BY doc_id""")),
+
+    Op("llm_sample_stratified",
+      // deterministic per-language downsampling (content-keyed, not
+      // random): en kept at 40%, fr at 70%, everything else at 100%
+      (s, d) => sampleStratified(Tables.documents(s, d),
+          Map("en" -> 0.4, "fr" -> 0.7), defaultRate = 1.0)
+        .orderBy("doc_id"),
+      Some("""WITH s AS (
+                SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5(lower(trim(
+                    regexp_replace(text, '\s+', ' ', 'g')))), 1, 8)) AS BIGINT)
+                    % 1000 AS bucket
+                FROM documents)
+              SELECT doc_id, lang, bucket
+              FROM s
+              WHERE bucket < CASE WHEN lang = 'en' THEN 400
+                                  WHEN lang = 'fr' THEN 700
+                                  ELSE 1000 END
+              ORDER BY doc_id""")),
 
     Op("llm_simsearch_lsh",
       // stateless LSH-bucketed ANN (no index build — the streaming/

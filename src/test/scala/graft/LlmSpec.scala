@@ -179,6 +179,30 @@ class LlmSpec extends SparkSpec {
     assert(dupSplits.size == 1, s"exact dups straddled splits: $dupSplits")
   }
 
+  test("stratified sampling: achieved per-lang rates track targets, decision is content-keyed") {
+    val docs = Tables.documents(spark, sf001)
+    val rates = Map("en" -> 0.4, "fr" -> 0.7)
+    val kept = LlmOps.sampleStratified(docs, rates, defaultRate = 1.0)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.keys.foreach { l =>
+      val target = rates.getOrElse(l, 1.0)
+      val achieved = after.getOrElse(l, 0L).toDouble / before(l)
+      // md5 buckets on ~100 docs/lang: generous tolerance, exactness
+      // comes from the DuckDB oracle
+      assert(math.abs(achieved - target) < 0.2,
+        s"$l: achieved $achieved vs target $target")
+    }
+    // default-rate langs are kept in full
+    assert(before.filterNot(kv => rates.contains(kv._1))
+      .forall { case (l, n) => after.getOrElse(l, 0L) == n })
+    // deterministic: the SAME documents survive a re-run
+    assert(kept.orderBy("doc_id").collect().toSeq ==
+      LlmOps.sampleStratified(docs, rates, 1.0).orderBy("doc_id").collect().toSeq)
+  }
+
   test("decontaminate: a planted 8-gram leak from train into test is flagged") {
     import spark.implicits._
     import java.security.MessageDigest
