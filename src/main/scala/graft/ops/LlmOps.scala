@@ -288,8 +288,17 @@ object LlmOps extends OpModule {
     * to cut shuffle bytes (the false-positive rate of a 64-bit hash
     * is negligible for a flag-and-review pipeline); the string join
     * here keeps the DuckDB oracle exact.
+    *
+    * `maxTrainDf` (off by default, for oracle parity) drops shingles
+    * present in more than that many TRAIN docs before the join — the
+    * skew/precision guard a web-scale corpus needs: boilerplate
+    * ("all rights reserved …") otherwise makes one shingle a hot join
+    * key with train-DF × test-DF fan-out AND flags unrelated docs.
+    * The DF aggregation partial-aggregates map-side, so the guard
+    * costs one narrow pass over the train postings.
     */
-  def decontaminate(docs: DataFrame, n: Int = 8): DataFrame = {
+  def decontaminate(docs: DataFrame, n: Int = 8,
+      maxTrainDf: Option[Long] = None): DataFrame = {
     graft.functions.VectorKernels.register(docs.sparkSession)
     val sp = trainSplit(docs).select("doc_id", "split")
     val ngrams = docs.join(sp, "doc_id")
@@ -298,8 +307,15 @@ object LlmOps extends OpModule {
       .select(col("doc_id"), col("split"),
         explode(array_distinct(
           call_function("graft_shingles", col("toks"), lit(n)))).as("ng"))
-    val train = ngrams.filter(col("split") === "train")
+    val train0 = ngrams.filter(col("split") === "train")
       .select(col("ng"), col("doc_id").as("train_doc"))
+    val train = maxTrainDf match {
+      case None => train0
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("ng")
+        train0.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= cap).drop("df")
+    }
     val test = ngrams.filter(col("split") === "test")
       .select(col("ng"), col("doc_id").as("test_doc"))
     test.join(train, "ng")

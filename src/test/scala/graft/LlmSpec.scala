@@ -232,6 +232,24 @@ class LlmSpec extends SparkSpec {
     assert(flagged(2L)._1 >= 1 && flagged(2L)._2 == 1L)
     assert(!flagged.contains(3L), "clean test doc wrongly flagged")
     assert(!flagged.contains(1L), "train doc cannot be flagged")
+
+    // df-cap skew guard: replicate the leak 8-gram as boilerplate
+    // across MANY train docs — with maxTrainDf set below that
+    // replication, the hot shingle is excluded and the flag clears;
+    // without the cap it still fires
+    val boiler = (0 until 60).map { i =>
+      val t = (0 until 1000).iterator
+        .map(j => s"header$i$j $eight footer$i")
+        .find(bucketOf(_) < 90).get
+      (100L + i, t, "en")
+    }
+    import org.apache.spark.sql.functions.col
+    val docs2 = (Seq((2L, leak, "en")) ++ boiler).toDF("doc_id", "text", "lang")
+    val uncapped = LlmOps.decontaminate(docs2, n = 8).collect()
+    assert(uncapped.exists(_.getLong(0) == 2L), "uncapped must flag the boilerplate hit")
+    val capped = LlmOps.decontaminate(docs2, n = 8, maxTrainDf = Some(10L)).collect()
+    assert(!capped.exists(_.getLong(0) == 2L),
+      "df-capped run must drop the boilerplate shingle")
   }
 
   test("simsearch IVF: recall@10 curve is monotone in nProbe, reaching 1.0") {
