@@ -16,6 +16,7 @@ object SparkEntry {
     ops.Functions,
     ops.EventOps,
     ops.LlmOps,
+    ops.PipelineOps,
     ops.Multimodal,
     ops.Extension)
 

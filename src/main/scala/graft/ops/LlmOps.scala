@@ -20,10 +20,10 @@ import org.apache.spark.sql.functions._
 object LlmOps extends OpModule {
 
   /** whitespace-normalized lowercase text */
-  private def normText(c: Column): Column =
+  private[ops] def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  private def tokens(c: Column): Column = split(normText(c), " ")
+  private[ops] def tokens(c: Column): Column = split(normText(c), " ")
 
   /** MinHash + banded LSH near-duplicate pairs over (doc_id, text).
     *

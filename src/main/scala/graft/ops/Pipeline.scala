@@ -1,0 +1,530 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the survey's original
+  * §2.10 battery: PII scrubbing, repetition filtering (Gopher-style),
+  * deterministic global shuffle, domain-mixture sampling, greedy
+  * sequence packing, and duplicate-cluster connected components.
+  *
+  * Everything here follows the same posture as [[LlmOps]]: per-row
+  * work stays in codegen'd Catalyst expressions / higher-order
+  * functions (no Scala-closure UDFs), cross-row work shuffles on
+  * content-derived keys, and every decision that a re-run must
+  * reproduce (sampling, shuffling, splitting) is keyed on a content
+  * hash, never on an RNG or partition order.
+  */
+object PipelineOps extends OpModule {
+
+  import LlmOps.{normText, tokens}
+
+  /** first 32 bits of md5(prefix || key) as a non-negative long —
+    * the shared deterministic "randomness" primitive (same rendering
+    * DuckDB reproduces via CAST('0x' || substr(md5(..),1,8) AS BIGINT)).
+    */
+  private def md5Bucket(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------
+  // PII scrubbing
+  // ---------------------------------------------------------------
+
+  /** Regex PII redaction — emails, IPv4 addresses, long card-like
+    * digit runs, phone numbers — each replaced by a typed placeholder,
+    * with per-category counts. The scrub is a chain of four
+    * `regexp_replace` steps, each counted on the text AS THE PREVIOUS
+    * STEP LEFT IT (so an IPv4-looking domain inside an already
+    * redacted email is not double-counted) — one codegen projection,
+    * no shuffle, no UDF; at 100 TB this runs wherever the scan runs.
+    *
+    * Patterns stay in the common Java-regex ∩ RE2 subset (character
+    * classes, bounded repetition, `\b`) so the DuckDB oracle is
+    * exact.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val pats = Seq(
+      ("n_emails", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      ("n_ips", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+      ("n_ids", "\\b\\d{13,19}\\b", "<ID>"),
+      ("n_phones", "\\b\\d{3}-\\d{3,4}-\\d{4}\\b", "<PHONE>"))
+    val (scrubbed, counts) = pats.foldLeft((col("text"), Seq.empty[Column])) {
+      case ((t, cs), (name, pat, repl)) =>
+        (regexp_replace(t, pat, repl),
+          cs :+ size(regexp_extract_all(t, lit(pat), lit(0))).as(name))
+    }
+    docs.select(col("doc_id") +: counts :+ md5(scrubbed).as("clean_digest"): _*)
+  }
+
+  // ---------------------------------------------------------------
+  // Repetition filtering (Gopher-style quality signals)
+  // ---------------------------------------------------------------
+
+  /** Per-document repetition statistics and a keep/drop verdict —
+    * the Gopher/MassiveText-style repetition filters adapted to a
+    * corpus without line structure: distinct-token ratio, most
+    * frequent bigram's share of all bigrams, and duplicate-trigram
+    * fraction.
+    *
+    * The top-bigram share is computed PER ROW with no shuffle: sort
+    * the bigram array, then a single `aggregate` fold finds the
+    * longest equal-run. (The explode → groupBy(doc, gram) rendering
+    * every SQL engine would use shuffles the whole corpus by gram —
+    * correct, but pointlessly global for a per-document statistic.
+    * The oracle uses that rendering; this side stays embarrassingly
+    * parallel, which is the shape that survives 100 TB.)
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    graft.functions.VectorKernels.register(docs.sparkSession)
+    // materialize arrays BEFORE any lambda references them: HOF
+    // lambdas re-evaluate unbound outer expressions per element
+    val toked = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        when(col("n") >= 2,
+          array_sort(call_function("graft_shingles", col("toks"), lit(2))))
+          .otherwise(array().cast("array<string>")).as("bg"),
+        when(col("n") >= 3,
+          call_function("graft_shingles", col("toks"), lit(3)))
+          .otherwise(array().cast("array<string>")).as("tg"))
+    // longest equal-run over the sorted bigram array = max bigram count
+    val topRun = aggregate(
+      col("bg"),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    toked
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(size(array_distinct(col("toks"))).cast("double") / col("n"), 6)
+          .as("uniq_ratio"),
+        when(size(col("bg")) > 0,
+          round(topRun.cast("double") / size(col("bg")), 6))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        when(size(col("tg")) > 0,
+          round(lit(1.0) - size(array_distinct(col("tg"))).cast("double")
+            / size(col("tg")), 6))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"))
+      .withColumn("keep",
+        col("uniq_ratio") >= 0.35 && col("top_bigram_frac") <= 0.06 &&
+          col("dup_trigram_frac") <= 0.04)
+  }
+
+  // ---------------------------------------------------------------
+  // Deterministic global shuffle
+  // ---------------------------------------------------------------
+
+  /** Reproducible corpus shuffle for training order: the shuffle key
+    * is md5("shuf:" || doc_id), the shard is key mod `nShards`, and
+    * the position is the rank within the shard. Identical on every
+    * run and engine — no RNG, no partition-order dependence
+    * (`df.orderBy(rand())` has both).
+    *
+    * Scale shape: a GLOBAL row_number would force a single-partition
+    * sort; sharding first keeps every window partition-local, which
+    * is exactly what a training job wants anyway (one output file per
+    * shard, locally ordered). 100 TB = more shards, same plan.
+    */
+  def shuffleGlobal(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    val skey = md5Bucket(concat(lit("shuf:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("skey", "doc_id")
+    docs.select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard", col("skey") % nShards)
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "skey", "shard", "pos")
+  }
+
+  // ---------------------------------------------------------------
+  // Domain-mixture sampling
+  // ---------------------------------------------------------------
+
+  /** Downsample per `source` so the kept corpus matches a target
+    * domain mixture — the "mix web : books : code at w₁:w₂:w₃" step
+    * of training-data assembly. The achievable total under
+    * downsampling-only is capped by the scarcest domain relative to
+    * its weight (cap = min over s of n_s / w_s); each domain then
+    * keeps rate_s = min(1, cap·w_s / n_s) of its documents,
+    * content-keyed on the same md5 bucket primitive as
+    * [[LlmOps.sampleStratified]] so re-runs and exact duplicates
+    * agree.
+    *
+    * Two narrow passes at any scale: a map-side-combined count per
+    * source (|sources| rows), a broadcast of the per-source
+    * threshold, and a codegen'd filter over the corpus. No wide
+    * shuffle of document data.
+    */
+  def domainMix(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double): DataFrame = {
+    val tw = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (s, v)) => when(col("source") === s, lit(v)).otherwise(acc)
+    }
+    val t = docs.select(col("doc_id"), col("source"),
+      (md5Bucket(normText(col("text"))) % 1000000).as("bucket"))
+    val w = t.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("tw", tw)
+    val cap = w.agg(min(col("n").cast("double") / col("tw")).as("cap"))
+    val thr = w.crossJoin(broadcast(cap))
+      .select(col("source"),
+        floor(least(lit(1.0), col("cap") * col("tw") / col("n")) * 1000000)
+          .cast("long").as("thr"))
+    t.join(broadcast(thr), "source")
+      .filter(col("bucket") < col("thr"))
+      .select("doc_id", "source", "bucket")
+  }
+
+  // ---------------------------------------------------------------
+  // Greedy sequence packing
+  // ---------------------------------------------------------------
+
+  /** Pack documents into fixed-token-budget bins (the sequence-packing
+    * step before training: concatenate docs up to `cap` tokens per
+    * training sequence, start a new bin on overflow). Deterministic
+    * first-fit over a content-hash bucketing: docs hash into `nBuckets`
+    * independent packing groups, and within a group are packed in
+    * doc_id order — so the layout is reproducible and bins never span
+    * buckets.
+    *
+    * Scale shape: the only shuffle is the groupBy(bucket); each
+    * bucket's doc list is then folded by ONE codegen'd `aggregate`
+    * lambda (the greedy scan is inherently sequential per group, so
+    * per-group is the most parallelism the problem admits). At 100 TB
+    * you raise `nBuckets` until a bucket's (doc_id, ntok) pairs — 12
+    * bytes/doc, not the text — fit an executor; 1M buckets ≈ 100-doc
+    * groups at 10^11 docs.
+    */
+  def packSequences(docs: DataFrame, cap: Int = 200,
+      nBuckets: Int = 32): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      (md5Bucket(concat(lit("pack:"), col("doc_id").cast("string")))
+        % nBuckets).as("bucket"),
+      size(tokens(col("text"))).as("ntok"))
+    val grouped = base.groupBy("bucket")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("ntok"))))
+        .as("xs"))
+    // typed empty array<struct<doc_id,ntok,bin>> for the fold seed
+    val emptyOut = slice(
+      transform(col("xs"), x => struct(x.getField("doc_id").as("doc_id"),
+        x.getField("ntok").as("ntok"), lit(0).as("bin"))),
+      lit(1), lit(0))
+    val packed = aggregate(
+      col("xs"),
+      struct(lit(0).as("bin"), lit(0).as("fill"), emptyOut.as("out")),
+      (acc, x) => {
+        // overflow starts a new bin; an oversized doc still occupies
+        // one bin alone (fill > cap, next doc overflows immediately)
+        val over = acc.getField("fill") + x.getField("ntok") > cap &&
+          acc.getField("fill") > 0
+        val bin = when(over, acc.getField("bin") + 1)
+          .otherwise(acc.getField("bin"))
+        val fill = when(over, x.getField("ntok"))
+          .otherwise(acc.getField("fill") + x.getField("ntok"))
+        struct(bin.as("bin"), fill.as("fill"),
+          concat(acc.getField("out"), array(struct(
+            x.getField("doc_id").as("doc_id"),
+            x.getField("ntok").as("ntok"),
+            bin.as("bin")))).as("out"))
+      },
+      acc => acc.getField("out"))
+    grouped.select(col("bucket"), explode(packed).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("bucket"),
+        col("p.ntok").as("ntok"), col("p.bin").as("bin"))
+  }
+
+  // ---------------------------------------------------------------
+  // Duplicate-cluster connected components
+  // ---------------------------------------------------------------
+
+  /** Collapse near-duplicate PAIRS into duplicate CLUSTERS — the step
+    * every dedup pipeline needs after candidate confirmation, because
+    * "keep one doc per pair" over-deletes when a~b, b~c, a~c: the
+    * right unit is the connected component. Edges come from the exact
+    * Jaccard join ([[LlmOps.jaccardPairs]]); components via iterative
+    * min-label propagation: every node starts as its own label and
+    * repeatedly takes the min of its neighbourhood until fixpoint
+    * (≤ diameter rounds — near-dup clusters are shallow).
+    *
+    * Scale shape: each round is one equi-join edges⋈labels + one
+    * groupBy(node) min — all shuffles on node id, never materializing
+    * anything driver-side; the convergence check is a 1-row sum
+    * aggregate (labels only ever decrease, so equal checksum ⇔ no
+    * change). This is the DataFrame rendering of the standard
+    * large-graph CC loop; at 100 TB the same loop runs with more
+    * shuffle partitions, and labels are localCheckpoint'd each round
+    * to keep lineage flat.
+    */
+  def dedupClusters(docs: DataFrame, tau: Double = 0.8,
+      shingleN: Int = 5, maxIters: Int = 25): DataFrame = {
+    val pairs = LlmOps.jaccardPairs(docs, tau, shingleN)
+      .select("doc_a", "doc_b")
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var checksum = labels.agg(sum("lbl")).first().getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbMin = edges
+        .join(labels.select(col("node").as("doc_b"), col("lbl").as("nlbl")),
+          "doc_b")
+        .groupBy(col("doc_a").as("node"))
+        .agg(min("nlbl").as("nb_min"))
+      labels = labels.join(nbMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nb_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val next = labels.agg(sum("lbl")).first().getLong(0)
+      converged = next == checksum
+      checksum = next
+      it += 1
+    }
+    edges.unpersist()
+    val sizes = org.apache.spark.sql.expressions.Window.partitionBy("lbl")
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(sizes))
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  // ---------------------------------------------------------------
+
+  private val docTable: (org.apache.spark.sql.SparkSession, String) => DataFrame =
+    (s, d) => Tables.documents(s, d)
+
+  def ops: Seq[Op] = Seq(
+
+    Op("llm_pii_scrub",
+      // workload plants deterministic PII on every 7th doc (the
+      // fixture corpus has none) so redaction is exercised at every
+      // SF; counts are per-category, digest proves the rewrite
+      (s, d) => {
+        val docs = docTable(s, d)
+        val planted = docs.select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 call 555-867-5309 card 4111111111111111")))
+            .otherwise(col("text")).as("text"))
+        piiScrub(planted).orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+                SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text
+                    || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 call 555-867-5309 card 4111111111111111'
+                  ELSE text END AS t0
+                FROM documents),
+              s1 AS (SELECT doc_id, t0,
+                  regexp_replace(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                    '<EMAIL>', 'g') AS t1 FROM raw),
+              s2 AS (SELECT *, regexp_replace(t1,
+                  '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2 FROM s1),
+              s3 AS (SELECT *, regexp_replace(t2,
+                  '\b\d{13,19}\b', '<ID>', 'g') AS t3 FROM s2),
+              s4 AS (SELECT *, regexp_replace(t3,
+                  '\b\d{3}-\d{3,4}-\d{4}\b', '<PHONE>', 'g') AS t4 FROM s3)
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(t0,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(t1,
+                  '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ips,
+                CAST(len(regexp_extract_all(t2,
+                  '\b\d{13,19}\b')) AS INTEGER) AS n_ids,
+                CAST(len(regexp_extract_all(t3,
+                  '\b\d{3}-\d{3,4}-\d{4}\b')) AS INTEGER) AS n_phones,
+                md5(t4) AS clean_digest
+              FROM s4 ORDER BY doc_id""")),
+
+    Op("llm_repetition",
+      (s, d) => repetitionStats(docTable(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(lower(trim(
+                  regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              b AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                  CASE WHEN len(toks) >= 2 THEN
+                    list_transform(generate_series(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS bgs,
+                  CASE WHEN len(toks) >= 3 THEN
+                    list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS tgs
+                FROM t),
+              ex AS (SELECT doc_id, unnest(bgs) AS g FROM b),
+              cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+              top AS (SELECT doc_id, max(c) AS mx FROM cnt GROUP BY 1),
+              stats AS (
+                SELECT b.doc_id,
+                  CAST(n AS INTEGER) AS n_tokens,
+                  round(CAST(len(list_distinct(toks)) AS DOUBLE) / n, 6)
+                    AS uniq_ratio,
+                  CASE WHEN len(bgs) > 0 THEN
+                    round(CAST(coalesce(top.mx, 0) AS DOUBLE) / len(bgs), 6)
+                  ELSE 0.0 END AS top_bigram_frac,
+                  CASE WHEN len(tgs) > 0 THEN
+                    round(1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE)
+                      / len(tgs), 6)
+                  ELSE 0.0 END AS dup_trigram_frac
+                FROM b LEFT JOIN top ON b.doc_id = top.doc_id)
+              SELECT *,
+                (uniq_ratio >= 0.35 AND top_bigram_frac <= 0.06
+                  AND dup_trigram_frac <= 0.04) AS keep
+              FROM stats ORDER BY doc_id""")),
+
+    Op("llm_shuffle_global",
+      (s, d) => shuffleGlobal(docTable(s, d), nShards = 16).orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) AS skey
+                FROM documents)
+              SELECT doc_id, skey, skey % 16 AS shard,
+                CAST(row_number() OVER (PARTITION BY skey % 16
+                  ORDER BY skey, doc_id) AS INTEGER) AS pos
+              FROM t ORDER BY doc_id""")),
+
+    Op("llm_domain_mix",
+      // rebalance the 20 uniform sources to a 20% / 10% / rest-even
+      // target mixture; the scarcest-domain cap makes src0's rate
+      // exactly 1.0 and everything else proportionally smaller
+      (s, d) => domainMix(docTable(s, d),
+          Map("src0" -> 0.2, "src1" -> 0.1), defaultWeight = 0.7 / 18)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, source,
+                  CAST(('0x' || substr(md5(lower(trim(
+                    regexp_replace(text, '\s+', ' ', 'g')))), 1, 8)) AS BIGINT)
+                    % 1000000 AS bucket
+                FROM documents),
+              w AS (
+                SELECT source, count(*) AS n,
+                  CASE WHEN source = 'src0' THEN 0.2::DOUBLE
+                       WHEN source = 'src1' THEN 0.1::DOUBLE
+                       ELSE 0.7::DOUBLE / 18 END AS tw
+                FROM t GROUP BY source),
+              tot AS (SELECT min(CAST(n AS DOUBLE) / tw) AS cap FROM w),
+              r AS (
+                SELECT source,
+                  CAST(floor(least(1.0::DOUBLE, tot.cap * tw / n) * 1000000)
+                    AS BIGINT) AS thr
+                FROM w, tot)
+              SELECT t.doc_id, t.source, t.bucket
+              FROM t JOIN r ON t.source = r.source
+              WHERE t.bucket < r.thr
+              ORDER BY doc_id""")),
+
+    Op("llm_pack_sequences",
+      (s, d) => packSequences(docTable(s, d), cap = 200, nBuckets = 32)
+        .orderBy("doc_id"),
+      // the oracle replays the greedy scan as a recursive CTE over the
+      // per-bucket doc order — rn = position, state = (bin, fill)
+      Some("""WITH RECURSIVE t AS (
+                SELECT doc_id,
+                  CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 32 AS bucket,
+                  CAST(len(string_split(lower(trim(
+                    regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                    AS INTEGER) AS ntok
+                FROM documents),
+              s AS (
+                SELECT doc_id, bucket, ntok,
+                  CAST(row_number() OVER (PARTITION BY bucket
+                    ORDER BY doc_id) AS INTEGER) AS rn
+                FROM t),
+              pack(bucket, rn, doc_id, ntok, bin, fill) AS (
+                SELECT bucket, rn, doc_id, ntok, 0, ntok
+                FROM s WHERE rn = 1
+                UNION ALL
+                SELECT s.bucket, s.rn, s.doc_id, s.ntok,
+                  CASE WHEN p.fill + s.ntok > 200 THEN p.bin + 1
+                       ELSE p.bin END,
+                  CASE WHEN p.fill + s.ntok > 200 THEN s.ntok
+                       ELSE p.fill + s.ntok END
+                FROM s JOIN pack p
+                  ON s.bucket = p.bucket AND s.rn = p.rn + 1)
+              SELECT doc_id, bucket, ntok, bin
+              FROM pack ORDER BY doc_id""")),
+
+    Op("llm_dedup_clusters",
+      // same corpus ∪ truncated-clones workload as llm_dedup_jaccard
+      // (every doc gains a near-identical clone → guaranteed non-trivial
+      // components at every SF); the oracle computes the transitive
+      // closure with a recursive CTE and takes min reachable id
+      (s, d) => {
+        val docs = docTable(s, d).select("doc_id", "text")
+        val toks = tokens(col("text"))
+        val clones = docs.select(
+          col("doc_id").bitwiseOR(lit(1L << 40)).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        dedupClusters(docs.unionByName(clones), tau = 0.8, shingleN = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE raw AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT d.doc_id | (1::BIGINT << 40) AS doc_id,
+                  array_to_string(tk[1:len(tk) - 1], ' ') AS text
+                FROM (SELECT doc_id, string_split(
+                    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                    ' ') AS tk FROM documents) d),
+              t AS (
+                SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM raw),
+              sh AS (
+                SELECT doc_id,
+                  CASE WHEN len(toks) >= 5 THEN
+                    list_distinct(list_transform(
+                      generate_series(1, len(toks) - 4),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4]))
+                  ELSE [norm] END AS sh
+                FROM t),
+              ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+              j AS (
+                SELECT c.doc_a, c.doc_b,
+                  len(list_intersect(sa.sh, sb.sh)) AS inter,
+                  len(sa.sh) AS na, len(sb.sh) AS nb
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.doc_a
+                JOIN sh sb ON sb.doc_id = c.doc_b),
+              pairs AS (
+                SELECT doc_a, doc_b FROM j
+                WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+              e AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs),
+              n AS (SELECT DISTINCT a AS node FROM e),
+              reach(node, lbl) AS (
+                SELECT node, node FROM n
+                UNION
+                SELECT e.a, r.lbl FROM e JOIN reach r ON r.node = e.b),
+              c AS (SELECT node, min(lbl) AS cluster_id
+                    FROM reach GROUP BY node)
+              SELECT node AS doc_id, cluster_id,
+                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM c ORDER BY doc_id"""))
+  )
+}

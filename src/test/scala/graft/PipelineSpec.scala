@@ -1,0 +1,146 @@
+package graft
+
+import graft.ops.PipelineOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+/** Semantic pins for the training-data pipeline operators
+  * (PII scrub, repetition filter, global shuffle, domain mix,
+  * sequence packing, dedup clusters) — properties the DuckDB oracle
+  * can't express: redaction actually redacts, packing respects the
+  * budget, components are exactly transitive closures.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val r = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(r.passed, r.status.toString)
+  }
+  import spark.implicits._
+
+  test("piiScrub redacts planted emails/ips/ids/phones and counts them") {
+    val docs = Seq(
+      (1L, "mail me at alice.smith+x@corp-mail.co.uk or bob@x.io today"),
+      (2L, "server 192.168.0.1 and 10.255.3.77 are up"),
+      (3L, "card 4111111111111111 ref 12345678901234567 ok"),
+      (4L, "call 555-867-5309 or 020-7946-0958 now"),
+      (5L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.piiScrub(docs).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSeq == Seq((2, 0, 0, 0), (0, 2, 0, 0), (0, 0, 2, 0),
+        (0, 0, 0, 2), (0, 0, 0, 0)))
+    // the digest is of the SCRUBBED text: recompute independently
+    val clean = docs
+      .withColumn("t", regexp_replace(col("text"),
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"))
+      .withColumn("t", regexp_replace(col("t"),
+        "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+      .withColumn("t", regexp_replace(col("t"), "\\b\\d{13,19}\\b", "<ID>"))
+      .withColumn("t", regexp_replace(col("t"),
+        "\\b\\d{3}-\\d{3,4}-\\d{4}\\b", "<PHONE>"))
+      .orderBy("doc_id").select("t").as[String].collect()
+    assert(clean(0) == "mail me at <EMAIL> or <EMAIL> today")
+    assert(clean(1) == "server <IP> and <IP> are up")
+    assert(clean(2) == "card <ID> ref <ID> ok")
+    assert(clean(3) == "call <PHONE> or <PHONE> now")
+    val digests = out.map(_.getString(5))
+    val expected = clean.map(t => java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+    assert(digests.toSeq == expected.toSeq)
+  }
+
+  test("repetitionStats flags a degenerate doc and keeps a clean one") {
+    val docs = Seq(
+      (1L, Seq.fill(40)("spam ham").mkString(" ")), // one bigram dominates
+      (2L, (1 to 60).map(i => s"w$i").mkString(" ")) // all tokens distinct
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.repetitionStats(docs).orderBy("doc_id").collect()
+    val bad = out(0); val good = out(1)
+    assert(!bad.getBoolean(5) && good.getBoolean(5))
+    assert(bad.getDouble(2) < 0.05)           // uniq_ratio ~ 2/80
+    assert(bad.getDouble(3) > 0.49)           // top bigram ("ham spam" or
+    assert(bad.getDouble(4) > 0.9)            //  "spam ham") covers half
+    assert(good.getDouble(2) == 1.0 && good.getDouble(3) < 0.02)
+  }
+
+  test("shuffleGlobal is a permutation: shards partition, pos is dense") {
+    val docs = Tables.documents(spark, sf001)
+    val out = PipelineOps.shuffleGlobal(docs, nShards = 16)
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // pos is 1..n_shard within each shard, no gaps or dups
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"),
+        countDistinct("pos").as("d"))
+      .filter(col("n") =!= col("mx") || col("n") =!= col("d"))
+    assert(bad.count() == 0)
+    // deterministic: two runs agree exactly
+    val again = PipelineOps.shuffleGlobal(docs, nShards = 16)
+    assert(out.exceptAll(again).count() == 0)
+  }
+
+  test("domainMix hits the target mixture within quantization error") {
+    val docs = Tables.documents(spark, sf01)
+    val out = PipelineOps.domainMix(docs,
+      Map("src0" -> 0.2, "src1" -> 0.1), defaultWeight = 0.7 / 18)
+    val kept = out.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    // src0 is the binding domain (weight 4× its uniform share): kept whole
+    assert(kept("src0") == 25)
+    val total = kept.values.sum.toDouble
+    // each share within ±40% relative of target (md5-bucket quantization
+    // on 25-doc domains is coarse; the CONTRACT is determinism + cap math,
+    // accuracy tightens with domain size)
+    assert(math.abs(kept("src0") / total - 0.2) < 0.08)
+    assert(math.abs(kept("src1") / total - 0.1) < 0.04)
+  }
+
+  test("packSequences: every doc exactly once, bins respect the budget") {
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(1L, 100000L), Gen.choose(1, 260)))
+      .map(_.distinctBy(_._1))
+    check(Prop.forAll(gen) { xs =>
+      val docs = xs.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = PipelineOps.packSequences(docs, cap = 200, nBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      val everyDocOnce = out.map(_._1).sorted.toSeq == xs.map(_._1).sorted
+      // a bin exceeds cap only if it holds a single oversized doc
+      val binsOk = out.groupBy(x => (x._2, x._4)).values.forall { b =>
+        b.map(_._3).sum <= 200 || b.size == 1
+      }
+      // bins are dense 0..max per bucket
+      val dense = out.groupBy(_._2).values.forall { b =>
+        val bins = b.map(_._4).distinct.sorted
+        bins == (0 to bins.max).toSeq
+      }
+      everyDocOnce && binsOk && dense
+    })
+  }
+
+  test("dedupClusters equals the transitive closure on a chain + island") {
+    // docs: a≈b≈c (chain via shared text), d≈e, f alone
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val base = (1 to 12).map(i => s"tok$i")
+    val docs = Seq(
+      mk(1L, base),                      // 1~2 (11/13 shingles shared)
+      mk(2L, base :+ "x"),               // 2~3
+      mk(3L, base :+ "x" :+ "y"),
+      mk(10L, (1 to 12).map(i => s"z$i")),
+      mk(11L, (1 to 12).map(i => s"z$i") :+ "q"),
+      mk(20L, (1 to 12).map(i => s"solo$i"))
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.dedupClusters(docs, tau = 0.6, shingleN = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 1,2,3 one component rooted at 1 even though 1~3 may not be an edge
+    assert(out.filter(_._1 <= 3).forall(x => x._2 == 1L && x._3 == 3L))
+    assert(out.filter(x => x._1 >= 10 && x._1 < 20)
+      .forall(x => x._2 == 10L && x._3 == 2L))
+    // no edges for the singleton → not emitted
+    assert(!out.exists(_._1 == 20L))
+  }
+}
