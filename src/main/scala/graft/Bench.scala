@@ -98,6 +98,16 @@ object Bench {
 
     def obj(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // the stdout line must survive a bounded tail capture of the run
+    // log (observed ~4 KB: two full-precision 91-query maps overflowed
+    // it in r5/r6 and the driver recorded parsed:null) — so stdout
+    // carries ONE per-query map at 3-decimal precision and the file
+    // report keeps both passes verbatim at full precision
+    def obj3(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v < 0) "-1"
+          else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+      }.mkString("{", ",", "}")
     val errObj = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     // distinct failed queries (a query failing both passes appears as
@@ -107,16 +117,20 @@ object Bench {
     // headline total so a broken query can't LOWER the number
     def total(m: Map[String, Double]): Double =
       m.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":${total(minQ)},"unit":"sec",""" +
-      s""""headline":"min over 2 disclosed full passes; cold pass in value_cold/queries",""" +
-      s""""value_cold":${total(cold)},"queries":${obj(cold)},""" +
-      s""""queries_min":${obj(minQ)},"steady":${obj(steady)},""" +
-      s""""errors":$errObj,"n_failed":$nFailed,"sf":"$sfDir"}"""
-    println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val shared = s""""value_cold":${total(cold)},"steady":${obj3(steady)},""" +
+      s""""errors":$errObj,"n_failed":$nFailed,"sf":"$sfDir""""
+    val json = s"""{"metric":"total","value":${total(minQ)},"unit":"sec",""" +
+      s""""headline":"min over 2 disclosed full passes; cold pass total in value_cold, both passes verbatim in $out",""" +
+      s""""queries":${obj3(minQ)},$shared}"""
+    val jsonFull = s"""{"metric":"total","value":${total(minQ)},"unit":"sec",""" +
+      s""""headline":"min over 2 disclosed full passes; queries_cold/queries_warm are the raw passes",""" +
+      s""""queries":${obj(minQ)},"queries_cold":${obj(cold)},""" +
+      s""""queries_warm":${obj(warm)},$shared}"""
+    println(json)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        jsonFull.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

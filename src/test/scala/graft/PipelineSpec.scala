@@ -112,9 +112,10 @@ class PipelineSpec extends SparkSpec {
       val binsOk = out.groupBy(x => (x._2, x._4)).values.forall { b =>
         b.map(_._3).sum <= 200 || b.size == 1
       }
-      // bins are dense 0..max per bucket
+      // bins are dense 0..max per bucket (NB: `b` is an Array here —
+      // convert before comparing, Array == Seq is reference equality)
       val dense = out.groupBy(_._2).values.forall { b =>
-        val bins = b.map(_._4).distinct.sorted
+        val bins = b.map(_._4).distinct.sorted.toSeq
         bins == (0 to bins.max).toSeq
       }
       everyDocOnce && binsOk && dense
