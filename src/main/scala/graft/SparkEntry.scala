@@ -17,6 +17,7 @@ object SparkEntry {
     ops.EventOps,
     ops.LlmOps,
     ops.PipelineOps,
+    ops.LayoutOps,
     ops.Multimodal,
     ops.Extension)
 

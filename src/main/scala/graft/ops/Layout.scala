@@ -1,0 +1,206 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout and catalog-statistics operators: ANALYZE-style
+  * column profiling (the stats a cost-based optimizer and a data
+  * engineer both need) and Z-order clustering (the multi-dimensional
+  * sort that makes min/max file pruning work on MORE than one
+  * predicate column — the layout trick behind Delta/Iceberg OPTIMIZE
+  * ZORDER BY).
+  *
+  * Both are pure DataFrame plans: profiling is one aggregate pass,
+  * Z-ordering is a codegen'd bit-interleave expression feeding an
+  * ordinary range partitioner. Nothing here materializes corpus data
+  * driver-side.
+  */
+object LayoutOps extends OpModule {
+
+  // ---------------------------------------------------------------
+  // ANALYZE-style column profile
+  // ---------------------------------------------------------------
+
+  /** One profiled column: its name plus a deterministic string
+    * rendering for min/max (so the output is engine-portable — raw
+    * doubles/timestamps stringify differently across engines, see
+    * SURVEY.md §5.2).
+    */
+  final case class ProfileCol(name: String, render: Column => Column)
+
+  object ProfileCol {
+    /** exact integer rendering */
+    def long(name: String): ProfileCol = ProfileCol(name, _.cast("string"))
+    /** fixed 6-decimal rendering (exact in both engines via decimal) */
+    def dbl(name: String): ProfileCol =
+      ProfileCol(name, _.cast("decimal(18,6)").cast("string"))
+    /** strings pass through */
+    def str(name: String): ProfileCol = ProfileCol(name, identity)
+    /** second-precision UTC rendering */
+    def ts(name: String): ProfileCol =
+      ProfileCol(name, date_format(_, "yyyy-MM-dd HH:mm:ss"))
+  }
+
+  /** Per-column table statistics — row count, null count, NDV,
+    * min/max — in ONE aggregation job.
+    *
+    * Shape: a single global aggregate computes every column's
+    * count/NDV/min/max at once (Catalyst plans the k exact
+    * count-distincts as one Expand ×(k+1) + partial/final aggregate —
+    * one scan, one shuffle of pre-aggregated rows); the per-column
+    * output rows then come from exploding a k-element literal-shaped
+    * array OF THE SINGLE AGGREGATED ROW, not from re-scanning. At
+    * 100 TB the Expand multiplier is the knob: pass `approxNdv=true`
+    * to swap exact NDV for HyperLogLog++ (`approx_count_distinct`),
+    * which drops the Expand entirely — the standard ANALYZE TABLE
+    * trade; the oracled query keeps exact NDV so DuckDB can confirm
+    * it.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[ProfileCol],
+      approxNdv: Boolean = false): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      val col0 = col(c.name)
+      Seq(
+        count(col0).as(s"${c.name}__nn"),
+        (if (approxNdv) approx_count_distinct(col0)
+         else countDistinct(col0)).as(s"${c.name}__ndv"),
+        c.render(min(col0)).as(s"${c.name}__min"),
+        c.render(max(col0)).as(s"${c.name}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(
+        lit(c.name).as("col_name"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"${c.name}__nn")).as("n_null"),
+        col(s"${c.name}__ndv").as("ndv"),
+        col(s"${c.name}__min").as("min_str"),
+        col(s"${c.name}__max").as("max_str"))
+    }: _*)
+    one.select(explode(rows).as("p")).select("p.*")
+  }
+
+  // ---------------------------------------------------------------
+  // Z-order clustering
+  // ---------------------------------------------------------------
+
+  /** Bit-interleaved Z-value of two non-negative dimensions (`bits`
+    * low bits each → a 2·bits-bit key). Pure integer arithmetic —
+    * shifts, masks and adds of disjoint bits — so the whole thing is
+    * one codegen'd projection, and the identical expression is
+    * writable in ANSI SQL for the oracle.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    val mx = x.bitwiseAND(lit((1L << bits) - 1))
+    val my = y.bitwiseAND(lit((1L << bits) - 1))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc + shiftleft(shiftrightunsigned(mx, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(my, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+  }
+
+  /** The same Z-value as ANSI SQL text (for oracle generation). */
+  def zValueSql(x: String, y: String, bits: Int = 16): String = {
+    val mask = (1L << bits) - 1
+    // the bit must be BIGINT before the shift: DuckDB's `<<` stays in
+    // INT32 for small operands, so `1 << 31` overflows
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"(CAST((($x & $mask) >> $i) & 1 AS BIGINT) << ${2 * i})",
+        s"(CAST((($y & $mask) >> $i) & 1 AS BIGINT) << ${2 * i + 1})")
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Z-order file-assignment statistics: quantize both dimensions to
+    * the full `bits`-bit range (so the layout adapts to the actual
+    * data extent at any scale factor), assign every row to one of
+    * 2^fileBits output files by the TOP bits of its Z-value, and
+    * report per-file row counts and min/max of BOTH dimensions —
+    * exactly the footer stats a reader's file-pruning consults. The
+    * point (pinned in LayoutSpec): under Z-order BOTH per-file ranges
+    * are narrow (≈ dimension-width / 2^(fileBits/2)), so predicates
+    * on EITHER column prune files; a linear sort gives one narrow
+    * dimension and one full-width dimension.
+    *
+    * Shape: one tiny extent aggregate (4 values) broadcast back, then
+    * a codegen'd quantize+interleave projection and one groupBy —
+    * the domainMix pattern. Quantization is pure integer math
+    * (`DIV`), so the oracle reproduces it bit-exactly. At 100 TB the
+    * same plan writes the files instead of counting them:
+    * `repartitionByRange` on z + `sortWithinPartitions(z)` + parquet
+    * write (demonstrated end-to-end in LayoutSpec).
+    */
+  def zorderStats(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16, fileBits: Int = 6): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val ext = base.agg(min("x").as("mnx"), max("x").as("mxx"),
+      min("y").as("mny"), max("y").as("mxy"))
+    val n = 1L << bits
+    val q = base.crossJoin(broadcast(ext))
+      .withColumn("xq", expr(s"((x - mnx) * $n) DIV (mxx - mnx + 1)"))
+      .withColumn("yq", expr(s"((y - mny) * $n) DIV (mxy - mny + 1)"))
+    val z = zValue(col("xq"), col("yq"), bits)
+    q.select(col("x"), col("y"),
+        shiftrightunsigned(z, 2 * bits - fileBits).as("file_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+  }
+
+  // ---------------------------------------------------------------
+
+  def ops: Seq[Op] = Seq(
+
+    Op("table_profile",
+      (s, d) => tableProfile(Tables.lineitem(s, d), Seq(
+        ProfileCol.long("l_orderkey"), ProfileCol.dbl("l_quantity"),
+        ProfileCol.str("l_returnflag"), ProfileCol.ts("l_shipdate")))
+        .orderBy("col_name"),
+      Some("""SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+                count(*) - count(l_orderkey) AS n_null,
+                count(DISTINCT l_orderkey) AS ndv,
+                CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+                CAST(max(l_orderkey) AS VARCHAR) AS max_str
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+                count(DISTINCT l_quantity),
+                CAST(CAST(min(l_quantity) AS DECIMAL(18,6)) AS VARCHAR),
+                CAST(CAST(max(l_quantity) AS DECIMAL(18,6)) AS VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+                count(DISTINCT l_returnflag),
+                min(l_returnflag), max(l_returnflag)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+                count(DISTINCT l_shipdate),
+                strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+                strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+              FROM lineitem
+              ORDER BY col_name""")),
+
+    Op("layout_zorder",
+      (s, d) => zorderStats(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
+        .orderBy("file_id"),
+      Some(s"""WITH ext AS (
+                SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+                       min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+                FROM lineitem),
+              q AS (
+                SELECT l_partkey AS x, l_suppkey AS y,
+                  ((l_partkey - mnx) * 65536) // (mxx - mnx + 1) AS xq,
+                  ((l_suppkey - mny) * 65536) // (mxy - mny + 1) AS yq
+                FROM lineitem, ext)
+              SELECT ${zValueSql("xq", "yq")} >> 26 AS file_id,
+                count(*) AS n_rows,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y
+              FROM q
+              GROUP BY 1 ORDER BY file_id"""))
+  )
+}
