@@ -654,6 +654,32 @@ object LlmOps extends OpModule {
     * (shingle, doc_id) prefix postings, and full shingle arrays move
     * only for candidate pairs.
     */
+  /** Sorted distinct shingle sets per doc — the shared front half of
+    * every exact-Jaccard operator ([[jaccardPairs]],
+    * [[PipelineOps.dedupIncremental]]). Lexicographically sorted so
+    * the prefix-filter theorem has its one consistent total order
+    * without any document-frequency aggregation (see note in
+    * [[jaccardPairs]]).
+    */
+  private[ops] def shingleSets(docs: DataFrame, shingleN: Int): DataFrame = {
+    graft.functions.VectorKernels.register(docs.sparkSession)
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
+      normText(col("text")).as("norm"))
+    val sh = when(size(col("toks")) >= shingleN,
+      call_function("graft_shingles", col("toks"), lit(shingleN)))
+      .otherwise(array(col("norm")))
+    toked.select(col("doc_id"), array_sort(array_distinct(sh)).as("sh"))
+  }
+
+  /** Prefix-filter postings: the first |s| − ⌈τ·|s|⌉ + 1 shingles of
+    * each doc, exploded to (doc_id, shingle) rows.
+    */
+  private[ops] def prefixPostings(sorted: DataFrame, tau: Double): DataFrame =
+    sorted.select(col("doc_id"), size(col("sh")).as("n"), col("sh"))
+      .select(col("doc_id"),
+        explode(slice(col("sh"), lit(1),
+          (col("n") - ceil(col("n") * tau) + 1).cast("int"))).as("s"))
+
   def jaccardPairs(docs: DataFrame, tau: Double = 0.6,
       shingleN: Int = 3): DataFrame = {
     // shingleN is the collision-density dial: longer shingles make the
@@ -662,25 +688,15 @@ object LlmOps extends OpModule {
     // fixture corpus draws from ~30 tokens, so every 3-gram is common
     // and the registered query uses 5 (measured 9 s → sub-second at
     // sf0.1 with an identical high-similarity pair set).
-    graft.functions.VectorKernels.register(docs.sparkSession)
-    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
-      normText(col("text")).as("norm"))
-    val sh = when(size(col("toks")) >= shingleN,
-      call_function("graft_shingles", col("toks"), lit(shingleN)))
-      .otherwise(array(col("norm")))
-    // the prefix theorem needs ONE CONSISTENT total order on shingles —
+    // The prefix theorem needs ONE CONSISTENT total order on shingles —
     // any order. Lexicographic (array_sort) keeps the whole pipeline
     // shuffle-free up to the candidate join: no document-frequency
     // aggregation, no re-assembly join, and the subtree each self-join
     // branch recomputes is just scan → kernel → sort-per-row. The
     // classic rarest-first order is a posting-size heuristic worth its
     // extra df join only when the shingle space is dense.
-    val sorted = toked.select(col("doc_id"),
-      array_sort(array_distinct(sh)).as("sh"))
-    val pref = sorted.select(col("doc_id"), size(col("sh")).as("n"), col("sh"))
-      .select(col("doc_id"),
-        explode(slice(col("sh"), lit(1),
-          (col("n") - ceil(col("n") * tau) + 1).cast("int"))).as("s"))
+    val sorted = shingleSets(docs, shingleN)
+    val pref = prefixPostings(sorted, tau)
     val a = pref.select(col("doc_id").as("doc_a"), col("s"))
     val b = pref.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
     val cand = a.join(b, col("s") === col("s_b") && col("doc_a") < col("doc_b"))

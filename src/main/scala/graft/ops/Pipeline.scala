@@ -309,6 +309,59 @@ object PipelineOps extends OpModule {
   }
 
   // ---------------------------------------------------------------
+  // Incremental dedup: new batch vs existing corpus
+  // ---------------------------------------------------------------
+
+  /** Deduplicate an INCOMING batch against an EXISTING corpus — the
+    * shape every production pipeline actually runs (a new crawl lands
+    * against petabytes already ingested), where a self-join of
+    * corpus ∪ batch would re-pay the whole corpus×corpus work for
+    * every increment. Exact n-gram Jaccard with the same prefix-filter
+    * theorem as [[LlmOps.jaccardPairs]], applied CROSS-set: only
+    * prefix postings of each side meet in the candidate join, so the
+    * shuffle is batch-prefixes ⋈ corpus-prefixes, the confirm touches
+    * candidates only, and nothing ever pairs corpus docs with each
+    * other. Output is one row per batch doc: its best corpus match
+    * (highest Jaccard, ties to the smallest corpus id) or nulls if
+    * novel.
+    *
+    * At 100 TB the corpus prefix postings are a materialized,
+    * shingle-bucketed table maintained across increments; each batch
+    * join then shuffles only the (small) batch side against it —
+    * Spark broadcasts the batch postings when they fit.
+    */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame,
+      tau: Double = 0.8, shingleN: Int = 5): DataFrame = {
+    val cs = LlmOps.shingleSets(corpus, shingleN)
+    val bs = LlmOps.shingleSets(batch, shingleN)
+    val cand = LlmOps.prefixPostings(bs, tau)
+      .select(col("doc_id").as("batch_id"), col("s"))
+      .join(LlmOps.prefixPostings(cs, tau)
+        .select(col("doc_id").as("corpus_id"), col("s").as("s_b")),
+        col("s") === col("s_b"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+    val confirmed = cand
+      .join(bs.select(col("doc_id").as("batch_id"), col("sh").as("sh_a")),
+        "batch_id")
+      .join(cs.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")),
+        "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+    // best match per batch doc as a struct-max aggregate (no window):
+    // jaccard desc, then corpus_id asc via the negated id
+    val best = confirmed.groupBy("batch_id")
+      .agg(max(struct(col("jaccard"), (-col("corpus_id")).as("nid"))).as("b"))
+      .select(col("batch_id").as("doc_id"),
+        (-col("b.nid")).as("dup_of"), col("b.jaccard").as("jaccard"))
+    batch.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  // ---------------------------------------------------------------
 
   private val docTable: (org.apache.spark.sql.SparkSession, String) => DataFrame =
     (s, d) => Tables.documents(s, d)
@@ -472,6 +525,87 @@ object PipelineOps extends OpModule {
                   ON s.bucket = p.bucket AND s.rn = p.rn + 1)
               SELECT doc_id, bucket, ntok, bin
               FROM pack ORDER BY doc_id""")),
+
+    Op("llm_dedup_incremental",
+      // corpus = 90% of documents; batch = the other 10% (mostly
+      // novel) plus planted near-clones of every 7th corpus doc
+      // (drop-last-token) so both outcomes exist at every SF
+      (s, d) => {
+        val docs = docTable(s, d).select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val toks = LlmOps.tokens(col("text"))
+        val clones = corpus.filter(col("doc_id") % 7 === 1)
+          .select(col("doc_id").bitwiseOR(lit(1L << 41)).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+          .unionByName(clones)
+        dedupIncremental(corpus, batch, tau = 0.8, shingleN = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+              clones AS (
+                SELECT doc_id | (1::BIGINT << 41) AS doc_id,
+                  array_to_string(tk[1:len(tk) - 1], ' ') AS text
+                FROM (SELECT doc_id, string_split(lower(trim(
+                    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tk
+                  FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 = 1)),
+              batch AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                UNION ALL SELECT doc_id, text FROM clones),
+              shc AS (
+                SELECT doc_id,
+                  CASE WHEN len(toks) >= 5 THEN
+                    list_distinct(list_transform(
+                      generate_series(1, len(toks) - 4),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4]))
+                  ELSE [norm] END AS sh
+                FROM (SELECT doc_id,
+                    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+                    string_split(lower(trim(
+                      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                  FROM corpus)),
+              shb AS (
+                SELECT doc_id,
+                  CASE WHEN len(toks) >= 5 THEN
+                    list_distinct(list_transform(
+                      generate_series(1, len(toks) - 4),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4]))
+                  ELSE [norm] END AS sh
+                FROM (SELECT doc_id,
+                    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+                    string_split(lower(trim(
+                      regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                  FROM batch)),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+                FROM (SELECT doc_id, unnest(sh) AS g FROM shb) a
+                JOIN (SELECT doc_id, unnest(sh) AS g FROM shc) b
+                  ON a.g = b.g),
+              conf AS (
+                SELECT c.batch_id, c.corpus_id,
+                  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                    / (len(sa.sh) + len(sb.sh)
+                       - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+                FROM cand c
+                JOIN shb sa ON sa.doc_id = c.batch_id
+                JOIN shc sb ON sb.doc_id = c.corpus_id
+                WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / (len(sa.sh) + len(sb.sh)
+                     - len(list_intersect(sa.sh, sb.sh))) >= 0.8),
+              best AS (
+                SELECT batch_id, corpus_id AS dup_of, jaccard,
+                  row_number() OVER (PARTITION BY batch_id
+                    ORDER BY jaccard DESC, corpus_id ASC) AS rn
+                FROM conf)
+              SELECT b.doc_id, w.dup_of, w.jaccard,
+                w.dup_of IS NOT NULL AS is_dup
+              FROM batch b
+              LEFT JOIN (SELECT * FROM best WHERE rn = 1) w
+                ON b.doc_id = w.batch_id
+              ORDER BY doc_id""")),
 
     Op("llm_dedup_clusters",
       // same corpus ∪ truncated-clones workload as llm_dedup_jaccard

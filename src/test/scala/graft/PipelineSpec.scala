@@ -122,6 +122,28 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("dedupIncremental: clones match their source, novel docs pass, best wins") {
+    val base = (1 to 20).map(i => s"tok$i")
+    val corpus = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base :+ "x").mkString(" ")),           // near-identical to 1
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base.mkString(" ")),                  // exact dup of 1 AND near 2
+      (101L, (1 to 20).map(i => s"q$i").mkString(" ")) // novel
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.dedupIncremental(corpus, batch, tau = 0.6, shingleN = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    // 100 matches both 1 (J=1.0) and 2; the best (highest J) is 1
+    assert(out(0).getLong(0) == 100L && out(0).getLong(1) == 1L
+      && out(0).getDouble(2) == 1.0 && out(0).getBoolean(3))
+    assert(out(1).getLong(0) == 101L && out(1).isNullAt(1) && !out(1).getBoolean(3))
+    // corpus docs never appear in the output
+    assert(!out.exists(r => r.getLong(0) <= 3))
+  }
+
   test("dedupClusters equals the transitive closure on a chain + island") {
     // docs: a≈b≈c (chain via shared text), d≈e, f alone
     val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
