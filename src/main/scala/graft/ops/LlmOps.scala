@@ -518,6 +518,47 @@ object LlmOps extends OpModule {
     }
   }
 
+  /** Persist an IVF index as the 100 TB on-disk layout the Scaladoc
+    * above names: the corpus assignment as a CID-PARTITIONED parquet
+    * table (so probing nProbe of C buckets is partition pruning — the
+    * scan touches nProbe/C of the data, enforced in ScaleSpec) plus
+    * the coarse-quantizer metadata as a tiny side table. This is the
+    * cross-session / cross-job form of [[ivfIndex]]'s in-session
+    * cache: build once, then every batch of probes reads only the
+    * buckets it ranks.
+    */
+  private[graft] def writeIvfIndex(idx: IvfIdx, dir: String): Unit = {
+    idx.assign.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$dir/assign")
+    val spark = idx.assign.sparkSession
+    import spark.implicits._
+    idx.cids.zip(idx.cents).zip(idx.alphaMax)
+      .map { case ((c, v), a) => (c, v, a) }
+      .toDF("cid", "cent", "alpha_max")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load an index written by [[writeIvfIndex]]. The assignment scan
+    * stays lazy — a downstream `cid` equi-join or filter prunes
+    * partitions at planning time. Metadata is O(C·dim), the one
+    * acceptable driver materialization (same as [[collectCentroids]]).
+    */
+  private[graft] def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIdx = {
+    val md = spark.read.parquet(s"$dir/centroids")
+      .select("cid", "cent", "alpha_max")
+      .collect()
+      .sortBy(_.getLong(0))
+    val assign = spark.read.parquet(s"$dir/assign")
+      // partition-column type inference narrows cid to int; restore
+      // the long the join/bucket logic uses
+      .withColumn("cid", col("cid").cast("long"))
+      .select("vec_id", "e", "cid", "alpha")
+    IvfIdx(md.map(_.getLong(0)).toSeq,
+      md.map(_.getSeq[Double](1)).toSeq,
+      md.map(_.getDouble(2)).toSeq, assign)
+  }
+
   /** Evict and unpersist every cached IVF index for `spark` — the
     * teardown hook for a long-lived service embedding this library. */
   def evictIvfCache(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -624,6 +665,16 @@ object LlmOps extends OpModule {
     val idx = ivfIndex(emb, nCentroids, cacheKey)
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("p_id"), col("embedding").cast("array<double>").as("p_emb"))
+    simSearchIvfOn(idx, probes, topK, nProbe)
+  }
+
+  /** The probe path against ANY materialized index — in-session
+    * ([[ivfIndex]]) or disk-backed ([[loadIvfIndex]]); with a
+    * cid-partitioned assignment table the cid equi-join is partition
+    * pruning, so the scan reads nProbe/C of the corpus. */
+  private[graft] def simSearchIvfOn(idx: IvfIdx, probes: DataFrame,
+      topK: Int, nProbe: Int): DataFrame = {
+    graft.functions.VectorKernels.register(probes.sparkSession)
     val probeBuckets = rankCentroids(probes, idx)
       .filter(col("c_rn") <= nProbe)
       .select(col("p_id"), col("p_emb"), col("cid"))

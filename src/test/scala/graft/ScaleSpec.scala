@@ -140,4 +140,36 @@ class ScaleSpec extends SparkSpec {
       .filter(_.startsWith("cid=")).toSet
     assert(dirs.size == 8, s"expected 8 cid partitions, got $dirs")
   }
+
+  test("disk-backed IVF index: write, load, probe — results equal the in-session path") {
+    // NEXT r6 #3 end-to-end: the full probe query running against the
+    // persisted cid-partitioned layout, not just a hand-written filter
+    import org.apache.spark.sql.functions._
+    import graft.ops.LlmOps
+    val emb = Tables.embeddings(spark, sf001)
+    val idx = LlmOps.ivfIndex(emb, nCentroids = 8, cacheKey = None)
+    val dir = tmpDir("graft_ivf_full")
+    LlmOps.writeIvfIndex(idx, dir)
+    val disk = LlmOps.loadIvfIndex(spark, dir)
+    // metadata survives the round-trip exactly
+    assert(disk.cids == idx.cids)
+    assert(disk.alphaMax.zip(idx.alphaMax).forall { case (a, b) =>
+      math.abs(a - b) < 1e-12 })
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("p_id"),
+        col("embedding").cast("array<double>").as("p_emb"))
+    val mem = LlmOps.simSearchIvfOn(idx, probes, topK = 10, nProbe = 3)
+      .orderBy("p_id", "rank").collect().toSeq
+    val dsk = LlmOps.simSearchIvfOn(disk, probes, topK = 10, nProbe = 3)
+    val dskRows = dsk.orderBy("p_id", "rank").collect().toSeq
+    assert(dskRows == mem, "disk-backed probe differs from in-session probe")
+    // the probe join on the partition column is a dynamic-partition-
+    // pruning candidate: the assignment scan must carry a runtime
+    // partition filter, not read all 8 buckets unconditionally
+    val plan = dsk.queryExecution.executedPlan.toString
+    info("dpp fired: " + plan.contains("dynamicpruning"))
+    assert(plan.contains("dynamicpruning") ||
+      plan.contains("PartitionFilters: [isnotnull(cid"),
+      s"no partition pruning on the disk assignment scan:\n$plan")
+  }
 }
