@@ -362,6 +362,67 @@ object PipelineOps extends OpModule {
   }
 
   // ---------------------------------------------------------------
+  // End-to-end corpus preparation funnel
+  // ---------------------------------------------------------------
+
+  /** The whole corpus-prep pipeline as ONE funnel: exact dedup →
+    * quality filter → train-split assignment, reported as survivor
+    * counts per stage. The point is the COMPOSITION SHAPE: every
+    * stage is a per-doc flag computed in the same pass (one content-
+    * hash window for the dedup winner, codegen'd projections for the
+    * rest), and the funnel is a single conditional aggregate — one
+    * scan + one window shuffle + one 1-row agg, NOT four passes over
+    * the corpus. At 100 TB that difference is the pipeline's cost.
+    *
+    * `maxTopBigramFrac` is the quality dial (the full Gopher battery
+    * lives in [[repetitionStats]]; one robust signal keeps the funnel
+    * oracle-exact on any corpus).
+    */
+  def corpusFunnel(docs: DataFrame,
+      maxTopBigramFrac: Double = 0.5): DataFrame = {
+    graft.functions.VectorKernels.register(docs.sparkSession)
+    val norm = normText(col("text"))
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id")
+    val toked = docs
+      .select(col("doc_id"), md5(norm).as("h"),
+        (md5Bucket(norm) % 100).as("bucket"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("h"), col("bucket"),
+        when(size(col("toks")) >= 2, array_sort(
+          call_function("graft_shingles", col("toks"), lit(2))))
+          .otherwise(array().cast("array<string>")).as("bg"))
+    val topRun = aggregate(
+      col("bg"),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val flagged = toked
+      .withColumn("keep_dedup", row_number().over(wH) === 1)
+      .withColumn("tbf", when(size(col("bg")) > 0,
+        topRun.cast("double") / size(col("bg"))).otherwise(lit(0.0)))
+      .withColumn("keep_quality",
+        col("keep_dedup") && col("tbf") <= maxTopBigramFrac)
+      .withColumn("keep_train", col("keep_quality") && col("bucket") < 90)
+    val one = flagged.agg(
+      count(lit(1)).as("n_raw"),
+      count(when(col("keep_dedup"), 1)).as("n_dedup"),
+      count(when(col("keep_quality"), 1)).as("n_quality"),
+      count(when(col("keep_train"), 1)).as("n_train"))
+    one.select(explode(array(
+        struct(lit("1_raw").as("stage"), col("n_raw").as("n_docs")),
+        struct(lit("2_dedup").as("stage"), col("n_dedup").as("n_docs")),
+        struct(lit("3_quality").as("stage"), col("n_quality").as("n_docs")),
+        struct(lit("4_train").as("stage"), col("n_train").as("n_docs"))))
+        .as("s"))
+      .select("s.*")
+  }
+
+  // ---------------------------------------------------------------
 
   private val docTable: (org.apache.spark.sql.SparkSession, String) => DataFrame =
     (s, d) => Tables.documents(s, d)
@@ -525,6 +586,69 @@ object PipelineOps extends OpModule {
                   ON s.bucket = p.bucket AND s.rn = p.rn + 1)
               SELECT doc_id, bucket, ntok, bin
               FROM pack ORDER BY doc_id""")),
+
+    Op("llm_corpus_funnel",
+      // planted attrition so every stage bites at every SF: exact
+      // clones of every 4th doc (dedup stage) and degenerate
+      // single-token docs for every 9th (quality stage); the split
+      // stage trims ~10% by content hash
+      (s, d) => {
+        val docs0 = docTable(s, d).select("doc_id", "text")
+        val clones = docs0.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id").bitwiseOR(lit(1L << 43)).as("doc_id"),
+            col("text"))
+        val degen = docs0.filter(col("doc_id") % 9 === 0)
+          .select(col("doc_id").bitwiseOR(lit(1L << 44)).as("doc_id"),
+            lit(Seq.fill(60)("spam").mkString(" ")).as("text"))
+        corpusFunnel(docs0.unionByName(clones).unionByName(degen))
+          .orderBy("stage")
+      },
+      Some("""WITH raw AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id | (1::BIGINT << 43), text
+                FROM documents WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id | (1::BIGINT << 44), trim(repeat('spam ', 60))
+                FROM documents WHERE doc_id % 9 = 0),
+              t AS (
+                SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+                  string_split(lower(trim(
+                    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM raw),
+              b AS (
+                SELECT doc_id, md5(norm) AS h,
+                  CAST(('0x' || substr(md5(norm), 1, 8)) AS BIGINT) % 100
+                    AS bucket,
+                  CASE WHEN len(toks) >= 2 THEN
+                    list_transform(generate_series(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END AS bg
+                FROM t),
+              ex AS (SELECT doc_id, unnest(bg) AS g FROM b),
+              cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+              mx AS (SELECT doc_id, max(c) AS m FROM cnt GROUP BY 1),
+              fl AS (
+                SELECT b.doc_id, h, bucket,
+                  CASE WHEN len(bg) > 0 THEN
+                    CAST(coalesce(mx.m, 0) AS DOUBLE) / len(bg)
+                  ELSE 0.0 END AS tbf,
+                  row_number() OVER (PARTITION BY h ORDER BY b.doc_id) = 1
+                    AS keep_dedup
+                FROM b LEFT JOIN mx ON b.doc_id = mx.doc_id),
+              f2 AS (SELECT *, keep_dedup AND tbf <= 0.5 AS keep_quality
+                     FROM fl),
+              f3 AS (SELECT *, keep_quality AND bucket < 90 AS keep_train
+                     FROM f2)
+              SELECT '1_raw' AS stage, count(*) AS n_docs FROM f3
+              UNION ALL
+              SELECT '2_dedup', count(*) FROM f3 WHERE keep_dedup
+              UNION ALL
+              SELECT '3_quality', count(*) FROM f3 WHERE keep_quality
+              UNION ALL
+              SELECT '4_train', count(*) FROM f3 WHERE keep_train
+              ORDER BY stage""")),
 
     Op("llm_dedup_incremental",
       // corpus = 90% of documents; batch = the other 10% (mostly
