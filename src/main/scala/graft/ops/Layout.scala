@@ -151,6 +151,38 @@ object LayoutOps extends OpModule {
   }
 
   // ---------------------------------------------------------------
+  // Small-file compaction
+  // ---------------------------------------------------------------
+
+  /** Rewrite a parquet directory into ≈`targetRowsPerFile`-row files,
+    * range-partitioned and sorted on `sortCol` — the maintenance pass
+    * every long-lived ingest needs (streaming sinks and incremental
+    * batches leave thousands of KB-scale files whose per-file
+    * scheduling overhead dominates a scan long before 100 TB). After
+    * the rewrite each file owns a DISJOINT sort-key range, so footer
+    * min/max stats turn key predicates into file pruning (pinned in
+    * LayoutSpec). Returns (filesBefore, filesAfter, rows).
+    *
+    * The row count is one aggregate job; the rewrite is one shuffle
+    * (range partitioner) — no driver materialization of data.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, sortCol: String,
+      targetRowsPerFile: Long): (Int, Int, Long) = {
+    def parquetFiles(d: String): Int =
+      Option(new java.io.File(d).listFiles()).map(
+        _.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+    val src = spark.read.parquet(srcDir)
+    val rows = src.count()
+    val nFiles = math.max(1,
+      math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    src.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(dstDir)
+    (parquetFiles(srcDir), parquetFiles(dstDir), rows)
+  }
+
+  // ---------------------------------------------------------------
 
   def ops: Seq[Op] = Seq(
 

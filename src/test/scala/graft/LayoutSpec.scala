@@ -63,6 +63,29 @@ class LayoutSpec extends SparkSpec {
     assert(avgY < avgYLin / 2.0, "zorder must bound y far tighter than a linear sort")
   }
 
+  test("compaction: tiny files coalesce to disjoint sorted ranges, no row lost") {
+    val li = Tables.lineitem(spark, sf001)
+    val srcDir = tmpDir("compact_src")
+    li.repartition(64).write.mode("overwrite").parquet(srcDir) // 64 tiny files
+    val dstDir = tmpDir("compact_dst")
+    val (before, after, rows) =
+      LayoutOps.compact(spark, srcDir, dstDir, "l_orderkey",
+        targetRowsPerFile = 2000L)
+    assert(before == 64 && after == 3 && rows == 6000L)
+    val back = spark.read.parquet(dstDir)
+    assert(back.count() == 6000L)
+    // every compacted file owns a DISJOINT l_orderkey range — the
+    // property that turns footer stats into file pruning
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == 3)
+    ranges.sliding(2).foreach { case Array((_, mx1), (mn2, _)) =>
+      assert(mx1 <= mn2, s"overlapping file ranges: $ranges")
+    }
+  }
+
   test("end-to-end: z-ordered parquet write yields files pruned on both dims") {
     val li = Tables.lineitem(spark, sf01)
     val dir = tmpDir("zorder")
