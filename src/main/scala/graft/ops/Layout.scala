@@ -151,6 +151,37 @@ object LayoutOps extends OpModule {
   }
 
   // ---------------------------------------------------------------
+  // Equi-width histogram
+  // ---------------------------------------------------------------
+
+  /** Equi-width histogram of a numeric column — the second half of
+    * ANALYZE-style statistics (NDV + min/max bound selectivity;
+    * histograms bound it per range predicate). Two narrow passes at
+    * any scale: the 2-value extent aggregate broadcasts back, then
+    * one codegen'd bucket projection + groupBy(bucket) — the same
+    * shape as [[zorderStats]]. Bucket math is plain binary64
+    * arithmetic (`floor((x - mn) * nBins / (mx - mn))`, clamped), so
+    * the oracle reproduces the exact bucket of every row, boundary
+    * values included.
+    */
+  def histogram(df: DataFrame, colName: String, nBins: Int = 16): DataFrame = {
+    val base = df.select(col(colName).cast("double").as("x")).filter(col("x").isNotNull)
+    val ext = base.agg(min("x").as("mn"), max("x").as("mx"))
+    base.crossJoin(broadcast(ext))
+      .select(least(lit(nBins - 1),
+        floor((col("x") - col("mn")) * nBins / (col("mx") - col("mn"))))
+        .cast("long").as("bin"),
+        col("x"), col("mn"), col("mx"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        graft.ops.dsum(col("x")).as("sum_x"),
+        round(min(col("mn") + col("bin") * (col("mx") - col("mn")) / nBins), 6)
+          .as("lo"),
+        round(min(col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / nBins), 6)
+          .as("hi"))
+  }
+
+  // ---------------------------------------------------------------
   // Small-file compaction
   // ---------------------------------------------------------------
 
@@ -215,6 +246,24 @@ object LayoutOps extends OpModule {
                 strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
               FROM lineitem
               ORDER BY col_name""")),
+
+    Op("table_histogram",
+      (s, d) => histogram(Tables.lineitem(s, d), "l_extendedprice", 16)
+        .orderBy("bin"),
+      Some("""WITH ext AS (
+                SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                FROM lineitem),
+              b AS (
+                SELECT least(15, CAST(floor(
+                    (l_extendedprice - mn) * 16 / (mx - mn)) AS BIGINT))
+                  AS bin, l_extendedprice AS x, mn, mx
+                FROM lineitem, ext)
+              SELECT bin, count(*) AS n,
+                CAST(round(sum(CAST(x AS DECIMAL(38,10))), 6) AS DOUBLE)
+                  AS sum_x,
+                round(min(mn + bin * (mx - mn) / 16), 6) AS lo,
+                round(min(mn + (bin + 1) * (mx - mn) / 16), 6) AS hi
+              FROM b GROUP BY bin ORDER BY bin""")),
 
     Op("layout_zorder",
       (s, d) => zorderStats(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
