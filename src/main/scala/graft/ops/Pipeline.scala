@@ -378,12 +378,15 @@ object PipelineOps extends OpModule {
     * lives in [[repetitionStats]]; one robust signal keeps the funnel
     * oracle-exact on any corpus).
     */
-  def corpusFunnel(docs: DataFrame,
-      maxTopBigramFrac: Double = 0.5): DataFrame = {
+  /** Streaming-safe per-doc content signals — content hash, split
+    * bucket, top-bigram share — as PURE PROJECTIONS (no window, no
+    * aggregate), so the exact same column logic runs under `read` and
+    * `readStream` ([[graft.streaming.CorpusIngest]] is the streaming
+    * consumer; [[corpusFunnel]] the batch one).
+    */
+  def contentSignals(docs: DataFrame): DataFrame = {
     graft.functions.VectorKernels.register(docs.sparkSession)
     val norm = normText(col("text"))
-    val wH = org.apache.spark.sql.expressions.Window
-      .partitionBy("h").orderBy("doc_id")
     val toked = docs
       .select(col("doc_id"), md5(norm).as("h"),
         (md5Bucket(norm) % 100).as("bucket"), tokens(col("text")).as("toks"))
@@ -401,10 +404,17 @@ object PipelineOps extends OpModule {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    val flagged = toked
+    toked.select(col("doc_id"), col("h"), col("bucket"),
+      when(size(col("bg")) > 0, topRun.cast("double") / size(col("bg")))
+        .otherwise(lit(0.0)).as("tbf"))
+  }
+
+  def corpusFunnel(docs: DataFrame,
+      maxTopBigramFrac: Double = 0.5): DataFrame = {
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id")
+    val flagged = contentSignals(docs)
       .withColumn("keep_dedup", row_number().over(wH) === 1)
-      .withColumn("tbf", when(size(col("bg")) > 0,
-        topRun.cast("double") / size(col("bg"))).otherwise(lit(0.0)))
       .withColumn("keep_quality",
         col("keep_dedup") && col("tbf") <= maxTopBigramFrac)
       .withColumn("keep_train", col("keep_quality") && col("bucket") < 90)
