@@ -100,4 +100,30 @@ class PlanSpec extends SparkSpec {
         s"$q has a window not partitioned by probe id (full-corpus rank?): $specs\n$p")
     }
   }
+
+  test("r7 operators: profile is one Expand agg; layout/dedup plans stay narrow") {
+    // table_profile: k exact count-distincts plan as ONE Expand (not k
+    // scans/joins), partial+final aggregation
+    val pp = planOf("table_profile")
+    assert("Expand".r.findAllIn(pp).size >= 1, s"expected Expand NDV plan:\n$pp")
+    assert(!pp.contains("Join"), s"profile must be one pass, no self-joins:\n$pp")
+    // layout_zorder / table_histogram: the extent side is BROADCAST
+    // back — no sort-merge join of the corpus against a 1-row agg
+    for (q <- Seq("layout_zorder", "table_histogram")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q extent should broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles the corpus for the extent:\n$p")
+    }
+    // incremental dedup: cross-set prefix join is an equi-join —
+    // never a cartesian product — and the confirm joins are equi too
+    val pi = planOf("llm_dedup_incremental")
+    assert(!pi.contains("CartesianProduct") && !pi.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup plans a product:\n$pi")
+    // funnel: single scan shape — exactly one window (dedup winner),
+    // no join anywhere
+    val pf = planOf("llm_corpus_funnel")
+    assert(!pf.contains("Join"), s"funnel must not join:\n$pf")
+    assert("windowspecdefinition".r.findAllIn(pf).size >= 1, pf)
+  }
 }
