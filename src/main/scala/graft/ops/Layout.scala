@@ -168,9 +168,11 @@ object LayoutOps extends OpModule {
     val base = df.select(col(colName).cast("double").as("x")).filter(col("x").isNotNull)
     val ext = base.agg(min("x").as("mn"), max("x").as("mx"))
     base.crossJoin(broadcast(ext))
-      .select(least(lit(nBins - 1),
-        floor((col("x") - col("mn")) * nBins / (col("mx") - col("mn"))))
-        .cast("long").as("bin"),
+      // a constant column (mx == mn) would make the bucket math 0/0;
+      // everything lands in bin 0 instead
+      .select(when(col("mx") > col("mn"), least(lit(nBins - 1),
+        floor((col("x") - col("mn")) * nBins / (col("mx") - col("mn")))))
+        .otherwise(lit(0)).cast("long").as("bin"),
         col("x"), col("mn"), col("mx"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),

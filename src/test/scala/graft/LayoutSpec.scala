@@ -63,6 +63,12 @@ class LayoutSpec extends SparkSpec {
     assert(avgY < avgYLin / 2.0, "zorder must bound y far tighter than a linear sort")
   }
 
+  test("histogram: constant column degenerates to one bin, not NaN") {
+    val out = LayoutOps.histogram(
+      Seq.fill(10)(7.5).toDF("v"), "v", nBins = 8).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 0L && out(0).getLong(1) == 10L)
+  }
+
   test("compaction: tiny files coalesce to disjoint sorted ranges, no row lost") {
     val li = Tables.lineitem(spark, sf001)
     val srcDir = tmpDir("compact_src")
