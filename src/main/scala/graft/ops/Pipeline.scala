@@ -333,10 +333,22 @@ object PipelineOps extends OpModule {
   def dedupIncremental(corpus: DataFrame, batch: DataFrame,
       tau: Double = 0.8, shingleN: Int = 5): DataFrame = {
     val cs = LlmOps.shingleSets(corpus, shingleN)
-    val bs = LlmOps.shingleSets(batch, shingleN)
+    matchBatch(batch, LlmOps.shingleSets(batch, shingleN),
+      LlmOps.prefixPostings(cs, tau), cs, tau)
+  }
+
+  /** Shared back half of the incremental-dedup paths: cross-set
+    * candidate join on prefix postings, exact-Jaccard confirm on
+    * candidates only, best match per batch doc as a struct-max
+    * aggregate (no window): jaccard desc, ties to the smallest
+    * corpus id via the negated id.
+    */
+  private def matchBatch(batch: DataFrame, bs: DataFrame,
+      corpusPostings: DataFrame, corpusShingles: DataFrame,
+      tau: Double): DataFrame = {
     val cand = LlmOps.prefixPostings(bs, tau)
       .select(col("doc_id").as("batch_id"), col("s"))
-      .join(LlmOps.prefixPostings(cs, tau)
+      .join(corpusPostings
         .select(col("doc_id").as("corpus_id"), col("s").as("s_b")),
         col("s") === col("s_b"))
       .select("batch_id", "corpus_id")
@@ -344,14 +356,13 @@ object PipelineOps extends OpModule {
     val confirmed = cand
       .join(bs.select(col("doc_id").as("batch_id"), col("sh").as("sh_a")),
         "batch_id")
-      .join(cs.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")),
+      .join(corpusShingles
+        .select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")),
         "corpus_id")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jaccard") >= tau)
-    // best match per batch doc as a struct-max aggregate (no window):
-    // jaccard desc, then corpus_id asc via the negated id
     val best = confirmed.groupBy("batch_id")
       .agg(max(struct(col("jaccard"), (-col("corpus_id")).as("nid"))).as("b"))
       .select(col("batch_id").as("doc_id"),
@@ -360,6 +371,37 @@ object PipelineOps extends OpModule {
       .select(col("doc_id"), col("dup_of"), col("jaccard"),
         col("dup_of").isNotNull.as("is_dup"))
   }
+
+  /** Materialize the corpus side of [[dedupIncremental]] as the
+    * on-disk layout its Scaladoc names: the prefix POSTINGS (one row
+    * per (shingle, doc_id) prefix entry, bucketed by shingle hash so
+    * a batch join co-locates) and the full shingle SETS (fetched only
+    * for confirmed candidates). Maintained across increments by
+    * appending each accepted batch's rows — no corpus rebuild.
+    */
+  def writeCorpusPostings(corpus: DataFrame, dir: String,
+      tau: Double = 0.8, shingleN: Int = 5, nBuckets: Int = 64): Unit = {
+    val cs = LlmOps.shingleSets(corpus, shingleN)
+    LlmOps.prefixPostings(cs, tau)
+      .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    cs.write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** [[dedupIncremental]] against a postings table written by
+    * [[writeCorpusPostings]]: the batch never touches corpus TEXT —
+    * its prefix postings join the materialized corpus postings
+    * (shingle-bucketed, so the exchange co-locates), and corpus
+    * shingle sets load only for candidate ids. Result is identical to
+    * the from-text path (pinned in PipelineSpec).
+    */
+  def dedupIncrementalAgainst(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, tau: Double = 0.8,
+      shingleN: Int = 5): DataFrame =
+    matchBatch(batch, LlmOps.shingleSets(batch, shingleN),
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/shingles"), tau)
 
   // ---------------------------------------------------------------
   // End-to-end corpus preparation funnel

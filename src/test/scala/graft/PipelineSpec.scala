@@ -144,6 +144,27 @@ class PipelineSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(0) <= 3))
   }
 
+  test("dedupIncrementalAgainst materialized postings equals the from-text path") {
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .unionByName(corpus.limit(3)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    val dir = tmpDir("postings")
+    PipelineOps.writeCorpusPostings(corpus, dir, tau = 0.8, shingleN = 5)
+    // bucketed layout exists on disk
+    val buckets = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).count(_.startsWith("bucket="))
+    assert(buckets > 1, s"expected shingle-bucketed postings dirs, got $buckets")
+    val direct = PipelineOps.dedupIncremental(corpus, batch, 0.8, 5)
+      .orderBy("doc_id").collect().toSeq
+    val viaDisk = PipelineOps.dedupIncrementalAgainst(spark, dir, batch, 0.8, 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaDisk == direct)
+    // the planted exact clones are all flagged against their source
+    assert(viaDisk.count(r => r.getLong(0) >= 5000000L && r.getBoolean(3)) == 3)
+  }
+
   test("dedupClusters equals the transitive closure on a chain + island") {
     // docs: a≈b≈c (chain via shared text), d≈e, f alone
     val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
