@@ -426,16 +426,19 @@ object PipelineOps extends OpModule {
     * `readStream` ([[graft.streaming.CorpusIngest]] is the streaming
     * consumer; [[corpusFunnel]] the batch one).
     */
-  def contentSignals(docs: DataFrame): DataFrame = {
+  def contentSignals(docs: DataFrame,
+      passthrough: Seq[String] = Nil): DataFrame = {
     graft.functions.VectorKernels.register(docs.sparkSession)
     val norm = normText(col("text"))
+    val extra = passthrough.map(col)
     val toked = docs
-      .select(col("doc_id"), md5(norm).as("h"),
-        (md5Bucket(norm) % 100).as("bucket"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("h"), col("bucket"),
+      .select(col("doc_id") +: md5(norm).as("h") +:
+        (md5Bucket(norm) % 100).as("bucket") +:
+        tokens(col("text")).as("toks") +: extra: _*)
+      .select(col("doc_id") +: col("h") +: col("bucket") +:
         when(size(col("toks")) >= 2, array_sort(
           call_function("graft_shingles", col("toks"), lit(2))))
-          .otherwise(array().cast("array<string>")).as("bg"))
+          .otherwise(array().cast("array<string>")).as("bg") +: extra: _*)
     val topRun = aggregate(
       col("bg"),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
@@ -446,9 +449,9 @@ object PipelineOps extends OpModule {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    toked.select(col("doc_id"), col("h"), col("bucket"),
+    toked.select(col("doc_id") +: col("h") +: col("bucket") +:
       when(size(col("bg")) > 0, topRun.cast("double") / size(col("bg")))
-        .otherwise(lit(0.0)).as("tbf"))
+        .otherwise(lit(0.0)).as("tbf") +: passthrough.map(col): _*)
   }
 
   def corpusFunnel(docs: DataFrame,

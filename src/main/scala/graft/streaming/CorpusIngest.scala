@@ -43,4 +43,25 @@ object CorpusIngest {
     * hash already ingested. */
   def corpusHashes(corpus: DataFrame): DataFrame =
     graft.ops.PipelineOps.contentSignals(corpus).select("h").distinct()
+
+  /** [[ingest]] with BOUNDED dedup state for an indefinitely-running
+    * query: `dropDuplicatesWithinWatermark` keeps a content hash in
+    * state only while it can still collide within the watermark
+    * window, then evicts it. The trade is explicit and standard:
+    * re-deliveries inside the lateness bound collapse exactly;
+    * repeats arriving further apart than the watermark may pass
+    * in-stream dedup — and are then caught by the corpus anti join
+    * once the earlier copy is folded into the corpus hash table
+    * (which is the long-term memory; keyed state is only the
+    * short-term buffer). `docs` must carry an event-time `ts`.
+    */
+  def ingestBounded(docs: DataFrame, corpusHashes: DataFrame,
+      delay: String = "10 minutes",
+      maxTopBigramFrac: Double = 0.5): DataFrame =
+    graft.ops.PipelineOps.contentSignals(docs, passthrough = Seq("ts"))
+      .filter(col("tbf") <= maxTopBigramFrac)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("h")
+      .join(corpusHashes.select(col("h")), Seq("h"), "left_anti")
+      .select("doc_id", "h", "bucket", "ts")
 }

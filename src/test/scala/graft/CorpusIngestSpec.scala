@@ -68,4 +68,51 @@ class CorpusIngestSpec extends SparkSpec {
     // and the novel set is actually non-trivial
     assert(streamed.count() >= novel.count())
   }
+
+  test("ingestBounded: dups inside the watermark collapse, state evicts beyond it") {
+    val dupText = (1 to 25).map(i => s"bounded$i").mkString(" ")
+    val lateText = (1 to 25).map(i => s"evicted$i").mkString(" ")
+    // base well above epoch: a streaming query's initial watermark is
+    // 0, and rows AT the watermark count as late — epoch-0 event
+    // times would be dropped in the very first batch
+    def ts(min: Int) = new java.sql.Timestamp(1577836800000L + min * 60000L)
+    // file A: the dup pair at t=0/t=1 (inside the 10-min watermark)
+    // and the first copy of the far-apart repeat at t=0
+    val fileA = Seq((1L, dupText, ts(0)), (2L, dupText, ts(1)),
+      (3L, lateText, ts(0))).toDF("doc_id", "text", "ts")
+    // file B advances the watermark to ~50min; file C runs one more
+    // batch at that watermark (eviction of expired keys happens at
+    // batch END, after the in-batch dedup check); file D then replays
+    // lateText — its hash state is gone
+    val fileB = Seq((4L, (1 to 25).map(i => s"adv$i").mkString(" "), ts(60)))
+      .toDF("doc_id", "text", "ts")
+    val fileC = Seq((6L, (1 to 25).map(i => s"mid$i").mkString(" "), ts(61)))
+      .toDF("doc_id", "text", "ts")
+    val fileD = Seq((5L, lateText, ts(61))).toDF("doc_id", "text", "ts")
+    val dir = tmpDir("bounded")
+    // the file source orders batches by modification time: force
+    // distinct mtimes so a → b → c → d is the actual replay order
+    for ((f, n) <- Seq(fileA -> "a", fileB -> "b", fileC -> "c", fileD -> "d")) {
+      f.coalesce(1).write.parquet(s"$dir/in/$n")
+      Thread.sleep(1100)
+    }
+    val emptyCorpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val stream = spark.readStream.schema(fileA.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+    val out = graft.streaming.CorpusIngest.ingestBounded(
+      stream, graft.streaming.CorpusIngest.corpusHashes(emptyCorpus),
+      delay = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("t_bounded").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t_bounded").select("doc_id").as[Long]
+      .collect().toSet
+    // in-watermark dup collapsed to one of {1,2}; state eviction let
+    // BOTH copies of lateText through (3 then 5) — the documented
+    // trade; the corpus anti join is the long-term memory
+    assert(ids.intersect(Set(1L, 2L)).size == 1, s"got $ids")
+    assert(Set(3L, 4L, 5L, 6L).subsetOf(ids), s"got $ids")
+  }
 }
