@@ -18,6 +18,7 @@ object SparkEntry {
     ops.LlmOps,
     ops.PipelineOps,
     ops.LayoutOps,
+    ops.PqOps,
     ops.Multimodal,
     ops.Extension)
 

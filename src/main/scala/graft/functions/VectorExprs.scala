@@ -292,6 +292,36 @@ case class Quant8(child: Expression) extends UnaryExpression {
 /** graft_cos_centroids(array<double>, array<array<double>>) →
   * array<double>: clamped cosine to every centroid (array order), one
   * pass — feeds the per-probe bucket ranking without a window. */
+/** graft_best_centroid_l2(array<double>, array<array<double>>) →
+  * struct<idx:int, dist:double>: squared-L2 argmin over the centroid
+  * list (ties → lowest idx) — the PQ subquantizer assignment. */
+case class BestCentroidL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_best_centroid_l2 requires (array<double>, array<array<double>>), got $other")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_best_centroid_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.bestCentroidL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.bestCentroidL2($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CosCentroids(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -338,6 +368,30 @@ object VectorKernels {
     while (i < n) {
       val cos = clampedCos(e, ne, cents.getArray(i))
       if (cos > best) { best = cos; bestI = i } // strict > : ties → lowest idx
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestI, best))
+  }
+
+  /** L2 (squared-distance) argmin — the subquantizer metric product
+    * quantization needs: cosine is scale-blind, so a subvector would
+    * happily assign to a badly-scaled centroid. */
+  def bestCentroidL2(e: ArrayData, cents: ArrayData): InternalRow = {
+    val n = cents.numElements()
+    val d = e.numElements()
+    var bestI = 0
+    var best = java.lang.Double.POSITIVE_INFINITY
+    var i = 0
+    while (i < n) {
+      val c = cents.getArray(i)
+      var s = 0.0
+      var j = 0
+      while (j < d) {
+        val diff = e.getDouble(j) - c.getDouble(j)
+        s += diff * diff
+        j += 1
+      }
+      if (s < best) { best = s; bestI = i } // strict < : ties → lowest idx
       i += 1
     }
     new GenericInternalRow(Array[Any](bestI, best))
@@ -567,6 +621,8 @@ object VectorKernels {
         litInt(exprs(2), "bands"), litLong(exprs(3), "seed")), "built-in")
     reg.createOrReplaceTempFunction("graft_best_centroid",
       exprs => BestCentroid(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_best_centroid_l2",
+      exprs => BestCentroidL2(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cos_centroids",
       exprs => CosCentroids(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",

@@ -110,7 +110,7 @@ object LlmOps extends OpModule {
     * bit-identical to the HOF/`list_reduce` renderings the oracles use.
     * Callers must have VectorKernels registered on the session.
     */
-  private def cosineCols(a: Column, b: Column): Column = {
+  private[ops] def cosineCols(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       call_function("graft_dot", x.cast("array<double>"), y.cast("array<double>"))
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -395,7 +395,7 @@ object LlmOps extends OpModule {
     */
   /** clamp to [-1, 1] and null/NaN-proof (zero-norm centroid) before
     * acos — the angle computations below must never produce NaN */
-  private def clamp1(c: Column): Column =
+  private[ops] def clamp1(c: Column): Column =
     least(lit(1.0), greatest(lit(-1.0), coalesce(nanvl(c, lit(0.0)), lit(0.0))))
 
   /** Centroid set materialized as driver-side index METADATA — the
@@ -575,7 +575,7 @@ object LlmOps extends OpModule {
     * its bucket's α_max so the exact-search bound needs no stats
     * join.
     */
-  private def rankCentroids(probes: DataFrame, idx: IvfIdx): DataFrame = {
+  private[ops] def rankCentroids(probes: DataFrame, idx: IvfIdx): DataFrame = {
     graft.functions.VectorKernels.register(probes.sparkSession)
     probes
       .withColumn("cs",

@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the vector-compression half of the
+  * classic IVF+PQ ANN stack (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search"): split each D-dim vector into `m`
+  * subvectors, k-means each subspace to `k` centroids, and store a
+  * vector as `m` small codes (log₂k bits each — 64 dims × 8 bytes →
+  * 8 bytes at m=8, k=16 vs 32 the scalar int8 path keeps). Search
+  * uses ASYMMETRIC DISTANCE: the probe stays exact, each subspace
+  * contributes a table lookup, so a candidate's approximate dot is m
+  * array reads + adds — no per-candidate float math over D dims.
+  *
+  * Spark shapes, all plan-pin friendly:
+  *  - training: per subspace, ONE seeded-Lloyd step — a codegen'd
+  *    `graft_best_centroid_l2` argmin pass + a C×d' mean groupBy
+  *    (the [[LlmOps.lloydCentroids]] pattern under the L2 metric PQ
+  *    requires; cosine is scale-blind and would mis-assign scaled
+  *    subvectors). Codebooks are O(m·k·d') driver metadata — the
+  *    IVF-centroid materialization class.
+  *  - encoding: all m code assignments in ONE codegen projection.
+  *  - search ([[simSearchIvfPq]]): IVF bucket pruning (same ranked
+  *    probes + cid equi-join as [[LlmOps.simSearchIvf]]) → per-probe
+  *    ADC lookup-table columns (m literal-codebook dot transforms) →
+  *    top-`rerank` by ADC per probe → EXACT rescoring of that short
+  *    list. Equi-joins and p_id-partitioned windows only; with
+  *    nProbe=C and rerank ≥ corpus the result EQUALS the exact
+  *    search (pinned in PqSpec), the standard refinement guarantee.
+  */
+object PqOps extends OpModule {
+
+  /** m × k × (D/m) codebooks, driver-resident metadata. */
+  final case class PqCodebook(m: Int, dSub: Int,
+      books: Seq[Seq[Seq[Double]]])
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap[String, PqCodebook]()
+
+  /** One seeded-Lloyd step per subspace (seeds = first k vec_ids, the
+    * [[LlmOps.lloydCentroids]] convention; empty clusters keep their
+    * seed). `cacheKey` reuses codebooks per (session, corpus) like
+    * the IVF index cache. */
+  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
+      cacheKey: Option[String] = None): PqCodebook = {
+    def build(): PqCodebook = {
+      graft.functions.VectorKernels.register(emb.sparkSession)
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      val dim = e.select(size(col("e"))).first().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dSub = dim / m
+      val books = (0 until m).map { i =>
+        val sub = e.select(col("vec_id"),
+          slice(col("e"), i * dSub + 1, dSub).as("s"))
+        val seeds = sub.filter(col("vec_id") < k).orderBy("vec_id")
+          .collect().map(_.getSeq[Double](1).toSeq).toSeq
+        val means = sub
+          .withColumn("c", call_function("graft_best_centroid_l2",
+            col("s"), typedLit(seeds)))
+          .groupBy(col("c.idx").as("cidx"))
+          .agg(array((0 until dSub).map(j => avg(col("s")(j))): _*).as("mn"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+        (0 until k).map(ci => means.getOrElse(ci, seeds(ci)))
+      }
+      PqCodebook(m, dSub, books)
+    }
+    cacheKey match {
+      case Some(kk) =>
+        val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(emb.sparkSession)}|$kk|m$m|k$k"
+        pqCache.getOrElseUpdate(key, build())
+      case None => build()
+    }
+  }
+
+  /** (vec_id, codes, cos_err): all m assignments in one codegen
+    * projection, plus the reconstruction cosine error 1 − cos(e, ê)
+    * that PqSpec bounds. */
+  def pqEncode(emb: DataFrame, cb: PqCodebook): DataFrame = {
+    graft.functions.VectorKernels.register(emb.sparkSession)
+    val codes = array((0 until cb.m).map { i =>
+      call_function("graft_best_centroid_l2",
+        slice(col("e"), i * cb.dSub + 1, cb.dSub),
+        typedLit(cb.books(i))).getField("idx")
+    }: _*)
+    val recon = flatten(array((0 until cb.m).map { i =>
+      element_at(typedLit(cb.books(i)), col("codes")(i) + 1)
+    }: _*))
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("codes", codes)
+      .withColumn("recon", recon)
+      .withColumn("cos_err", round(lit(1.0) -
+        call_function("graft_dot", col("e"), col("recon")) /
+          (sqrt(call_function("graft_dot", col("e"), col("e"))) *
+           sqrt(call_function("graft_dot", col("recon"), col("recon")))), 6))
+      .select("vec_id", "e", "codes", "cos_err")
+  }
+
+  /** IVF+PQ with exact refinement: bucket-pruned candidates scored by
+    * ADC table lookups, top-`rerank` per probe rescored exactly. */
+  def simSearchIvfPq(emb: DataFrame, nProbes: Int, topK: Int,
+      nCentroids: Int = 8, nProbe: Int = 3, m: Int = 8, k: Int = 16,
+      rerank: Int = 32, cacheKey: Option[String] = None): DataFrame = {
+    graft.functions.VectorKernels.register(emb.sparkSession)
+    val idx = LlmOps.ivfIndex(emb, nCentroids, cacheKey)
+    val cb = pqTrain(emb, m, k, cacheKey)
+    val enc = pqEncode(emb, cb)
+      .join(idx.assign.select("vec_id", "cid"), "vec_id")
+      .select("vec_id", "cid", "codes")
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("p_id"),
+        col("embedding").cast("array<double>").as("p_emb"))
+    // per-probe ADC lookup tables: subspace i's k partial dots as one
+    // literal-codebook transform column
+    val withLut = (0 until cb.m).foldLeft(
+      LlmOps.rankCentroids(probes, idx)
+        .filter(col("c_rn") <= nProbe)
+        .select(col("p_id"), col("p_emb"), col("cid"))) { (df, i) =>
+      df.withColumn(s"lut$i", transform(typedLit(cb.books(i)),
+        c => call_function("graft_dot",
+          slice(col("p_emb"), i * cb.dSub + 1, cb.dSub), c)))
+    }
+    val adc = (0 until cb.m)
+      .map(i => element_at(col(s"lut$i"), col("codes")(i) + 1))
+      .reduce(_ + _)
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(col("adc").desc, col("vec_id").asc)
+    val short = withLut.join(enc, "cid")
+      .withColumn("adc", adc)
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerank)
+      .select("p_id", "p_emb", "vec_id")
+    // exact rescoring of the ADC short list only
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    short
+      .join(emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e")), "vec_id")
+      .withColumn("cosine", round(LlmOps.clamp1(
+        LlmOps.cosineCols(col("p_emb"), col("e"))), 6))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= topK)
+      .select("p_id", "rank", "vec_id", "cosine")
+  }
+
+  def ops: Seq[Op] = Seq(
+    Op("llm_vector_pq",
+      // codes summary per vector: CSV digest of the m codes + the
+      // reconstruction error (rows-only driver check; the math is
+      // pinned by PqSpec equivalence/bound tests)
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = pqTrain(emb, cacheKey = Some(d))
+        pqEncode(emb, cb)
+          .select(col("vec_id"), concat_ws(",", col("codes")).as("codes_csv"),
+            col("cos_err"))
+          .orderBy("vec_id")
+      },
+      None),
+    Op("llm_simsearch_ivfpq",
+      (s, d) => simSearchIvfPq(Tables.embeddings(s, d), nProbes = 50,
+        topK = 10, cacheKey = Some(d))
+        .orderBy("p_id", "rank"),
+      None)
+  )
+}

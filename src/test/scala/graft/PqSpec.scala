@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.{LlmOps, PqOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+/** Pins for product quantization: the L2 argmin kernel against a
+  * Scala reference, code-range/determinism invariants, a
+  * reconstruction-error bound, the refinement guarantee (IVF+PQ with
+  * full probing and full rerank EQUALS the exact search), and useful
+  * recall at the registered operating point.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_best_centroid_l2 matches a Scala argmin on random inputs") {
+    graft.functions.VectorKernels.register(spark)
+    val vec = Gen.listOfN(4, Gen.chooseNum(-5.0, 5.0))
+    val gen = Gen.zip(Gen.listOfN(20, vec), Gen.listOfN(5, vec))
+    val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(gen) { case (vs, cents) =>
+        val out = vs.map(v => Tuple1(v)).toDF("e")
+          .select(call_function("graft_best_centroid_l2",
+            col("e"), typedLit(cents)).getField("idx"))
+          .as[Int].collect().toSeq
+        val ref = vs.map { v =>
+          cents.map(c => c.zip(v).map { case (a, b) =>
+            (a - b) * (a - b) }.sum).zipWithIndex.minBy(_._1)._2
+        }
+        out == ref
+      })
+    assert(r.passed, r.status.toString)
+  }
+
+  test("pqEncode: codes in range, deterministic, reconstruction bounded") {
+    val emb = Tables.embeddings(spark, sf001)
+    val cb = PqOps.pqTrain(emb, m = 8, k = 16)
+    assert(cb.books.length == 8 && cb.books.forall(_.length == 16))
+    val enc = PqOps.pqEncode(emb, cb).cache()
+    val n = emb.count()
+    assert(enc.count() == n)
+    assert(enc.filter(exists(col("codes"),
+      c => c < 0 || c >= 16)).count() == 0)
+    // deterministic: training + encoding twice agrees exactly
+    val enc2 = PqOps.pqEncode(emb, PqOps.pqTrain(emb, m = 8, k = 16))
+    assert(enc.select("vec_id", "codes").exceptAll(
+      enc2.select("vec_id", "codes")).count() == 0)
+    // reconstruction quality: the fixture embeddings are deliberately
+    // isotropic (BASELINE.md), the hardest case for any quantizer, so
+    // pin RELATIVE behavior — richer codebooks must reconstruct
+    // better (k=16 beats k=4 beats k=1-ish) — plus a loose absolute
+    // sanity bound
+    val mean16 = enc.agg(avg("cos_err")).first().getDouble(0)
+    val mean4 = PqOps.pqEncode(emb, PqOps.pqTrain(emb, m = 8, k = 4))
+      .agg(avg("cos_err")).first().getDouble(0)
+    assert(mean16 < mean4, s"k=16 err $mean16 !< k=4 err $mean4")
+    assert(mean16 < 0.6, s"mean reconstruction cos_err $mean16")
+    enc.unpersist()
+  }
+
+  test("refinement guarantee: full probe + full rerank equals the exact search") {
+    val emb = Tables.embeddings(spark, sf001)
+    val n = emb.count().toInt
+    val exact = LlmOps.simSearchIvfExact(emb, nProbes = 10, topK = 10,
+      nCentroids = 8).orderBy("p_id", "rank").collect().toSeq
+    val pq = PqOps.simSearchIvfPq(emb, nProbes = 10, topK = 10,
+      nCentroids = 8, nProbe = 8, rerank = n)
+      .orderBy("p_id", "rank").collect().toSeq
+    assert(pq == exact)
+  }
+
+  test("recall@10 at the registered operating point is useful") {
+    val emb = Tables.embeddings(spark, sf001)
+    val exact = LlmOps.simSearchIvfExact(emb, nProbes = 20, topK = 10,
+      nCentroids = 8)
+      .select("p_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val pq = PqOps.simSearchIvfPq(emb, nProbes = 20, topK = 10)
+      .select("p_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = exact.keys.toSeq.map { p =>
+      val e = exact(p).map(_._2).toSet
+      val a = pq.getOrElse(p, Array.empty).map(_._2).toSet
+      a.intersect(e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 $mean")
+  }
+}
