@@ -89,7 +89,8 @@ class PlanSpec extends SparkSpec {
     // every remaining window is partitioned by probe id — i.e. it ranks
     // a per-probe CANDIDATE set reached through equi-joins, whose size
     // the bucket bound controls, never the corpus itself.
-    for (q <- Seq("llm_simsearch", "llm_simsearch_ivf", "llm_simsearch_lsh")) {
+    for (q <- Seq("llm_simsearch", "llm_simsearch_ivf", "llm_simsearch_lsh",
+        "llm_simsearch_ivfpq")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q plans a cross product:\n$p")
