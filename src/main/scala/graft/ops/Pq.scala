@@ -39,6 +39,15 @@ object PqOps extends OpModule {
   private val pqCache =
     scala.collection.concurrent.TrieMap[String, PqCodebook]()
 
+  /** Evict this session's cached codebooks — companion to
+    * [[LlmOps.evictIvfCache]] for a long-lived embedding service.
+    * (Codebooks are plain driver objects, so eviction is just map
+    * removal — no block-manager state to unpersist.) */
+  def evictPqCache(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prefix = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}|"
+    pqCache.keys.filter(_.startsWith(prefix)).foreach(pqCache.remove)
+  }
+
   /** One seeded-Lloyd step per subspace (seeds = first k vec_ids, the
     * [[LlmOps.lloydCentroids]] convention; empty clusters keep their
     * seed). `cacheKey` reuses codebooks per (session, corpus) like
