@@ -37,8 +37,14 @@ object LlmOps extends OpModule {
     * candidate pairs. The k hash computations fuse into one codegen
     * stage over the shingle array.
     */
-  def nearDupPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
-      jaccardMin: Double = 0.5): DataFrame = {
+  /** (banded, tokSets) for the MinHash-LSH family: band signatures
+    * carrying ONLY (doc_id, band_id, band_hash), and the distinct
+    * token sets candidates confirm against. Shared by the self-join
+    * ([[nearDupPairs]]) and the batch-vs-corpus incremental variant
+    * ([[PipelineOps.dedupIncrementalNear]]).
+    */
+  private[ops] def bandedMinhash(docs: DataFrame, k: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     val rows = k / bands
     // materialize the token array BEFORE any lambda references it: an
     // unbound expression inside a higher-order-function body re-evaluates
@@ -53,9 +59,6 @@ object LlmOps extends OpModule {
     // all k signature minima in one codegen'd pass (seeds 0..k-1 —
     // value-identical to k separate array_min(transform(...)) passes)
     val minhashes = call_function("graft_minhash", col("shingles"), lit(k))
-    // the band self-join carries ONLY (doc_id, band_id, band_hash) —
-    // token arrays would otherwise cross the shuffle 2×bands times;
-    // they re-attach via doc_id joins on the (small) candidate set
     val banded = withSh
       .withColumn("mh", minhashes)
       .select(col("doc_id"),
@@ -64,6 +67,15 @@ object LlmOps extends OpModule {
         }: _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
+    (banded, withSh.select(col("doc_id"), array_distinct(col("toks")).as("tokset")))
+  }
+
+  def nearDupPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      jaccardMin: Double = 0.5): DataFrame = {
+    // the band self-join carries ONLY (doc_id, band_id, band_hash) —
+    // token arrays would otherwise cross the shuffle 2×bands times;
+    // they re-attach via doc_id joins on the (small) candidate set
+    val (banded, tokSets) = bandedMinhash(docs, k, bands)
     val a = banded.select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
       col("band_hash").as("band_hash_b"))
@@ -73,7 +85,6 @@ object LlmOps extends OpModule {
         col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    val tokSets = withSh.select(col("doc_id"), array_distinct(col("toks")).as("tokset"))
     candidates
       .join(tokSets.select(col("doc_id").as("doc_a"), col("tokset").as("set_a")), "doc_a")
       .join(tokSets.select(col("doc_id").as("doc_b"), col("tokset").as("set_b")), "doc_b")

@@ -403,6 +403,46 @@ object PipelineOps extends OpModule {
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/shingles"), tau)
 
+  /** Approximate (MinHash-LSH) batch-vs-corpus near-dup flagging —
+    * the incremental form of [[LlmOps.nearDupPairs]], for when the
+    * exact prefix-filter join ([[dedupIncremental]]) is too much and
+    * LSH recall is enough. Batch band signatures meet corpus band
+    * signatures in an equi-join (never corpus×corpus, never
+    * batch×corpus products); candidates confirm by exact token-set
+    * Jaccard; one best-match row per batch doc. At 100 TB the corpus
+    * bands are a materialized table appended per accepted increment —
+    * the same maintenance posture as [[writeCorpusPostings]].
+    */
+  def dedupIncrementalNear(corpus: DataFrame, batch: DataFrame,
+      k: Int = 16, bands: Int = 4, jaccardMin: Double = 0.5): DataFrame = {
+    val (cBands, cSets) = LlmOps.bandedMinhash(corpus, k, bands)
+    val (bBands, bSets) = LlmOps.bandedMinhash(batch, k, bands)
+    val cand = bBands.select(col("doc_id").as("batch_id"),
+        col("band_id"), col("band_hash"))
+      .join(cBands.select(col("doc_id").as("corpus_id"),
+        col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b")),
+        col("band_id") === col("band_id_b") &&
+          col("band_hash") === col("band_hash_b"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+    val confirmed = cand
+      .join(bSets.select(col("doc_id").as("batch_id"), col("tokset").as("set_a")),
+        "batch_id")
+      .join(cSets.select(col("doc_id").as("corpus_id"), col("tokset").as("set_b")),
+        "corpus_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= jaccardMin)
+    val best = confirmed.groupBy("batch_id")
+      .agg(max(struct(col("jaccard"), (-col("corpus_id")).as("nid"))).as("b"))
+      .select(col("batch_id").as("doc_id"),
+        (-col("b.nid")).as("dup_of"), col("b.jaccard").as("jaccard"))
+    batch.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
   // ---------------------------------------------------------------
   // End-to-end corpus preparation funnel
   // ---------------------------------------------------------------
@@ -785,6 +825,23 @@ object PipelineOps extends OpModule {
               LEFT JOIN (SELECT * FROM best WHERE rn = 1) w
                 ON b.doc_id = w.batch_id
               ORDER BY doc_id""")),
+
+    Op("llm_dedup_incr_near",
+      // same corpus/batch workload as llm_dedup_incremental, scored by
+      // the MinHash-LSH family (seeded-hash → no SQL oracle; planted-
+      // clone detection and never-pairs-corpus pinned in PipelineSpec)
+      (s, d) => {
+        val docs = docTable(s, d).select("doc_id", "text")
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val toks = LlmOps.tokens(col("text"))
+        val clones = corpus.filter(col("doc_id") % 7 === 1)
+          .select(col("doc_id").bitwiseOR(lit(1L << 41)).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+          .unionByName(clones)
+        dedupIncrementalNear(corpus, batch).orderBy("doc_id")
+      },
+      None),
 
     Op("llm_dedup_clusters",
       // same corpus ∪ truncated-clones workload as llm_dedup_jaccard

@@ -144,6 +144,27 @@ class PipelineSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(0) <= 3))
   }
 
+  test("dedupIncrementalNear: clones match their source, corpus never self-pairs") {
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val clones = corpus.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 0).unionByName(clones)
+    val out = PipelineOps.dedupIncrementalNear(corpus, batch).cache()
+    // output is exactly one row per batch doc
+    assert(out.count() == batch.count())
+    assert(out.select("doc_id").distinct().count() == batch.count())
+    // every exact clone is flagged with jaccard 1.0 against its source
+    val flaggedClones = out.filter(col("doc_id") >= 7000000L)
+    assert(flaggedClones.filter(!col("is_dup")).count() == 0)
+    assert(flaggedClones.filter(col("jaccard") =!= 1.0).count() == 0)
+    assert(flaggedClones.filter(
+      col("dup_of") =!= col("doc_id") - 7000000L).count() == 0)
+    // corpus ids never appear as output rows
+    assert(out.join(corpus.select(col("doc_id")), "doc_id").count() == 0)
+    out.unpersist()
+  }
+
   test("dedupIncrementalAgainst materialized postings equals the from-text path") {
     val docs = Tables.documents(spark, sf001).select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
