@@ -387,6 +387,38 @@ object PipelineOps extends OpModule {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     cs.write.mode("overwrite").parquet(s"$dir/shingles")
+    // postings are only valid for the (tau, shingleN) they were cut
+    // at — pin them so append/query can't silently drift
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/meta.json"),
+      s"""{"tau":$tau,"shingleN":$shingleN,"nBuckets":$nBuckets}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def postingsMeta(dir: String): (Double, Int, Int) = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/meta.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def num(k: String): String =
+      s.split(s""""$k":""")(1).takeWhile(c => c.isDigit || c == '.')
+    (num("tau").toDouble, num("shingleN").toInt, num("nBuckets").toInt)
+  }
+
+  /** Append an ACCEPTED batch to the materialized corpus tables —
+    * the maintenance half of the incremental cycle: after
+    * [[dedupIncrementalAgainst]] clears a batch, its novel docs join
+    * the corpus by appending their postings/shingles rows (partition-
+    * append into the same shingle buckets; no rebuild, no read of
+    * existing data). Cut parameters come from the table's meta file,
+    * so an append can never mix prefix lengths.
+    */
+  def appendCorpusPostings(accepted: DataFrame, dir: String): Unit = {
+    val (tau, shingleN, nBuckets) = postingsMeta(dir)
+    val as = LlmOps.shingleSets(accepted, shingleN)
+    LlmOps.prefixPostings(as, tau)
+      .withColumn("bucket", pmod(xxhash64(col("s")), lit(nBuckets)))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    as.write.mode("append").parquet(s"$dir/shingles")
   }
 
   /** [[dedupIncremental]] against a postings table written by
@@ -397,11 +429,12 @@ object PipelineOps extends OpModule {
     * the from-text path (pinned in PipelineSpec).
     */
   def dedupIncrementalAgainst(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame, tau: Double = 0.8,
-      shingleN: Int = 5): DataFrame =
+      dir: String, batch: DataFrame): DataFrame = {
+    val (tau, shingleN, _) = postingsMeta(dir)
     matchBatch(batch, LlmOps.shingleSets(batch, shingleN),
       spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/shingles"), tau)
+  }
 
   /** Approximate (MinHash-LSH) batch-vs-corpus near-dup flagging —
     * the incremental form of [[LlmOps.nearDupPairs]], for when the

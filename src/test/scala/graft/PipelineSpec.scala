@@ -179,11 +179,30 @@ class PipelineSpec extends SparkSpec {
     assert(buckets > 1, s"expected shingle-bucketed postings dirs, got $buckets")
     val direct = PipelineOps.dedupIncremental(corpus, batch, 0.8, 5)
       .orderBy("doc_id").collect().toSeq
-    val viaDisk = PipelineOps.dedupIncrementalAgainst(spark, dir, batch, 0.8, 5)
+    val viaDisk = PipelineOps.dedupIncrementalAgainst(spark, dir, batch)
       .orderBy("doc_id").collect().toSeq
     assert(viaDisk == direct)
     // the planted exact clones are all flagged against their source
     assert(viaDisk.count(r => r.getLong(0) >= 5000000L && r.getBoolean(3)) == 3)
+
+    // the maintenance cycle: append batch-1's novel docs, then a
+    // second batch containing a clone of one of them must be flagged
+    // against the APPENDED doc — and the combined table must equal a
+    // from-text run over the grown corpus
+    val accepted = batch.join(
+      viaDisk.filter(_.getBoolean(3)).map(_.getLong(0)).toDF("doc_id"),
+      Seq("doc_id"), "left_anti")
+    PipelineOps.appendCorpusPostings(accepted, dir)
+    val novelId = accepted.agg(min("doc_id")).first().getLong(0)
+    val batch2 = accepted.filter(col("doc_id") === novelId)
+      .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
+    val out2 = PipelineOps.dedupIncrementalAgainst(spark, dir, batch2)
+      .collect()
+    assert(out2.length == 1 && out2(0).getBoolean(3)
+      && out2(0).getLong(1) == novelId, out2.mkString(","))
+    val grown = PipelineOps.dedupIncremental(
+      corpus.unionByName(accepted), batch2, 0.8, 5).collect()
+    assert(out2.toSeq == grown.toSeq)
   }
 
   test("dedupClusters equals the transitive closure on a chain + island") {
