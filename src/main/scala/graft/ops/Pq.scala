@@ -97,14 +97,24 @@ object PqOps extends OpModule {
     val recon = flatten(array((0 until cb.m).map { i =>
       element_at(typedLit(cb.books(i)), col("codes")(i) + 1)
     }: _*))
+    // literal storage form: ⌈64/m⌉-bit fields packed into ONE long
+    // (m=8, k=16 → 4 bits each used of the 8-bit field — 8 bytes per
+    // vector, the headline PQ compression, as an actual column)
+    val codeBits = 64 / cb.m
+    require((1L << codeBits) >= cb.books.head.length,
+      s"k=${cb.books.head.length} codes don't fit $codeBits-bit fields at m=${cb.m}")
+    val packed = (0 until cb.m)
+      .map(i => shiftleft(col("codes")(i).cast("long"), i * codeBits))
+      .reduce[Column](_.bitwiseOR(_))
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("codes", codes)
       .withColumn("recon", recon)
+      .withColumn("packed", packed)
       .withColumn("cos_err", round(lit(1.0) -
         call_function("graft_dot", col("e"), col("recon")) /
           (sqrt(call_function("graft_dot", col("e"), col("e"))) *
            sqrt(call_function("graft_dot", col("recon"), col("recon")))), 6))
-      .select("vec_id", "e", "codes", "cos_err")
+      .select("vec_id", "e", "codes", "packed", "cos_err")
   }
 
   /** IVF+PQ with exact refinement: bucket-pruned candidates scored by
@@ -164,7 +174,7 @@ object PqOps extends OpModule {
         val cb = pqTrain(emb, cacheKey = Some(d))
         pqEncode(emb, cb)
           .select(col("vec_id"), concat_ws(",", col("codes")).as("codes_csv"),
-            col("cos_err"))
+            col("packed"), col("cos_err"))
           .orderBy("vec_id")
       },
       None),

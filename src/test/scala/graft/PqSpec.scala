@@ -41,6 +41,10 @@ class PqSpec extends SparkSpec {
     assert(enc.count() == n)
     assert(enc.filter(exists(col("codes"),
       c => c < 0 || c >= 16)).count() == 0)
+    // the packed long round-trips to the code array (8 bytes/vector)
+    val unpack = (0 until 8).map(i =>
+      shiftrightunsigned(col("packed"), i * 8).bitwiseAND(lit(0xffL)).cast("int"))
+    assert(enc.filter(array(unpack: _*) =!= col("codes")).count() == 0)
     // deterministic: training + encoding twice agrees exactly
     val enc2 = PqOps.pqEncode(emb, PqOps.pqTrain(emb, m = 8, k = 16))
     assert(enc.select("vec_id", "codes").exceptAll(
