@@ -245,6 +245,63 @@ object Joins extends OpModule {
                 JOIN region ON n_regionkey = r_regionkey
               GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
 
+    Op("join_lateral_topn",
+      // correlated LATERAL subquery with ORDER BY + LIMIT: per
+      // customer, their 2 highest-value orders. Exercises Catalyst's
+      // lateral-join decorrelation (DecorrelateInnerQuery rewrites
+      // the per-row subquery into a ranked join — the engine-side
+      // machinery, not a driver loop); the window rendering of the
+      // same semantics is op win_topk_group.
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("g_customer")
+        Tables.orders(s, d).createOrReplaceTempView("g_orders")
+        s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+                 FROM g_customer c,
+                 LATERAL (SELECT o_orderkey, o_totalprice
+                          FROM g_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC
+                          LIMIT 2) t
+                 ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+              FROM customer c,
+              LATERAL (SELECT o_orderkey, o_totalprice
+                       FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                       LIMIT 2) t
+              ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")),
+
+    Op("filter_scalar_subquery",
+      // correlated SCALAR subqueries in a predicate: orders worth
+      // more than 2× their customer's average. The division is
+      // multiplied out and the sum is decimal-accumulated (§5.2) so
+      // both engines compare bit-identical doubles — and Catalyst
+      // decorrelates each scalar subquery into an aggregate + join
+      // rather than a per-row probe.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("g_orders")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM g_orders o
+                 WHERE o_totalprice * (SELECT count(*) FROM g_orders o2
+                                       WHERE o2.o_custkey = o.o_custkey)
+                   > 2 * (SELECT CAST(round(sum(CAST(o3.o_totalprice
+                            AS DECIMAL(38,10))), 6) AS DOUBLE)
+                          FROM g_orders o3
+                          WHERE o3.o_custkey = o.o_custkey)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders o
+              WHERE o_totalprice * (SELECT count(*) FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+                > 2 * (SELECT CAST(round(sum(CAST(o3.o_totalprice
+                         AS DECIMAL(38,10))), 6) AS DOUBLE)
+                       FROM orders o3
+                       WHERE o3.o_custkey = o.o_custkey)
+              ORDER BY o_orderkey""")),
+
     Op("join_self_prev",
       // sequence self-join: each event ↔ the same user's previous event
       // (row_number pairing; the lag() rendering is op win_lag_lead).
