@@ -205,6 +205,15 @@ object LayoutOps extends OpModule {
     def parquetFiles(d: String): Int =
       Option(new java.io.File(d).listFiles()).map(
         _.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+    // the overwrite of dstDir happens while srcDir is still being read
+    // lazily — an overlapping destination would truncate the source
+    // mid-scan and lose data
+    val srcCanon = new java.io.File(srcDir).getCanonicalPath
+    val dstCanon = new java.io.File(dstDir).getCanonicalPath
+    require(srcCanon != dstCanon &&
+      !dstCanon.startsWith(srcCanon + java.io.File.separator) &&
+      !srcCanon.startsWith(dstCanon + java.io.File.separator),
+      s"compact: dstDir must not overlap srcDir (src=$srcCanon dst=$dstCanon)")
     val src = spark.read.parquet(srcDir)
     val rows = src.count()
     val nFiles = math.max(1,
@@ -252,13 +261,20 @@ object LayoutOps extends OpModule {
     Op("table_histogram",
       (s, d) => histogram(Tables.lineitem(s, d), "l_extendedprice", 16)
         .orderBy("bin"),
+      // every operand is cast to DOUBLE before the bucket arithmetic so
+      // DuckDB performs the identical binary64 operation sequence as the
+      // Spark side (DECIMAL would subtract/multiply exactly and round
+      // only at the divide — a row landing exactly on a bin boundary
+      // could flip bins between engines)
       Some("""WITH ext AS (
-                SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn,
+                       CAST(max(l_extendedprice) AS DOUBLE) AS mx
                 FROM lineitem),
               b AS (
                 SELECT least(15, CAST(floor(
-                    (l_extendedprice - mn) * 16 / (mx - mn)) AS BIGINT))
-                  AS bin, l_extendedprice AS x, mn, mx
+                    (CAST(l_extendedprice AS DOUBLE) - mn) * 16 / (mx - mn))
+                    AS BIGINT))
+                  AS bin, CAST(l_extendedprice AS DOUBLE) AS x, mn, mx
                 FROM lineitem, ext)
               SELECT bin, count(*) AS n,
                 CAST(round(sum(CAST(x AS DECIMAL(38,10))), 6) AS DOUBLE)

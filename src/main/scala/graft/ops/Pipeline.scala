@@ -294,8 +294,13 @@ object PipelineOps extends OpModule {
         .select(col("node"), col("lbl").as("old_lbl"),
           least(col("lbl"), coalesce(col("nb_min"), col("lbl"))).as("lbl"))
         .persist()
-      // one action: materializes upd AND answers "did anything move?"
-      converged = upd.filter(col("lbl") < col("old_lbl")).isEmpty
+      // one action: a full aggregate materializes EVERY partition of
+      // upd into the cache AND answers "did anything move?" (isEmpty
+      // would short-circuit via take(1), leaving upd partially cached
+      // and later rounds recomputing through a growing lineage)
+      val moved = upd.agg(count(when(col("lbl") < col("old_lbl"), 1)))
+        .first().getLong(0)
+      converged = moved == 0L
       labels.unpersist()
       labels = upd.select("node", "lbl")
       it += 1

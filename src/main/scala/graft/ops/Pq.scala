@@ -64,8 +64,12 @@ object PqOps extends OpModule {
       val books = (0 until m).map { i =>
         val sub = e.select(col("vec_id"),
           slice(col("e"), i * dSub + 1, dSub).as("s"))
-        val seeds = sub.filter(col("vec_id") < k).orderBy("vec_id")
+        // first k vectors by id — NOT filter(vec_id < k), which on a
+        // sparse/offset id space returns <k seeds and fails later
+        val seeds = sub.orderBy("vec_id").limit(k)
           .collect().map(_.getSeq[Double](1).toSeq).toSeq
+        require(seeds.length == k,
+          s"pqTrain needs ≥$k vectors to seed, found ${seeds.length}")
         val means = sub
           .withColumn("c", call_function("graft_best_centroid_l2",
             col("s"), typedLit(seeds)))
@@ -110,10 +114,14 @@ object PqOps extends OpModule {
       .withColumn("codes", codes)
       .withColumn("recon", recon)
       .withColumn("packed", packed)
-      .withColumn("cos_err", round(lit(1.0) -
+      // clamp1 (= nanvl + [-1,1] clamp) guards the zero-reconstruction
+      // case: a zero codebook centroid would make the cosine 0/0 = NaN
+      // and poison every avg(cos_err) downstream — same convention as
+      // the IVF paths
+      .withColumn("cos_err", round(lit(1.0) - LlmOps.clamp1(
         call_function("graft_dot", col("e"), col("recon")) /
           (sqrt(call_function("graft_dot", col("e"), col("e"))) *
-           sqrt(call_function("graft_dot", col("recon"), col("recon")))), 6))
+           sqrt(call_function("graft_dot", col("recon"), col("recon"))))), 6))
       .select("vec_id", "e", "codes", "packed", "cos_err")
   }
 
