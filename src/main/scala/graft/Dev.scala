@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
 object Dev {
   def main(args: Array[String]): Unit = {
     val explain = args.contains("-x")
+    val explainFinal = args.contains("-xf")
     val timing = args.contains("-t")
-    val rest = args.filterNot(a => a == "-x" || a == "-t")
+    val rest = args.filterNot(a => a == "-x" || a == "-t" || a == "-xf")
     val sfDir = rest(0)
     val outDir = rest(1)
     val names = if (rest.length > 2) rest.drop(2).toSet
@@ -34,6 +35,15 @@ object Dev {
       try {
         val df = fn(spark, sfDir)
         if (explain) { println(s"== $name =="); df.explain("formatted") }
+        if (explainFinal) {
+          // the ADAPTIVE final plan — exchange/stage reuse only shows
+          // here, never in the pre-execution explain. Must execute THIS
+          // DataFrame's own QueryExecution (count() would build and run
+          // a different one and leave this plan isFinalPlan=false).
+          df.collect()
+          println(s"== $name (final) ==")
+          println(df.queryExecution.executedPlan.toString)
+        }
         if (timing) {
           (1 to 3).foreach { i =>
             val t0 = System.nanoTime()

@@ -144,8 +144,13 @@ object LlmOps extends OpModule {
     // composed HOF rendering interpreted 64 lambda evals per token and
     // allocated a vote array per step — 13s → ~1s at sf0.1
     val packed = call_function("graft_simhash_text", col("toks"))
+    // one shuffle on doc_id so the band self-join's two branches share
+    // ONE fingerprint-kernel stage via exchange reuse instead of each
+    // recomputing scan → tokens → graft_simhash_text (VERDICT r7 #2 —
+    // same rationale as the jaccardPairs materialization point)
     val fp = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), packed.as("fp"))
+      .repartition(col("doc_id"))
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))
@@ -753,11 +758,21 @@ object LlmOps extends OpModule {
     // The prefix theorem needs ONE CONSISTENT total order on shingles —
     // any order. Lexicographic (array_sort) keeps the whole pipeline
     // shuffle-free up to the candidate join: no document-frequency
-    // aggregation, no re-assembly join, and the subtree each self-join
-    // branch recomputes is just scan → kernel → sort-per-row. The
-    // classic rarest-first order is a posting-size heuristic worth its
-    // extra df join only when the shingle space is dense.
-    val sorted = shingleSets(docs, shingleN)
+    // aggregation, no re-assembly join. The classic rarest-first order
+    // is a posting-size heuristic worth its extra df join only when the
+    // shingle space is dense.
+    //
+    // The repartition below is the whole-query economy (VERDICT r7 #1):
+    // `sorted` feeds FOUR plan branches (both prefix-posting sides and
+    // both confirm sides), and without a materialization point each
+    // branch re-runs scan → shingle kernel → per-row sort. Pinning one
+    // shuffle on doc_id makes every branch's subtree canonically equal
+    // up to that Exchange, so ReuseExchange/AQE stage reuse computes
+    // the shingle sets ONCE and the other branches read shuffle files —
+    // disk-backed sharing with no block-manager residency (a persist()
+    // would hold corpus-sized shingle arrays in executor memory at
+    // 100 TB and leak for the session without an unpersist point).
+    val sorted = shingleSets(docs, shingleN).repartition(col("doc_id"))
     val pref = prefixPostings(sorted, tau)
     val a = pref.select(col("doc_id").as("doc_a"), col("s"))
     val b = pref.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
