@@ -22,9 +22,12 @@ object Dev {
       s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
         "would otherwise run nothing, exit 0, and leave stale parquet " +
         "for verify_local.py to PASS against")
+    // default local[8] keeps iteration snappy; SPARK_GRAFT_CPUS=32
+    // reproduces the driver bench config for timing comparisons
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

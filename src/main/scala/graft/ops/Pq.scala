@@ -126,16 +126,33 @@ object PqOps extends OpModule {
   }
 
   /** IVF+PQ with exact refinement: bucket-pruned candidates scored by
-    * ADC table lookups, top-`rerank` per probe rescored exactly. */
+    * ADC table lookups, top-`rerank` per probe rescored exactly.
+    *
+    * The candidate join ships the PACKED code long — 8 bytes of code
+    * data per vector, the column [[pqEncode]] builds — and the ADC
+    * expression shift/masks each ⌈64/m⌉-bit field back out inline
+    * (VERDICT r7 #3: shipping the unpacked array<int> costs ~m·4 B +
+    * array overhead per candidate at scale for zero benefit). The
+    * `usePackedAdc=false` path keeps the array form purely so PqSpec
+    * can pin packed ≡ array results.
+    */
   def simSearchIvfPq(emb: DataFrame, nProbes: Int, topK: Int,
       nCentroids: Int = 8, nProbe: Int = 3, m: Int = 8, k: Int = 16,
-      rerank: Int = 32, cacheKey: Option[String] = None): DataFrame = {
+      rerank: Int = 32, cacheKey: Option[String] = None,
+      usePackedAdc: Boolean = true): DataFrame = {
     graft.functions.VectorKernels.register(emb.sparkSession)
     val idx = LlmOps.ivfIndex(emb, nCentroids, cacheKey)
     val cb = pqTrain(emb, m, k, cacheKey)
+    val codeCol = if (usePackedAdc) "packed" else "codes"
     val enc = pqEncode(emb, cb)
       .join(idx.assign.select("vec_id", "cid"), "vec_id")
-      .select("vec_id", "cid", "codes")
+      .select("vec_id", "cid", codeCol)
+    val codeBits = 64 / cb.m
+    def codeAt(i: Int): Column =
+      if (usePackedAdc)
+        shiftrightunsigned(col("packed"), i * codeBits)
+          .bitwiseAND(lit((1L << codeBits) - 1)).cast("int")
+      else col("codes")(i)
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("p_id"),
         col("embedding").cast("array<double>").as("p_emb"))
@@ -150,7 +167,7 @@ object PqOps extends OpModule {
           slice(col("p_emb"), i * cb.dSub + 1, cb.dSub), c)))
     }
     val adc = (0 until cb.m)
-      .map(i => element_at(col(s"lut$i"), col("codes")(i) + 1))
+      .map(i => element_at(col(s"lut$i"), codeAt(i) + 1))
       .reduce(_ + _)
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy("p_id").orderBy(col("adc").desc, col("vec_id").asc)

@@ -73,6 +73,30 @@ class PqSpec extends SparkSpec {
     assert(pq == exact)
   }
 
+  test("packed-code ADC path equals the array-code path") {
+    // the registered search joins only the 8-byte packed long and
+    // shift/masks the fields back out inside the ADC expression; the
+    // array form exists solely as this test's reference
+    val emb = Tables.embeddings(spark, sf001)
+    val packed = PqOps.simSearchIvfPq(emb, nProbes = 20, topK = 10,
+      usePackedAdc = true).orderBy("p_id", "rank").collect().toSeq
+    val arr = PqOps.simSearchIvfPq(emb, nProbes = 20, topK = 10,
+      usePackedAdc = false).orderBy("p_id", "rank").collect().toSeq
+    assert(packed == arr)
+    // and no join in the search plan SHIPS the code array — the only
+    // code data crossing a join boundary is the 8-byte packed long
+    // ("codes" may still appear projection-internally where `packed`
+    // is derived, which never leaves the map side)
+    val qe = PqOps.simSearchIvfPq(emb, nProbes = 20, topK = 10).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    assert(joins.forall(!_.output.exists(_.name == "codes")),
+      "a join still ships the unpacked codes array")
+    assert(qe.optimizedPlan.toString.contains("shiftrightunsigned(packed"),
+      "ADC expression does not read the packed long")
+  }
+
   test("recall@10 at the registered operating point is useful") {
     val emb = Tables.embeddings(spark, sf001)
     val exact = LlmOps.simSearchIvfExact(emb, nProbes = 20, topK = 10,
