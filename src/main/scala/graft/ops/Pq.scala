@@ -32,9 +32,227 @@ import org.apache.spark.sql.functions._
   */
 object PqOps extends OpModule {
 
-  /** m × k × (D/m) codebooks, driver-resident metadata. */
+  /** m × k × (D/m) codebooks, driver-resident metadata. `rot` is an
+    * optional D×D orthogonal pre-rotation (OPQ-style): training,
+    * encoding and the ADC lookup tables all operate in the rotated
+    * space, and because rotation preserves dot products the ADC score
+    * still approximates the ORIGINAL-space dot — the exact rerank
+    * needs no change. */
   final case class PqCodebook(m: Int, dSub: Int,
-      books: Seq[Seq[Seq[Double]]])
+      books: Seq[Seq[Seq[Double]]],
+      rot: Option[Seq[Seq[Double]]] = None)
+
+  /** Seeded orthonormal D×D rotation: Gram-Schmidt over a seeded
+    * Gaussian matrix — pure public-knowledge math, deterministic for
+    * a given (dim, seed). Kept as the cheap baseline; on data whose
+    * structure is axis-aligned a BLIND rotation can lose recall
+    * (measured on the planted-neighbor fixture), which is why the
+    * registered path uses [[opqLearnRotation]] instead. O(D²) driver
+    * metadata.
+    */
+  private[graft] def opqRotation(dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val raw = Array.fill(dim, dim)(rnd.nextGaussian())
+    val basis = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    raw.foreach { v =>
+      val u = v.clone()
+      basis.foreach { b =>
+        val proj = (0 until dim).map(i => u(i) * b(i)).sum
+        (0 until dim).foreach(i => u(i) -= proj * b(i))
+      }
+      val n = math.sqrt(u.map(x => x * x).sum)
+      // a Gaussian matrix is singular with probability 0; a degenerate
+      // draw means the seed is unusable, not a data problem
+      require(n > 1e-9, s"degenerate Gram-Schmidt draw at seed $seed")
+      basis += u.map(_ / n)
+    }
+    basis.map(_.toSeq).toSeq
+  }
+
+  // --- driver-side dense-matrix helpers (D×D, D ≤ a few hundred) ---
+  private def matMul(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length; val p = b(0).length; val q = b.length
+    val out = Array.ofDim[Double](n, p)
+    var i = 0
+    while (i < n) {
+      var l = 0
+      while (l < q) {
+        val ail = a(i)(l); val bl = b(l)
+        if (ail != 0.0) { var j = 0; while (j < p) { out(i)(j) += ail * bl(j); j += 1 } }
+        l += 1
+      }
+      i += 1
+    }
+    out
+  }
+  private def matT(a: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(a(0).length, a.length)((i, j) => a(j)(i))
+  private def matI(n: Int): Array[Array[Double]] =
+    Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+
+  /** Orthogonal polar factor of M via the inverse-free Newton–Schulz
+    * iteration (X ← ½X(3I − XᵀX), X₀ = M/‖M‖_F — public-knowledge
+    * numerical linear algebra; converges for σ_max(X₀) ≤ 1 < √3).
+    * The Procrustes maximizer of tr(R·M) is this factor's transpose.
+    */
+  private def polarFactor(mIn: Array[Array[Double]], iters: Int = 200): Array[Array[Double]] = {
+    val d = mIn.length
+    val fro = math.sqrt(mIn.map(r => r.map(x => x * x).sum).sum)
+    require(fro > 1e-12, "degenerate Procrustes matrix")
+    var x = mIn.map(_.map(_ / fro))
+    var it = 0
+    var conv = false
+    while (it < iters && !conv) {
+      val xtx = matMul(matT(x), x)
+      var dev = 0.0
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          val t = math.abs(xtx(i)(j) - (if (i == j) 1.0 else 0.0))
+          if (t > dev) dev = t
+          j += 1
+        }
+        i += 1
+      }
+      conv = dev < 1e-13
+      if (!conv) {
+        val g = Array.tabulate(d, d)((i2, j2) =>
+          (if (i2 == j2) 3.0 else 0.0) - xtx(i2)(j2))
+        x = matMul(x, g).map(_.map(_ * 0.5))
+      }
+      it += 1
+    }
+    // Gram-Schmidt polish: an ill-conditioned M (near-zero singular
+    // values — e.g. duplicated-dimension data) converges slowly in its
+    // null directions; re-orthonormalizing the rows removes the
+    // residual drift exactly without moving the well-determined part
+    val basis = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    x.foreach { v =>
+      val u = v.clone()
+      basis.foreach { b =>
+        var proj = 0.0; var i = 0
+        while (i < d) { proj += u(i) * b(i); i += 1 }
+        i = 0
+        while (i < d) { u(i) -= proj * b(i); i += 1 }
+      }
+      val n = math.sqrt(u.map(t => t * t).sum)
+      require(n > 1e-9, "rank-deficient polar factor")
+      basis += u.map(_ / n)
+    }
+    basis.toArray
+  }
+
+  /** LEARNED OPQ rotation (Ge et al., "Optimized Product Quantization"
+    * — alternating minimization): iterate [per-subspace codebooks in
+    * the rotated space] ⇄ [R ← Procrustes aligning R·x with its
+    * reconstruction]. Trained on a BOUNDED deterministic sample
+    * collected to the driver (the coarse-quantizer convention: FAISS
+    * trains OPQ/PQ on a sample, applies to the corpus) — O(sampleN·D)
+    * driver bytes, the corpus never leaves the executors.
+    *
+    * Initialized at the IDENTITY and accepted only if the sample
+    * quantization error strictly improves, so callers can never do
+    * worse than plain PQ (a blind random rotation CAN lose recall on
+    * axis-aligned structure — measured, see PqSpec).
+    */
+  private[graft] def opqLearnRotation(emb: DataFrame, m: Int = 8,
+      k: Int = 16, sampleN: Int = 2048, iters: Int = 6): Option[Seq[Seq[Double]]] = {
+    val xs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .orderBy("vec_id").limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(xs.length > k, s"OPQ needs > $k sample vectors, got ${xs.length}")
+    val dim = xs(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dSub = dim / m
+
+    // plain-PQ reconstruction of the (rotated) sample: seeded Lloyd
+    // per subspace, mirroring pqTrain's convention (seeds = first k)
+    def reconstruct(xr: Array[Array[Double]]): Array[Array[Double]] = {
+      val out = xr.map(_ => new Array[Double](dim))
+      var s = 0
+      while (s < m) {
+        val off = s * dSub
+        var cents = Array.tabulate(k)(ci => xr(ci).slice(off, off + dSub))
+        var pass = 0
+        while (pass < 4) {
+          val sums = Array.fill(k)(new Array[Double](dSub))
+          val cnts = new Array[Int](k)
+          xr.foreach { v =>
+            var best = 0; var bd = Double.MaxValue; var ci = 0
+            while (ci < k) {
+              var d2 = 0.0; var j = 0
+              while (j < dSub) { val t = v(off + j) - cents(ci)(j); d2 += t * t; j += 1 }
+              if (d2 < bd) { bd = d2; best = ci }
+              ci += 1
+            }
+            cnts(best) += 1
+            var j = 0
+            while (j < dSub) { sums(best)(j) += v(off + j); j += 1 }
+          }
+          cents = Array.tabulate(k)(ci =>
+            if (cnts(ci) == 0) cents(ci)
+            else sums(ci).map(_ / cnts(ci)))
+          pass += 1
+        }
+        xr.zipWithIndex.foreach { case (v, vi) =>
+          var best = 0; var bd = Double.MaxValue; var ci = 0
+          while (ci < k) {
+            var d2 = 0.0; var j = 0
+            while (j < dSub) { val t = v(off + j) - cents(ci)(j); d2 += t * t; j += 1 }
+            if (d2 < bd) { bd = d2; best = ci }
+            ci += 1
+          }
+          System.arraycopy(cents(best), 0, out(vi), off, dSub)
+        }
+        s += 1
+      }
+      out
+    }
+    def err(r: Array[Array[Double]]): Double = {
+      val xr = xs.map(v => r.map(row =>
+        { var d = 0.0; var j = 0; while (j < dim) { d += row(j) * v(j); j += 1 }; d }))
+      val y = reconstruct(xr)
+      xr.zip(y).map { case (a, b) =>
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = a(j) - b(j); d += t * t; j += 1 }; d }.sum
+    }
+
+    var r = matI(dim)
+    var it = 0
+    while (it < iters) {
+      val xr = xs.map(v => r.map(row =>
+        { var d = 0.0; var j = 0; while (j < dim) { d += row(j) * v(j); j += 1 }; d }))
+      val y = reconstruct(xr)
+      // Procrustes: maximize tr(R·M) with M = Σ xᵢ·yᵢᵀ ⇒ R = (polar M)ᵀ
+      val mMat = Array.ofDim[Double](dim, dim)
+      xs.zip(y).foreach { case (x, yy) =>
+        var i = 0
+        while (i < dim) {
+          val xi = x(i)
+          if (xi != 0.0) { var j = 0; while (j < dim) { mMat(i)(j) += xi * yy(j); j += 1 } }
+          i += 1
+        }
+      }
+      r = matT(polarFactor(mMat))
+      it += 1
+    }
+    val e0 = err(matI(dim))
+    val e1 = err(r)
+    // identity fallback: ship a rotation only when it buys a REAL
+    // error reduction (≥2% on the sample). On isotropic data the
+    // alternation yields sub-percent improvements that don't survive
+    // into top-k recall — there plain PQ is already optimal and the
+    // honest answer is "no rotation"; on correlated/axis-misaligned
+    // data (where OPQ exists to help) the reduction is large
+    if (e1 < e0 * 0.98) Some(r.map(_.toSeq).toSeq) else None
+  }
+
+  /** e → R·e as one codegen-friendly column: D dots of the literal
+    * rotation rows against the vector. */
+  private def rotateCol(e: Column, rot: Seq[Seq[Double]]): Column =
+    transform(typedLit(rot), r => call_function("graft_dot", r, e))
 
   private val pqCache =
     scala.collection.concurrent.TrieMap[String, PqCodebook]()
@@ -53,13 +271,18 @@ object PqOps extends OpModule {
     * seed). `cacheKey` reuses codebooks per (session, corpus) like
     * the IVF index cache. */
   def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
-      cacheKey: Option[String] = None): PqCodebook = {
+      cacheKey: Option[String] = None,
+      rot: Option[Seq[Seq[Double]]] = None): PqCodebook = {
     def build(): PqCodebook = {
       graft.functions.VectorKernels.register(emb.sparkSession)
-      val e = emb.select(col("vec_id"),
+      val e0 = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
-      val dim = e.select(size(col("e"))).first().getInt(0)
+      val dim = e0.select(size(col("e"))).first().getInt(0)
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      rot.foreach(r => require(r.length == dim && r.head.length == dim,
+        s"rotation is ${r.length}×${r.head.length}, data is $dim-dim"))
+      val e = rot.map(r => e0.select(col("vec_id"),
+        rotateCol(col("e"), r).as("e"))).getOrElse(e0)
       val dSub = dim / m
       val books = (0 until m).map { i =>
         val sub = e.select(col("vec_id"),
@@ -78,11 +301,11 @@ object PqOps extends OpModule {
           .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
         (0 until k).map(ci => means.getOrElse(ci, seeds(ci)))
       }
-      PqCodebook(m, dSub, books)
+      PqCodebook(m, dSub, books, rot)
     }
     cacheKey match {
       case Some(kk) =>
-        val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(emb.sparkSession)}|$kk|m$m|k$k"
+        val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(emb.sparkSession)}|$kk|m$m|k$k|r${rot.map(_.hashCode).getOrElse(0)}"
         pqCache.getOrElseUpdate(key, build())
       case None => build()
     }
@@ -93,9 +316,11 @@ object PqOps extends OpModule {
     * that PqSpec bounds. */
   def pqEncode(emb: DataFrame, cb: PqCodebook): DataFrame = {
     graft.functions.VectorKernels.register(emb.sparkSession)
+    // `er` = the (possibly rotated) space the codebooks live in; the
+    // output `e` column stays ORIGINAL for downstream exact rescoring
     val codes = array((0 until cb.m).map { i =>
       call_function("graft_best_centroid_l2",
-        slice(col("e"), i * cb.dSub + 1, cb.dSub),
+        slice(col("er"), i * cb.dSub + 1, cb.dSub),
         typedLit(cb.books(i))).getField("idx")
     }: _*)
     val recon = flatten(array((0 until cb.m).map { i =>
@@ -111,16 +336,20 @@ object PqOps extends OpModule {
       .map(i => shiftleft(col("codes")(i).cast("long"), i * codeBits))
       .reduce[Column](_.bitwiseOR(_))
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("er",
+        cb.rot.map(rotateCol(col("e"), _)).getOrElse(col("e")))
       .withColumn("codes", codes)
       .withColumn("recon", recon)
       .withColumn("packed", packed)
       // clamp1 (= nanvl + [-1,1] clamp) guards the zero-reconstruction
       // case: a zero codebook centroid would make the cosine 0/0 = NaN
       // and poison every avg(cos_err) downstream — same convention as
-      // the IVF paths
+      // the IVF paths. The cosine compares er (codebook space) with
+      // recon (same space) — rotation-invariant, so it equals the
+      // original-space 1 − cos(e, R⁻¹ê)
       .withColumn("cos_err", round(lit(1.0) - LlmOps.clamp1(
-        call_function("graft_dot", col("e"), col("recon")) /
-          (sqrt(call_function("graft_dot", col("e"), col("e"))) *
+        call_function("graft_dot", col("er"), col("recon")) /
+          (sqrt(call_function("graft_dot", col("er"), col("er"))) *
            sqrt(call_function("graft_dot", col("recon"), col("recon"))))), 6))
       .select("vec_id", "e", "codes", "packed", "cos_err")
   }
@@ -139,10 +368,11 @@ object PqOps extends OpModule {
   def simSearchIvfPq(emb: DataFrame, nProbes: Int, topK: Int,
       nCentroids: Int = 8, nProbe: Int = 3, m: Int = 8, k: Int = 16,
       rerank: Int = 32, cacheKey: Option[String] = None,
-      usePackedAdc: Boolean = true): DataFrame = {
+      usePackedAdc: Boolean = true,
+      rot: Option[Seq[Seq[Double]]] = None): DataFrame = {
     graft.functions.VectorKernels.register(emb.sparkSession)
     val idx = LlmOps.ivfIndex(emb, nCentroids, cacheKey)
-    val cb = pqTrain(emb, m, k, cacheKey)
+    val cb = pqTrain(emb, m, k, cacheKey, rot)
     val codeCol = if (usePackedAdc) "packed" else "codes"
     val enc = pqEncode(emb, cb)
       .join(idx.assign.select("vec_id", "cid"), "vec_id")
@@ -157,14 +387,18 @@ object PqOps extends OpModule {
       .select(col("vec_id").as("p_id"),
         col("embedding").cast("array<double>").as("p_emb"))
     // per-probe ADC lookup tables: subspace i's k partial dots as one
-    // literal-codebook transform column
-    val withLut = (0 until cb.m).foldLeft(
-      LlmOps.rankCentroids(probes, idx)
-        .filter(col("c_rn") <= nProbe)
-        .select(col("p_id"), col("p_emb"), col("cid"))) { (df, i) =>
+    // literal-codebook transform column. With a rotation the LUTs are
+    // built from the ROTATED probe (the codebooks' space); ⟨Rp, Rx⟩ =
+    // ⟨p, x⟩ keeps the ADC score an estimate of the original dot
+    val probed = LlmOps.rankCentroids(probes, idx)
+      .filter(col("c_rn") <= nProbe)
+      .select(col("p_id"), col("p_emb"), col("cid"))
+      .withColumn("p_lut",
+        cb.rot.map(rotateCol(col("p_emb"), _)).getOrElse(col("p_emb")))
+    val withLut = (0 until cb.m).foldLeft(probed) { (df, i) =>
       df.withColumn(s"lut$i", transform(typedLit(cb.books(i)),
         c => call_function("graft_dot",
-          slice(col("p_emb"), i * cb.dSub + 1, cb.dSub), c)))
+          slice(col("p_lut"), i * cb.dSub + 1, cb.dSub), c)))
     }
     val adc = (0 until cb.m)
       .map(i => element_at(col(s"lut$i"), codeAt(i) + 1))
