@@ -85,32 +85,46 @@ object LayoutOps extends OpModule {
   // Z-order clustering
   // ---------------------------------------------------------------
 
-  /** Bit-interleaved Z-value of two non-negative dimensions (`bits`
-    * low bits each → a 2·bits-bit key). Pure integer arithmetic —
-    * shifts, masks and adds of disjoint bits — so the whole thing is
-    * one codegen'd projection, and the identical expression is
-    * writable in ANSI SQL for the oracle.
+  /** Bit-interleaved Z-value of k non-negative dimensions (`bits` low
+    * bits each → a k·bits-bit key; bit i of dimension j lands at
+    * position k·i + j). Pure integer arithmetic — shifts, masks and
+    * adds of disjoint bits — so the whole thing is one codegen'd
+    * projection, and the identical expression is writable in ANSI SQL
+    * for the oracle. k·bits must fit a signed long.
     */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    val mx = x.bitwiseAND(lit((1L << bits) - 1))
-    val my = y.bitwiseAND(lit((1L << bits) - 1))
+  def zValueN(dims: Seq[Column], bits: Int = 16): Column = {
+    val k = dims.length
+    require(k >= 2 && k * bits <= 63,
+      s"zValueN: $k dims × $bits bits exceeds a signed long")
+    val masked = dims.map(_.bitwiseAND(lit((1L << bits) - 1)))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc + shiftleft(shiftrightunsigned(mx, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftrightunsigned(my, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      masked.zipWithIndex.foldLeft(acc) { case (a, (m, j)) =>
+        a + shiftleft(shiftrightunsigned(m, i).bitwiseAND(lit(1L)), k * i + j)
+      }
     }
   }
 
-  /** The same Z-value as ANSI SQL text (for oracle generation). */
-  def zValueSql(x: String, y: String, bits: Int = 16): String = {
+  /** 2-dim Z-value (x at even bit positions, y at odd). */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** The k-dim Z-value as ANSI SQL text (for oracle generation). */
+  def zValueNSql(dims: Seq[String], bits: Int = 16): String = {
+    val k = dims.length
     val mask = (1L << bits) - 1
     // the bit must be BIGINT before the shift: DuckDB's `<<` stays in
     // INT32 for small operands, so `1 << 31` overflows
     val terms = (0 until bits).flatMap { i =>
-      Seq(s"(CAST((($x & $mask) >> $i) & 1 AS BIGINT) << ${2 * i})",
-        s"(CAST((($y & $mask) >> $i) & 1 AS BIGINT) << ${2 * i + 1})")
+      dims.zipWithIndex.map { case (d, j) =>
+        s"(CAST((($d & $mask) >> $i) & 1 AS BIGINT) << ${k * i + j})"
+      }
     }
     terms.mkString("(", " + ", ")")
   }
+
+  /** The 2-dim Z-value as ANSI SQL text. */
+  def zValueSql(x: String, y: String, bits: Int = 16): String =
+    zValueNSql(Seq(x, y), bits)
 
   /** Z-order file-assignment statistics: quantize both dimensions to
     * the full `bits`-bit range (so the layout adapts to the actual
@@ -131,6 +145,36 @@ object LayoutOps extends OpModule {
     * `repartitionByRange` on z + `sortWithinPartitions(z)` + parquet
     * write (demonstrated end-to-end in LayoutSpec).
     */
+  /** k-dim generalization of [[zorderStats]]: same two-job shape (one
+    * broadcast extent aggregate, one quantize+interleave projection +
+    * groupBy) for ANY number of clustering columns — Delta/Iceberg
+    * `ZORDER BY (a, b, c)`. Output stats columns are named
+    * `min_<col>`/`max_<col>` per dimension.
+    */
+  def zorderStatsN(df: DataFrame, dims: Seq[String],
+      bits: Int = 16, fileBits: Int = 6): DataFrame = {
+    val k = dims.length
+    require(k >= 2 && k * bits <= 63,
+      s"zorderStatsN: $k dims × $bits bits exceeds a signed long")
+    val base = df.select(dims.zipWithIndex.map { case (c, j) =>
+      col(c).cast("long").as(s"d$j") }: _*)
+    val extAggs = dims.indices.flatMap(j =>
+      Seq(min(col(s"d$j")).as(s"mn$j"), max(col(s"d$j")).as(s"mx$j")))
+    val ext = base.agg(extAggs.head, extAggs.tail: _*)
+    val n = 1L << bits
+    val q = dims.indices.foldLeft(base.crossJoin(broadcast(ext))) { (acc, j) =>
+      acc.withColumn(s"q$j", expr(s"((d$j - mn$j) * $n) DIV (mx$j - mn$j + 1)"))
+    }
+    val z = zValueN(dims.indices.map(j => col(s"q$j")), bits)
+    val statAggs = count(lit(1)).as("n_rows") +:
+      dims.zipWithIndex.flatMap { case (c, j) =>
+        Seq(min(col(s"d$j")).as(s"min_$c"), max(col(s"d$j")).as(s"max_$c")) }
+    q.select((col("*") +:
+        Seq(shiftrightunsigned(z, k * bits - fileBits).as("file_id"))): _*)
+      .groupBy("file_id")
+      .agg(statAggs.head, statAggs.tail: _*)
+  }
+
   def zorderStats(df: DataFrame, xCol: String, yCol: String,
       bits: Int = 16, fileBits: Int = 6): DataFrame = {
     val base = df.select(col(xCol).cast("long").as("x"),
@@ -299,6 +343,32 @@ object LayoutOps extends OpModule {
                 count(*) AS n_rows,
                 min(x) AS min_x, max(x) AS max_x,
                 min(y) AS min_y, max(y) AS max_y
+              FROM q
+              GROUP BY 1 ORDER BY file_id""")),
+
+    Op("layout_zorder3",
+      // 3-dim Z-order (VERDICT r7 "What's missing" #5): same two-job
+      // plan, 48-bit interleaved key, bit-exact shift/mask SQL on both
+      // sides
+      (s, d) => zorderStatsN(Tables.lineitem(s, d),
+        Seq("l_partkey", "l_suppkey", "l_orderkey"))
+        .orderBy("file_id"),
+      Some(s"""WITH ext AS (
+                SELECT min(l_partkey) AS mn0, max(l_partkey) AS mx0,
+                       min(l_suppkey) AS mn1, max(l_suppkey) AS mx1,
+                       min(l_orderkey) AS mn2, max(l_orderkey) AS mx2
+                FROM lineitem),
+              q AS (
+                SELECT l_partkey AS d0, l_suppkey AS d1, l_orderkey AS d2,
+                  ((l_partkey - mn0) * 65536) // (mx0 - mn0 + 1) AS q0,
+                  ((l_suppkey - mn1) * 65536) // (mx1 - mn1 + 1) AS q1,
+                  ((l_orderkey - mn2) * 65536) // (mx2 - mn2 + 1) AS q2
+                FROM lineitem, ext)
+              SELECT ${zValueNSql(Seq("q0", "q1", "q2"))} >> 42 AS file_id,
+                count(*) AS n_rows,
+                min(d0) AS min_l_partkey, max(d0) AS max_l_partkey,
+                min(d1) AS min_l_suppkey, max(d1) AS max_l_suppkey,
+                min(d2) AS min_l_orderkey, max(d2) AS max_l_orderkey
               FROM q
               GROUP BY 1 ORDER BY file_id"""))
   )

@@ -35,6 +35,45 @@ class LayoutSpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  private def zRefN(ds: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    val k = ds.length
+    for (i <- 0 until bits; j <- 0 until k)
+      z |= ((ds(j) >> i) & 1L) << (k * i + j)
+    z
+  }
+
+  test("zValueN matches the k-dim interleave reference (3 dims)") {
+    val gen = Gen.listOfN(50, Gen.listOfN(3, Gen.choose(0L, 65535L)))
+    val r = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(gen) { xs =>
+        val out = xs.map(l => (l(0), l(1), l(2))).toDF("a", "b", "c")
+          .select(LayoutOps.zValueN(
+            Seq(col("a"), col("b"), col("c")), 16).as("z"))
+          .as[Long].collect()
+        out.toSeq == xs.map(zRefN(_, 16))
+      })
+    assert(r.passed, r.status.toString)
+    // and the 2-dim zValue IS zValueN at k=2 (same bit layout)
+    assert(zRefN(Seq(5L, 9L), 16) == zRef(5L, 9L, 16))
+  }
+
+  test("3-dim zorder bounds ALL THREE dimensions per file") {
+    // 64 files at fileBits=6 over a 48-bit key = the top 2 bits of
+    // each of the three dims — a 4×4×4 grid, so every file's range on
+    // EVERY dimension is ≈ span/4 (≤ span/2 with quantization slack)
+    val li = Tables.lineitem(spark, sf01)
+    val zs = LayoutOps.zorderStatsN(li,
+      Seq("l_partkey", "l_suppkey", "l_orderkey")).collect()
+    assert(zs.length == 64)
+    Seq(2 -> 3, 4 -> 5, 6 -> 7).foreach { case (lo, hi) =>
+      val span = zs.map(_.getLong(hi)).max - zs.map(_.getLong(lo)).min
+      val avg = zs.map(r => r.getLong(hi) - r.getLong(lo)).sum.toDouble / zs.length
+      assert(avg <= span / 2.0,
+        s"dim at col $lo: avg width $avg vs span $span")
+    }
+  }
+
   test("zorder bounds BOTH dimensions per file; linear sort only one") {
     val li = Tables.lineitem(spark, sf01)
     val zs = LayoutOps.zorderStats(li, "l_partkey", "l_suppkey").collect()
