@@ -272,6 +272,28 @@ object PipelineOps extends OpModule {
       shingleN: Int = 5, maxIters: Int = 25): DataFrame = {
     val pairs = LlmOps.jaccardPairs(docs, tau, shingleN)
       .select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs, maxIters = maxIters)
+    val sizes = org.apache.spark.sql.expressions.Window.partitionBy("lbl")
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(sizes))
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  /** Connected components of an undirected pair list → (node, lbl)
+    * with lbl = the component's minimum node id. Two regimes:
+    *
+    *  - MIN-LABEL PROPAGATION (rounds = graph diameter) — optimal for
+    *    the shallow, dense components near-dup graphs actually have;
+    *  - STAR CONTRACTION fallback (alternating large-star/small-star,
+    *    Kiveris et al. "Connected Components in MapReduce and
+    *    Beyond", O(log n) rounds) — engaged automatically once
+    *    propagation exceeds `propagationCap` rounds, guarding the
+    *    pathological high-diameter case (a chain of borderline
+    *    near-dups) where propagation would need O(n) rounds at 100 TB.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      propagationCap: Int = 10, maxIters: Int = 25): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
@@ -284,7 +306,8 @@ object PipelineOps extends OpModule {
       .persist()
     var converged = false
     var it = 1
-    while (!converged && it < maxIters) {
+    val cap = math.min(propagationCap, maxIters)
+    while (!converged && it < cap) {
       val nbMin = edges
         .join(labels.select(col("node").as("doc_b"), col("lbl").as("nlbl")),
           "doc_b")
@@ -305,12 +328,93 @@ object PipelineOps extends OpModule {
       labels = upd.select("node", "lbl")
       it += 1
     }
+    val out = if (converged) labels
+    else {
+      // high-diameter graph: propagation is still moving after `cap`
+      // rounds — switch to the O(log n) contraction
+      labels.unpersist()
+      starContract(edges)._1
+    }
     edges.unpersist()
-    val sizes = org.apache.spark.sql.expressions.Window.partitionBy("lbl")
-    labels
-      .withColumn("cluster_size", count(lit(1)).over(sizes))
-      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
-        col("cluster_size"))
+    out
+  }
+
+  /** Alternating large-star/small-star contraction. Each round is two
+    * [groupBy(node) min + equi-join] passes over the current edge
+    * list — same shuffle class as one propagation round — but the
+    * edge set contracts toward per-component stars in O(log n)
+    * rounds regardless of diameter. At convergence every component is
+    * a single star centered at its minimum node (the paper's
+    * invariant), so labels read directly off the final edges. Returns
+    * (labels, rounds) — rounds is exposed for the PipelineSpec pin.
+    */
+  private[graft] def starContract(edges0: DataFrame): (DataFrame, Int) = {
+    val spark = edges0.sparkSession
+    val nodes = edges0.select(col("doc_a").as("node")).distinct().persist()
+    var cached = edges0.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .distinct().persist()
+    // each round's plan references the previous round's ~4 times, so
+    // building directly on the prior DataFrame grows the ANALYSIS tree
+    // exponentially with rounds (the execution would be fine — the
+    // cache truncates it — but Catalyst re-analyzes the full logical
+    // plan every round). Re-wrapping the materialized rows as a
+    // LogicalRDD starts every round from a flat plan.
+    def rewrap(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    var e = rewrap(cached)
+    var rounds = 0
+    var sig: (Long, Long) = (-1L, -1L)
+    var done = false
+    while (!done && rounds < 50) {
+      // large-star: every neighbor v > u connects to m = min(Γ(u)∪{u})
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy("u").agg(min("v").as("mnv"))
+        .select(col("u"), least(col("u"), col("mnv")).as("m"))
+      val large = sym.join(mL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: every neighbor v ≤ u (and u itself) connects to m
+      val mS = large.unionByName(large.select(col("v").as("u"), col("u").as("v")))
+        .groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val symL = large.unionByName(
+        large.select(col("v").as("u"), col("u").as("v")))
+      val small = symL.join(mS, "u")
+        .filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .persist()
+      // one tiny action: (count, hash-sum) signature — unchanged edge
+      // set means the stars are stable. The action also materializes
+      // `small` into the cache before the previous round is dropped
+      val row = small.agg(count(lit(1)),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).first()
+      val newSig = (row.getLong(0), row.getLong(1))
+      cached.unpersist()
+      cached = small
+      e = rewrap(small)
+      done = newSig == sig
+      sig = newSig
+      rounds += 1
+    }
+    // at convergence e holds (child → component-min) star edges; a
+    // component's root has no outgoing edge and labels itself
+    val labels = nodes
+      .join(e.groupBy(col("u").as("node")).agg(min("v").as("root")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("lbl"))
+      .persist()
+    // materialize BEFORE dropping the per-round caches: the lazy
+    // lineage branches twice per contraction round and would be
+    // exponential to recompute uncached
+    labels.count()
+    nodes.unpersist()
+    cached.unpersist()
+    (labels, rounds)
   }
 
   // ---------------------------------------------------------------

@@ -227,4 +227,34 @@ class PipelineSpec extends SparkSpec {
     // no edges for the singleton → not emitted
     assert(!out.exists(_._1 == 20L))
   }
+
+  test("star contraction: 64-node path graph converges in <=8 rounds, equal clusters") {
+    // the pathological case for label propagation (rounds = diameter =
+    // 63 here, O(n) on a chain at 100 TB); the alternating large-star/
+    // small-star fallback contracts it in O(log n) rounds
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = PipelineOps.starContract(
+      path.unionByName(path.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b"))))
+    info(s"star contraction rounds: $rounds")
+    assert(rounds <= 8, s"expected <=8 rounds on a 64-node path, took $rounds")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L),
+      s"expected one component rooted at 0, got ${got.toSeq.sortBy(_._1).take(8)}...")
+
+    // the public path: connectedComponents engages the fallback when
+    // propagation is capped below the diameter and still produces the
+    // exact min-label result
+    val viaCc = PipelineOps.connectedComponents(path, propagationCap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaCc == got, "fallback path diverged from direct star contraction")
+    // two disjoint chains keep distinct roots
+    val two = (0L until 15L).map(i => (i, i + 1)) ++
+      (100L until 115L).map(i => (i, i + 1))
+    val cc2 = PipelineOps.connectedComponents(
+      two.toDF("doc_a", "doc_b"), propagationCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc2.filter(_._1 < 100).forall(_._2 == 0L))
+    assert(cc2.filter(_._1 >= 100).forall(_._2 == 100L))
+  }
 }
