@@ -1051,6 +1051,41 @@ object LlmOps extends OpModule {
               FROM ranked WHERE rank <= 10
               ORDER BY p_id, rank""")),
 
+    Op("llm_simsearch_ivf_exact",
+      // the IVF PROBE PATH itself, hash-matched (VERDICT r7 #7):
+      // probing nProbe = nCentroids buckets IS the exact search —
+      // every vector is scored through the same cid equi-join plan the
+      // approximate path uses, so the brute-force oracle applies
+      // verbatim. This pins the probe machinery (rankCentroids, the
+      // bucket join, the per-probe window) with a DuckDB hash, where
+      // llm_simsearch pins the adaptive bound-rescue variant
+      (s, d) => simSearchIvf(Tables.embeddings(s, d), nProbes = 5,
+        topK = 10, nCentroids = 8, nProbe = 8, cacheKey = Some(d))
+        .orderBy("p_id", "rank"),
+      Some("""WITH probes AS (
+                SELECT vec_id AS p_id, embedding AS p_emb
+                FROM embeddings WHERE vec_id < 5),
+              scored AS (
+                SELECT p_id, vec_id,
+                  round(
+                    list_reduce(list_transform(range(1, 65),
+                      i -> p_emb[i]::DOUBLE * embedding[i]::DOUBLE),
+                      (a, b) -> a + b)
+                    / (sqrt(list_reduce(list_transform(p_emb,
+                         x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))
+                     * sqrt(list_reduce(list_transform(embedding,
+                         x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))),
+                    6) AS cosine
+                FROM probes, embeddings),
+              ranked AS (
+                SELECT p_id, vec_id, cosine,
+                  row_number() OVER (PARTITION BY p_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored)
+              SELECT p_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine
+              FROM ranked WHERE rank <= 10
+              ORDER BY p_id, rank""")),
+
     // SimHash: Spark-only hash family → no oracle; recall/precision on
     // crafted fixtures + fingerprint locality pinned in LlmSpec
     Op("llm_dedup_simhash",
