@@ -257,6 +257,9 @@ object PqOps extends OpModule {
   private val pqCache =
     scala.collection.concurrent.TrieMap[String, PqCodebook]()
 
+  private val rotCache =
+    scala.collection.concurrent.TrieMap[String, Option[Seq[Seq[Double]]]]()
+
   /** Evict this session's cached codebooks — companion to
     * [[LlmOps.evictIvfCache]] for a long-lived embedding service.
     * (Codebooks are plain driver objects, so eviction is just map
@@ -264,6 +267,7 @@ object PqOps extends OpModule {
   def evictPqCache(spark: org.apache.spark.sql.SparkSession): Unit = {
     val prefix = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}|"
     pqCache.keys.filter(_.startsWith(prefix)).foreach(pqCache.remove)
+    rotCache.keys.filter(_.startsWith(prefix)).foreach(rotCache.remove)
   }
 
   /** One seeded-Lloyd step per subspace (seeds = first k vec_ids, the
@@ -441,6 +445,25 @@ object PqOps extends OpModule {
       (s, d) => simSearchIvfPq(Tables.embeddings(s, d), nProbes = 50,
         topK = 10, cacheKey = Some(d))
         .orderBy("p_id", "rank"),
+      None),
+
+    Op("llm_vector_opq",
+      // learned-OPQ encode as a first-class query (r8): rotation from
+      // deterministic alternating minimization on the ordered sample
+      // (cached per session+corpus like the codebooks), identity
+      // fallback when it doesn't clear the acceptance bar. Rows-only
+      // driver check; the math is pinned by PqSpec's recall/error/
+      // orthonormality tests
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|$d"
+        val rot = rotCache.getOrElseUpdate(key, opqLearnRotation(emb))
+        val cb = pqTrain(emb, cacheKey = Some(d), rot = rot)
+        pqEncode(emb, cb)
+          .select(col("vec_id"), col("packed"), col("cos_err"),
+            lit(rot.isDefined).as("rotated"))
+          .orderBy("vec_id")
+      },
       None)
   )
 }
