@@ -307,9 +307,17 @@ object PipelineOps extends OpModule {
     var converged = false
     var it = 1
     val cap = math.min(propagationCap, maxIters)
+    // DELTA FRONTIER: labels only ever decrease, and a node can only
+    // improve when a NEIGHBOR's label decreased last round — so each
+    // round joins edges against the CHANGED nodes only, not the full
+    // label table. Round 2 typically touches a small fraction of the
+    // graph; at 100 TB this is the difference between per-round work
+    // proportional to the frontier and per-round work proportional to
+    // the corpus. After init every node counts as changed.
+    var active = labels
     while (!converged && it < cap) {
       val nbMin = edges
-        .join(labels.select(col("node").as("doc_b"), col("lbl").as("nlbl")),
+        .join(active.select(col("node").as("doc_b"), col("lbl").as("nlbl")),
           "doc_b")
         .groupBy(col("doc_a").as("node"))
         .agg(min("nlbl").as("nb_min"))
@@ -326,6 +334,7 @@ object PipelineOps extends OpModule {
       converged = moved == 0L
       labels.unpersist()
       labels = upd.select("node", "lbl")
+      active = upd.filter(col("lbl") < col("old_lbl")).select("node", "lbl")
       it += 1
     }
     val out = if (converged) labels
