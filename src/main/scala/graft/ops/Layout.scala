@@ -246,18 +246,27 @@ object LayoutOps extends OpModule {
   def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
       dstDir: String, sortCol: String,
       targetRowsPerFile: Long): (Int, Int, Long) = {
-    def parquetFiles(d: String): Int =
-      Option(new java.io.File(d).listFiles()).map(
-        _.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+    // Hadoop FileSystem, not java.io.File: the before/after counts must
+    // work on whatever filesystem the path lives on (HDFS/object
+    // stores at 100 TB) — a local-only listing silently reads 0 there
+    def parquetFiles(d: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    }
     // the overwrite of dstDir happens while srcDir is still being read
     // lazily — an overlapping destination would truncate the source
-    // mid-scan and lose data
-    val srcCanon = new java.io.File(srcDir).getCanonicalPath
-    val dstCanon = new java.io.File(dstDir).getCanonicalPath
-    require(srcCanon != dstCanon &&
-      !dstCanon.startsWith(srcCanon + java.io.File.separator) &&
-      !srcCanon.startsWith(dstCanon + java.io.File.separator),
-      s"compact: dstDir must not overlap srcDir (src=$srcCanon dst=$dstCanon)")
+    // mid-scan and lose data. Compare FS-qualified paths so the guard
+    // holds for non-local URIs too
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(d: String): String = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p).toString + "/"
+    }
+    val (srcQ, dstQ) = (qualified(srcDir), qualified(dstDir))
+    require(!srcQ.startsWith(dstQ) && !dstQ.startsWith(srcQ),
+      s"compact: dstDir must not overlap srcDir (src=$srcQ dst=$dstQ)")
     val src = spark.read.parquet(srcDir)
     val rows = src.count()
     val nFiles = math.max(1,

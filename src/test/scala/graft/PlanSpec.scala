@@ -127,4 +127,19 @@ class PlanSpec extends SparkSpec {
     assert(!pf.contains("Join"), s"funnel must not join:\n$pf")
     assert("windowspecdefinition".r.findAllIn(pf).size >= 1, pf)
   }
+
+  test("r8: dedup self-joins reuse ONE signature stage (ReusedExchange pinned)") {
+    // the signature materialization point (repartition(doc_id) after
+    // the text kernel) is what keeps every self-join branch from
+    // recomputing scan→kernel — r8's 2-3× wins on jaccard/simhash/
+    // near ride on this plan property, so pin it: the FINAL adaptive
+    // plan must contain a ReusedExchange of the doc_id repartition
+    for (q <- Seq("llm_dedup_jaccard", "llm_dedup_simhash", "llm_dedup_near")) {
+      val p = planOf(q)
+      assert(p.contains("ReusedExchange"),
+        s"$q no longer shares the signature stage across branches:\n$p")
+      assert(p.contains("REPARTITION_BY_COL"),
+        s"$q lost the signature materialization point:\n$p")
+    }
+  }
 }
