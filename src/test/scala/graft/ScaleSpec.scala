@@ -218,5 +218,18 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning") ||
       plan.contains("PartitionFilters: [isnotnull(cid"),
       s"no partition pruning on the appended assignment scan:\n$plan")
+
+    // an EMPTY increment is a no-op: zero drift, metadata and probe
+    // results untouched (the idle-crawl case a scheduled maintenance
+    // job hits routinely)
+    val before = LlmOps.loadIvfIndex(spark, dir)
+    val d0 = LlmOps.appendIvfIndex(spark, dir, emb.filter(col("vec_id") < -1))
+    assert(d0 == 0.0)
+    val after = LlmOps.loadIvfIndex(spark, dir)
+    assert(after.cids == before.cids && after.alphaMax == before.alphaMax)
+    assert(after.assign.count() == emb.count())
+    val again = LlmOps.simSearchIvfOn(after, probes, topK = 10, nProbe = 3)
+      .orderBy("p_id", "rank").collect().toSeq
+    assert(again == appRows)
   }
 }
