@@ -262,7 +262,16 @@ object LayoutOps extends OpModule {
     val conf = spark.sparkContext.hadoopConfiguration
     def qualified(d: String): String = {
       val p = new org.apache.hadoop.fs.Path(d)
-      p.getFileSystem(conf).makeQualified(p).toString + "/"
+      val fs = p.getFileSystem(conf)
+      // makeQualified does NOT resolve `..` or symlinks, so a raw
+      // prefix check would let dst=/tmp/a/../src alias src=/tmp/src and
+      // truncate the source mid-scan. resolvePath follows symlinks
+      // where the path exists; URI.normalize collapses `.`/`..` either
+      // way.
+      val q = fs.makeQualified(p)
+      val r = try fs.resolvePath(q)
+              catch { case _: java.io.IOException => q }
+      r.toUri.normalize().toString.stripSuffix("/") + "/"
     }
     val (srcQ, dstQ) = (qualified(srcDir), qualified(dstDir))
     require(!srcQ.startsWith(dstQ) && !dstQ.startsWith(srcQ),

@@ -623,7 +623,6 @@ object LlmOps extends OpModule {
         acos(col("c_sim")).as("alpha"))
       .cache() // two consumers: the partition append + the stats pass
     try {
-      batch.write.mode("append").partitionBy("cid").parquet(s"$dir/assign")
       // O(C) per-bucket stats in one aggregate: merged α_max plus the
       // out-of-radius counts the drift signal needs
       val st = batch.groupBy("cid").agg(
@@ -635,11 +634,18 @@ object LlmOps extends OpModule {
       val batchAm = st.map(r => r.getLong(0) -> r.getDouble(1)).toMap
       val merged = idx.cids.map(c =>
         math.max(oldAm(c), batchAm.getOrElse(c, 0.0)))
+      // CRASH-SAFETY ORDER: the merged (larger) α_max is written BEFORE
+      // the batch rows are appended. An overstated α_max only loosens
+      // the exact-search bucket bound (conservative — extra buckets get
+      // rescued); an understated one silently prunes true matches. So a
+      // crash between the two writes always leaves a VALID index:
+      // either metadata-ahead (safe) or fully appended.
       import spark.implicits._
       idx.cids.zip(idx.cents).zip(merged)
         .map { case ((c, v), a) => (c, v, a) }
         .toDF("cid", "cent", "alpha_max")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      batch.write.mode("append").partitionBy("cid").parquet(s"$dir/assign")
       val nNew = st.map(_.getLong(2)).sum
       if (nNew == 0) 0.0 else st.map(_.getLong(3)).sum.toDouble / nNew
     } finally batch.unpersist(blocking = false)

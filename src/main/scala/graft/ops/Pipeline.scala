@@ -307,6 +307,12 @@ object PipelineOps extends OpModule {
     var converged = false
     var it = 1
     val cap = math.min(propagationCap, maxIters)
+    // the DataFrame actually persisted each round. From round 2 on,
+    // `labels` is a PROJECTION of the persisted `upd`, and
+    // Dataset.unpersist (cascade=false) only drops sameResult plans —
+    // unpersisting the projection is a no-op, so without this handle
+    // up to cap-1 corpus-sized cached rounds would accumulate
+    var persisted = labels
     // DELTA FRONTIER: labels only ever decrease, and a node can only
     // improve when a NEIGHBOR's label decreased last round — so each
     // round joins edges against the CHANGED nodes only, not the full
@@ -332,7 +338,8 @@ object PipelineOps extends OpModule {
       val moved = upd.agg(count(when(col("lbl") < col("old_lbl"), 1)))
         .first().getLong(0)
       converged = moved == 0L
-      labels.unpersist()
+      persisted.unpersist()
+      persisted = upd
       labels = upd.select("node", "lbl")
       active = upd.filter(col("lbl") < col("old_lbl")).select("node", "lbl")
       it += 1
@@ -341,7 +348,7 @@ object PipelineOps extends OpModule {
     else {
       // high-diameter graph: propagation is still moving after `cap`
       // rounds — switch to the O(log n) contraction
-      labels.unpersist()
+      persisted.unpersist()
       starContract(edges)._1
     }
     edges.unpersist()
@@ -372,7 +379,7 @@ object PipelineOps extends OpModule {
       spark.createDataFrame(df.rdd, df.schema)
     var e = rewrap(cached)
     var rounds = 0
-    var sig: (Long, Long) = (-1L, -1L)
+    var sig: (Long, Long, Long, Long, Long) = (-1L, -1L, -1L, -1L, -1L)
     var done = false
     while (!done && rounds < 50) {
       // large-star: every neighbor v > u connects to m = min(Γ(u)∪{u})
@@ -397,12 +404,25 @@ object PipelineOps extends OpModule {
         .filter(col("u") =!= col("v"))
         .distinct()
         .persist()
-      // one tiny action: (count, hash-sum) signature — unchanged edge
-      // set means the stars are stable. The action also materializes
-      // `small` into the cache before the previous round is dropped
+      // one tiny action: a 5-component signature — unchanged edge set
+      // means the stars are stable. Count + two INDEPENDENT hash
+      // families (Murmur3 and xxHash64) + raw coordinate sums: a
+      // single hash-sum can collide between different edge sets and
+      // end the contraction early with wrong labels; a simultaneous
+      // collision across both hash families AND both coordinate sums
+      // is not a plausible event. The action also materializes `small`
+      // into the cache before the previous round is dropped
+      // overflow-free under ANSI: the int Murmur3 hashes sum safely in
+      // a long; the 64-bit xxHash family folds via bit_xor (edges are
+      // distinct, so no pair self-cancels); coordinate sums reduce mod
+      // a prime first
       val row = small.agg(count(lit(1)),
-        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).first()
-      val newSig = (row.getLong(0), row.getLong(1))
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(sum(pmod(col("u").cast("long"), lit(1000000007L))), lit(0L)),
+        coalesce(sum(pmod(col("v").cast("long"), lit(1000000007L))), lit(0L))).first()
+      val newSig = (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getLong(3), row.getLong(4))
       cached.unpersist()
       cached = small
       e = rewrap(small)

@@ -219,6 +219,12 @@ object PqOps extends OpModule {
         while (j < dim) { val t = a(j) - b(j); d += t * t; j += 1 }; d }.sum
     }
 
+    // degenerate-sample guard (ADVICE r8): an exactly constant or
+    // zero-padded embedding dimension makes the Procrustes factor
+    // rank-deficient and polarFactor's requires fire. The documented
+    // contract is "never worse than plain PQ", so degeneracy takes the
+    // identity fallback instead of crashing the registered query.
+    try {
     var r = matI(dim)
     var it = 0
     while (it < iters) {
@@ -247,6 +253,7 @@ object PqOps extends OpModule {
     // honest answer is "no rotation"; on correlated/axis-misaligned
     // data (where OPQ exists to help) the reduction is large
     if (e1 < e0 * 0.98) Some(r.map(_.toSeq).toSeq) else None
+    } catch { case _: IllegalArgumentException => None }
   }
 
   /** e → R·e as one codegen-friendly column: D dots of the literal
@@ -272,38 +279,61 @@ object PqOps extends OpModule {
 
   /** One seeded-Lloyd step per subspace (seeds = first k vec_ids, the
     * [[LlmOps.lloydCentroids]] convention; empty clusters keep their
-    * seed). `cacheKey` reuses codebooks per (session, corpus) like
-    * the IVF index cache. */
+    * seed), fit on a BOUNDED deterministic sample (VERDICT r8 #2): the
+    * same `orderBy(vec_id).limit(sampleN)` sample [[opqLearnRotation]]
+    * trains on — FAISS-style practice: codebooks are estimated from a
+    * sample, the FULL corpus is then encoded with them in
+    * [[pqEncode]]'s one projection. The previous form ran m
+    * full-corpus groupBy jobs; at 100 TB that is m avoidable corpus
+    * passes for codebooks a 2048-vector sample determines just as
+    * well. O(sampleN·D) driver bytes — the coarse-quantizer
+    * materialization class. `cacheKey` reuses codebooks per
+    * (session, corpus) like the IVF index cache. */
   def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
       cacheKey: Option[String] = None,
-      rot: Option[Seq[Seq[Double]]] = None): PqCodebook = {
+      rot: Option[Seq[Seq[Double]]] = None,
+      sampleN: Int = 2048): PqCodebook = {
     def build(): PqCodebook = {
-      graft.functions.VectorKernels.register(emb.sparkSession)
-      val e0 = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("e"))
-      val dim = e0.select(size(col("e"))).first().getInt(0)
+      // first sampleN vectors by id — NOT filter(vec_id < n), which on
+      // a sparse/offset id space under-samples and can fail seeding
+      val xs0 = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e"))
+        .orderBy("vec_id").limit(sampleN)
+        .collect().map(_.getSeq[Double](1).toArray)
+      require(xs0.length >= k,
+        s"pqTrain needs ≥$k vectors to seed, found ${xs0.length}")
+      val dim = xs0(0).length
       require(dim % m == 0, s"dim $dim not divisible by m=$m")
       rot.foreach(r => require(r.length == dim && r.head.length == dim,
         s"rotation is ${r.length}×${r.head.length}, data is $dim-dim"))
-      val e = rot.map(r => e0.select(col("vec_id"),
-        rotateCol(col("e"), r).as("e"))).getOrElse(e0)
+      val xs = rot.map(r => xs0.map(v => r.map { row =>
+        var d = 0.0; var j = 0
+        while (j < dim) { d += row(j) * v(j); j += 1 }; d
+      }.toArray)).getOrElse(xs0)
       val dSub = dim / m
-      val books = (0 until m).map { i =>
-        val sub = e.select(col("vec_id"),
-          slice(col("e"), i * dSub + 1, dSub).as("s"))
-        // first k vectors by id — NOT filter(vec_id < k), which on a
-        // sparse/offset id space returns <k seeds and fails later
-        val seeds = sub.orderBy("vec_id").limit(k)
-          .collect().map(_.getSeq[Double](1).toSeq).toSeq
-        require(seeds.length == k,
-          s"pqTrain needs ≥$k vectors to seed, found ${seeds.length}")
-        val means = sub
-          .withColumn("c", call_function("graft_best_centroid_l2",
-            col("s"), typedLit(seeds)))
-          .groupBy(col("c.idx").as("cidx"))
-          .agg(array((0 until dSub).map(j => avg(col("s")(j))): _*).as("mn"))
-          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
-        (0 until k).map(ci => means.getOrElse(ci, seeds(ci)))
+      val books = (0 until m).map { s =>
+        val off = s * dSub
+        // same arithmetic the distributed form ran (L2 argmin with
+        // first-index tie-break — the graft_best_centroid_l2 kernel's
+        // convention — then per-cluster mean), now over the sample
+        val seeds = Array.tabulate(k)(ci => xs(ci).slice(off, off + dSub))
+        val sums = Array.fill(k)(new Array[Double](dSub))
+        val cnts = new Array[Int](k)
+        xs.foreach { v =>
+          var best = 0; var bd = Double.MaxValue; var ci = 0
+          while (ci < k) {
+            var d2 = 0.0; var j = 0
+            while (j < dSub) { val t = v(off + j) - seeds(ci)(j); d2 += t * t; j += 1 }
+            if (d2 < bd) { bd = d2; best = ci }
+            ci += 1
+          }
+          cnts(best) += 1
+          var j = 0
+          while (j < dSub) { sums(best)(j) += v(off + j); j += 1 }
+        }
+        (0 until k).map(ci =>
+          if (cnts(ci) == 0) seeds(ci).toSeq
+          else sums(ci).map(_ / cnts(ci)).toSeq)
       }
       PqCodebook(m, dSub, books, rot)
     }
@@ -442,9 +472,19 @@ object PqOps extends OpModule {
       },
       None),
     Op("llm_simsearch_ivfpq",
-      (s, d) => simSearchIvfPq(Tables.embeddings(s, d), nProbes = 50,
-        topK = 10, cacheKey = Some(d))
-        .orderBy("p_id", "rank"),
+      // the registered ANN is the BEST this engine has (VERDICT r8 #1):
+      // IVF+PQ with the learned OPQ rotation wired in — cached per
+      // session+corpus like the codebooks, identity fallback on data
+      // where the rotation doesn't clear the acceptance bar (the
+      // isotropic fixture), so it can never do worse than plain PQ
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|$d"
+        val rot = rotCache.getOrElseUpdate(key, opqLearnRotation(emb))
+        simSearchIvfPq(emb, nProbes = 50, topK = 10, cacheKey = Some(d),
+          rot = rot)
+          .orderBy("p_id", "rank")
+      },
       None),
 
     Op("llm_vector_opq",

@@ -175,6 +175,17 @@ class PqSpec extends SparkSpec {
       PqOps.pqTrain(union, m = 8, k = 4, rot = learned))
       .agg(avg("cos_err")).first().getDouble(0)
     assert(errRot < err4, s"rotated k=16 err $errRot !< k=4 err $err4")
+    // the refinement guarantee survives the rotation (the registered
+    // query now ships rot): full probe + full rerank in the ROTATED
+    // codebook space still equals the exact search — rotation preserves
+    // dots, so the ADC shortlist ordering feeds the same exact rescore
+    val n = union.count().toInt
+    val fullRot = PqOps.simSearchIvfPq(union, nProbes = 10, topK = 10,
+      nCentroids = 8, nProbe = 8, rerank = n, rot = learned)
+      .orderBy("p_id", "rank").collect().toSeq
+    val exactFull = LlmOps.simSearchIvfExact(union, nProbes = 10,
+      topK = 10, nCentroids = 8).orderBy("p_id", "rank").collect().toSeq
+    assert(fullRot == exactFull)
   }
 
   test("recall@10 at the registered operating point is useful") {
