@@ -95,6 +95,19 @@ object Bench {
       })
     }
     val steady = SteadyReport.filter(warm.contains).map(n => n -> warm(n))
+    // per-query SPREAD (max/min across the two passes) — the box-noise
+    // discriminator (VERDICT r8 #5): uniform spread across untouched
+    // queries = loaded box; an isolated spread on a changed query = a
+    // real regression. Full map in the file report; stdout (bounded
+    // tail capture) carries the median/max summary only.
+    val spread = minQ.keys.map { k =>
+      val c = cold.getOrElse(k, -1.0); val w = warm.getOrElse(k, -1.0)
+      k -> (if (c > 0 && w > 0) math.max(c, w) / math.min(c, w) else -1.0)
+    }.toMap
+    val validSpreads = spread.values.filter(_ >= 0).toSeq.sorted
+    val spreadP50 =
+      if (validSpreads.isEmpty) -1.0 else validSpreads(validSpreads.size / 2)
+    val spreadMax = if (validSpreads.isEmpty) -1.0 else validSpreads.last
 
     def obj(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -118,15 +131,18 @@ object Bench {
     def total(m: Map[String, Double]): Double =
       m.collect { case (_, v) if v >= 0 => v }.sum
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val spreadSummary = String.format(java.util.Locale.ROOT,
+      "\"spread_p50\":%.3f,\"spread_max\":%.3f", Double.box(spreadP50),
+      Double.box(spreadMax))
     val shared = s""""value_cold":${total(cold)},"steady":${obj3(steady)},""" +
-      s""""errors":$errObj,"n_failed":$nFailed,"sf":"$sfDir""""
+      s"""$spreadSummary,"errors":$errObj,"n_failed":$nFailed,"sf":"$sfDir""""
     val json = s"""{"metric":"total","value":${total(minQ)},"unit":"sec",""" +
-      s""""headline":"min over 2 disclosed full passes; cold pass total in value_cold, both passes verbatim in $out",""" +
+      s""""headline":"min over 2 disclosed full passes; cold pass total in value_cold, both passes + spread map in $out",""" +
       s""""queries":${obj3(minQ)},$shared}"""
     val jsonFull = s"""{"metric":"total","value":${total(minQ)},"unit":"sec",""" +
-      s""""headline":"min over 2 disclosed full passes; queries_cold/queries_warm are the raw passes",""" +
+      s""""headline":"min over 2 disclosed full passes; queries_cold/queries_warm are the raw passes; spread = per-query max/min across passes",""" +
       s""""queries":${obj(minQ)},"queries_cold":${obj(cold)},""" +
-      s""""queries_warm":${obj(warm)},$shared}"""
+      s""""queries_warm":${obj(warm)},"spread":${obj3(spread)},$shared}"""
     println(json)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
