@@ -385,8 +385,15 @@ object EventStreams {
     * the schema-registry pattern, like the IVF centroids.
     */
   private[graft] def ddlRegistry(events: DataFrame): Seq[Long] =
-    envelopeTxn(events).filter(col("op") === "DDL")
-      .select("position").orderBy("position").limit(3)
+    // ≡ envelopeTxn(events).filter(op = 'DDL').select(position) BY
+    // CONSTRUCTION (op DDL ⟺ event_type = 'view', position =
+    // event_id — see [[envelopeTxn]]); read directly so the registry
+    // job is a two-column scan → filter → limit instead of compiling
+    // the full envelope union + lag window it would immediately prune
+    // (this was the worst cold/min ratio of any non-ANN query, r8 #6)
+    events.filter(col("event_type") === "view")
+      .select(col("event_id").as("position"))
+      .orderBy("position").limit(3)
       .collect().map(_.getLong(0)).toSeq
 
   /** [[cdcApplyUpsertEvolving]] generalized to the full DDL lifecycle

@@ -27,4 +27,28 @@ object Bridge {
     * private[sql] in Spark 4's public facade. */
   def sessionUUID(spark: SparkSession): String =
     spark.asInstanceOf[classic.SparkSession].sessionUUID
+
+  /** Re-wrap a DataFrame's rows as a flat LogicalRDD leaf WITHOUT the
+    * InternalRow → Row → InternalRow round-trip that
+    * `createDataFrame(df.rdd, df.schema)` pays: `toRdd` hands back the
+    * physical plan's InternalRow RDD directly (for a cached df, the
+    * columnar-scan iterator), and `internalCreateDataFrame` wraps it
+    * as a leaf — the same mechanism `Dataset.checkpoint` uses. This is
+    * the iterative-algorithm pattern: each round's plan stays flat
+    * instead of nesting the previous round's (analysis would otherwise
+    * grow exponentially when a round references its predecessor more
+    * than once), and a round's cache entry can be dropped without
+    * CacheManager invalidating its successors' buffers.
+    */
+  def rewrapInternal(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    // LogicalRDD.fromDataset (what Dataset.checkpoint uses) rather
+    // than internalCreateDataFrame: it CARRIES THE ORIGIN'S STATISTICS
+    // and constraints onto the new leaf. A bare LogicalRDD defaults to
+    // sizeInBytes = defaultSizeInBytes (huge), which silently turns
+    // every broadcast-eligible join over the rewrapped frame into a
+    // sort-merge join — measured 1.7× on the CC loop.
+    ofRows(ds.sparkSession, org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
 }
