@@ -232,4 +232,45 @@ class ScaleSpec extends SparkSpec {
       .orderBy("p_id", "rank").collect().toSeq
     assert(again == appRows)
   }
+
+  test("cloneDirByLink: clone probes identically; appending to the clone leaves the source index untouched") {
+    // r9: llm_ivf_append_probe memoizes the base-index BUILD per
+    // (session, corpus) and hardlink-clones the files into a fresh
+    // scratch dir per run. Two contracts make that safe: (1) the clone
+    // is byte-identical — loading it probes exactly like the source;
+    // (2) append mutates the CLONE only (new files + replaced
+    // directory entries), so the memoized source keeps serving
+    // pristine base indexes to later runs.
+    import org.apache.spark.sql.functions._
+    import graft.ops.LlmOps
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val src = tmpDir("graft_ivf_clone_src")
+    LlmOps.writeIvfIndex(LlmOps.ivfIndex(base, nCentroids = 8, cacheKey = None), src)
+    val srcIdx = LlmOps.loadIvfIndex(spark, src)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("p_id"),
+        col("embedding").cast("array<double>").as("p_emb"))
+    val srcRows = LlmOps.simSearchIvfOn(srcIdx, probes, topK = 10, nProbe = 3)
+      .orderBy("p_id", "rank").collect().toSeq
+    val dst = tmpDir("graft_ivf_clone_dst")
+    LlmOps.cloneDirByLink(src, dst)
+    val cloneIdx = LlmOps.loadIvfIndex(spark, dst)
+    assert(cloneIdx.cids == srcIdx.cids && cloneIdx.alphaMax == srcIdx.alphaMax)
+    assert(LlmOps.simSearchIvfOn(cloneIdx, probes, topK = 10, nProbe = 3)
+      .orderBy("p_id", "rank").collect().toSeq == srcRows,
+      "cloned index probe differs from source")
+    // grow the clone; then re-load the SOURCE and pin it unchanged
+    LlmOps.appendIvfIndex(spark, dst, batch)
+    assert(LlmOps.loadIvfIndex(spark, dst).assign.count() == emb.count())
+    val srcAfter = LlmOps.loadIvfIndex(spark, src)
+    assert(srcAfter.cids == srcIdx.cids && srcAfter.alphaMax == srcIdx.alphaMax,
+      "append to clone perturbed the source quantizer metadata")
+    assert(srcAfter.assign.count() == base.count(),
+      "append to clone leaked rows into the source assignment")
+    assert(LlmOps.simSearchIvfOn(srcAfter, probes, topK = 10, nProbe = 3)
+      .orderBy("p_id", "rank").collect().toSeq == srcRows,
+      "source index probe changed after clone append")
+  }
 }
