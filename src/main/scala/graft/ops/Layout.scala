@@ -265,13 +265,30 @@ object LayoutOps extends OpModule {
       val fs = p.getFileSystem(conf)
       // makeQualified does NOT resolve `..` or symlinks, so a raw
       // prefix check would let dst=/tmp/a/../src alias src=/tmp/src and
-      // truncate the source mid-scan. resolvePath follows symlinks
-      // where the path exists; URI.normalize collapses `.`/`..` either
-      // way.
+      // truncate the source mid-scan. resolvePath follows symlinks but
+      // only for paths that EXIST — and dstDir usually does not exist
+      // yet. Resolving src but not dst would be WORSE than resolving
+      // neither: on a mount-rewriting fs (viewfs, symlinked /tmp) the
+      // two spellings diverge and a same-spelling overlap slips the
+      // prefix check. So resolve the deepest existing ANCESTOR of each
+      // side — both paths go through the same mount rewriting — and
+      // re-append the not-yet-created remainder; URI.normalize
+      // collapses any `.`/`..` left in that remainder.
       val q = fs.makeQualified(p)
-      val r = try fs.resolvePath(q)
-              catch { case _: java.io.IOException => q }
-      r.toUri.normalize().toString.stripSuffix("/") + "/"
+      var anc = q
+      var rest = List.empty[String]
+      while (anc != null && !fs.exists(anc)) {
+        rest = anc.getName :: rest
+        anc = anc.getParent
+      }
+      val resolved =
+        if (anc == null) q
+        else {
+          val r = try fs.resolvePath(anc)
+                  catch { case _: java.io.IOException => anc }
+          rest.foldLeft(r)((a, n) => new org.apache.hadoop.fs.Path(a, n))
+        }
+      resolved.toUri.normalize().toString.stripSuffix("/") + "/"
     }
     val (srcQ, dstQ) = (qualified(srcDir), qualified(dstDir))
     require(!srcQ.startsWith(dstQ) && !dstQ.startsWith(srcQ),

@@ -530,6 +530,12 @@ object LlmOps extends OpModule {
   private val ivfBaseDirCache =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Per-run maintenance-cycle scratch dirs (`sessionPrefix|run=dir`),
+    * deleted on [[evictIvfCache]]: each run's grown clone is left on
+    * disk only until the session tears down. */
+  private val ivfRunDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Recursively clone `src` into `dst` with hardlinks (same
     * filesystem — both are tmp scratch), falling back to a byte copy
     * per file. A clone shares inodes but not directory entries:
@@ -695,17 +701,26 @@ object LlmOps extends OpModule {
     ivfCache.keys.filter(_.startsWith(prefix)).foreach { k =>
       ivfCache.remove(k).foreach(_.assign.unpersist(blocking = false))
     }
+    // best-effort scratch cleanup; clones hold their own hardlinks so
+    // deleting the base never invalidates an in-flight run
+    def rmTree(d: String): Unit = {
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root)) {
+        val it = java.nio.file.Files.walk(root)
+        try it.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
+        finally it.close()
+      }
+    }
     ivfBaseDirCache.keys.filter(_.startsWith(prefix)).foreach { k =>
-      ivfBaseDirCache.remove(k).foreach { d =>
-        // best-effort scratch cleanup; clones hold their own hardlinks
-        // so deleting the source never invalidates an in-flight run
-        val root = java.nio.file.Paths.get(d)
-        if (java.nio.file.Files.exists(root)) {
-          val it = java.nio.file.Files.walk(root)
-          try it.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
-          finally it.close()
-        }
+      ivfBaseDirCache.remove(k).foreach(rmTree)
+    }
+    val runs = ivfRunDirs.iterator()
+    while (runs.hasNext) {
+      val entry = runs.next()
+      if (entry.startsWith(prefix)) {
+        runs.remove()
+        rmTree(entry.substring(entry.indexOf("|run=") + 5))
       }
     }
   }
@@ -1281,14 +1296,21 @@ object LlmOps extends OpModule {
         val baseDir = ivfBaseDirCache.getOrElseUpdate(baseKey, {
           val bd = java.nio.file.Files
             .createTempDirectory("graft_ivf_base").toString
-          writeIvfIndex(ivfIndex(base, nCentroids = 8,
-            cacheKey = Some(s"$d|maint_base")), bd)
+          // cacheKey = None: the disk memo IS the cross-run reuse —
+          // a keyed ivfIndex entry here would pin a corpus-scale
+          // assignment in block-manager memory for the session with
+          // exactly one consumer (this write)
+          writeIvfIndex(ivfIndex(base, nCentroids = 8, cacheKey = None), bd)
           bd
         })
         // clone by hardlink (same tmpfs): append writes NEW files and
         // replaces the clone's centroids dir, never mutating a shared
-        // inode in place — the memoized base stays pristine
+        // inode in place — the memoized base stays pristine. The
+        // per-run dir is registered for eviction-time cleanup so a
+        // long-lived service's maintenance cadence cannot grow /tmp
+        // without bound.
         cloneDirByLink(baseDir, dir)
+        ivfRunDirs.add(s"$baseKey|run=$dir")
         val drift = appendIvfIndex(s, dir, batch)
         val grown = loadIvfIndex(s, dir)
         val probes = emb.filter(col("vec_id") < 10)

@@ -271,15 +271,17 @@ object PipelineOps extends OpModule {
   def dedupClusters(docs: DataFrame, tau: Double = 0.8,
       shingleN: Int = 5, maxIters: Int = 25,
       cacheKey: Option[String] = None): DataFrame = {
-    def build(): DataFrame = {
+    def build(): (DataFrame, DataFrame) = {
       val pairs = LlmOps.jaccardPairs(docs, tau, shingleN)
         .select("doc_a", "doc_b")
-      val labels = connectedComponents(pairs, maxIters = maxIters)
+      val (labels, handle) =
+        connectedComponentsWithHandle(pairs, maxIters = maxIters)
       val sizes = org.apache.spark.sql.expressions.Window.partitionBy("lbl")
-      labels
+      (labels
         .withColumn("cluster_size", count(lit(1)).over(sizes))
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
-          col("cluster_size"))
+          col("cluster_size")),
+       handle)
     }
     // session-scoped result memo, the [[LlmOps.ivfIndex]] cacheKey
     // pattern: clustering is a multi-job iterative computation whose
@@ -295,11 +297,21 @@ object PipelineOps extends OpModule {
       case Some(k) =>
         val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(docs.sparkSession)}|$k|t$tau|n$shingleN"
         ccCache.getOrElseUpdate(key, {
-          val r = build().persist()
+          val (df, handle) = build()
+          val r = df.persist()
           r.count()
+          // the memo's own blocks are materialized and its plan is a
+          // flat leaf over the final round, so the inner round's cache
+          // entry (unreachable from outside) can be freed NOW — before
+          // r9 it stayed cached for the session alongside the memo
+          handle.unpersist(blocking = false)
           r
         })
-      case None => build()
+      case None =>
+        // lazy result: the caller reads through the final round's
+        // blocks, so the handle must stay alive — same contract as
+        // any lazy frame over a persisted parent
+        build()._1
     }
   }
 
@@ -328,14 +340,25 @@ object PipelineOps extends OpModule {
     *    near-dups) where propagation would need O(n) rounds at 100 TB.
     */
   private[graft] def connectedComponents(pairs: DataFrame,
-      propagationCap: Int = 10, maxIters: Int = 25): DataFrame = {
+      propagationCap: Int = 10, maxIters: Int = 25): DataFrame =
+    connectedComponentsWithHandle(pairs, propagationCap, maxIters)._1
+
+  /** [[connectedComponents]] plus the persisted DataFrame whose cache
+    * blocks back the returned (lazy) labels. A caller that
+    * materializes its OWN copy of the labels (the ccCache memo) must
+    * unpersist the handle afterwards or the final round stays cached
+    * for the session with no reachable reference (ADVICE-class leak);
+    * a caller that keeps reading the lazy frame must keep it alive.
+    */
+  private[graft] def connectedComponentsWithHandle(pairs: DataFrame,
+      propagationCap: Int = 10, maxIters: Int = 25): (DataFrame, DataFrame) = {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .persist()
     // round 1, fused: initial labels are the node ids themselves, so
     // the first propagation needs no labels join at all
-    var labels = edges.groupBy(col("doc_a").as("node"))
+    val init = edges.groupBy(col("doc_a").as("node"))
       .agg(min("doc_b").as("nb_min"))
       .select(col("node"), least(col("node"), col("nb_min")).as("lbl"))
       .persist()
@@ -347,7 +370,7 @@ object PipelineOps extends OpModule {
     // Dataset.unpersist (cascade=false) only drops sameResult plans —
     // unpersisting the projection is a no-op, so without this handle
     // up to cap-1 corpus-sized cached rounds would accumulate
-    var persisted = labels
+    var persisted = init
     // decouple round N+1's plan from round N's CACHE ENTRY before
     // round N is dropped: CacheManager re-compiles cache entries that
     // depend on an unpersisted plan, DISCARDING their materialized
@@ -359,6 +382,11 @@ object PipelineOps extends OpModule {
     // entry: memory stays bounded AND nothing recomputes.
     def rewrap(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.Bridge.rewrapInternal(df)
+    // the SAME decoupling applies to round 1: upd1 must be built over
+    // a flat leaf, not over init's cached plan, or the loop's first
+    // `persisted.unpersist()` recompiles upd1's fresh cache entry and
+    // round 2 silently recomputes the full first round
+    var labels = rewrap(init)
     // DELTA FRONTIER: labels only ever decrease, and a node can only
     // improve when a NEIGHBOR's label decreased last round — so each
     // round joins edges against the CHANGED nodes only, not the full
@@ -391,15 +419,19 @@ object PipelineOps extends OpModule {
       active = flat.filter(col("lbl") < col("old_lbl")).select("node", "lbl")
       it += 1
     }
-    val out = if (converged) labels
+    val (out, handle) = if (converged) (labels, persisted)
     else {
       // high-diameter graph: propagation is still moving after `cap`
-      // rounds — switch to the O(log n) contraction
+      // rounds — switch to the O(log n) contraction. The returned
+      // frame is REWRAPPED so callers that persist a projection of it
+      // (the ccCache memo) can drop `handle` without CacheManager
+      // recompiling — and discarding — their own fresh cache entry.
       persisted.unpersist()
-      starContract(edges)._1
+      val (sl, _) = starContract(edges)
+      (rewrap(sl), sl)
     }
     edges.unpersist()
-    out
+    (out, handle)
   }
 
   /** Alternating large-star/small-star contraction. Each round is two

@@ -162,7 +162,11 @@ object PqOps extends OpModule {
         col("embedding").cast("array<double>").as("e"))
       .orderBy("vec_id").limit(sampleN)
       .collect().map(_.getSeq[Double](1).toArray)
-    require(xs.length > k, s"OPQ needs > $k sample vectors, got ${xs.length}")
+    // a sample too small to estimate a rotation is NOT an error — it
+    // is the identity fallback ("never worse than plain PQ"): pqTrain
+    // accepts exactly-k vectors, so a require here would add a crash
+    // path to registered queries that plain PQ serves fine
+    if (xs.length <= k) return None
     val dim = xs(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dSub = dim / m
