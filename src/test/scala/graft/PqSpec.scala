@@ -186,6 +186,12 @@ class PqSpec extends SparkSpec {
     val exactFull = LlmOps.simSearchIvfExact(union, nProbes = 10,
       topK = 10, nCentroids = 8).orderBy("p_id", "rank").collect().toSeq
     assert(fullRot == exactFull)
+    // a sample too small to estimate a rotation is the identity
+    // fallback, not a crash: pqTrain accepts exactly-k vectors, so a
+    // corpus of k embeddings must flow through the plain-PQ path
+    // (r9 self-review: the old `require(xs.length > k)` threw here)
+    assert(PqOps.opqLearnRotation(union.limit(16)).isEmpty,
+      "tiny sample should take the identity fallback")
   }
 
   test("recall@10 at the registered operating point is useful") {
