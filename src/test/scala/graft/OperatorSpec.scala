@@ -20,6 +20,30 @@ class OperatorSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("scan fixtures are SF-invariant: every SF dir renders identical bytes") {
+    // the scan_csv/scan_json oracle SQL is a STATIC string reading a
+    // fixed /tmp path, which is only sound because every possible
+    // writer (Verify at sf0.01, Bench at sf0.1, a dev run at sf0.001)
+    // produces the SAME bytes. That holds because both fixtures render
+    // from NATION, the one table the generator keeps byte-identical
+    // across scale factors — pin it so a future testdata regen that
+    // breaks the invariant fails HERE instead of as a racy
+    // correctness-gate mismatch.
+    val dirs = Seq(sf001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(s"$d/nation.parquet").exists())
+    assume(dirs.size > 1, "need at least two SF dirs to compare")
+    val rendered = dirs.map { d =>
+      d -> Tables.nation(spark, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey").collect().toSeq
+    }
+    rendered.tail.foreach { case (d, rows) =>
+      assert(rows == rendered.head._2,
+        s"nation differs between ${rendered.head._1} and $d — the fixed " +
+          "fixture path in scan_csv/scan_json is no longer safe")
+    }
+  }
+
   test("every query executes on sf0.001 and has a nonempty schema") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf001)
