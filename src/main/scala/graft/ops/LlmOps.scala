@@ -526,9 +526,16 @@ object LlmOps extends OpModule {
     * cycle, keyed (sessionUUID, corpus): the production analogue is an
     * index built once and append-maintained thereafter, so only the
     * first run pays the build; later runs hardlink-clone the files.
+    *
+    * ConcurrentHashMap (not TrieMap.getOrElseUpdate, whose builder can
+    * run twice under concurrent first runs — the loser's dir would
+    * never be stored, so eviction could never delete it):
+    * `computeIfAbsent` runs exactly ONE builder per key and every dir
+    * it returns is tracked. A failed build deletes its own dir before
+    * rethrowing, so no orphan survives either path.
     */
   private val ivfBaseDirCache =
-    scala.collection.concurrent.TrieMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Per-run maintenance-cycle scratch dirs (`sessionPrefix|run=dir`),
     * deleted on [[evictIvfCache]]: each run's grown clone is left on
@@ -712,8 +719,10 @@ object LlmOps extends OpModule {
         finally it.close()
       }
     }
-    ivfBaseDirCache.keys.filter(_.startsWith(prefix)).foreach { k =>
-      ivfBaseDirCache.remove(k).foreach(rmTree)
+    val bases = ivfBaseDirCache.keySet().iterator()
+    while (bases.hasNext) {
+      val k = bases.next()
+      if (k.startsWith(prefix)) Option(ivfBaseDirCache.remove(k)).foreach(rmTree)
     }
     val runs = ivfRunDirs.iterator()
     while (runs.hasNext) {
@@ -1289,28 +1298,44 @@ object LlmOps extends OpModule {
         val emb = Tables.embeddings(s, d)
         val base = emb.filter(col("vec_id") % 5 =!= 0)
         val batch = emb.filter(col("vec_id") % 5 === 0)
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_ivf_maint").toString
         val baseKey =
           s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|$d|maint_base_dir"
-        val baseDir = ivfBaseDirCache.getOrElseUpdate(baseKey, {
+        // register the run dir BEFORE any work that can throw (clone,
+        // append): eviction must be able to delete it even if this run
+        // dies between mkdir and the probe
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf_maint").toString
+        ivfRunDirs.add(s"$baseKey|run=$dir")
+        val builtThisRun = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val baseDir = ivfBaseDirCache.computeIfAbsent(baseKey, { _ =>
+          builtThisRun.set(true)
           val bd = java.nio.file.Files
             .createTempDirectory("graft_ivf_base").toString
           // cacheKey = None: the disk memo IS the cross-run reuse —
           // a keyed ivfIndex entry here would pin a corpus-scale
           // assignment in block-manager memory for the session with
           // exactly one consumer (this write)
-          writeIvfIndex(ivfIndex(base, nCentroids = 8, cacheKey = None), bd)
+          try writeIvfIndex(ivfIndex(base, nCentroids = 8, cacheKey = None), bd)
+          catch { case e: Throwable =>
+            val it = java.nio.file.Files.walk(java.nio.file.Paths.get(bd))
+            try it.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
+            finally it.close()
+            throw e
+          }
           bd
         })
         // clone by hardlink (same tmpfs): append writes NEW files and
         // replaces the clone's centroids dir, never mutating a shared
         // inode in place — the memoized base stays pristine. The
-        // per-run dir is registered for eviction-time cleanup so a
-        // long-lived service's maintenance cadence cannot grow /tmp
-        // without bound.
+        // per-run dir registration above keeps a long-lived service's
+        // maintenance cadence from growing /tmp without bound.
         cloneDirByLink(baseDir, dir)
-        ivfRunDirs.add(s"$baseKey|run=$dir")
+        // stderr, not stdout: Bench's stdout is one parsed JSON line.
+        // This line lets a bench capture distinguish "memo missed →
+        // this run paid the base build" from "box slow" (VERDICT r9 #6)
+        Console.err.println(s"graft: llm_ivf_append_probe base-index memo " +
+          s"${if (builtThisRun.get) "MISS (built this run)" else "HIT"} dir=$baseDir")
         val drift = appendIvfIndex(s, dir, batch)
         val grown = loadIvfIndex(s, dir)
         val probes = emb.filter(col("vec_id") < 10)

@@ -31,9 +31,15 @@ object Relational extends OpModule {
     import java.nio.file.{Files, StandardCopyOption}
     Files.createDirectories(f.getParent)
     val tmp = Files.createTempFile(f.getParent, s".${f.getFileName}", ".tmp")
-    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      // no-op after a successful move; deletes the orphan if write or
+      // move threw, so repeated failures can't accumulate tmp files
+      Files.deleteIfExists(tmp); ()
+    }
   }
 
   override def ops: Seq[Op] = Seq(
