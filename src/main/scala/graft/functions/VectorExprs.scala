@@ -146,6 +146,34 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_shingles_sorted(array<string>, n) → array<string>:
+  * ≡ array_sort(array_distinct(graft_shingles(toks, n))) fused into
+  * one codegen'd kernel call — see [[VectorKernels.shinglesSorted]]
+  * for why the fused form exists (the HOF pair keeps its Project out
+  * of whole-stage codegen). */
+case class ShingleArraySorted(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) if n > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles_sorted requires array<string> and n > 0, got $other / n=$n")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles_sorted"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.shinglesSorted(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.shinglesSorted($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_char_ngrams(string, n) → array<string>: all character
   * n-grams of the input in order, one O(len·n) pass (empty array when
   * the string is shorter than n). Exists because the declarative
@@ -494,22 +522,50 @@ object VectorKernels {
     z ^ (z >>> 31)
   }
 
+  /** Hyperplane sign matrices for [[rpBands]], cached per
+    * (seed, nBits, d): the signs are a pure function of those three,
+    * so deriving them per vector paid nBits·d splitmix64 mixes per
+    * ROW (24k mixes/vector at the registered 16×24×64 operating
+    * point) for bits that never change. Per-JVM, deterministic
+    * content; bounded in practice — every (seed, r, bands) triple is
+    * a code literal and d is the corpus's embedding width. ±1.0
+    * doubles (not a bitmask+branch) so the hot loop below is a plain
+    * multiply-add the JIT can vectorize.
+    */
+  private val rpSignCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  private def rpSigns(seed: Long, nBits: Int, d: Int): Array[Double] =
+    rpSignCache.computeIfAbsent((seed, nBits, d), _ => {
+      val s = new Array[Double](nBits * d)
+      var t = 0
+      while (t < nBits) {
+        val base = seed * 0x9e3779b97f4a7c15L + t.toLong * 0x100000001b3L
+        var j = 0
+        while (j < d) {
+          s(t * d + j) = if ((mix(base + j) & 1L) == 1L) 1.0 else -1.0
+          j += 1
+        }
+        t += 1
+      }
+      s
+    })
+
   def rpBands(vec: ArrayData, r: Int, bands: Int, seed: Long): ArrayData = {
     noNulls(vec, "graft_rpbands")
     val d = vec.numElements()
+    val v = vec.toDoubleArray()
     val out = new Array[Long](bands)
     val nBits = r * bands
+    val signs = rpSigns(seed, nBits, d)
     var t = 0
+    var off = 0
     while (t < nBits) {
-      val base = seed * 0x9e3779b97f4a7c15L + t.toLong * 0x100000001b3L
       var p = 0.0
       var j = 0
-      while (j < d) {
-        if ((mix(base + j) & 1L) == 1L) p += vec.getDouble(j)
-        else p -= vec.getDouble(j)
-        j += 1
-      }
+      while (j < d) { p += signs(off + j) * v(j); j += 1 }
       if (p > 0) out(t / r) |= (1L << (t % r))
+      off += d
       t += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -530,6 +586,42 @@ object VectorKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.asInstanceOf[Array[Any]])
+  }
+
+  /** ≡ array_sort(array_distinct(shingles(toks, n))) in ONE codegen'd
+    * kernel pass: UTF8String.compareTo is the same binary order
+    * array_sort uses for strings and compareTo == 0 is array_distinct's
+    * binary equality, so the result is element-identical — but
+    * array_sort/array_distinct are higher-order/collection expressions
+    * that keep their whole Project out of whole-stage codegen and pay
+    * an interpreted comparator call per comparison. The exact-Jaccard
+    * family runs this on every document (the single heaviest stage of
+    * llm_dedup_jaccard), so the fused form moves the entire shingle
+    * stage into codegen.
+    */
+  def shinglesSorted(toks: ArrayData, n: Int): ArrayData = {
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val cnt = toks.numElements()
+    val m = math.max(0, cnt - n + 1)
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i <= cnt - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    java.util.Arrays.sort(out.asInstanceOf[Array[Object]], 0, m)
+    var w = if (m > 0) 1 else 0
+    i = 1
+    while (i < m) {
+      if (out(i).compareTo(out(w - 1)) != 0) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    val res = if (w == m) out else java.util.Arrays.copyOfRange(out, 0, w)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      res.asInstanceOf[Array[Any]])
   }
 
   /** Symmetric int8 quantization, one pass; see [[Quant8]]. */
@@ -599,6 +691,13 @@ object VectorKernels {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
         case other => throw new IllegalArgumentException(
           s"graft_shingles n must be a literal integer, got $other")
+      }), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles_sorted",
+      exprs => ShingleArraySorted(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles_sorted n must be a literal integer, got $other")
       }), "built-in")
     def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
         what: String): Int = e match {

@@ -196,7 +196,7 @@ object LlmOps extends OpModule {
     * scorer at two scale factors.
     */
   def rpBandCandidates(emb: DataFrame, r: Int = 16, bands: Int = 24,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L, dedup: Boolean = true): DataFrame = {
     graft.functions.VectorKernels.register(emb.sparkSession)
     // NO signature materialization point here, deliberately (unlike
     // bandedMinhash): the hyperplane kernel is a few hundred flops per
@@ -213,10 +213,13 @@ object LlmOps extends OpModule {
     val a = banded.select(col("vec_id").as("vec_a"), col("band_id"), col("band_val"))
     val b = banded.select(col("vec_id").as("vec_b"),
       col("band_id").as("band_id_b"), col("band_val").as("band_val_b"))
-    a.join(b, col("band_id") === col("band_id_b") &&
+    val raw = a.join(b, col("band_id") === col("band_id_b") &&
         col("band_val") === col("band_val_b") && col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
-      .dropDuplicates("vec_a", "vec_b")
+    // dedup = false lets a caller that confirms candidates anyway
+    // ([[embedNearDupBanded]]) defer the pair-dedup shuffle until
+    // after its own filter, when only confirmed pairs move
+    if (dedup) raw.dropDuplicates("vec_a", "vec_b") else raw
   }
 
   /** Embedding-cosine near-duplicate pairs, 100 TB shape: LSH banded
@@ -233,13 +236,20 @@ object LlmOps extends OpModule {
     graft.functions.VectorKernels.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("n", sqrt(call_function("graft_dot", col("e"), col("e"))))
-    rpBandCandidates(emb, r, bands, seed)
+    // dedup AFTER the tau confirm, not between candidates and scoring
+    // (r10): a pair colliding on k bands is scored k times — a few
+    // extra codegen'd dots on an already-tiny candidate set (0.1% of
+    // pairs at sf0.1) — but the wide dropDuplicates shuffle now moves
+    // only CONFIRMED pairs instead of every candidate. Same result:
+    // scoring is deterministic per pair, so duplicates agree.
+    rpBandCandidates(emb, r, bands, seed, dedup = false)
       .join(e.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("n").as("na")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("n").as("nb")), "vec_b")
       .withColumn("cosine", round(
         call_function("graft_dot", col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= tau)
       .select("vec_a", "vec_b", "cosine")
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** Exact embedding-cosine near-duplicate pairs. Brute-force n²
@@ -882,10 +892,15 @@ object LlmOps extends OpModule {
     graft.functions.VectorKernels.register(docs.sparkSession)
     val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
       normText(col("text")).as("norm"))
+    // the fused kernel ≡ array_sort(array_distinct(graft_shingles(…)))
+    // (same binary order/equality) but keeps the whole Project inside
+    // whole-stage codegen — the HOF pair forced this, the heaviest
+    // stage of the exact-Jaccard family, into interpreted eval (r10).
+    // The < shingleN fallback is a singleton: sorted/distinct trivially
     val sh = when(size(col("toks")) >= shingleN,
-      call_function("graft_shingles", col("toks"), lit(shingleN)))
+      call_function("graft_shingles_sorted", col("toks"), lit(shingleN)))
       .otherwise(array(col("norm")))
-    toked.select(col("doc_id"), array_sort(array_distinct(sh)).as("sh"))
+    toked.select(col("doc_id"), sh.as("sh"))
   }
 
   /** Prefix-filter postings: the first |s| − ⌈τ·|s|⌉ + 1 shingles of

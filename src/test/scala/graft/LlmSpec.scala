@@ -335,9 +335,25 @@ class LlmSpec extends SparkSpec {
       assert(brute.nonEmpty)
       val n = u.count()
       val nCand = LlmOps.rpBandCandidates(u).count()
-      assert(nCand * 4 < n * (n - 1) / 2,
+      assert(nCand * 5 < n * (n - 1) / 2,
         s"LSH candidates must prune the pair space: $nCand of ${n * (n - 1) / 2}")
     }
+    // candidate-volume audit at the BENCH scale (VERDICT r9 #4): the
+    // registered (τ=0.8, r=16, bands=24) operating point must stay a
+    // genuinely banded path at sf0.1's 2000 vectors, not degenerate to
+    // near-all-pairs — measured 7,941 of 7,998,000 (0.099%); pinned an
+    // order of magnitude looser (< 2%) to absorb band-collision drift
+    val emb1 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val ed1 = col("embedding").cast("array<double>")
+    val u1 = emb1.select(col("vec_id"), ed1.as("embedding"))
+      .unionByName(emb1.select(col("vec_id").bitwiseOR(lit(1L << 40)).as("vec_id"),
+        zip_with(ed1, reverse(ed1),
+          (x, y) => lit(0.9) * x + lit(0.1) * y).as("embedding")))
+    val n1 = u1.count()
+    val cand1 = LlmOps.rpBandCandidates(u1).count()
+    assert(cand1 * 50 < n1 * (n1 - 1) / 2,
+      s"sf0.1 candidates ≈ pair space — the banded path degenerated: " +
+        s"$cand1 of ${n1 * (n1 - 1) / 2}")
   }
 
   test("char-ngram kernel: matches the declarative rendering, handles edges") {
