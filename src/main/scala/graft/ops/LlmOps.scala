@@ -352,8 +352,11 @@ object LlmOps extends OpModule {
       .select(col("doc_id"), col("split"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), col("split"),
-        explode(array_distinct(
-          call_function("graft_shingles", col("toks"), lit(n)))).as("ng"))
+        // fused sorted-distinct kernel: same element SET as
+        // array_distinct(graft_shingles(…)) — explode order differs but
+        // everything downstream is a grouped aggregate (r10)
+        explode(
+          call_function("graft_shingles_sorted", col("toks"), lit(n))).as("ng"))
     val train0 = ngrams.filter(col("split") === "train")
       .select(col("ng"), col("doc_id").as("train_doc"))
     val train = maxTrainDf match {

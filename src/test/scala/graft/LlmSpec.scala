@@ -385,6 +385,55 @@ class LlmSpec extends SparkSpec {
       .map(i => interp.getUTF8String(i).toString) == Seq("hel", "ell", "llo"))
   }
 
+  test("shingles_sorted kernel equals array_sort(array_distinct(graft_shingles)), edges included") {
+    graft.functions.VectorKernels.register(spark)
+    import spark.implicits._
+    // corpus rows + crafted edges: exactly-n tokens, heavy duplicate
+    // shingles, all-identical tokens
+    val texts = Tables.documents(spark, sf001).select("text")
+      .limit(200).collect().map(_.getString(0)).toSeq ++
+      Seq("a b c d e", "a b a b a b a b a b a b", "x x x x x x x x")
+    val df = texts.toDF("text")
+      .selectExpr("split(text, ' ') AS toks").filter(size(col("toks")) >= 5)
+    val got = df.selectExpr("graft_shingles_sorted(toks, 5) AS g")
+      .collect().map(_.getSeq[String](0).toList)
+    val ref = df.selectExpr(
+        "array_sort(array_distinct(graft_shingles(toks, 5))) AS g")
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got.toSeq == ref.toSeq)
+    assert(got.exists(_.nonEmpty))
+  }
+
+  test("rpBands: signature derivation pinned to the documented splitmix64 contract") {
+    // llm_dedup_incr_near appends (vec_id, band) rows to a CORPUS band
+    // table across sessions — a silent change to the signature
+    // derivation would orphan every previously indexed band. This
+    // re-derives the contract independently: bit t of r·bands = sign
+    // of the Rademacher projection with ±1 from splitmix64
+    // (seed·φ64 + t·FNV64 + dim), bits packed r-per-band.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z ^= (z >>> 30); z *= 0xbf58476d1ce4e5b9L
+      z ^= (z >>> 27); z *= 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val (r, bands, seed, d) = (16, 24, 7L, 64)
+    val vec = Array.tabulate(d)(i => math.sin(i + 1.0))
+    val expected = new Array[Long](bands)
+    for (t <- 0 until r * bands) {
+      val base = seed * 0x9e3779b97f4a7c15L + t.toLong * 0x100000001b3L
+      var p = 0.0
+      for (j <- 0 until d)
+        p += (if ((mix(base + j) & 1L) == 1L) vec(j) else -vec(j))
+      if (p > 0) expected(t / r) |= (1L << (t % r))
+    }
+    val got = graft.functions.VectorKernels.rpBands(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vec),
+      r, bands, seed).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("jaccard prefix filter: equals the all-pairs ground truth (no misses)") {
     import spark.implicits._
     // prefix filtering is an EXACT technique — the candidate set must
