@@ -571,7 +571,11 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  def shingles(toks: ArrayData, n: Int): ArrayData = {
+  /** Shared shingle builder for [[shingles]] / [[shinglesSorted]] —
+    * one definition of the separator and window copy, so the fused
+    * variant can never silently diverge from the plain one. */
+  private def buildShingles(toks: ArrayData,
+      n: Int): Array[org.apache.spark.unsafe.types.UTF8String] = {
     val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     val cnt = toks.numElements()
     val out = new Array[org.apache.spark.unsafe.types.UTF8String](
@@ -584,9 +588,12 @@ object VectorKernels {
       out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      out.asInstanceOf[Array[Any]])
+    out
   }
+
+  def shingles(toks: ArrayData, n: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buildShingles(toks, n).asInstanceOf[Array[Any]])
 
   /** ≡ array_sort(array_distinct(shingles(toks, n))) in ONE codegen'd
     * kernel pass: UTF8String.compareTo is the same binary order
@@ -600,21 +607,11 @@ object VectorKernels {
     * stage into codegen.
     */
   def shinglesSorted(toks: ArrayData, n: Int): ArrayData = {
-    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-    val cnt = toks.numElements()
-    val m = math.max(0, cnt - n + 1)
-    val out = new Array[org.apache.spark.unsafe.types.UTF8String](m)
-    var i = 0
-    while (i <= cnt - n) {
-      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
-      var j = 0
-      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
-      i += 1
-    }
+    val out = buildShingles(toks, n)
+    val m = out.length
     java.util.Arrays.sort(out.asInstanceOf[Array[Object]], 0, m)
     var w = if (m > 0) 1 else 0
-    i = 1
+    var i = 1
     while (i < m) {
       if (out(i).compareTo(out(w - 1)) != 0) { out(w) = out(i); w += 1 }
       i += 1

@@ -260,42 +260,44 @@ object LayoutOps extends OpModule {
     // mid-scan and lose data. Compare FS-qualified paths so the guard
     // holds for non-local URIs too
     val conf = spark.sparkContext.hadoopConfiguration
-    def qualified(d: String): String = {
+    // makeQualified does NOT resolve `..` or symlinks, so a raw
+    // prefix check would let dst=/tmp/a/../src alias src=/tmp/src and
+    // truncate the source mid-scan. resolvePath follows symlinks but
+    // only for paths that EXIST — and dstDir usually does not exist
+    // yet. Resolving src but not dst would be WORSE than resolving
+    // neither: on a mount-rewriting fs (viewfs, symlinked /tmp) the
+    // two spellings diverge and a same-spelling overlap slips the
+    // prefix check. So resolve the deepest existing ANCESTOR of each
+    // side — both paths go through the same mount rewriting — and
+    // re-append the not-yet-created remainder; URI.normalize
+    // collapses any `.`/`..` left in that remainder.
+    def rawQualified(d: String): org.apache.hadoop.fs.Path = {
       val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      // makeQualified does NOT resolve `..` or symlinks, so a raw
-      // prefix check would let dst=/tmp/a/../src alias src=/tmp/src and
-      // truncate the source mid-scan. resolvePath follows symlinks but
-      // only for paths that EXIST — and dstDir usually does not exist
-      // yet. Resolving src but not dst would be WORSE than resolving
-      // neither: on a mount-rewriting fs (viewfs, symlinked /tmp) the
-      // two spellings diverge and a same-spelling overlap slips the
-      // prefix check. So resolve the deepest existing ANCESTOR of each
-      // side — both paths go through the same mount rewriting — and
-      // re-append the not-yet-created remainder; URI.normalize
-      // collapses any `.`/`..` left in that remainder.
-      val q = fs.makeQualified(p)
-      // a transient FS error anywhere in the ancestor walk degrades
-      // DELIBERATELY to comparing the unresolved qualified spellings
-      // (the pre-resolution guard): weaker against mount-rewritten
-      // aliases, but compact() must not abort on a hiccup the very
-      // next fs call would survive
-      val resolved = try {
-        var anc = q
-        var rest = List.empty[String]
-        while (anc != null && !fs.exists(anc)) {
-          rest = anc.getName :: rest
-          anc = anc.getParent
-        }
-        if (anc == null) q
-        else {
-          val r = fs.resolvePath(anc)
-          rest.foldLeft(r)((a, n) => new org.apache.hadoop.fs.Path(a, n))
-        }
-      } catch { case _: java.io.IOException => q }
-      resolved.toUri.normalize().toString.stripSuffix("/") + "/"
+      p.getFileSystem(conf).makeQualified(p)
     }
-    val (srcQ, dstQ) = (qualified(srcDir), qualified(dstDir))
+    def resolveWalk(q: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+      val fs = q.getFileSystem(conf)
+      var anc = q
+      var rest = List.empty[String]
+      while (anc != null && !fs.exists(anc)) {
+        rest = anc.getName :: rest
+        anc = anc.getParent
+      }
+      if (anc == null) q
+      else rest.foldLeft(fs.resolvePath(anc))(
+        (a, n) => new org.apache.hadoop.fs.Path(a, n))
+    }
+    def norm(p: org.apache.hadoop.fs.Path): String =
+      p.toUri.normalize().toString.stripSuffix("/") + "/"
+    val (srcRaw, dstRaw) = (rawQualified(srcDir), rawQualified(dstDir))
+    // a transient FS error anywhere in EITHER walk degrades BOTH sides
+    // together to the unresolved qualified spellings — one resolved +
+    // one raw spelling is the mixed state the comment above calls out
+    // as worse than resolving neither; compact() must not abort on a
+    // hiccup the very next fs call would survive
+    val (srcQ, dstQ) =
+      try (norm(resolveWalk(srcRaw)), norm(resolveWalk(dstRaw)))
+      catch { case _: java.io.IOException => (norm(srcRaw), norm(dstRaw)) }
     require(!srcQ.startsWith(dstQ) && !dstQ.startsWith(srcQ),
       s"compact: dstDir must not overlap srcDir (src=$srcQ dst=$dstQ)")
     val src = spark.read.parquet(srcDir)
@@ -310,12 +312,38 @@ object LayoutOps extends OpModule {
 
   // ---------------------------------------------------------------
 
-  /** (sessionUUID | scratch root) keys whose fragmented demo input has
-    * been written — the once-per-(session, corpus) fixture memo for
-    * the registered `layout_compact` query. Misses re-verify the dir
-    * on disk, so an externally cleaned /tmp heals itself. */
+  /** Scratch roots whose fragmented demo input has been written — the
+    * once-per-(session, corpus) fixture memo for the registered
+    * `layout_compact` query. The root embeds the sessionUUID, so no
+    * two sessions ever share (or overwrite under) each other's
+    * scratch; a key is added only AFTER the write succeeds, so a
+    * failed write can never poison the memo into compacting a partial
+    * dir; misses re-verify the dir on disk, so an externally cleaned
+    * /tmp heals itself. [[evictCompactScratch]] is the teardown hook.
+    */
   private val compactFragWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Delete this session's `layout_compact` scratch dirs — teardown
+    * for a long-lived service, mirroring `LlmOps.evictIvfCache`. */
+  def evictCompactScratch(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prefix =
+      s"/tmp/graft_compact_demo/${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}"
+    val it = compactFragWritten.iterator()
+    while (it.hasNext) {
+      val root = it.next()
+      if (root.startsWith(prefix)) {
+        it.remove()
+        val walkRoot = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(walkRoot)) {
+          val w = java.nio.file.Files.walk(walkRoot)
+          try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach { q => java.nio.file.Files.deleteIfExists(q); () }
+          finally w.close()
+        }
+      }
+    }
+  }
 
   def ops: Seq[Op] = Seq(
 
@@ -437,22 +465,29 @@ object LayoutOps extends OpModule {
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .map("%02x".format(_)).mkString
-        val root = s"/tmp/graft_compact_demo/$digest"
+        // SESSION-scoped root: sessions never overwrite each other's
+        // scratch mid-scan, and the memo below can't outlive its files
+        val root = "/tmp/graft_compact_demo/" +
+          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}/$digest"
         val (srcDir, dstDir) = (s"$root/frag", s"$root/compacted")
         // the fragmented INPUT is fixture setup (in production it is
         // the stream sink's own output, which a maintenance run never
         // re-creates) — write it once per (session, corpus) so the
         // steady-state run measures the compact cycle itself; the cold
         // pass still carries (and discloses) the fixture write, the
-        // same split llm_ivf_append_probe reports
-        val fragKey =
-          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|$root"
-        if (compactFragWritten.add(fragKey) ||
-            !new java.io.File(srcDir).exists()) {
-          Tables.customer(s, d)
-            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
-            .repartition(64, col("c_custkey"))
-            .write.mode("overwrite").parquet(srcDir)
+        // same split llm_ivf_append_probe reports. Memoized only AFTER
+        // the write succeeds (a failed write must retry, never feed
+        // compact a partial dir); root.intern guards same-session
+        // concurrent callers of this query
+        root.intern.synchronized {
+          if (!compactFragWritten.contains(root) ||
+              !new java.io.File(srcDir).exists()) {
+            Tables.customer(s, d)
+              .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+              .repartition(64, col("c_custkey"))
+              .write.mode("overwrite").parquet(srcDir)
+            compactFragWritten.add(root)
+          }
         }
         val (before, after, rows) =
           compact(s, srcDir, dstDir, "c_custkey", targetRowsPerFile = 500L)

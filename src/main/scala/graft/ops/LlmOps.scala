@@ -542,13 +542,22 @@ object LlmOps extends OpModule {
     *
     * ConcurrentHashMap (not TrieMap.getOrElseUpdate, whose builder can
     * run twice under concurrent first runs — the loser's dir would
-    * never be stored, so eviction could never delete it):
-    * `computeIfAbsent` runs exactly ONE builder per key and every dir
-    * it returns is tracked. A failed build deletes its own dir before
-    * rethrowing, so no orphan survives either path.
+    * never be stored, so eviction could never delete it). The build
+    * itself runs under a PER-KEY lock object, NOT inside
+    * `computeIfAbsent`'s mapping function: the mapping computation
+    * holds the map's bin lock, and a corpus-scale Spark build in there
+    * would stall any unrelated key that hashes to the same bin for
+    * minutes. Exactly one builder per key still holds (double-checked
+    * get under the key lock), every stored dir is evictable, and a
+    * failed build deletes its own dir before rethrowing.
     */
   private val ivfBaseDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-baseKey build locks for [[ivfBaseDirCache]] — tiny objects,
+    * created via computeIfAbsent (a short mapping, safe in-map). */
+  private val ivfBaseDirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Per-run maintenance-cycle scratch dirs (`sessionPrefix|run=dir`),
     * deleted on [[evictIvfCache]]: each run's grown clone is left on
@@ -1324,25 +1333,29 @@ object LlmOps extends OpModule {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_ivf_maint").toString
         ivfRunDirs.add(s"$baseKey|run=$dir")
-        val builtThisRun = new java.util.concurrent.atomic.AtomicBoolean(false)
-        val baseDir = ivfBaseDirCache.computeIfAbsent(baseKey, { _ =>
-          builtThisRun.set(true)
-          val bd = java.nio.file.Files
-            .createTempDirectory("graft_ivf_base").toString
-          // cacheKey = None: the disk memo IS the cross-run reuse —
-          // a keyed ivfIndex entry here would pin a corpus-scale
-          // assignment in block-manager memory for the session with
-          // exactly one consumer (this write)
-          try writeIvfIndex(ivfIndex(base, nCentroids = 8, cacheKey = None), bd)
-          catch { case e: Throwable =>
-            val it = java.nio.file.Files.walk(java.nio.file.Paths.get(bd))
-            try it.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
-            finally it.close()
-            throw e
+        var builtThisRun = false
+        val lock = ivfBaseDirLocks.computeIfAbsent(baseKey, _ => new Object)
+        val baseDir = lock.synchronized {
+          Option(ivfBaseDirCache.get(baseKey)).getOrElse {
+            builtThisRun = true
+            val bd = java.nio.file.Files
+              .createTempDirectory("graft_ivf_base").toString
+            // cacheKey = None: the disk memo IS the cross-run reuse —
+            // a keyed ivfIndex entry here would pin a corpus-scale
+            // assignment in block-manager memory for the session with
+            // exactly one consumer (this write)
+            try writeIvfIndex(ivfIndex(base, nCentroids = 8, cacheKey = None), bd)
+            catch { case e: Throwable =>
+              val it = java.nio.file.Files.walk(java.nio.file.Paths.get(bd))
+              try it.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
+              finally it.close()
+              throw e
+            }
+            ivfBaseDirCache.put(baseKey, bd)
+            bd
           }
-          bd
-        })
+        }
         // clone by hardlink (same tmpfs): append writes NEW files and
         // replaces the clone's centroids dir, never mutating a shared
         // inode in place — the memoized base stays pristine. The
@@ -1353,7 +1366,7 @@ object LlmOps extends OpModule {
         // This line lets a bench capture distinguish "memo missed →
         // this run paid the base build" from "box slow" (VERDICT r9 #6)
         Console.err.println(s"graft: llm_ivf_append_probe base-index memo " +
-          s"${if (builtThisRun.get) "MISS (built this run)" else "HIT"} dir=$baseDir")
+          s"${if (builtThisRun) "MISS (built this run)" else "HIT"} dir=$baseDir")
         val drift = appendIvfIndex(s, dir, batch)
         val grown = loadIvfIndex(s, dir)
         val probes = emb.filter(col("vec_id") < 10)

@@ -242,7 +242,7 @@ class EventStreamSpec extends SparkSpec {
         .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
     }
     def schemaOf(nDdl: Int): Seq[String] =
-      EventStreams.cdcApplyDdlLifecycle(log(nDdl), actions).columns.toSeq
+      EventStreams.cdcApplyDdlLifecycle(log(nDdl), actions, Some(6)).columns.toSeq
     val prefix = Seq("user_id", "last_position", "op", "ts_us")
     // per-stage schemas: each DDL lands exactly one action, in order
     assert(schemaOf(0) == prefix ++ Seq("last_event_type", "last_value"))
@@ -256,11 +256,21 @@ class EventStreamSpec extends SparkSpec {
     // (position 4), so key 1's winner (position 1) backfills NULL and
     // key 2's (position 20) carries the derived stamp; the rename
     // chain is metadata-only — last_total is the original value field
-    val rows = EventStreams.cdcApplyDdlLifecycle(log(6), actions)
+    val rows = EventStreams.cdcApplyDdlLifecycle(log(6), actions, Some(6))
       .orderBy("user_id").collect().toSeq
     assert(rows.map(_.getLong(0)) == Seq(1L, 2L))
     assert(rows(0).getDouble(4) == 1.5 && rows(0).isNullAt(5))
     assert(rows(1).getDouble(4) == 7.25 && rows(1).getDouble(5) == 14.5)
+    // actionBound = None folds the WHOLE stream (the consumer whose
+    // program acts on every statement): same result when the bound
+    // was exact, and extra all-NoOp tail positions change nothing
+    val unbounded = EventStreams.cdcApplyDdlLifecycle(log(8), actions, None)
+      .orderBy("user_id").collect().toSeq
+    assert(unbounded == rows)
+    // the bound must TRUNCATE the fold, not just the scan: bounding a
+    // 6-DDL log at 2 actions yields the 2-action schema
+    assert(EventStreams.cdcApplyDdlLifecycle(log(6), actions, Some(2))
+      .columns.toSeq == prefix ++ Seq("last_event_type", "last_amount", "last_v2"))
   }
 
   test("session timers: event-time timers close idle sessions (TWS)") {

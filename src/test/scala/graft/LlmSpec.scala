@@ -343,7 +343,7 @@ class LlmSpec extends SparkSpec {
     // genuinely banded path at sf0.1's 2000 vectors, not degenerate to
     // near-all-pairs — measured 7,941 of 7,998,000 (0.099%); pinned an
     // order of magnitude looser (< 2%) to absorb band-collision drift
-    val emb1 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val emb1 = Tables.embeddings(spark, sf1)
     val ed1 = col("embedding").cast("array<double>")
     val u1 = emb1.select(col("vec_id"), ed1.as("embedding"))
       .unionByName(emb1.select(col("vec_id").bitwiseOR(lit(1L << 40)).as("vec_id"),

@@ -22,6 +22,8 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   val sf001 = "/root/testdata/sf0.001"
   val sf01 = "/root/testdata/sf0.01"
+  /** bench-scale corpus — used sparingly (candidate-volume audits) */
+  val sf1 = "/root/testdata/sf0.1"
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
