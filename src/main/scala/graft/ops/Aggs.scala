@@ -202,6 +202,26 @@ object Aggs extends OpModule {
                 count(*) AS n
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    Op("agg_salted_skew",
+      // two-stage salted aggregation under the hash gate: fold half
+      // the rows onto one synthetic hot key (the skew AQE can't help a
+      // GROUP BY with), salt stage 1 over 16 reducers, combine
+      // partials in stage 2. Sum/count decompose over ANY row
+      // partition, so the result is salt-invariant and the plain
+      // GROUP BY SQL is the oracle; DECIMAL(38,10) accumulation keeps
+      // the total independent of which bucket each row landed in
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("k",
+          when(col("event_id") % 2 === 0, lit(0L)).otherwise(col("user_id")))
+        Scale.saltedAgg(e, col("k"), col("value"), buckets = 16)
+          .orderBy("k")
+      },
+      Some("""SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS k,
+                CAST(round(sum(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE)
+                  AS total,
+                count(*) AS cnt
+              FROM events GROUP BY 1 ORDER BY k""")),
+
     // the 100 TB percentile: bounded-memory sketch vs the exact op
     // below; accuracy pinned in OperatorSpec (±1% of exact rank value)
     Op("agg_approx_percentile",

@@ -212,6 +212,35 @@ object EventOps extends OpModule {
               FROM r WHERE rn = 1 AND op <> 'D'
               ORDER BY user_id""")),
 
+    Op("cdc_snapshot_asof",
+      // point-in-time reconstruction (time travel): cdc_apply_upsert
+      // replayed only to position ≤ ⌊max·3/5⌋ — the consumer's
+      // "table AS OF position P" read. Bound = 1-row agg broadcast,
+      // then prefix filter + the same single pk-window; at 100 TB the
+      // prefix predicate is a range scan over position-sorted log
+      // segments, reading 60% of the log instead of all of it
+      (s, d) => EventStreams.cdcSnapshotAsOf(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some("""WITH env AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       ELSE 'U' END AS op,
+                  event_type, value
+                FROM events),
+              b AS (SELECT (max(position) * 3) // 5 AS asof_pos FROM env),
+              r AS (
+                SELECT env.*, b.asof_pos,
+                  row_number() OVER (PARTITION BY pk
+                    ORDER BY tts DESC, position DESC) AS rn
+                FROM env, b WHERE position <= b.asof_pos)
+              SELECT pk AS user_id, position AS last_position, op,
+                epoch_us(tts) AS ts_us, event_type AS last_event_type,
+                value AS last_value, asof_pos
+              FROM r WHERE rn = 1 AND op <> 'D'
+              ORDER BY user_id""")),
+
     Op("cdc_apply_evolve",
       // consumer-side schema evolution: the first DDL event in the log
       // adds a column; post-DDL winners carry it, pre-DDL winners

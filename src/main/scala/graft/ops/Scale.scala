@@ -3,11 +3,11 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Scale techniques that don't surface as driver queries but are part
-  * of the 100 TB toolkit (SURVEY §4, builder mandate): skew salting
-  * and bucketed co-located joins. ScaleSpec proves the behavior —
-  * salted results equal plain results, bucketed joins plan without a
-  * shuffle.
+/** Scale techniques of the 100 TB toolkit (SURVEY §4, builder
+  * mandate): skew salting and bucketed co-located joins. ScaleSpec
+  * proves the behavior — salted results equal plain results, bucketed
+  * joins plan without a shuffle — and `agg_salted_skew` (r10) puts the
+  * salted rewrite under the DuckDB hash gate.
   */
 object Scale {
 
@@ -19,6 +19,14 @@ object Scale {
     * AQE's skew handling covers sort-merge JOINS automatically; a
     * pathologically hot GROUP BY key still serializes one reducer,
     * which is what this addresses.
+    *
+    * The salt is intentionally nondeterministic-per-row (partition id
+    * + row position): ANY assignment yields the same result because
+    * sum/count decompose over every partition of the rows — which is
+    * also why the DuckDB oracle (plain GROUP BY, no salt) applies.
+    * Accumulation is exact DECIMAL(38,10) end to end (§5.2): double
+    * partials would make the total depend on which salt bucket each
+    * row landed in.
     */
   def saltedAgg(df: DataFrame, key: Column, value: Column,
       buckets: Int = 16): DataFrame =
@@ -26,8 +34,9 @@ object Scale {
         pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets))
           .as("salt"))
       .groupBy("k", "salt")
-      .agg(sum("v").as("psum"), count(lit(1)).as("pcnt"))
+      .agg(sum(col("v").cast(org.apache.spark.sql.types.DataTypes
+        .createDecimalType(38, 10))).as("psum"), count(lit(1)).as("pcnt"))
       .groupBy("k")
-      .agg(sum("psum").as("total"), sum("pcnt").as("cnt"))
-      .select(col("k"), round(col("total"), 6).as("total"), col("cnt"))
+      .agg(round(sum("psum"), 6).cast("double").as("total"),
+        sum("pcnt").as("cnt"))
 }

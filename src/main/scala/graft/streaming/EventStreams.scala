@@ -342,6 +342,39 @@ object EventStreams {
         col("after.value").as("last_value"))
   }
 
+  // ── op 62d: point-in-time reconstruction (time travel) ──────────
+  /** The table AS OF a log position — [[cdcApplyUpsert]] replayed only
+    * over the prefix `position ≤ asof`: the CDC consumer's time-travel
+    * read (audit "what did the row look like before the incident",
+    * debezium snapshot-at-offset, warehouse AS OF). The bound is
+    * derived from the log itself as `⌊max(position)·num/den⌋` in exact
+    * integer arithmetic so every scale factor and the DuckDB oracle
+    * agree on it without a literal.
+    *
+    * Plan shape: one 1-row aggregate broadcast over the log (same
+    * pattern as [[cdcApplyUpsertEvolving]]'s DDL position — no second
+    * shuffle), prefix filter, then the single pk-window. At 100 TB the
+    * prefix predicate lands on position-sorted log storage as a range
+    * scan (binlog segments are position-ordered by construction), so
+    * the replay reads only the prefix, not the full log.
+    */
+  def cdcSnapshotAsOf(events: DataFrame, num: Int = 3, den: Int = 5): DataFrame = {
+    val env = envelope(events)
+    val bound = env.agg(expr(s"(max(position) * $num) div $den").as("asof_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk")
+      .orderBy(col("ts").desc, col("position").desc)
+    env.crossJoin(broadcast(bound))
+      .filter(col("position") <= col("asof_pos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("pk").as("user_id"), col("position").as("last_position"),
+        col("op"), unix_micros(col("ts")).as("ts_us"),
+        col("after.event_type").as("last_event_type"),
+        col("after.value").as("last_value"),
+        col("asof_pos"))
+  }
+
   // ── op 62b: apply-upsert WITH consumer-side schema evolution ────
   /** Materializer that APPLIES the envelope's DDL events (VERDICT r4
     * "What's missing" #3) instead of fixing the target schema: the

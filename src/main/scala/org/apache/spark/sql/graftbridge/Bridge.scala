@@ -19,6 +19,14 @@ object Bridge {
   def expr(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Inverse of [[expr]] — wrap a Catalyst expression as a public
+    * Column. Needed for expressions whose parameters are not
+    * SQL-literal-expressible (e.g. a Bloom filter's bit array), which
+    * therefore can't go through the function-registry path the other
+    * graft kernels use. */
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 

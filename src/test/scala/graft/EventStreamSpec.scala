@@ -273,6 +273,29 @@ class EventStreamSpec extends SparkSpec {
       .columns.toSeq == prefix ++ Seq("last_event_type", "last_amount", "last_v2"))
   }
 
+  test("cdc snapshot-asof: full-log bound ≡ apply-upsert; prefix bound ≡ upsert over the truncated log") {
+    val ev = Tables.events(spark, sf001)
+    // asof = max position (num = den): time travel to "now" is exactly
+    // the plain materialization
+    val full = EventStreams.cdcSnapshotAsOf(ev, num = 1, den = 1)
+      .drop("asof_pos").orderBy("user_id").collect().toSeq
+    val upsert = EventStreams.cdcApplyUpsert(ev)
+      .orderBy("user_id").collect().toSeq
+    assert(full == upsert)
+    // the registered 3/5 bound: every winner's position is inside the
+    // prefix, and the snapshot ≡ apply-upsert over the truncated log
+    // (replaying less of the log IS the operator's semantics)
+    val rows = EventStreams.cdcSnapshotAsOf(ev).orderBy("user_id").collect()
+    val asof = rows.head.getLong(rows.head.fieldIndex("asof_pos"))
+    assert(rows.forall(_.getLong(1) <= asof))
+    val trunc = EventStreams.cdcApplyUpsert(ev.filter(col("event_id") <= asof))
+      .orderBy("user_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSeq ==
+      trunc.map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSeq)
+    // and the bound actually truncates: a later event exists
+    assert(ev.filter(col("event_id") > asof).count() > 0)
+  }
+
   test("session timers: event-time timers close idle sessions (TWS)") {
     import spark.implicits._
     import graft.streaming.StatefulProcessors

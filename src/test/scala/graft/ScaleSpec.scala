@@ -15,12 +15,54 @@ class ScaleSpec extends SparkSpec {
     val salted = Scale.saltedAgg(e, col("k"), col("value"), buckets = 8)
       .orderBy("k").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // plain side accumulates in the same exact DECIMAL(38,10) space —
+    // both sides are order-independent, so equality is bit-exact
     val plain = e.groupBy(col("k"))
-      .agg(round(sum("value"), 6).as("total"), count(lit(1)).as("cnt"))
+      .agg(graft.ops.dsum(col("value")).as("total"), count(lit(1)).as("cnt"))
       .orderBy("k").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(salted == plain)
     assert(plain.exists(_._1 == 0L))
+  }
+
+  test("bloom prefilter: kernel contract + prefilter∘confirm ≡ semi join") {
+    import graft.functions.{BloomContains, BloomKernels}
+    val o = Tables.orders(spark, sf001)
+      .filter(col("o_totalprice") > 490000.0).select("o_orderkey")
+    val bloom = BloomKernels.build(o, col("o_orderkey"),
+      numWords = 2048, numHashes = 5)
+    // no false negatives — EVERY inserted key probes true (this is
+    // what makes the exact-confirm rewrite ≡ the plain semi join);
+    // bounded test-only collect: 31 keys at sf0.001
+    val keys = o.collect().map(_.getLong(0))
+    assert(keys.nonEmpty && keys.forall(BloomKernels.contains(bloom, 5, _)))
+    // false-positive rate at the registered operating point: m/n =
+    // 131072/31 bits per key here, so fp should be ~0; allow 1% to
+    // absorb hash drift without pinning the exact family
+    val probeFrom = keys.max + 1
+    val fp = (probeFrom until probeFrom + 100000L)
+      .count(BloomKernels.contains(bloom, 5, _))
+    assert(fp < 1000, s"bloom fp rate too high: $fp / 100000")
+    // the registered query (prefilter + exact confirm) ≡ plain semi
+    // join, row for row
+    val viaBloom = SparkEntry.queries("join_semi_bloom")(spark, sf001)
+      .collect().toSeq
+    val li = Tables.lineitem(spark, sf001)
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    assert(viaBloom == plain)
+    // the probe predicate runs INSIDE whole-stage codegen on the fact
+    // scan — the point of the Expression (vs a UDF, which would break
+    // the span and evaluate interpreted)
+    val pre = li.filter(org.apache.spark.sql.graftbridge.Bridge.column(
+      BloomContains(org.apache.spark.sql.graftbridge.Bridge.expr(
+        col("l_orderkey")), bloom, 5)))
+    val plan = pre.queryExecution.executedPlan.toString
+    // `*(n)` is the whole-stage-codegen marker in the simple plan
+    // string — the Filter line carrying the probe must sit inside one
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_bloom_contains") && l.trim.startsWith("*(")), plan)
   }
 
   test("AQE splits a skewed join partition at runtime (OptimizeSkewedJoin)") {
