@@ -182,6 +182,44 @@ object Joins extends OpModule {
               WHERE c.event_type = 'click' AND b.event_type = 'purchase'
               ORDER BY click_id, purchase_id""")),
 
+    Op("join_range_bucket",
+      // PURE range join (no equi key) made distributed: purchases
+      // inside each error event's 30-minute window, any user. The
+      // naive plan is BroadcastNestedLoopJoin — O(n·m) and a scale
+      // killer when neither side broadcasts. Rewrite: quantize time
+      // into buckets of exactly the window width; each interval
+      // covers ≤ 2 buckets (exploded), each point lands in exactly 1,
+      // so bucket-equality is a superset of containment and the join
+      // becomes an equi-shuffle on bucket + exact range confirm. No
+      // dedup is needed: a point's single bucket meets a given
+      // interval's explosion at most once. The grid rewrite is the
+      // same trick spatial engines use for geometric joins; DuckDB's
+      // IEJoin answers the same query for the oracle.
+      (s, d) => {
+        val us = 30L * 60 * 1000000 // window = bucket width, 30 min in μs
+        val e = Tables.events(s, d)
+        val outages = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("outage_id"),
+            unix_micros(col("ts")).as("t0"))
+        val buys = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("pt"))
+          .withColumn("bucket", expr(s"pt div $us"))
+        val expl = outages.withColumn("b0", expr(s"t0 div $us"))
+          .withColumn("bucket", explode(array(col("b0"), col("b0") + 1)))
+        expl.join(buys,
+            expl("bucket") === buys("bucket") &&
+            col("pt") >= col("t0") && col("pt") < col("t0") + us, "left")
+          .groupBy("outage_id")
+          .agg(count(col("p_id")).as("n_purchases"))
+          .orderBy("outage_id")
+      },
+      Some("""SELECT e.event_id AS outage_id, count(p.event_id) AS n_purchases
+              FROM events e LEFT JOIN events p
+                ON p.event_type = 'purchase'
+               AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+              WHERE e.event_type = 'error'
+              GROUP BY e.event_id ORDER BY outage_id""")),
+
     Op("join_asof",
       // native as-of operator (graft.plans.AsOfJoin): LogicalPlan +
       // Strategy + streaming sort-merge exec. Each event ↔ latest order

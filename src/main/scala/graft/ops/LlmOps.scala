@@ -1695,6 +1695,60 @@ object LlmOps extends OpModule {
               SELECT lang, CAST(rank AS INTEGER) AS rank, ngram, tf
               FROM ranked WHERE rank <= 5 ORDER BY lang, rank""")),
 
+    Op("llm_tfidf",
+      // corpus term weighting — top-5 terms per document by tf·idf.
+      // idf is the LINEAR ODDS (N - df)/df, not ln(N/df): the score is
+      // then one integer product and ONE IEEE-754 division, both
+      // exactly specified, so Spark and DuckDB produce bit-identical
+      // doubles (ln is only correctly-rounded-ish per libm and could
+      // flake the hash gate; rank order is identical for any
+      // monotone idf). Shuffle shape: explode → (doc, term) agg →
+      // term-keyed df agg → tf⋈df co-partitioned on term → per-doc
+      // top-k window — all equi-shuffles on natural keys; N is a
+      // 1-row aggregate broadcast. At 100 TB the df table is
+      // vocabulary-sized, the window is per-doc (no global sort), and
+      // every stage partial-aggregates map-side.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df, "term").crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf") * (col("n_docs") - col("df"))).cast("double") /
+              col("df").cast("double"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("doc_id", "rank", "term", "tf", "df", "score")
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, unnest(string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                  AS term
+                FROM documents),
+              tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tk
+                WHERE term <> '' GROUP BY doc_id, term),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              scored AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                  CAST(t.tf * (n.n_docs - d.df) AS DOUBLE) / CAST(d.df AS DOUBLE)
+                    AS score
+                FROM tf t JOIN df d USING (term), n),
+              r AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term ASC) AS rank
+                FROM scored)
+              SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score
+              FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
+
     Op("llm_multimodal",
       (s, d) => {
         val docs = Tables.documents(s, d)

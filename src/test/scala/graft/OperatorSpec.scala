@@ -81,6 +81,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("join_range_bucket: bucketed equi rewrite ≡ naive nested-loop range join, and plans NO nested loop") {
+    val bucketed = SparkEntry.queries("join_range_bucket")(spark, sf001)
+    // naive reference: the O(n·m) plan the rewrite exists to avoid —
+    // test-only, sf0.001
+    val us = 30L * 60 * 1000000
+    val e = Tables.events(spark, sf001)
+    val o = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("outage_id"), unix_micros(col("ts")).as("t0"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), unix_micros(col("ts")).as("pt"))
+    val naive = o.join(p,
+        col("pt") >= col("t0") && col("pt") < col("t0") + us, "left")
+      .groupBy("outage_id").agg(count(col("p_id")).as("n_purchases"))
+      .orderBy("outage_id")
+    assert(bucketed.collect().toSeq == naive.collect().toSeq)
+    // some window actually has matches, so the equivalence is not vacuous
+    assert(bucketed.filter(col("n_purchases") > 0).count() > 0)
+    // the rewrite's point: the join is an equi join on bucket (hash or
+    // sort-merge), never BroadcastNestedLoopJoin/Cartesian
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"bucketed rewrite still plans a nested loop:\n$plan")
+  }
+
   test("join_asof: native operator plans AsOfJoinExec and equals the window rewrite") {
     val native = SparkEntry.queries("join_asof")(spark, sf001)
     val plan = native.queryExecution.executedPlan.toString
