@@ -1703,20 +1703,24 @@ object LlmOps extends OpModule {
       // doubles (ln is only correctly-rounded-ish per libm and could
       // flake the hash gate; rank order is identical for any
       // monotone idf). Shuffle shape: explode → (doc, term) agg →
-      // term-keyed df agg → tf⋈df co-partitioned on term → per-doc
-      // top-k window — all equi-shuffles on natural keys; N is a
-      // 1-row aggregate broadcast. At 100 TB the df table is
-      // vocabulary-sized, the window is per-doc (no global sort), and
-      // every stage partial-aggregates map-side.
+      // df as count() OVER (PARTITION BY term) — the df aggregate and
+      // the tf⋈df join collapse into ONE term-keyed shuffle (an
+      // unordered whole-partition frame needs no sort and partial-
+      // aggregates nothing it shouldn't) → per-doc top-k window; N is
+      // a 1-row aggregate broadcast. At 100 TB every shuffle is an
+      // equi-shuffle on a natural key, the per-term partition is
+      // vocabulary-bounded, and the final window is per-doc (no
+      // global sort).
       (s, d) => {
         val docs = Tables.documents(s, d)
         val tf = docs
           .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
           .filter(col("term") =!= "")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        val scored = tf.withColumn("df", count(lit(1)).over(byTerm))
+          .crossJoin(broadcast(n))
           .withColumn("score",
             (col("tf") * (col("n_docs") - col("df"))).cast("double") /
               col("df").cast("double"))
