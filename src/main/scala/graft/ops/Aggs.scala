@@ -27,6 +27,47 @@ object WeightedAvg extends Aggregator[WeightedIn, WeightedBuf, Double] {
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** One top-k candidate row flowing through [[TopKAgg]]. */
+case class TopKIn(price: Double, okey: Long, line: Int)
+case class TopKBuf(var items: List[TopKIn])
+
+/** Grouped top-k as a PARTIAL-AGGREGATING operator — the 100 TB
+  * alternative to the rank-window form (`win_topk_group`): the window
+  * shuffles EVERY row to its group's reducer and sorts there; this
+  * Aggregator truncates to k rows per group map-side, so the shuffle
+  * carries at most k·partitions rows per group and the reducer merges
+  * k-bounded lists instead of sorting the world. Exactly the
+  * TakeOrderedAndProject trick (`limit_topk`), generalized per group.
+  *
+  * Total order: price DESC, then (okey, line) ASC — a unique key set,
+  * so the result is deterministic and ≡ the row_number window, which
+  * is what the DuckDB oracle runs.
+  */
+case class TopKAgg(k: Int) extends Aggregator[TopKIn, TopKBuf, Seq[TopKIn]] {
+  private def before(a: TopKIn, b: TopKIn): Boolean =
+    a.price > b.price || (a.price == b.price &&
+      (a.okey < b.okey || (a.okey == b.okey && a.line < b.line)))
+  /** O(k) bounded sorted insert — k is a small literal, so per-row
+    * cost is a short pointer walk, no allocation beyond list cells. */
+  private def put(xs: List[TopKIn], v: TopKIn): List[TopKIn] = {
+    val (pre, post) = xs.span(before(_, v))
+    if (pre.lengthCompare(k) >= 0) xs else (pre ::: v :: post).take(k)
+  }
+  override def zero: TopKBuf = TopKBuf(Nil)
+  override def reduce(b: TopKBuf, a: TopKIn): TopKBuf = {
+    b.items = put(b.items, a); b
+  }
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    var rest = b.items
+    while (rest.nonEmpty) { a.items = put(a.items, rest.head); rest = rest.tail }
+    a
+  }
+  override def finish(b: TopKBuf): Seq[TopKIn] = b.items
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[Seq[TopKIn]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKIn]]()
+}
+
 /** Aggregations (SURVEY.md §2.4). All group-bys are hash aggregates
   * with automatic partial aggregation (map-side combine) — the only
   * data crossing the shuffle is one row per (partition, group).
@@ -222,6 +263,35 @@ object Aggs extends OpModule {
                 count(*) AS cnt
               FROM events GROUP BY 1 ORDER BY k""")),
 
+    Op("agg_topk_partial",
+      // top-2 lineitems per supplier via the k-bounded Aggregator
+      // (see TopKAgg): map-side truncation bounds the shuffle at
+      // k·partitions rows per group — the scale story the rank window
+      // can't tell. OperatorSpec pins ≡ the window rendering and the
+      // two-phase ObjectHashAggregate plan.
+      (s, d) => {
+        val topk = udaf(TopKAgg(2))
+        Tables.lineitem(s, d)
+          .groupBy("l_suppkey")
+          .agg(topk(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")).as("tops"))
+          .select(col("l_suppkey"), posexplode(col("tops")))
+          .select(col("l_suppkey"), (col("pos") + 1).as("rank"),
+            col("col.okey").as("l_orderkey"),
+            col("col.line").as("l_linenumber"),
+            col("col.price").as("l_extendedprice"))
+          .orderBy("l_suppkey", "rank")
+      },
+      Some("""SELECT l_suppkey, CAST(rn AS INTEGER) AS rank, l_orderkey,
+                l_linenumber, l_extendedprice
+              FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+                      l_extendedprice,
+                      row_number() OVER (PARTITION BY l_suppkey
+                        ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                          l_linenumber ASC) AS rn
+                    FROM lineitem)
+              WHERE rn <= 2 ORDER BY l_suppkey, rank""")),
+
     // the 100 TB percentile: bounded-memory sketch vs the exact op
     // below; accuracy pinned in OperatorSpec (±1% of exact rank value)
     Op("agg_approx_percentile",
@@ -231,6 +301,29 @@ object Aggs extends OpModule {
                    approx_percentile(value, 0.5, 10000) AS p50_approx,
                    approx_percentile(value, 0.99, 10000) AS p99_approx
                  FROM graft_events_ap GROUP BY event_type ORDER BY event_type""")
+      },
+      None),
+
+    Op("agg_hll_partial_merge",
+      // MERGEABLE sketches — the incremental-rollup pattern behind
+      // every 100 TB distinct-count dashboard: sketch each day once
+      // (hll_sketch_agg, lgK=14 ⇒ ~16 KiB per sketch, bounded state),
+      // persist the daily sketches, then answer ANY date range by
+      // re-aggregating sketches (hll_union_agg) instead of rescanning
+      // raw events. agg_approx_hll (op 27) shows the one-shot
+      // estimate; this op shows the re-aggregation that makes it
+      // incremental. No DuckDB oracle by design (sketch binaries are
+      // engine-specific); OperatorSpec pins the merged estimate
+      // within 5% of the exact distinct count and that daily
+      // sketches union to the same estimate as a direct global
+      // sketch.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events_hll")
+        s.sql("""SELECT count(*) AS n_days,
+                   hll_sketch_estimate(hll_union_agg(sk)) AS month_users_est
+                 FROM (SELECT date_trunc('DAY', ts) AS day,
+                         hll_sketch_agg(user_id, 14) AS sk
+                       FROM graft_events_hll GROUP BY 1)""")
       },
       None),
 

@@ -70,6 +70,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("agg_hll_partial_merge: daily sketches union to the direct estimate, within 5% of exact") {
+    val row = SparkEntry.queries("agg_hll_partial_merge")(spark, sf01)
+      .collect().head
+    val merged = row.getAs[Long]("month_users_est").toDouble
+    val ev = Tables.events(spark, sf01)
+    val exact = ev.select(countDistinct("user_id")).collect().head.getLong(0)
+    assert(math.abs(merged - exact) / exact <= 0.05,
+      s"merged-sketch estimate $merged vs exact $exact")
+    // re-aggregation fidelity: the union of per-day sketches estimates
+    // the same as ONE sketch over the raw rows — the property that
+    // lets a 100 TB pipeline store daily sketches and never rescan
+    ev.createOrReplaceTempView("graft_events_hll_direct")
+    val direct = spark.sql(
+      """SELECT hll_sketch_estimate(hll_sketch_agg(user_id, 14)) AS est
+         FROM graft_events_hll_direct""").collect().head.getLong(0).toDouble
+    assert(math.abs(merged - direct) / direct <= 0.01,
+      s"union-of-dailies $merged vs direct $direct")
+    assert(row.getAs[Long]("n_days") >= 28)
+  }
+
   test("agg_approx_percentile tracks the exact percentile within 1%") {
     val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf01)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -79,6 +99,28 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(approx(k) - v) <= math.max(1.0, v * 0.01),
         s"$k: approx ${approx(k)} vs exact $v")
     }
+  }
+
+  test("agg_topk_partial: k-bounded aggregator ≡ rank window, with a partial (map-side) phase planned") {
+    val viaAgg = SparkEntry.queries("agg_topk_partial")(spark, sf001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val viaWin = Tables.lineitem(spark, sf001)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select("l_suppkey", "rank", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+      .orderBy("l_suppkey", "rank")
+    assert(viaAgg.collect().toSeq == viaWin.collect().toSeq)
+    // the scale claim: the aggregator plans TWO ObjectHashAggregate
+    // phases — the first is the map-side partial that truncates each
+    // group to k rows BEFORE the shuffle (the window form ships every
+    // row)
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_topkagg"), plan)
   }
 
   test("join_range_bucket: bucketed equi rewrite ≡ naive nested-loop range join, and plans NO nested loop") {
