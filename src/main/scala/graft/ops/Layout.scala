@@ -402,6 +402,73 @@ object LayoutOps extends OpModule {
                 round(min(mn + (bin + 1) * (mx - mn) / 16), 6) AS hi
               FROM b GROUP BY bin ORDER BY bin""")),
 
+    Op("table_expectations",
+      // declarative data-quality audit (the Great-Expectations /
+      // dbt-test shape): N expectations over a table graded in ONE
+      // conditional-aggregate scan + one anti-join for the referential
+      // check — never N scans. count(CASE)-style filters partial-
+      // aggregate map-side; the FK check ships only non-matching keys
+      // (broadcast anti join against the dim). Output is one row per
+      // expectation (violations, checked, pass) — the audit artifact a
+      // 100 TB ingest gate logs per batch.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val c = Tables.customer(s, d).select(col("c_custkey"))
+        val fk = e.join(broadcast(c), e("user_id") === c("c_custkey"),
+          "left_anti").agg(count(lit(1)).as("fk_viol"))
+        val m = e.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("event_id").isNull, 1)).as("null_viol"),
+          (count(lit(1)) - countDistinct(col("event_id"))).as("uniq_viol"),
+          count(when(col("value") < 0 || col("value") > 100, 1))
+            .as("range_viol"),
+          count(when(!col("event_type").isin(
+            "click", "signup", "error", "view", "purchase"), 1))
+            .as("domain_viol"))
+        m.crossJoin(broadcast(fk))
+          .selectExpr("n_rows",
+            """stack(5,
+               'event_id_not_null', null_viol,
+               'event_id_unique', uniq_viol,
+               'value_in_range_0_100', range_viol,
+               'event_type_in_domain', domain_viol,
+               'user_fk_in_customer', fk_viol)
+               AS (expectation, n_violations)""")
+          .select(col("expectation"), col("n_violations"),
+            col("n_rows").as("n_checked"),
+            when(col("n_violations") === 0, 1).otherwise(0)
+              .cast("int").as("pass"))
+          .orderBy("expectation")
+      },
+      Some("""WITH m AS (
+                SELECT count(*) AS n_rows,
+                  count(*) FILTER (WHERE event_id IS NULL) AS null_viol,
+                  count(*) - count(DISTINCT event_id) AS uniq_viol,
+                  count(*) FILTER (WHERE value < 0 OR value > 100)
+                    AS range_viol,
+                  count(*) FILTER (WHERE event_type NOT IN
+                    ('click', 'signup', 'error', 'view', 'purchase'))
+                    AS domain_viol
+                FROM events),
+              f AS (
+                SELECT count(*) AS fk_viol FROM events e
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id)),
+              u AS (
+                SELECT 'event_id_not_null' AS expectation,
+                  null_viol AS n_violations, n_rows AS n_checked FROM m
+                UNION ALL SELECT 'event_id_unique', uniq_viol, n_rows FROM m
+                UNION ALL SELECT 'value_in_range_0_100', range_viol, n_rows
+                  FROM m
+                UNION ALL SELECT 'event_type_in_domain', domain_viol, n_rows
+                  FROM m
+                UNION ALL SELECT 'user_fk_in_customer', f.fk_viol, m.n_rows
+                  FROM m, f)
+              SELECT expectation, n_violations, n_checked,
+                CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER)
+                  AS pass
+              FROM u ORDER BY expectation""")),
+
     Op("layout_zorder",
       (s, d) => zorderStats(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
         .orderBy("file_id"),
