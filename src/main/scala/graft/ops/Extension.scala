@@ -41,6 +41,37 @@ object Extension extends OpModule {
               SELECT doc_id,
                 CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
                 unnest(toks) AS token
-              FROM t ORDER BY doc_id, pos"""))
+              FROM t ORDER BY doc_id, pos""")),
+
+    Op("meta_lineage",
+      // column-level lineage from the ANALYZED plan (graft.plans.
+      // Lineage): for a representative join+aggregate query, every
+      // output column's leaf (table, column) feeders — the governance
+      // artifact a CDC consumer publishes next to the data. The plan
+      // is never executed; edges are driver metadata bounded by
+      // schema width. The oracle is the constant expectation (a
+      // golden check under the driver gate): lineage of a FIXED query
+      // is a constant, and PlanSpec pins the alias/window/generate/
+      // union walk cases besides.
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val q = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+            countDistinct(col("l_partkey")).as("n_parts"))
+        import s.implicits._
+        graft.plans.Lineage.lineage(q)
+          .toDF("out_col", "src_table", "src_col")
+          .orderBy("out_col", "src_table", "src_col")
+      },
+      Some("""SELECT * FROM (VALUES
+                ('n_parts', 'lineitem', 'l_partkey'),
+                ('o_custkey', 'orders', 'o_custkey'),
+                ('revenue', 'lineitem', 'l_discount'),
+                ('revenue', 'lineitem', 'l_extendedprice'))
+                AS t(out_col, src_table, src_col)
+              ORDER BY out_col, src_table, src_col"""))
   )
 }

@@ -16,6 +16,30 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("lineage: alias, window, generate and union edges resolve to leaf tables") {
+    import graft.plans.Lineage
+    import org.apache.spark.sql.functions._
+    // union resolves POSITIONALLY through both branches
+    val names = Tables.customer(spark, sf001).select(col("c_name").as("name"))
+      .unionByName(Tables.supplier(spark, sf001).select(col("s_name").as("name")))
+    assert(Lineage.lineage(names).toSet ==
+      Set(("name", "customer", "c_name"), ("name", "supplier", "s_name")))
+    // generator outputs descend from the generator's references
+    val toks = Tables.documents(spark, sf001)
+      .select(posexplode(split(col("text"), " ")))
+    assert(Lineage.lineage(toks).toSet ==
+      Set(("pos", "documents", "text"), ("col", "documents", "text")))
+    // window expressions pull in partition AND order keys; pass-through
+    // attributes keep their own edge
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate")
+    val ranked = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), rank().over(w).as("r"))
+    assert(Lineage.lineage(ranked).toSet ==
+      Set(("o_orderkey", "orders", "o_orderkey"),
+        ("r", "orders", "o_custkey"), ("r", "orders", "o_orderdate")))
+  }
+
   test("scan_pushdown: filter and projection reach the parquet reader") {
     val p = planOf("scan_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_shipdate), " +
