@@ -1695,6 +1695,47 @@ object LlmOps extends OpModule {
               SELECT lang, CAST(rank AS INTEGER) AS rank, ngram, tf
               FROM ranked WHERE rank <= 5 ORDER BY lang, rank""")),
 
+    Op("llm_chunking",
+      // context-window chunking — the RAG / training-prep staple:
+      // split each document into 64-token chunks on a 48-token stride
+      // (16-token overlap so no boundary context is lost). Pure
+      // per-row computation: explode over the stride grid + a slice —
+      // one narrow projection, NO shuffle at all until the output
+      // sort, and at 100 TB none (chunks stay co-located with their
+      // document partition; the orderBy exists only for the oracle
+      // compare). Complements llm_pack_sequences (which packs MANY
+      // short docs into one window; this splits LONG docs across
+      // windows).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("start",
+            explode(sequence(lit(0), greatest(lit(0), col("n") - 1), lit(48))))
+          .withColumn("ct", slice(col("toks"), col("start") + 1, lit(64)))
+          .select(col("doc_id"),
+            (col("start") / 48).cast("int").as("chunk_id"),
+            size(col("ct")).as("n_tokens"),
+            concat_ws(" ", col("ct")).as("chunk"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                  AS toks
+                FROM documents),
+              s AS (
+                SELECT doc_id, toks,
+                  unnest(range(0, greatest(len(toks), 1), 48)) AS start
+                FROM t),
+              c AS (
+                SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_id,
+                  toks[start + 1 : start + 64] AS ct
+                FROM s)
+              SELECT doc_id, chunk_id, CAST(len(ct) AS INTEGER) AS n_tokens,
+                array_to_string(ct, ' ') AS chunk
+              FROM c ORDER BY doc_id, chunk_id""")),
+
     Op("llm_tfidf",
       // corpus term weighting — top-5 terms per document by tf·idf.
       // idf is the LINEAR ODDS (N - df)/df, not ln(N/df): the score is

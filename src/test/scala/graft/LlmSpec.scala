@@ -36,6 +36,29 @@ class LlmSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSeq == direct.toSeq)
   }
 
+  test("llm_chunking: contiguous chunk ids, every token covered, n_tokens = min(64, n - 48i)") {
+    val byDoc = SparkEntry.queries("llm_chunking")(spark, sf001)
+      .collect().groupBy(_.getLong(0))
+    val ns = Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        size(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+          .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byDoc.keySet == ns.keySet) // every doc chunks, none invented
+    byDoc.foreach { case (doc, rows) =>
+      val n = ns(doc)
+      val ids = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ids == (0 until ids.length), s"doc $doc ids $ids")
+      // chunk i covers tokens [48i, min(48i+64, n)) — together with
+      // contiguity this is exact full coverage with 16-token overlap
+      rows.foreach { r =>
+        assert(r.getInt(2) == math.min(64, n - 48 * r.getInt(1)),
+          s"doc $doc chunk ${r.getInt(1)}: ${r.getInt(2)} of $n")
+      }
+      assert(48 * (ids.length - 1) < n) // no all-overlap ghost chunk
+    }
+  }
+
   test("near-dedup: exact duplicates and small edits are caught; disjoint docs are not") {
     SeededFnvHash.register(spark)
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
