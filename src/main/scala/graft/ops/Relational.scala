@@ -42,6 +42,13 @@ object Relational extends OpModule {
     }
   }
 
+  /** Session-scoped roots whose hive-partitioned events fixture has
+    * been written — memoized only AFTER a successful write (the
+    * layout_compact pattern: a failed write must retry, never feed
+    * the scan a partial layout); misses re-verify the dir on disk. */
+  private val partFixtureWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   override def ops: Seq[Op] = Seq(
     // ── §2.1 scans ────────────────────────────────────────────────
     Op("scan_parquet",
@@ -62,6 +69,43 @@ object Relational extends OpModule {
               FROM lineitem
               WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1996-06-01'
               ORDER BY l_orderkey, l_linenumber""")),
+
+    Op("scan_partitioned",
+      // hive-partitioned layout + partition-pruned read — the other
+      // half of the scan discipline next to scan_pushdown's row-group
+      // pruning: a 100 TB table is laid out by its hottest predicate
+      // column, and a query on that column must never list (let alone
+      // read) the other partitions' files. The fixture is a
+      // partitioned copy of events written once per (session, corpus)
+      // — session-scoped root so SF runs never race each other — and
+      // the read back filters ONE partition; PlanSpec pins that the
+      // predicate lands in PartitionFilters (pruning), not in the
+      // data filters. The oracle reads the ORIGINAL events table:
+      // same rows by construction.
+      (s, d) => {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        val root = "/tmp/graft_scan_partitioned/" +
+          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}/$digest"
+        root.intern.synchronized {
+          if (!partFixtureWritten.contains(root) ||
+              !new java.io.File(root).exists()) {
+            Tables.events(s, d)
+              .select("event_id", "user_id", "value", "event_type")
+              .write.partitionBy("event_type")
+              .mode("overwrite").parquet(root)
+            partFixtureWritten.add(root)
+            ()
+          }
+        }
+        s.read.parquet(root)
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+              WHERE event_type = 'purchase' ORDER BY event_id""")),
 
     // CSV/JSON scan surface (VERDICT r8 #4) — the first thing a new
     // user tries. The fixtures are RENDERED deterministically from the

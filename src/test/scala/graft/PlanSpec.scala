@@ -40,6 +40,17 @@ class PlanSpec extends SparkSpec {
         ("r", "orders", "o_custkey"), ("r", "orders", "o_orderdate")))
   }
 
+  test("scan_partitioned: the predicate prunes hive partitions at the scan, not as a data filter") {
+    val p = planOf("scan_partitioned")
+    val partLine = "PartitionFilters: \\[[^\\]]*event_type[^\\]]*purchase[^\\]]*\\]".r
+    assert(partLine.findFirstIn(p).isDefined,
+      s"event_type=purchase not in PartitionFilters:\n$p")
+    // and NOT doubled into the pushed data filters — pruning means the
+    // other partitions' files are never listed, let alone read
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"partition predicate leaked into data filters:\n$p")
+  }
+
   test("scan_pushdown: filter and projection reach the parquet reader") {
     val p = planOf("scan_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_shipdate), " +
