@@ -133,6 +133,33 @@ object Joins extends OpModule {
                   AND o.o_totalprice > 490000.0)
               ORDER BY l_orderkey, l_linenumber""")),
 
+    Op("join_skew_salted",
+      // the skew-join rewrite under the hash gate (completes the
+      // salting toolkit next to agg_salted_skew): fold half of events
+      // onto one hot user, salt the fact over 16 buckets, replicate
+      // the customer dim per salt, sort-merge join on (key, salt) —
+      // the hot key spreads over 16 reducers instead of serializing
+      // one. Result ≡ the plain join for ANY salt assignment (each
+      // fact row matches exactly its salt's replica), so the plain
+      // SQL oracles it; DECIMAL accumulation keeps the sum
+      // bucket-invariant (§5.2).
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("uid",
+          when(col("event_id") % 2 === 0, lit(1L)).otherwise(col("user_id")))
+        val c = Tables.customer(s, d)
+        Scale.saltedJoin(e, col("uid"), c, col("c_custkey"), buckets = 16)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE)
+                  AS sum_value
+              FROM events JOIN customer
+                ON (CASE WHEN event_id % 2 = 0 THEN 1 ELSE user_id END)
+                   = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     Op("join_anti",
       (s, d) => {
         val c = Tables.customer(s, d)

@@ -39,4 +39,30 @@ object Scale {
       .groupBy("k")
       .agg(round(sum("psum"), 6).cast("double").as("total"),
         sum("pcnt").as("cnt"))
+
+  /** Salted fact⋈dim equi join for skewed fact keys: the fact side
+    * gets a nondeterministic-but-irrelevant salt in [0, buckets), the
+    * dim side is REPLICATED once per salt value (explode over the
+    * bucket range — dim×buckets rows, fine for a dim), and the join
+    * runs on (key, salt) — so one hot fact key spreads over `buckets`
+    * reducers instead of serializing one. Every fact row matches
+    * exactly the one replica carrying its salt, so the result
+    * multiset is EXACTLY the plain join's for any salt assignment —
+    * which is why the plain-join SQL can oracle it.
+    *
+    * This is the rewrite for when AQE's skew-join split can't engage
+    * (it needs sort-merge stages it can re-plan) or when the skew is
+    * known ahead of time; `buckets` times dim replication is the
+    * price, so it suits genuine dims, not fact⋈fact.
+    */
+  def saltedJoin(fact: DataFrame, factKey: Column,
+      dim: DataFrame, dimKey: Column, buckets: Int = 16): DataFrame = {
+    val salted = fact.withColumn("graft_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val replicated = dim.withColumn("graft_salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    salted.hint("merge").join(replicated,
+      factKey === dimKey && salted("graft_salt") === replicated("graft_salt"))
+      .drop("graft_salt")
+  }
 }

@@ -25,6 +25,17 @@ class ScaleSpec extends SparkSpec {
     assert(plain.exists(_._1 == 0L))
   }
 
+  test("salted join: salt participates in the sort-merge keys (hot key spread over buckets)") {
+    val q = SparkEntry.queries("join_skew_salted")(spark, sf001)
+    q.collect() // finalize the adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the point of the rewrite: graft_salt is a JOIN key, so the one
+    // hot user key hashes to 16 different reducers
+    assert(plan.split("SortMergeJoin")(1).linesIterator.next()
+      .contains("graft_salt"), plan)
+  }
+
   test("bloom prefilter: kernel contract + prefilter∘confirm ≡ semi join") {
     import graft.functions.{BloomContains, BloomKernels}
     val o = Tables.orders(spark, sf001)
