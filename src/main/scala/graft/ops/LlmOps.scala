@@ -965,6 +965,43 @@ object LlmOps extends OpModule {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric containment pairs: C(a→b) = |Sa ∩ Sb| / |Sa| ≥ τ —
+    * the doc⊂doc family Jaccard structurally misses (an excerpt of a
+    * long document has tiny Jaccard but containment 1.0): quotes,
+    * chunk re-ingestion, boilerplate wrapping.
+    *
+    * Prefix theorem, asymmetric form: |Sa∩Sb| ≥ ⌈τ|Sa|⌉ forces any
+    * |Sa| − ⌈τ|Sa|⌉ + 1 shingles of Sa to hit Sb — the SAME prefix
+    * length as Jaccard on the contained side, but the probe side must
+    * be FULL postings (the bound says nothing about where the shared
+    * shingles sit in Sb's order, so Sb can't be prefixed). Candidate
+    * volume is prefix(A) ⋈ postings(B) — the incremental-dedup
+    * corpus-postings shape, linear in corpus shingles, never corpus².
+    * The confirm filters on the UNROUNDED ratio (one IEEE division —
+    * bit-identical across engines) so the τ boundary can never
+    * disagree with the oracle through rounding.
+    */
+  def containmentPairs(docs: DataFrame, tau: Double = 0.9,
+      shingleN: Int = 3): DataFrame = {
+    val sorted = shingleSets(docs, shingleN).repartition(col("doc_id"))
+    val pref = prefixPostings(sorted, tau)
+    val a = pref.select(col("doc_id").as("doc_a"), col("s"))
+    val full = sorted.select(col("doc_id").as("doc_b"),
+      explode(col("sh")).as("s_b"))
+    val cand = a.join(full,
+        col("s") === col("s_b") && col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    val sa = sorted.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sorted.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("c_raw",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("c_raw") >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c_raw"), 6).as("containment"))
+  }
+
   /** Character n-gram language ID, Cavnar–Trenkle style (the n-gram
     * heuristic of the classic "N-Gram-Based Text Categorization"):
     * build a top-`topK` character-trigram profile per language from a
@@ -1694,6 +1731,63 @@ object LlmOps extends OpModule {
                 FROM tf)
               SELECT lang, CAST(rank AS INTEGER) AS rank, ngram, tf
               FROM ranked WHERE rank <= 5 ORDER BY lang, rank""")),
+
+    Op("llm_dedup_containment",
+      // asymmetric containment dedup ([[containmentPairs]]) on a
+      // corpus ∪ half-excerpt-clones workload: each clone is the first
+      // ⌈n/2⌉ tokens of its document, so clone→original containment is
+      // exactly 1.0 while the pair's Jaccard is ≈0.5 — below any
+      // dedup threshold, which is precisely the family Jaccard misses.
+      // τ=0.9 keeps the contained-side prefixes short; candidates are
+      // contained-prefix ⋈ full-postings, confirmed on the unrounded
+      // ratio so the boundary agrees with the oracle bit for bit
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val toks = tokens(col("text"))
+        val clones = docs.select(
+          col("doc_id").bitwiseOR(lit(1L << 40)).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            ((size(toks) + 1) / 2).cast("int"))).as("text"))
+        containmentPairs(docs.unionByName(clones), tau = 0.9, shingleN = 5)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH raw AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT d.doc_id | (1::BIGINT << 40) AS doc_id,
+                  array_to_string(tk[1:(len(tk) + 1) // 2], ' ') AS text
+                FROM (SELECT doc_id, string_split(
+                    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                    ' ') AS tk FROM documents) d),
+              t AS (
+                SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM raw),
+              s AS (
+                SELECT doc_id,
+                  CASE WHEN len(toks) >= 5 THEN
+                    list_distinct(list_transform(
+                      generate_series(1, len(toks) - 4),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4]))
+                  ELSE [norm] END AS sh
+                FROM t),
+              ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id),
+              j AS (
+                SELECT c.doc_a, c.doc_b,
+                  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                    / len(sa.sh) AS c_raw
+                FROM cand c
+                JOIN s sa ON sa.doc_id = c.doc_a
+                JOIN s sb ON sb.doc_id = c.doc_b)
+              SELECT doc_a, doc_b, round(c_raw, 6) AS containment
+              FROM j WHERE c_raw >= 0.9
+              ORDER BY doc_a, doc_b""")),
 
     Op("llm_chunking",
       // context-window chunking — the RAG / training-prep staple:

@@ -59,6 +59,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("containment dedup: half-excerpts contained at exactly 1.0; long originals NOT contained in excerpts") {
+    val pairs = SparkEntry.queries("llm_dedup_containment")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ns = Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(split(
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ns.keys.foreach { id =>
+      // the clone's shingles are a subset of the original's → C = 1.0
+      assert(pairs.get((id | (1L << 40), id)).contains(1.0),
+        s"excerpt of doc $id not detected as contained")
+    }
+    // the asymmetry Jaccard can't express: a long original holds ~2×
+    // the excerpt's shingles, so original→excerpt containment ≈ 0.5
+    // and must NOT pair at τ=0.9 (tiny docs can legally contain both
+    // ways — restrict to docs with enough tokens)
+    ns.filter(_._2 >= 50).keys.foreach { id =>
+      assert(!pairs.contains((id, id | (1L << 40))),
+        s"long original $id wrongly contained in its half-excerpt")
+    }
+  }
+
   test("near-dedup: exact duplicates and small edits are caught; disjoint docs are not") {
     SeededFnvHash.register(spark)
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
