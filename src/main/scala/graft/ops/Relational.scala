@@ -268,6 +268,30 @@ object Relational extends OpModule {
                 nullif(o_orderstatus, 'P') IS NULL AS was_pending
               FROM orders ORDER BY o_orderkey""")),
 
+    Op("fn_try_ansi",
+      // ANSI-mode row-level safety: Spark 4 runs ANSI by default, so a
+      // malformed cast, divide-by-zero, or out-of-range index THROWS —
+      // at 100 TB that's a job dying hours in on one bad row. The
+      // try_* family degrades per-row to NULL instead, which is the
+      // only operable failure mode at scale (quarantine the NULLs,
+      // keep the job). DuckDB mirrors with TRY_CAST / nullif-guarded
+      // division / native NULL on out-of-range list index.
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          expr("try_cast(event_type AS BIGINT)").as("bad_cast"),
+          expr("try_cast(cast(user_id AS STRING) AS BIGINT)")
+            .as("roundtrip_cast"),
+          expr("try_divide(value, user_id % 3)").as("safe_div"),
+          expr("try_element_at(array(1, 2, 3), cast(user_id % 5 AS INT) + 1)")
+            .as("safe_idx"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                TRY_CAST(event_type AS BIGINT) AS bad_cast,
+                TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS roundtrip_cast,
+                value / nullif(user_id % 3, 0) AS safe_div,
+                ([1, 2, 3])[CAST(user_id % 5 AS INTEGER) + 1] AS safe_idx
+              FROM events ORDER BY event_id""")),
+
     // ── §2.6 sort / limit ─────────────────────────────────────────
     Op("sort_multi",
       (s, d) => Tables.orders(s, d)

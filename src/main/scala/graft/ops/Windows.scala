@@ -126,6 +126,28 @@ object Windows extends OpModule {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
               ORDER BY o_orderkey""")),
 
+    Op("win_cume_pct",
+      // relative-position family completing §2.5: percent_rank =
+      // (rank−1)/(n−1) and cume_dist = peers_cume/n are divisions of
+      // exact integers — IEEE-754 division is exactly specified, so
+      // both engines emit bit-identical doubles with no rounding
+      // needed. Tie-aware by the semantic key (o_totalprice) on
+      // purpose: peers share pr/cd deterministically in both engines.
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").asc)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                percent_rank() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice ASC) AS pr,
+                cume_dist() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice ASC) AS cd
+              FROM orders ORDER BY o_orderkey""")),
+
     Op("win_topk_group",
       // idiomatic Spark top-k-per-key: rank window + filter — at scale
       // this is one shuffle on the group key, no global sort
