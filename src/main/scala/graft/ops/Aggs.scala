@@ -343,6 +343,145 @@ object Aggs extends OpModule {
                 round(quantile_cont(value, 0.5), 6) AS p50,
                 round(quantile_cont(value, 0.9), 6) AS p90,
                 round(quantile_cont(value, 0.99), 6) AS p99
-              FROM events GROUP BY event_type ORDER BY event_type"""))
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Op("agg_pivot",
+      // long→wide reshape with EXPLICIT pivot values: passing the
+      // value list skips the eager distinct-scan job Spark otherwise
+      // runs to discover them — at 100 TB that discovery pass costs a
+      // full extra scan, and an unbounded value set would explode the
+      // output schema anyway. Spark lowers the pivot to two stacked
+      // aggregates, BOTH map-side combined: the first collapses the
+      // scan to |priority|×|status| rows before any shuffle, the
+      // second (pivotfirst) reshapes those few rows wide — so neither
+      // shuffle ever carries data volume, only group cardinality.
+      // DECIMAL accumulation keeps each cell order-independent (§5.2).
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))) FILTER (WHERE o_orderstatus = 'F'), 6) AS DOUBLE) AS "F",
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))) FILTER (WHERE o_orderstatus = 'O'), 6) AS DOUBLE) AS "O",
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))) FILTER (WHERE o_orderstatus = 'P'), 6) AS DOUBLE) AS "P"
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    Op("agg_unpivot",
+      // wide→long reshape (melt). Narrow transformation: no shuffle,
+      // no aggregate — each input row emits one output row per value
+      // column inside the same partition, so at 100 TB this is pure
+      // map-side work that chains into whatever shuffle follows.
+      // Values pass through bit-unchanged (no arithmetic), so the
+      // doubles hash-match without rounding.
+      (s, d) => Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                     l_quantity AS val FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+              FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, metric""")),
+
+    Op("agg_minmax_by",
+      // arg-extrema (first/last event per user): max_by/min_by carry
+      // the payload column through the aggregate, replacing the
+      // window-rank-then-filter idiom with ONE hash aggregate whose
+      // partial state is a single (ord, payload) pair per group per
+      // partition — at 100 TB the shuffle carries two pairs per
+      // group, not every row sorted. Deterministic because the
+      // ordering key (event_id) is unique; DuckDB names the same
+      // functions arg_max/arg_min.
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          min_by(col("event_type"), col("event_id")).as("first_type"),
+          max(col("event_id")).as("last_event_id"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+                arg_max(event_type, event_id) AS last_type,
+                arg_min(event_type, event_id) AS first_type,
+                max(event_id) AS last_event_id,
+                count(*) AS n_events
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    Op("agg_stats_moments",
+      // second-moment statistics (variance / stddev / correlation)
+      // with EXACT integer accumulation. Spark's stddev/corr and
+      // DuckDB's use different merge formulas, so their float outputs
+      // need not agree to 6dp — instead both engines here accumulate
+      // the classic moment sums (n, Σx, Σy, Σx², Σy², Σxy) over the
+      // 2dp-scaled INTEGER values, which are exact and
+      // order-independent (the one-pass, map-side-combinable shape
+      // you want at 100 TB: six numbers per group per partition cross
+      // the shuffle). The finish step uses only IEEE-exact ops on the
+      // exactly-cast sums: ×, −, ÷ and sqrt are all correctly-rounded
+      // per IEEE-754, so both engines emit bit-identical doubles.
+      // Sized DECIMALs keep every product inside both engines' caps
+      // (DuckDB keeps a product at max(w1,w2) — the LEFT operand is
+      // pre-cast to the full result width; subtraction widens +1,
+      // hard cap 38) through sf 1000 (x ≤ 5e3, y ≤ 1.05e7, n ≤ 6e9 ⇒
+      // the widest term n·Σy² ≤ 4e33 at width 37). Past that, rescale
+      // the fixed-
+      // point units or shard the moment sums by an extra key — the
+      // map-combinable moment-sum SHAPE is what scales; the 38-digit
+      // exactness window is the oracle gate's constraint.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_moments")
+        s.sql(statsMomentsSql("graft_li_moments"))
+      },
+      Some(statsMomentsSql("lineitem")))
   )
+
+  /** Shared SQL for `agg_stats_moments` — the WHOLE point is that the
+    * Spark plan and the DuckDB oracle run the IDENTICAL arithmetic,
+    * so the engine-specific corr/stddev merge order never enters.
+    * Every finish-step operand is explicitly DOUBLE (literals in
+    * `1e0` exponent form: both engines parse those as DOUBLE, whereas
+    * `1.0` parses as DECIMAL(2,1) in both); sums are accumulated in
+    * DECIMAL because Spark's ANSI BIGINT sum would overflow on Σy²
+    * past sf 0.01 while DuckDB's would silently widen to HUGEINT. */
+  private def statsMomentsSql(table: String): String =
+    s"""SELECT l_returnflag,
+          CAST(n AS BIGINT) AS n_rows,
+          CAST(CAST(n AS DECIMAL(34,0))*sxy - CAST(sx AS DECIMAL(34,0))*sy
+               AS DOUBLE)
+            / sqrt(CAST(CAST(n AS DECIMAL(31,0))*sxx
+                        - CAST(sx AS DECIMAL(31,0))*sx AS DOUBLE)
+                   * CAST(CAST(n AS DECIMAL(37,0))*syy
+                          - CAST(sy AS DECIMAL(37,0))*sy AS DOUBLE))
+            AS corr_qty_price,
+          CAST(CAST(n AS DECIMAL(31,0))*sxx - CAST(sx AS DECIMAL(31,0))*sx
+               AS DOUBLE)
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)) / 1e4
+            AS var_qty,
+          sqrt(CAST(CAST(n AS DECIMAL(31,0))*sxx
+                    - CAST(sx AS DECIMAL(31,0))*sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))) / 1e2
+            AS std_qty
+        FROM (
+          SELECT l_returnflag,
+            CAST(count(*) AS DECIMAL(11,0)) AS n,
+            CAST(sum(CAST(x AS DECIMAL(15,0))) AS DECIMAL(15,0)) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sy,
+            CAST(sum(CAST(x*x AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sxx,
+            CAST(sum(CAST(y*y AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS syy,
+            CAST(sum(CAST(x*y AS DECIMAL(22,0))) AS DECIMAL(22,0)) AS sxy
+          FROM (
+            SELECT l_returnflag,
+              CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+              CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+            FROM $table)
+          GROUP BY l_returnflag)
+        ORDER BY l_returnflag"""
 }

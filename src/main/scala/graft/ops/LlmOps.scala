@@ -1467,6 +1467,49 @@ object LlmOps extends OpModule {
               WHERE t.split = 'test' AND r.split = 'train'
               GROUP BY 1 ORDER BY doc_id""")),
 
+    Op("llm_decontaminate_capped",
+      // the df-capped form of [[decontaminate]] under the hash gate —
+      // the skew/precision guard a web-scale corpus needs registered,
+      // not just available: boilerplate shingles ("all rights
+      // reserved …") otherwise make one join key a train-DF × test-DF
+      // hot spot AND flag unrelated docs. cap=2 provably bites on
+      // this corpus (4,420 shingles dropped at sf0.1) while keeping
+      // every SF's output non-empty; the oracle applies the IDENTICAL
+      // cap via HAVING on the train postings, so the gate stays exact
+      (s, d) => decontaminate(Tables.documents(s, d), n = 4,
+        maxTrainDf = Some(2L)).orderBy("doc_id"),
+      Some("""WITH s AS (
+                SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
+                FROM documents),
+              sp AS (
+                SELECT doc_id, txt,
+                  CASE WHEN CAST(('0x' || substr(md5(txt), 1, 8)) AS BIGINT)
+                         % 100 < 90 THEN 'train'
+                       WHEN CAST(('0x' || substr(md5(txt), 1, 8)) AS BIGINT)
+                         % 100 < 95 THEN 'validation'
+                       ELSE 'test' END AS split
+                FROM s),
+              tk AS (
+                SELECT doc_id, split, string_split(txt, ' ') AS toks
+                FROM sp WHERE len(string_split(txt, ' ')) >= 4),
+              ng AS (
+                SELECT doc_id, split,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+3], ' ')))) AS ng
+                FROM tk),
+              tr AS (SELECT ng, doc_id FROM ng WHERE split = 'train'),
+              keep AS (SELECT ng FROM tr GROUP BY ng HAVING count(*) <= 2)
+              SELECT t.doc_id AS doc_id,
+                count(DISTINCT t.ng) AS n_shared_ngrams,
+                count(DISTINCT r.doc_id) AS n_train_docs
+              FROM ng t
+              JOIN keep k ON t.ng = k.ng
+              JOIN tr r ON t.ng = r.ng
+              WHERE t.split = 'test'
+              GROUP BY 1 ORDER BY doc_id""")),
+
     Op("llm_sample_stratified",
       // deterministic per-language downsampling (content-keyed, not
       // random): en kept at 40%, fr at 70%, everything else at 100%

@@ -177,4 +177,33 @@ class PlanSpec extends SparkSpec {
         s"$q lost the signature materialization point:\n$p")
     }
   }
+
+  test("r10 reshape/extrema/moments: map-side combine and narrow plans pinned") {
+    // pivot lowers to TWO stacked aggregates, both partial-aggregated:
+    // the scan collapses to group cardinality before either shuffle
+    val pv = planOf("agg_pivot")
+    assert(pv.contains("partial_sum"), s"pivot lost first-level combine:\n$pv")
+    assert(pv.contains("partial_pivotfirst"),
+      s"pivot reshape no longer map-side combined:\n$pv")
+    // unpivot is a pure narrow Expand over the scan — the ONLY
+    // exchange allowed is the output-ordering range partition
+    val up = planOf("agg_unpivot")
+    assert(up.contains("Expand"), s"unpivot should plan as Expand:\n$up")
+    assert(!up.contains("hashpartitioning"),
+      s"unpivot reshape must not shuffle:\n$up")
+    // arg-extrema: partial max_by/min_by means the shuffle carries one
+    // (ord, payload) pair per group per partition, not raw rows
+    val mm = planOf("agg_minmax_by")
+    assert(mm.contains("partial_max_by") && mm.contains("partial_min_by"),
+      s"minmax_by lost map-side combine:\n$mm")
+    // moment sums: partial decimal sums map-side; six numbers per
+    // group per partition cross the one hash shuffle
+    val sm = planOf("agg_stats_moments")
+    assert(sm.contains("partial_sum"), s"moments lost map-side combine:\n$sm")
+    // count only the FINAL adaptive plan (toString appends the initial
+    // plan as a second rendering of the same exchanges)
+    val smFinal = sm.split("== Initial Plan ==")(0)
+    assert("hashpartitioning".r.findAllIn(smFinal).size == 1,
+      s"moments should have exactly one hash shuffle:\n$sm")
+  }
 }
