@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Op, OpModule, Tables}
 import graft.streaming.EventStreams
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch renderings of the streaming / event-sourcing layer
@@ -315,6 +316,60 @@ object EventOps extends OpModule {
                 ON c.user_id = b.user_id
                AND b.ts >= c.ts AND b.ts < c.ts + INTERVAL 1 HOUR
               WHERE c.event_type = 'click' AND b.event_type = 'purchase'
-              GROUP BY 1 ORDER BY user_id"""))
+              GROUP BY 1 ORDER BY user_id""")),
+
+    Op("win_gap_fill",
+      // date-spine gap fill: per-user daily counts with missing days
+      // zero-filled between the user's first and last active day — the
+      // time-series scaffolding op every metrics pipeline needs (a gap
+      // is only visible as an ABSENT row; downstream lag/rolling logic
+      // needs it PRESENT as a zero). Shape at 100 TB: the raw scan
+      // collapses to |user|×|active-day| rows in ONE map-combined
+      // aggregate; the span pass and the spine join shuffle only that
+      // tiny daily relation, never raw events, and the generated spine
+      // is bounded by each user's own [first, last] span — not the
+      // users × global-calendar cross join of the naive rewrite, whose
+      // output is dominated by rows for users who joined yesterday.
+      // Formulated via lead() + sequence-to-next rather than the
+      // spine-LEFT-JOIN-daily textbook shape: the join formulation
+      // materializes the daily aggregate TWICE (Spark plans the
+      // self-referencing aggregate as two full scans of the raw
+      // events), where lead() fills each gap from the row that
+      // precedes it — ONE scan, no join, no broadcast, and the window
+      // sorts the collapsed daily relation, never raw events.
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"),
+            datediff(col("ts").cast("date"),
+              to_date(lit("1970-01-01"))).as("eday"))
+          .agg(count(lit(1)).as("n_events"))
+        val w = Window.partitionBy("user_id").orderBy("eday")
+        daily
+          .withColumn("next_eday", lead("eday", 1).over(w))
+          .withColumn("day",
+            explode(expr("sequence(eday, coalesce(next_eday - 1, eday))")))
+          .select(col("user_id"), col("day"),
+            when(col("day") === col("eday"), col("n_events"))
+              .otherwise(lit(0L)).as("n_events"))
+          .withColumnRenamed("day", "eday")
+          .orderBy("user_id", "eday")
+      },
+      Some("""WITH daily AS (
+                SELECT user_id,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS eday,
+                  count(*) AS n_events
+                FROM events GROUP BY 1, 2),
+              spans AS (
+                SELECT user_id, min(eday) AS d0, max(eday) AS d1
+                FROM daily GROUP BY user_id),
+              spine AS (
+                SELECT user_id,
+                  CAST(unnest(generate_series(d0, d1)) AS INTEGER) AS eday
+                FROM spans)
+              SELECT s.user_id, s.eday, coalesce(d.n_events, 0) AS n_events
+              FROM spine s LEFT JOIN daily d
+                ON s.user_id = d.user_id AND s.eday = d.eday
+              ORDER BY s.user_id, s.eday"""))
   )
 }

@@ -195,6 +195,31 @@ object Functions extends OpModule {
       Some("""SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
               FROM documents ORDER BY doc_id""")),
 
+    Op("fn_bitwise",
+      // bitwise scalar battery — how flag fields, bloom bit sets and
+      // partition salts are unpacked without a UDF. All codegen'd
+      // scalar ops on the scan, zero shuffle; bit-exact on both
+      // engines by definition (integer two's-complement semantics)
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("o_orderkey & 2047").as("b_and"),
+          expr("o_orderkey | 4096").as("b_or"),
+          expr("o_orderkey ^ 1365").as("b_xor"),
+          expr("~o_orderkey").as("b_not"),
+          expr("shiftleft(o_orderkey, 3)").as("b_shl"),
+          expr("shiftright(o_orderkey, 2)").as("b_shr"),
+          bit_count(col("o_orderkey")).as("b_pop"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                o_orderkey & 2047 AS b_and,
+                o_orderkey | 4096 AS b_or,
+                xor(o_orderkey, 1365) AS b_xor,
+                ~o_orderkey AS b_not,
+                o_orderkey << 3 AS b_shl,
+                o_orderkey >> 2 AS b_shr,
+                CAST(bit_count(o_orderkey) AS INTEGER) AS b_pop
+              FROM orders ORDER BY o_orderkey""")),
+
     // Spark-specific hash/id surface — no DuckDB equivalents (SURVEY
     // §2.8 parity rule): covered by ScalaTest determinism asserts.
     Op("fn_hash_spark",

@@ -421,6 +421,62 @@ object Joins extends OpModule {
                      b.event_id AS prev_event_id, b.event_type AS prev_type
               FROM r a JOIN r b
                 ON a.user_id = b.user_id AND a.rn = b.rn + 1
-              ORDER BY a.event_id"""))
+              ORDER BY a.event_id""")),
+
+    Op("join_interval_overlap",
+      // interval × interval overlap join — the family join_range_bucket
+      // (point ∈ interval) doesn't cover. Spark has no native interval
+      // join: the direct formulation (`l_s < r_e AND r_s < l_e`, no
+      // equi key) plans as a broadcast-nested-loop — O(n·m)
+      // comparisons that melt when neither side broadcasts at 100 TB.
+      // The grid rewrite makes it an EQUI join: with bucket width W ≥
+      // the longest span, every interval covers ≤ 2 grid cells, so
+      // each side explodes ≤ 2×, the join shuffles on the bucket key
+      // like any equi join, and the overlap predicate filters inside
+      // the cell. The canonical-cell guard — only the cell containing
+      // greatest(l_s, r_s) may emit the pair; that day lies inside
+      // BOTH intervals, so both sides listed its cell — replaces the
+      // post-join `distinct` a naive grid join needs: dedup becomes a
+      // free per-row comparison instead of a second shuffle.
+      (s, d) => {
+        val W = 16 // ≥ the longest span (10) ⇒ ≤ 2 cells per interval
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            to_date(lit("1970-01-01"))).as("sday"))
+        def gridded(pri: String, span: Int, p: String) =
+          o.filter(col("o_orderpriority") === pri)
+            .select(col("o_orderkey").as(s"${p}_key"),
+              col("sday").as(s"${p}_s"),
+              (col("sday") + span).as(s"${p}_e"))
+            .withColumn("cell",
+              explode(expr(s"sequence(${p}_s div $W, (${p}_e - 1) div $W)")))
+        val l = gridded("1-URGENT", 7, "l")
+        val r = gridded("2-HIGH", 10, "r")
+        l.join(r, l("cell") === r("cell")
+            && col("l_s") < col("r_e") && col("r_s") < col("l_e")
+            && l("cell") === expr(s"greatest(l_s, r_s) div $W"))
+          .groupBy("l_key")
+          .agg(count(lit(1)).as("n_overlaps"),
+            sum(least(col("l_e"), col("r_e"))
+              - greatest(col("l_s"), col("r_s"))).as("overlap_days"),
+            min(col("r_key")).as("first_r_key"))
+          .orderBy("l_key")
+      },
+      Some("""WITH o AS (
+                SELECT o_orderkey, o_orderpriority,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS INTEGER) AS sday
+                FROM orders),
+              l AS (SELECT o_orderkey AS l_key, sday AS l_s, sday + 7 AS l_e
+                    FROM o WHERE o_orderpriority = '1-URGENT'),
+              r AS (SELECT o_orderkey AS r_key, sday AS r_s, sday + 10 AS r_e
+                    FROM o WHERE o_orderpriority = '2-HIGH')
+              SELECT l_key, count(*) AS n_overlaps,
+                CAST(sum(least(l_e, r_e) - greatest(l_s, r_s)) AS BIGINT)
+                  AS overlap_days,
+                min(r_key) AS first_r_key
+              FROM l JOIN r ON l_s < r_e AND r_s < l_e
+              GROUP BY l_key ORDER BY l_key"""))
   )
 }

@@ -206,4 +206,32 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(smFinal).size == 1,
       s"moments should have exactly one hash shuffle:\n$sm")
   }
+
+  test("r10 interval/gap-fill/bitwise: equi-rewritten overlap, one-scan spine, narrow scalars") {
+    // the grid rewrite's whole point: the overlap join must plan as an
+    // EQUI join on the cell key (BHJ here, SMJ at scale), never the
+    // nested-loop fallback a pure theta join degenerates to
+    val io = planOf("join_interval_overlap")
+    assert(io.contains("Generate explode(sequence"),
+      s"interval grid explode missing:\n$io")
+    assert(!io.contains("NestedLoop") && !io.contains("Cartesian"),
+      s"interval overlap degenerated to a non-equi join:\n$io")
+    assert(io.contains("partial_count"),
+      s"overlap aggregate lost map-side combine:\n$io")
+    // gap fill: the lead()-based formulation reads raw events ONCE
+    // (the join formulation plans the daily aggregate twice) and never
+    // joins — the window runs over the collapsed daily relation
+    val gf = planOf("win_gap_fill")
+    val gfFinal = gf.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(gfFinal).size == 1,
+      s"gap fill re-scans raw events:\n$gf")
+    assert(!gf.contains("Join"), s"gap fill should be join-free:\n$gf")
+    assert(gf.contains("partial_count"),
+      s"daily rollup lost map-side combine:\n$gf")
+    // bitwise battery: pure scalar projection — the only exchange is
+    // the output-ordering range partition
+    val bw = planOf("fn_bitwise")
+    assert(!bw.contains("hashpartitioning"),
+      s"scalar battery must not hash-shuffle:\n$bw")
+  }
 }
