@@ -440,7 +440,58 @@ object Aggs extends OpModule {
         Tables.lineitem(s, d).createOrReplaceTempView("graft_li_moments")
         s.sql(statsMomentsSql("graft_li_moments"))
       },
-      Some(statsMomentsSql("lineitem")))
+      Some(statsMomentsSql("lineitem"))),
+
+    Op("agg_mode",
+      // modal value per group (most frequent nation among a segment's
+      // customers), smallest-key tie-break — the count+argmin rewrite
+      // both engines share, because native mode()/arg_max() tie-break
+      // is engine-defined. Two hash aggregates + a k-row window: the
+      // first aggregate collapses to |segments|×|nations| rows, so the
+      // window runs on bounded metadata no matter the input size —
+      // this is the 100 TB shape (never a window over raw rows).
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_mktsegment")
+          .orderBy(col("n").desc, col("c_nationkey").asc)
+        Tables.customer(s, d)
+          .groupBy("c_mktsegment", "c_nationkey")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"),
+            col("n").as("mode_count"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, c_nationkey AS mode_nation, n AS mode_count
+              FROM (SELECT c_mktsegment, c_nationkey, count(*) AS n,
+                      row_number() OVER (PARTITION BY c_mktsegment
+                        ORDER BY count(*) DESC, c_nationkey ASC) AS rn
+                    FROM customer GROUP BY c_mktsegment, c_nationkey)
+              WHERE rn = 1 ORDER BY c_mktsegment""")),
+
+    Op("agg_string_agg",
+      // ordered string aggregation (listagg) — per-group concatenation
+      // with an explicit total order, so the output string is
+      // deterministic in both engines. Spark composes it as
+      // sort(collect_list)+join (collect_list order is partition-
+      // dependent; the sort erases that); DuckDB has native
+      // string_agg ORDER BY. Bounded: group values are the 25 nation
+      // names — at scale, listagg of unbounded groups is the anti-
+      // pattern (use explode/top-k instead); this op is the bounded-
+      // dimension roll-up form.
+      (s, d) => Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS n_nations,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name"""))
   )
 
   /** Shared SQL for `agg_stats_moments` — the WHOLE point is that the

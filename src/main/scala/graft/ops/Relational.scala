@@ -389,6 +389,24 @@ object Relational extends OpModule {
       Some("""SELECT user_id FROM events WHERE event_type = 'view'
               EXCEPT ALL
               SELECT user_id FROM events WHERE event_type = 'purchase'
+              ORDER BY user_id""")),
+
+    Op("set_intersect_all",
+      // bag intersection: min(multiplicity) per value — a user with 3
+      // view-days and 2 purchase-days keeps 2 rows. Completes the bag
+      // half of §2.7 alongside set_except_all. Identical rows are
+      // interchangeable, so ordering by user_id alone is hash-stable.
+      // Compiles to one hash aggregate per side + a count-min merge —
+      // same shuffle budget as INTERSECT, scales identically.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        e.filter(col("event_type") === "view").select("user_id")
+          .intersectAll(e.filter(col("event_type") === "purchase").select("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'view'
+              INTERSECT ALL
+              SELECT user_id FROM events WHERE event_type = 'purchase'
               ORDER BY user_id"""))
   )
 }

@@ -165,6 +165,29 @@ object Windows extends OpModule {
                       row_number() OVER (PARTITION BY o_custkey
                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
                     FROM orders)
-              WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    Op("win_ntile",
+      // equi-depth bucketing per partition (quartiles of a customer's
+      // order values). ntile is SQL-standard in both engines: the
+      // first `n_rows mod k` buckets get one extra row, assignment
+      // follows the ORDER BY — deterministic because the order is a
+      // total one (price, then unique orderkey). Integer output, no
+      // float concerns. At scale this is one shuffle on the partition
+      // key with bounded per-partition state, same as every window
+      // here.
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(ntile(4) OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER)
+                  AS quartile
+              FROM orders ORDER BY o_orderkey"""))
   )
 }
