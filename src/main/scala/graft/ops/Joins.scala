@@ -52,6 +52,30 @@ object Joins extends OpModule {
               WHERE p_size <= 15
               GROUP BY p_brand ORDER BY p_brand""")),
 
+    Op("join_inner_shj",
+      // the THIRD physical equi-join strategy, completing SMJ/BHJ:
+      // shuffled hash join skips BOTH sort passes (build a hash table
+      // from the smaller side per partition, stream the larger) — the
+      // right plan when one side is too big to broadcast but small
+      // enough per partition to hash, e.g. a mid-size dim at 100 TB
+      // fact scale. Pinned with hint("shuffle_hash") because Catalyst
+      // prefers SMJ by default; PlanSpec asserts ShuffledHashJoin in
+      // the executed plan.
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val su = Tables.supplier(s, d)
+        li.join(su.hint("shuffle_hash"),
+            li("l_suppkey") === su("s_suppkey"), "inner")
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice")).as("supplied_value"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6) AS DOUBLE) AS supplied_value
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     Op("join_left_outer",
       (s, d) => {
         val c = Tables.customer(s, d)

@@ -571,6 +571,54 @@ object LayoutOps extends OpModule {
             lit(after).as("files_after"), lit(rows).as("rows_total"))
           .orderBy("file_seq")
       },
-      None)
+      None),
+
+    Op("table_checksum",
+      // source↔target consistency validation — the artifact a
+      // replication/CDC pipeline computes on BOTH ends of a transfer
+      // to prove the copy is whole. Per-row fingerprint = first 8 hex
+      // digits of md5 over a canonical '|'-joined rendering of the
+      // key columns (dates via ISO CAST, never raw doubles — float
+      // rendering is engine-specific); the table digest is the SUM
+      // and the XOR of the fingerprints. Both combiners are
+      // commutative+associative ⇒ the digest is identical no matter
+      // how the copy is partitioned, sorted, or file-split — exactly
+      // why this beats any order-dependent hash chain at 100 TB: one
+      // scan, map-side partial aggregation, 3 numbers per partition
+      // cross the shuffle, one row out. Spark's conv(hex,16,10) and
+      // the oracle's explicit digit arithmetic produce the same
+      // integer; the sum accumulates in DECIMAL (exact) and is cast
+      // to BIGINT for the gate (safe to ~2^31 rows; keep the decimal
+      // rendering beyond).
+      (s, d) => {
+        val h = md5(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate").cast("date").cast("string")))
+        Tables.orders(s, d)
+          .select(conv(substring(h, 1, 8), 16, 10).cast("decimal(38,0)")
+            .as("fp"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("fp")).cast("long").as("checksum_sum"),
+            expr("bit_xor(cast(fp AS bigint))").as("checksum_xor"))
+      },
+      Some("""WITH fp AS (
+                SELECT md5(concat_ws('|', o_orderkey, o_custkey,
+                         o_orderstatus,
+                         CAST(CAST(o_orderdate AS DATE) AS VARCHAR))) AS h
+                FROM orders),
+              v AS (SELECT
+                  (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+                + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+                + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+                + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+                + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+                + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+                + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substr(h, 8, 1)) - 1) AS fp
+                FROM fp)
+              SELECT count(*) AS n_rows,
+                CAST(sum(fp) AS BIGINT) AS checksum_sum,
+                CAST(bit_xor(fp) AS BIGINT) AS checksum_xor
+              FROM v"""))
   )
 }

@@ -73,6 +73,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p)
   }
 
+  test("join_inner_shj: shuffled hash join pinned — no sort on either side") {
+    val p = planOf("join_inner_shj")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("agg_hash_group: partial (map-side) + final hash aggregation") {
     val p = planOf("agg_hash_group")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
