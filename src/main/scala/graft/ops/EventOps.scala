@@ -242,6 +242,68 @@ object EventOps extends OpModule {
               FROM r WHERE rn = 1 AND op <> 'D'
               ORDER BY user_id""")),
 
+    Op("cdc_table_diff",
+      // the OTHER half of replication validation next to
+      // table_checksum: when the digests disagree, this op names the
+      // drift — every key classified missing_target / extra_target /
+      // changed by a full outer join on the primary key with value
+      // comparison. The "target" is the source drifted
+      // deterministically (every 97th key deleted, every 101st status
+      // rewritten, every 103rd re-inserted under a shifted key) so
+      // both engines construct the identical replica from one table.
+      // At 100 TB: one shuffle per side on the pk (or zero with
+      // co-bucketed layouts), only differing keys emitted — the diff
+      // report is |drift|-sized, never |table|-sized.
+      (s, d) => {
+        val src = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"),
+            col("o_orderdate").cast("date").as("d"))
+        val tgt = src.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 101 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+          .unionByName(src.filter(col("o_orderkey") % 103 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+        val s2 = src.select(col("o_orderkey").as("sk"), col("o_custkey").as("sc"),
+          col("o_orderstatus").as("ss"), col("d").as("sd"))
+        val t2 = tgt.select(col("o_orderkey").as("tk"), col("o_custkey").as("tc"),
+          col("o_orderstatus").as("ts2"), col("d").as("td"))
+        s2.join(t2, s2("sk") === t2("tk"), "full_outer")
+          .select(coalesce(col("sk"), col("tk")).as("o_orderkey"),
+            when(col("sk").isNull, lit("extra_target"))
+              .when(col("tk").isNull, lit("missing_target"))
+              .when(col("ss") =!= col("ts2") || col("sc") =!= col("tc")
+                || col("sd") =!= col("td"), lit("changed"))
+              .as("diff_class"))
+          .filter(col("diff_class").isNotNull)
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH src AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CAST(o_orderdate AS DATE) AS d
+                FROM orders),
+              tgt AS (
+                SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+                       ELSE o_orderstatus END AS o_orderstatus, d
+                FROM src WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, d
+                FROM src WHERE o_orderkey % 103 = 0),
+              j AS (
+                SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                  CASE WHEN s.o_orderkey IS NULL THEN 'extra_target'
+                       WHEN t.o_orderkey IS NULL THEN 'missing_target'
+                       WHEN s.o_orderstatus <> t.o_orderstatus
+                         OR s.o_custkey <> t.o_custkey
+                         OR s.d <> t.d THEN 'changed'
+                       END AS diff_class
+                FROM src s FULL JOIN tgt t ON s.o_orderkey = t.o_orderkey)
+              SELECT o_orderkey, diff_class FROM j
+              WHERE diff_class IS NOT NULL
+              ORDER BY o_orderkey""")),
+
     Op("cdc_apply_evolve",
       // consumer-side schema evolution: the first DDL event in the log
       // adds a column; post-DDL winners carry it, pre-DDL winners

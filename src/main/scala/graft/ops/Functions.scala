@@ -230,6 +230,67 @@ object Functions extends OpModule {
           crc32(col("text").cast("binary")).as("text_crc32"),
           monotonically_increasing_id().as("synthetic_id"))
         .orderBy("doc_id"),
-      None)
+      None),
+
+    Op("fn_url",
+      // URL decomposition — the web-corpus provenance battery (host /
+      // path / query / fragment / one query param). URLs are
+      // synthesized deterministically from document metadata so both
+      // engines parse the identical strings; Spark's parse_url is a
+      // codegen'd expression (java.net.URI rules), DuckDB mirrors
+      // each part with an anchored regexp. Pure narrow projection —
+      // at 100 TB this is exactly how crawl provenance columns
+      // (registrable domain, path depth, tracking-param strip) are
+      // derived without a UDF.
+      (s, d) => {
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/doc/"), col("doc_id"),
+          lit("?q="), col("n_chars"), lit("&s="), col("source"),
+          lit("#f"), col("doc_id") % 7)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            parse_url(url, lit("HOST")).as("host"),
+            parse_url(url, lit("PATH")).as("path"),
+            parse_url(url, lit("QUERY")).as("query"),
+            parse_url(url, lit("REF")).as("fragment"),
+            parse_url(url, lit("QUERY"), lit("q")).as("param_q"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+                SELECT doc_id,
+                  'https://' || source || '.example.com/' || lang ||
+                  '/doc/' || doc_id || '?q=' || n_chars || '&s=' ||
+                  source || '#f' || (doc_id % 7) AS url
+                FROM documents)
+              SELECT doc_id,
+                regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS path,
+                regexp_extract(url, '\?([^#]*)', 1) AS query,
+                regexp_extract(url, '#(.*)$', 1) AS fragment,
+                regexp_extract(url, '[?&]q=([^&#]*)', 1) AS param_q
+              FROM u ORDER BY doc_id""")),
+
+    Op("fn_format",
+      // printf-style rendering — report/export formatting without a
+      // UDF. Integer and string conversions only (%s, %d, zero-pad,
+      // hex): their rendering is exactly specified, whereas %f of a
+      // double is formatter-dependent at the rounding boundary
+      // (Java's HALF_UP vs C's half-even) — floats go through
+      // round()+CAST instead (fn_math's territory). Codegen'd
+      // projection, zero shuffle.
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          format_string("ORD-%08d", col("o_orderkey")).as("order_tag"),
+          format_string("%s/%d", col("o_orderstatus"), col("o_custkey"))
+            .as("status_cust"),
+          lower(format_string("%x", col("o_orderkey"))).as("key_hex"),
+          format_string("%5s|", col("o_orderstatus")).as("status_padded"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                printf('ORD-%08d', o_orderkey) AS order_tag,
+                printf('%s/%d', o_orderstatus, o_custkey) AS status_cust,
+                printf('%x', o_orderkey) AS key_hex,
+                printf('%5s|', o_orderstatus) AS status_padded
+              FROM orders ORDER BY o_orderkey"""))
   )
 }
