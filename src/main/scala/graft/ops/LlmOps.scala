@@ -1931,6 +1931,88 @@ object LlmOps extends OpModule {
               SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score
               FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
 
+    Op("llm_bigram_lm",
+      // corpus n-gram language model — bigram conditional probability
+      // P(w2|w1) = count(w1 w2)/count(w1 ·), the statistic behind
+      // next-token baselines, corpus-drift monitors, and boilerplate
+      // detectors. Same exactness design as llm_tfidf: counts are
+      // integers, the probability is ONE IEEE division of exact
+      // operands ⇒ bit-identical doubles, no rounding. Shuffle shape:
+      // explode → (w1,w2) hash agg (map-side combined, so the shuffle
+      // carries vocab², not tokens) → w1-continuations via an
+      // unordered whole-partition window fused into the SAME
+      // vocab-keyed relation (the df-fusion trick — no second
+      // aggregate-join over the corpus). The c2 floor bounds the
+      // report; at 100 TB it is also the noise gate.
+      (s, d) => {
+        val t = tokens(col("text"))
+        val bi = Tables.documents(s, d)
+          .filter(size(t) >= 2)
+          .select(explode(transform(sequence(lit(0), size(t) - 2),
+            i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+            .as("bigram"))
+        val byW1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(substring_index(col("bigram"), " ", 1))
+        bi.groupBy("bigram").agg(count(lit(1)).as("c2"))
+          .withColumn("c1", sum(col("c2")).over(byW1))
+          .filter(col("c2") >= 5)
+          .select(col("bigram"), col("c2"), col("c1"),
+            (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+          .orderBy("bigram")
+      },
+      Some("""WITH tk AS (
+                SELECT string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+                FROM documents),
+              bg AS (
+                SELECT unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1])) AS bigram
+                FROM tk WHERE len(t) >= 2),
+              cnt AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+              win AS (SELECT bigram, c2,
+                        sum(c2) OVER (PARTITION BY split_part(bigram, ' ', 1))
+                          AS c1
+                      FROM cnt)
+              SELECT bigram, c2, CAST(c1 AS BIGINT) AS c1,
+                CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
+              FROM win WHERE c2 >= 5 ORDER BY bigram""")),
+
+    Op("llm_dedup_canonical",
+      // canonicalization dedup — the cheapest dedup family member:
+      // case folding + punctuation strip + whitespace collapse, then
+      // EXACT dedup on the canonical form. Catches the re-encodes,
+      // re-wraps and shouting copies that are byte-distinct but
+      // textually identical (llm_dedup_exact misses them; MinHash
+      // finds them at 1000× the cost). Planted messy clones
+      // (high-bit-tagged ids, uppercased + padded + '!!') prove each
+      // group collapses. One codegen'd projection + one hash agg
+      // keyed by the canonical md5 — shuffle carries (16-byte key,
+      // id) pairs only; the same shape at 100 TB.
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val messy = docs.select(
+          col("doc_id").bitwiseOR(lit(1L << 40)).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" !!")).as("text"))
+        val canon = lower(trim(regexp_replace(
+          regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""), " +", " ")))
+        docs.unionByName(messy)
+          .select(col("doc_id"), md5(canon).as("canon_key"))
+          .groupBy("canon_key")
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+          .orderBy("keeper")
+      },
+      Some("""WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1099511627776,
+                  '  ' || upper(text) || ' !!' FROM documents),
+              c AS (SELECT doc_id,
+                      md5(lower(trim(regexp_replace(regexp_replace(text,
+                        '[^a-zA-Z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS canon_key
+                    FROM all_docs)
+              SELECT canon_key, min(doc_id) AS keeper, count(*) AS n_copies
+              FROM c GROUP BY canon_key ORDER BY keeper""")),
+
     Op("llm_multimodal",
       (s, d) => {
         val docs = Tables.documents(s, d)
