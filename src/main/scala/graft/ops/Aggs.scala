@@ -491,7 +491,29 @@ object Aggs extends OpModule {
       Some("""SELECT r_name, count(*) AS n_nations,
                 string_agg(n_name, ',' ORDER BY n_name) AS nations
               FROM nation JOIN region ON n_regionkey = r_regionkey
-              GROUP BY r_name ORDER BY r_name"""))
+              GROUP BY r_name ORDER BY r_name""")),
+
+    Op("agg_bool",
+      // boolean aggregation battery — how data-quality predicates roll
+      // up without materializing violations: bool_and (does EVERY row
+      // satisfy it), bool_or (does ANY), count_if (how many). All
+      // three partial-aggregate map-side to one boolean/long per
+      // partition — at 100 TB the assertion "every order this month
+      // has a valid status" costs one scan and ships bits.
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(expr("bool_and(o_totalprice > 1000.0)").as("all_above_1k"),
+          expr("bool_or(o_orderstatus = 'F')").as("any_finished"),
+          expr("count_if(o_totalprice > 300000.0)").as("n_big"),
+          expr("count_if(o_orderstatus = 'O')").as("n_open"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                bool_and(o_totalprice > 1000.0) AS all_above_1k,
+                bool_or(o_orderstatus = 'F') AS any_finished,
+                count(*) FILTER (WHERE o_totalprice > 300000.0) AS n_big,
+                count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority"""))
   )
 
   /** Shared SQL for `agg_stats_moments` — the WHOLE point is that the

@@ -432,6 +432,43 @@ object EventOps extends OpModule {
               SELECT s.user_id, s.eday, coalesce(d.n_events, 0) AS n_events
               FROM spine s LEFT JOIN daily d
                 ON s.user_id = d.user_id AND s.eday = d.eday
-              ORDER BY s.user_id, s.eday"""))
+              ORDER BY s.user_id, s.eday""")),
+
+    Op("win_fill_forward",
+      // LOCF (last observation carried forward) — the other half of
+      // time-series repair next to win_gap_fill's zero-fill: a sensor
+      // stream where error readings are voided keeps reporting the
+      // last good value. Nulls are planted deterministically (every
+      // 'error' row voids its reading); the fill is last(...,
+      // ignoreNulls) over a ROWS UNBOUNDED PRECEDING frame ordered by
+      // the total (ts, event_id) key — both engines walk the same
+      // order, the value passes through bit-unchanged (no
+      // arithmetic). One shuffle on user_id, bounded per-partition
+      // state; the frame is running, so Spark evaluates it in one
+      // pass, never re-scanning the preceding rows per row.
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("reading",
+            when(col("event_type") === "error", lit(null).cast("double"))
+              .otherwise(col("value")))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("reading"),
+            last(col("reading"), ignoreNulls = true).over(w).as("reading_ffill"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                CASE WHEN event_type = 'error' THEN NULL
+                     ELSE value END AS reading,
+                last_value(CASE WHEN event_type = 'error' THEN NULL
+                                ELSE value END IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS reading_ffill
+              FROM events ORDER BY event_id"""))
   )
 }

@@ -291,6 +291,36 @@ object Functions extends OpModule {
                 printf('%s/%d', o_orderstatus, o_custkey) AS status_cust,
                 printf('%x', o_orderkey) AS key_hex,
                 printf('%5s|', o_orderstatus) AS status_padded
-              FROM orders ORDER BY o_orderkey"""))
+              FROM orders ORDER BY o_orderkey""")),
+
+    Op("fn_strdist",
+      // edit-distance + structural string battery — the fuzzy-match
+      // primitives entity resolution and typo-tolerant dedup build
+      // on. levenshtein is INTEGER-exact (dynamic program, no
+      // floats), so it sits under the hash gate directly; the jaro/
+      // similarity family is float-formula-divergent across engines
+      // and stays out by design. Distances here compare adjacent
+      // slices of each document (a deterministic in-row pair — no
+      // pairwise join; the PAIRING strategy at corpus scale is the
+      // dedup families' banded candidates, this op is the kernel).
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          levenshtein(substring(col("text"), 1, 20),
+            substring(col("text"), 21, 20)).as("lev_slices"),
+          levenshtein(col("lang"), col("source")).as("lev_meta"),
+          expr("left(text, 8)").as("l8"),
+          expr("right(text, 8)").as("r8"),
+          reverse(substring(col("text"), 1, 12)).as("rev_head"),
+          repeat(col("lang"), 3).as("lang3"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                CAST(levenshtein(substring(text, 1, 20),
+                  substring(text, 21, 20)) AS INTEGER) AS lev_slices,
+                CAST(levenshtein(lang, source) AS INTEGER) AS lev_meta,
+                left(text, 8) AS l8,
+                right(text, 8) AS r8,
+                reverse(substring(text, 1, 12)) AS rev_head,
+                repeat(lang, 3) AS lang3
+              FROM documents ORDER BY doc_id"""))
   )
 }
