@@ -20,6 +20,7 @@ object SparkEntry {
     ops.LayoutOps,
     ops.PqOps,
     ops.Multimodal,
+    ops.GraphOps,
     ops.Extension)
 
   lazy val all: Seq[Op] = {

@@ -1,0 +1,135 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics (SURVEY.md §2 row 127). The engine
+  * already runs one iterative graph algorithm in production shape —
+  * connected components for dedup clustering ([[PipelineOps]]); this
+  * module adds the other canonical one, PageRank, re-using the same
+  * hard-won iteration discipline:
+  *
+  *  - one persisted frame per round, materialized by ONE action;
+  *  - round N+1's plan decoupled from round N's cache entry via
+  *    [[org.apache.spark.sql.graftbridge.Bridge.rewrapInternal]]
+  *    BEFORE round N is unpersisted (CacheManager otherwise
+  *    recompiles dependent entries and silently discards their
+  *    buffers — the llm_dedup_clusters lesson, r9);
+  *  - per-round work is one equi-shuffle join + one map-combined
+  *    aggregate over the edge list — the scalable shape: at 100 TB
+  *    the edge list is hash-partitioned by src and the rank table by
+  *    node, so each round is bounded by |edges| shuffle, never a
+  *    driver-side structure.
+  */
+object GraphOps extends OpModule {
+
+  /** Fixed-iteration PageRank over a directed edge list (src, dst).
+    *
+    * pr_{t+1}(v) = (1−d) + d·Σ_{u→v} pr_t(u)/outdeg(u), pr_0 = 1.
+    * (The "sum to n" normalization — every rank ≥ 1−d; dangling
+    * nodes contribute nothing, matching the classic formulation.)
+    * Fixed `iters` rounds rather than convergence-tested: rank
+    * deltas shrink geometrically and a fixed horizon keeps the
+    * round count — and therefore the job's stage graph — static,
+    * which is what a production scheduler wants to see.
+    *
+    * Returns (ranks, handle): `ranks` is a lazy flat frame over the
+    * final round's cache blocks; `handle` is the persisted final
+    * round the CALLER must unpersist once it has materialized its
+    * own copy (the [[connectedComponentsWithHandle]] contract).
+    */
+  private[graft] def pageRankWithHandle(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): (DataFrame, DataFrame) = {
+    val e = edges.persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    // out-edges with the sender's degree attached — loop-invariant,
+    // built once, reused every round (degree join OUT of the loop)
+    val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .join(e, "src").persist()
+    def rewrap(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge.rewrapInternal(df)
+    var ranks = nodes.select(col("node"), lit(1.0).as("pr"))
+    var persisted: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val contrib = out
+        .join(ranks.select(col("node").as("src"), col("pr")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("outdeg")).as("in_pr"))
+      val upd = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_pr"), lit(0.0))).as("pr"))
+        .persist()
+      upd.count() // one action: materialize every partition
+      val flat = rewrap(upd)
+      if (persisted != null) persisted.unpersist(blocking = false)
+      persisted = upd
+      ranks = flat
+      it += 1
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out.unpersist(blocking = false)
+    (ranks, persisted)
+  }
+
+  /** Session-scoped memo of the converged rank table, keyed
+    * (session, corpus) — the [[PipelineOps.ccCache]] pattern: the
+    * memo persists its OWN flat copy, then frees the loop's final
+    * round so no unreachable cache entry outlives the build. */
+  private val prCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Evict this session's memoized rank tables — companion to
+    * [[PipelineOps.evictCcCache]] for a long-lived service. */
+  def evictPrCache(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prefix =
+      s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}|"
+    prCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      prCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  override def ops: Seq[Op] = Seq(
+
+    Op("graph_pagerank",
+      // PageRank over the customer→supplier trade graph (distinct
+      // (custkey, suppkey) pairs from orders⋈lineitem, both
+      // directions so suppliers rank customers too; node ids
+      // disambiguated by parity: customer 2k, supplier 2k+1).
+      // Registered as rows-only: the per-node double sums cross
+      // engines' association orders, so no portable SQL hash exists —
+      // GraphSpec pins the kernel against a hand-computed reference
+      // on a crafted graph and mass conservation on this one.
+      (s, d) => {
+        val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|$d"
+        val ranks = prCache.getOrElseUpdate(key, {
+          val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+          val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          val trade = li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .select((col("o_custkey") * 2).as("c"),
+              (col("l_suppkey") * 2 + 1).as("p"))
+            .distinct()
+          val edges = trade.select(col("c").as("src"), col("p").as("dst"))
+            .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
+          val (df, handle) = pageRankWithHandle(edges, iters = 5)
+          val r = df.persist()
+          r.count()
+          handle.unpersist(blocking = false)
+          r
+        })
+        ranks
+          .select(col("node"),
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("kind"),
+            expr("node DIV 2").as("entity_key"),
+            round(col("pr"), 6).as("pr"))
+          .orderBy(col("pr").desc, col("node").asc)
+          .limit(20)
+      },
+      None)
+  )
+}

@@ -2013,6 +2013,63 @@ object LlmOps extends OpModule {
               SELECT canon_key, min(doc_id) AS keeper, count(*) AS n_copies
               FROM c GROUP BY canon_key ORDER BY keeper""")),
 
+    Op("llm_cooccur_lift",
+      // term co-occurrence lift — market-basket association over
+      // documents: lift(a,b) = P(a,b)/(P(a)·P(b)) = (n·c_ab)/(c_a·c_b)
+      // with DOCUMENT frequencies, so every operand is an exact
+      // integer and the score is integer products + ONE IEEE division
+      // ⇒ bit-identical across engines (the llm_tfidf design; log-pmi
+      // would be libm-dependent, and lift is the same ranking).
+      // Shape: per-doc DISTINCT terms → in-doc pair explosion via
+      // self-join on doc_id (bounded by per-doc vocabulary² — the
+      // market-basket standard; at 100 TB add a df cap on the posting
+      // side exactly like llm_decontaminate_capped to guard
+      // boilerplate hot terms) → map-combined pair counts; df counts
+      // ride a broadcast (vocabulary-bounded). The c_ab floor bounds
+      // the report to recurring associations.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tk = docs.select(col("doc_id"),
+          explode(array_distinct(tokens(col("text")))).as("term"))
+          .filter(col("term") =!= "")
+        val cnt = tk.groupBy("term").agg(count(lit(1)).as("c"))
+        val pairs = tk.as("a")
+          .join(tk.as("b"), col("a.doc_id") === col("b.doc_id") &&
+            col("a.term") < col("b.term"))
+          .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 10)
+        val n = docs.agg(count(lit(1)).as("nd"))
+        pairs
+          .join(broadcast(cnt.select(col("term").as("t1"), col("c").as("c_a"))), "t1")
+          .join(broadcast(cnt.select(col("term").as("t2"), col("c").as("c_b"))), "t2")
+          .crossJoin(broadcast(n))
+          .select(col("t1"), col("t2"), col("c_ab"), col("c_a"), col("c_b"),
+            ((col("c_ab") * col("nd")).cast("double") /
+              (col("c_a") * col("c_b")).cast("double")).as("lift"))
+          .orderBy("t1", "t2")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, unnest(list_distinct(string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')))
+                  AS term
+                FROM documents),
+              tkf AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+              cnt AS (SELECT term, count(*) AS c FROM tkf GROUP BY term),
+              pr AS (
+                SELECT a.term AS t1, b.term AS t2, count(*) AS c_ab
+                FROM tkf a JOIN tkf b
+                  ON a.doc_id = b.doc_id AND a.term < b.term
+                GROUP BY 1, 2 HAVING count(*) >= 10),
+              n AS (SELECT count(*) AS nd FROM documents)
+              SELECT t1, t2, c_ab, ca.c AS c_a, cb.c AS c_b,
+                CAST(c_ab * nd AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)
+                  AS lift
+              FROM pr, n
+              JOIN cnt ca ON pr.t1 = ca.term
+              JOIN cnt cb ON pr.t2 = cb.term
+              ORDER BY t1, t2""")),
+
     Op("llm_multimodal",
       (s, d) => {
         val docs = Tables.documents(s, d)

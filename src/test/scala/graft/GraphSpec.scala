@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** PageRank kernel correctness (SURVEY §2 row 127). The registered
+  * query is rows-only (per-node double sums cross engines'
+  * association orders), so the deep checks live here: the
+  * distributed kernel against a hand-rolled in-memory reference on a
+  * crafted asymmetric graph, plus the conservation invariant on the
+  * real trade graph.
+  */
+class GraphSpec extends SparkSpec {
+
+  /** In-memory reference: identical formulation, identical fixed
+    * iteration count — only the summation strategy differs. */
+  private def referencePr(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var pr = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / outdeg(u) }.sum).toMap
+      pr = nodes.map(n => n -> ((1 - d) + d * in.getOrElse(n, 0.0))).toMap
+    }
+    pr
+  }
+
+  test("pageRank kernel ≡ in-memory reference on a crafted graph") {
+    // asymmetric: a hub (1) fed by everyone, a chain, one dangler (5)
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L), (2L, 3L),
+      (3L, 4L), (4L, 5L))
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    val (ranks, handle) = ops.GraphOps.pageRankWithHandle(df, iters = 5)
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = referencePr(edges, iters = 5)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (n, p) =>
+      assert(math.abs(got(n) - p) < 1e-9, s"node $n: got ${got(n)} want $p")
+    }
+    // the hub must outrank every chain node
+    assert(got(1L) == got.values.max)
+    handle.unpersist(blocking = false)
+  }
+
+  test("bidirectional trade graph conserves rank mass (sum ≈ n)") {
+    val li = Tables.lineitem(spark, sf001).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(spark, sf001).select("o_orderkey", "o_custkey")
+    val trade = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = trade.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
+    val (ranks, handle) = ops.GraphOps.pageRankWithHandle(edges, iters = 5)
+    val agg = ranks.agg(count(lit(1)), sum("pr")).first()
+    val (n, mass) = (agg.getLong(0), agg.getDouble(1))
+    // every node has outdeg ≥ 1 (both directions present) ⇒ each
+    // round preserves total mass: (1-d)·n + d·n = n, up to fp noise
+    assert(math.abs(mass - n) < 1e-6 * n, s"mass $mass for $n nodes")
+    handle.unpersist(blocking = false)
+  }
+
+  test("graph_pagerank query: top-20, descending, memo-stable repeat") {
+    val df = SparkEntry.queries("graph_pagerank")(spark, sf001)
+    val top = df.collect()
+    assert(top.length == 20)
+    val prs = top.map(_.getDouble(3))
+    assert(prs.sameElements(prs.sortBy(-(_: Double))))
+    // rank floor (1−d) holds for every node
+    assert(prs.forall(_ >= 0.15 - 1e-9))
+    // re-run hits the session memo: identical rows, no rebuild
+    val again = SparkEntry.queries("graph_pagerank")(spark, sf001).collect()
+    assert(again.map(_.toString).toSeq == top.map(_.toString).toSeq)
+    ops.GraphOps.evictPrCache(spark)
+  }
+}
