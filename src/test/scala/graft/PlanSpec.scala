@@ -240,4 +240,37 @@ class PlanSpec extends SparkSpec {
     assert(!bw.contains("hashpartitioning"),
       s"scalar battery must not hash-shuffle:\n$bw")
   }
+
+  test("late-r10 additions: fused LM window, one-scan checksum, LOCF, mode limit") {
+    // bigram LM: the continuation total rides a whole-partition window
+    // over the SAME aggregated relation — one raw scan, no second
+    // corpus aggregate joined back
+    val lm = planOf("llm_bigram_lm")
+    val lmFinal = lm.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(lmFinal).size == 1,
+      s"bigram LM re-scans the corpus:\n$lm")
+    assert(!lm.contains("Join"), s"bigram LM should be join-free:\n$lm")
+    assert(lm.contains("Window"), s"df-fusion window missing:\n$lm")
+    // table checksum: one scan, partial+final aggregate, nothing else
+    val tc = planOf("table_checksum")
+    val tcFinal = tc.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(tcFinal).size == 1, tc)
+    assert("HashAggregate".r.findAllIn(tcFinal).size >= 2,
+      s"checksum lost map-side partials:\n$tc")
+    assert(!tc.contains("Join"), tc)
+    // forward fill: join-free single window over one scan
+    val ff = planOf("win_fill_forward")
+    assert(!ff.contains("Join"), s"LOCF should be join-free:\n$ff")
+    assert(ff.contains("Window"), ff)
+    // mode: rank-filter pushes into WindowGroupLimit (map-side top-1
+    // truncation before the window shuffle)
+    val am = planOf("agg_mode")
+    assert(am.contains("WindowGroupLimit"),
+      s"mode rank filter did not push into WindowGroupLimit:\n$am")
+    // co-occurrence lift: dims ride broadcasts, never a cartesian of
+    // data relations (the 1-row corpus-size extent is the only BNLJ)
+    val cl = planOf("llm_cooccur_lift")
+    assert(!cl.contains("CartesianProduct"), cl)
+    assert(cl.contains("BroadcastHashJoin"), cl)
+  }
 }
