@@ -513,8 +513,68 @@ object Aggs extends OpModule {
                 count(*) FILTER (WHERE o_totalprice > 300000.0) AS n_big,
                 count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open
               FROM orders GROUP BY o_orderpriority
-              ORDER BY o_orderpriority"""))
+              ORDER BY o_orderpriority""")),
+
+    Op("agg_percentile_weighted",
+      // EXACT weighted percentile — the quantity-weighted price
+      // quantile (op 33 weights every row equally; a 50-unit line
+      // should pull the distribution 50× harder). Definition: the
+      // smallest value whose cumulative weight reaches p·total.
+      // Engine-portable exactness: weights accumulate in
+      // DECIMAL(38,10) (order-independent), the threshold test
+      // multiplies out the division (cum·k ≥ tot·m for p = m/k), and
+      // the selected value is an UNTOUCHED input double — no float
+      // arithmetic anywhere. Deterministic under ties: within a tied
+      // price block the threshold crossing lands on the same price
+      // whatever the intra-block order. One window pass over each
+      // group + one conditional agg; at 100 TB the same caveat as
+      // exact percentile applies (needs the group sorted once) — the
+      // scale substitute is a weight-replicated t-digest.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_wpct")
+        s.sql(weightedPctSql("graft_li_wpct"))
+      },
+      Some(weightedPctSql("lineitem"))),
+
+    Op("agg_multi_distinct",
+      // several COUNT(DISTINCT ...) over DIFFERENT columns in one
+      // query — planned via Expand (one input row fans out per
+      // distinct aggregate, each branch partial-aggregates its own
+      // key space) rather than N self-joined subqueries; one scan no
+      // matter how many distinct dimensions the report asks for.
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          countDistinct(year(col("o_orderdate"))).as("n_years"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                count(DISTINCT o_custkey) AS n_customers,
+                count(DISTINCT o_orderpriority) AS n_priorities,
+                count(DISTINCT year(o_orderdate)) AS n_years,
+                count(*) AS n_orders
+              FROM orders GROUP BY o_orderstatus
+              ORDER BY o_orderstatus"""))
   )
+
+  /** Shared SQL for `agg_percentile_weighted` — identical text on both
+    * engines (the `statsMomentsSql` discipline): DECIMAL cumulative
+    * weights, multiplied-out thresholds, untouched double output. */
+  private def weightedPctSql(table: String): String =
+    s"""WITH c AS (
+          SELECT l_returnflag AS rf, l_extendedprice AS price,
+            sum(CAST(l_quantity AS DECIMAL(38,10)))
+              OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(CAST(l_quantity AS DECIMAL(38,10)))
+              OVER (PARTITION BY l_returnflag) AS tot
+          FROM $table)
+        SELECT rf AS l_returnflag,
+          min(CASE WHEN cum * 2 >= tot THEN price END) AS wp50,
+          min(CASE WHEN cum * 10 >= tot * 9 THEN price END) AS wp90
+        FROM c GROUP BY rf ORDER BY rf"""
 
   /** Shared SQL for `agg_stats_moments` — the WHOLE point is that the
     * Spark plan and the DuckDB oracle run the IDENTICAL arithmetic,
