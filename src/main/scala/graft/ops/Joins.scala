@@ -76,6 +76,41 @@ object Joins extends OpModule {
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
+    Op("join_null_safe",
+      // null-safe equality join (<=> / IS NOT DISTINCT FROM): the
+      // dimension carries an explicit NULL-keyed UNKNOWN row and fact
+      // rows with a voided key (every 7th customer, deterministic)
+      // land on it instead of dropping out — the standard late-
+      // binding-dimension idiom. Same hash-join machinery as plain
+      // equality (null-safe compare is still an equi key: NULL hashes
+      // to one bucket), so the scale story is unchanged; the
+      // dimension broadcasts.
+      (s, d) => {
+        val dim = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("int").as("nk"), col("n_name"))
+          .unionByName(s.range(1).select(
+            lit(null).cast("int").as("nk"), lit("UNKNOWN").as("n_name")))
+        val fact = Tables.customer(s, d)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, lit(null).cast("int"))
+              .otherwise(col("c_nationkey")).as("nk"))
+        fact.join(broadcast(dim), fact("nk") <=> dim("nk"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("n_name")
+      },
+      Some("""WITH dim AS (
+                SELECT CAST(n_nationkey AS INTEGER) AS nk, n_name FROM nation
+                UNION ALL SELECT NULL, 'UNKNOWN'),
+              fact AS (
+                SELECT c_custkey,
+                  CASE WHEN c_custkey % 7 = 0 THEN NULL
+                       ELSE CAST(c_nationkey AS INTEGER) END AS nk
+                FROM customer)
+              SELECT n_name, count(*) AS n_customers
+              FROM fact JOIN dim ON fact.nk IS NOT DISTINCT FROM dim.nk
+              GROUP BY n_name ORDER BY n_name""")),
+
     Op("join_left_outer",
       (s, d) => {
         val c = Tables.customer(s, d)

@@ -25,6 +25,16 @@ object LlmOps extends OpModule {
 
   private[ops] def tokens(c: Column): Column = split(normText(c), " ")
 
+  /** The ONE BM25 score expression both Spark and the DuckDB oracle
+    * evaluate (`llm_bm25`) — fully parenthesized so both engines run
+    * the identical IEEE op sequence; constants in exponent form
+    * (22e-1 = k1+1, 12e-1 = k1, 25e-2 = 1−b, 75e-2 = b) because bare
+    * decimals parse as DECIMAL, not DOUBLE, in both engines. */
+  private val bm25ScoreExpr: String =
+    "(((CAST(tf * (nd - df) AS DOUBLE) / CAST(df AS DOUBLE)) * 22e-1) / " +
+      "(CAST(tf AS DOUBLE) + 12e-1 * (25e-2 + 75e-2 * " +
+      "(CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / CAST(nd AS DOUBLE))))))"
+
   /** MinHash + banded LSH near-duplicate pairs over (doc_id, text).
     *
     * shingle(3-gram) → k seeded FNV hashes → min per seed → `bands`
@@ -2069,6 +2079,69 @@ object LlmOps extends OpModule {
               JOIN cnt ca ON pr.t1 = ca.term
               JOIN cnt cb ON pr.t2 = cb.term
               ORDER BY t1, t2""")),
+
+    Op("llm_bm25",
+      // BM25 ranking (k1=1.2, b=0.75) — the IR scoring function
+      // retrieval corpora are actually indexed with; top-3 terms per
+      // document. Exactness across engines WITHOUT rounding: idf is
+      // llm_tfidf's linear odds (N−df)/df (ln is libm-dependent; any
+      // monotone idf ranks identically), every operand starts as an
+      // exact integer, constants are written in exponent form (22e-1
+      // parses as DOUBLE in both engines where 2.2 parses as
+      // DECIMAL), and Spark and the oracle evaluate the ONE shared,
+      // fully-parenthesized expression string — same IEEE ops in the
+      // same order ⇒ bit-identical doubles. Shuffle shape: tf agg +
+      // window-fused df on the term key (one shuffle), dl joined on
+      // the doc key (second equi-shuffle — BM25 genuinely needs the
+      // per-doc length), corpus stats ride a 1-row broadcast.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        val g = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot_dl"))
+        val scored = tf.withColumn("df", count(lit(1)).over(byTerm))
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(g))
+          .withColumn("score", expr(bm25ScoreExpr))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "tf", "df", "dl", "score")
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH tk AS (
+                SELECT doc_id, unnest(string_split(
+                  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+                  AS term
+                FROM documents),
+              dl AS (
+                SELECT doc_id, CAST(len(string_split(
+                  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+                  AS INTEGER) AS dl
+                FROM documents),
+              tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tk
+                WHERE term <> '' GROUP BY doc_id, term),
+              g AS (SELECT count(*) AS nd, sum(dl) AS tot_dl FROM dl),
+              scored AS (
+                SELECT t.doc_id, t.term, t.tf,
+                  count(*) OVER (PARTITION BY t.term) AS df,
+                  d.dl, g.nd, g.tot_dl
+                FROM tf t JOIN dl d USING (doc_id), g),
+              s2 AS (SELECT doc_id, term, tf, df, dl,
+                       $bm25ScoreExpr AS score
+                     FROM scored),
+              r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term ASC) AS rank
+                    FROM s2)
+              SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df,
+                dl, score
+              FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
     Op("llm_multimodal",
       (s, d) => {
