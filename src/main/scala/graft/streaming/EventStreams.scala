@@ -248,6 +248,61 @@ object EventStreams {
       .as[FoldEvent]
   }
 
+  case class LocfIn(event_id: Long, user_id: Long, ts_us: Long,
+      reading: Option[Double])
+  case class LocfOut(event_id: Long, user_id: Long, ts_us: Long,
+      reading: Option[Double], reading_ffill: Option[Double])
+  /** (ts, id) of the newest good reading + its value; `has` guards
+    * the before-first-reading prefix. */
+  case class LocfState(last_ts: Long, last_id: Long, last_value: Double,
+      has: Boolean)
+
+  /** Events → LOCF inputs: an 'error' row voids its reading (the
+    * batch `win_fill_forward` op's planting rule, shared). */
+  def toLocfEvents(events: DataFrame): Dataset[LocfIn] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      when(col("event_type") === "error", lit(null).cast("double"))
+        .otherwise(col("value")).as("reading"))
+      .as[LocfIn]
+  }
+
+  /** Streaming LOCF — the stateful form of the batch
+    * `win_fill_forward` window. UNLIKE the folds below this one is
+    * ORDER-SENSITIVE, so the processor establishes the order itself:
+    * each micro-batch's rows for a key are sorted by the total
+    * (ts_us, event_id) key before applying, and the state carries the
+    * newest good reading forward to the next batch. That makes the
+    * one assumption explicit and checkable: batches must arrive in
+    * time order per key (true for a binlog-position-ordered CDC feed;
+    * cross-batch stragglers are the watermark ops' territory). State
+    * per key is three numbers — bounded regardless of history length.
+    * Runs unchanged under batch (one invocation per key = one global
+    * sort per key) and streaming (state across micro-batches).
+    */
+  def fillForward(ds: Dataset[LocfIn]): Dataset[LocfOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LocfState, LocfOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[LocfIn], state: GroupState[LocfState]) =>
+          var s = state.getOption.getOrElse(
+            LocfState(Long.MinValue, Long.MinValue, 0.0, has = false))
+          val out = events.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            e.reading.foreach(v =>
+              s = LocfState(e.ts_us, e.event_id, v, has = true))
+            LocfOut(e.event_id, uid, e.ts_us, e.reading,
+              e.reading.orElse(if (s.has) Some(s.last_value) else None))
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Fold a user's event history into current state. The fold is
     * order-insensitive (count/sum/max) so batch iterator order and
     * micro-batch arrival order converge on the same state — the

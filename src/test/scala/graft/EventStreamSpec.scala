@@ -60,6 +60,28 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming LOCF (order-sensitive state) equals the batch window") {
+    // the one ORDER-SENSITIVE stateful op: per-key sort inside the
+    // processor + carried (ts, id, value) state must reproduce the
+    // batch win_fill_forward window exactly, row for row
+    val batch = SparkEntry.queries("win_fill_forward")(spark, sf001)
+      .select("event_id", "reading", "reading_ffill")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq.sortBy(_._1)
+    val streamed = runToMemory(
+      EventStreams.fillForward(EventStreams.toLocfEvents(streamEvents)).toDF(),
+      "t_locf", "append")
+      .select("event_id", "reading", "reading_ffill")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq.sortBy(_._1)
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // the fill is real: at least one voided reading was carried
+    assert(batch.exists(r => r._2.isEmpty && r._3.nonEmpty))
+  }
+
   test("filter/route co-locates every key in exactly one partition (ordered delivery)") {
     val routed = EventStreams.filterRoute(batchEvents, nSinks = 4, nPartitions = 32)
     val byKey = routed
