@@ -1954,13 +1954,19 @@ object LlmOps extends OpModule {
       // vocab-keyed relation (the df-fusion trick — no second
       // aggregate-join over the corpus). The c2 floor bounds the
       // report; at 100 TB it is also the noise gate.
+      //
+      // Bigram construction is the codegen'd graft_shingles kernel
+      // (n=2), NOT transform(sequence)+element_at: that HOF chain
+      // keeps the whole Project interpreted (the recorded r10
+      // lesson) and measured 7.8 s at sf0.1 — the kernel form runs
+      // the same stage in a whole-stage-codegen span. A <2-token doc
+      // yields an empty shingle array, so explode drops it with no
+      // separate filter.
       (s, d) => {
-        val t = tokens(col("text"))
+        graft.functions.VectorKernels.register(s)
         val bi = Tables.documents(s, d)
-          .filter(size(t) >= 2)
-          .select(explode(transform(sequence(lit(0), size(t) - 2),
-            i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-            .as("bigram"))
+          .select(explode(call_function("graft_shingles",
+            tokens(col("text")), lit(2))).as("bigram"))
         val byW1 = org.apache.spark.sql.expressions.Window
           .partitionBy(substring_index(col("bigram"), " ", 1))
         bi.groupBy("bigram").agg(count(lit(1)).as("c2"))
