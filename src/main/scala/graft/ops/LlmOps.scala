@@ -994,12 +994,29 @@ object LlmOps extends OpModule {
   def containmentPairs(docs: DataFrame, tau: Double = 0.9,
       shingleN: Int = 3): DataFrame = {
     val sorted = shingleSets(docs, shingleN).repartition(col("doc_id"))
-    val pref = prefixPostings(sorted, tau)
-    val a = pref.select(col("doc_id").as("doc_a"), col("s"))
-    val full = sorted.select(col("doc_id").as("doc_b"),
-      explode(col("sh")).as("s_b"))
+    // BOTH candidate sides derive from ONE posexploded posting
+    // relation: the contained side is `pos < prefixLen`, the
+    // containing side is every row (the asymmetric bound says nothing
+    // about position in S_b). Deriving them as two filters of the
+    // same subplan lets ReusedExchange share the shingle-kernel
+    // corpus pass — as separate explodes, each side pushed different
+    // scan filters, the exchanges stopped matching, and the kernel
+    // ran the corpus TWICE (measured, the op's dominant cost).
+    // Candidates also join on the HASH of the shingle: 8-byte longs
+    // through the family's largest shuffle instead of n-gram-sized
+    // strings; equal shingles always hash equal (no false negative),
+    // a collision only ADDS a candidate the exact confirm rejects.
+    val posted = sorted
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        posexplode(col("sh")).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("n"), col("pos"),
+        xxhash64(col("s")).as("h"))
+    val a = posted
+      .filter(col("pos") < (col("n") - ceil(col("n") * tau) + 1).cast("int"))
+      .select(col("doc_id").as("doc_a"), col("h"))
+    val full = posted.select(col("doc_id").as("doc_b"), col("h"))
     val cand = a.join(full,
-        col("s") === col("s_b") && col("doc_a") =!= col("doc_b"))
+        Seq("h")).filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
     val sa = sorted.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sorted.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
