@@ -304,6 +304,54 @@ object EventOps extends OpModule {
               WHERE diff_class IS NOT NULL
               ORDER BY o_orderkey""")),
 
+    Op("cdc_gap_audit",
+      // delivery-hole detection over the binlog position sequence —
+      // the audit a replication consumer runs to prove it missed
+      // nothing (the twin of stream_dedup's duplicate side). Gaps are
+      // planted deterministically (every 97th position dropped). The
+      // naive form is ONE global lag() — an unpartitioned window that
+      // serializes 100 TB through one task; this op computes the
+      // IDENTICAL result two-level: lag inside 1024-wide position
+      // blocks (parallel, bounded state), then lag over the per-block
+      // (min, max) summary — a relation of positions/1024 rows,
+      // bounded metadata. A gap either sits inside one block (level
+      // 1) or between two occupied blocks (level 2, which also
+      // collapses runs of empty blocks into one gap row); the oracle
+      // runs the naive global lag and must emit the identical rows.
+      (s, d) => {
+        val ids = Tables.events(s, d)
+          .filter(col("event_id") % 97 =!= 0)
+          .select(col("event_id"), expr("event_id DIV 1024").as("b"))
+        val wIn = Window.partitionBy("b").orderBy("event_id")
+        val inBlock = ids
+          .withColumn("prev", lag("event_id", 1).over(wIn))
+          .filter(col("prev").isNotNull && col("event_id") - col("prev") > 1)
+          .select((col("prev") + 1).as("gap_start"),
+            (col("event_id") - 1).as("gap_end"))
+        val bounds = ids.groupBy("b")
+          .agg(min("event_id").as("mn"), max("event_id").as("mx"))
+        val wB = Window.orderBy("b")
+        val crossBlock = bounds
+          .withColumn("prev_mx", lag("mx", 1).over(wB))
+          .filter(col("prev_mx").isNotNull && col("mn") - col("prev_mx") > 1)
+          .select((col("prev_mx") + 1).as("gap_start"),
+            (col("mn") - 1).as("gap_end"))
+        inBlock.unionByName(crossBlock)
+          .select(col("gap_start"), col("gap_end"),
+            (col("gap_end") - col("gap_start") + 1).as("n_missing"))
+          .orderBy("gap_start")
+      },
+      Some("""WITH ids AS (
+                SELECT event_id FROM events WHERE event_id % 97 <> 0),
+              l AS (
+                SELECT event_id,
+                  lag(event_id) OVER (ORDER BY event_id) AS prev
+                FROM ids)
+              SELECT prev + 1 AS gap_start, event_id - 1 AS gap_end,
+                event_id - prev - 1 AS n_missing
+              FROM l WHERE prev IS NOT NULL AND event_id - prev > 1
+              ORDER BY gap_start""")),
+
     Op("cdc_apply_evolve",
       // consumer-side schema evolution: the first DDL event in the log
       // adds a column; post-DDL winners carry it, pre-DDL winners

@@ -1158,6 +1158,95 @@ object PipelineOps extends OpModule {
                     FROM reach GROUP BY node)
               SELECT node AS doc_id, cluster_id,
                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-              FROM c ORDER BY doc_id"""))
+              FROM c ORDER BY doc_id""")),
+
+    Op("llm_dedup_soft",
+      // SOFT dedup — the "keep everything, down-weight duplicates"
+      // training-mix policy: every document keeps its row, weighted
+      // 1/cluster-size so each duplicate CLUSTER contributes unit
+      // mass to the loss, not each copy. Reuses the exact same
+      // cluster labels as llm_dedup_clusters (same corpus, τ, n ⇒
+      // same ccCache memo entry — the multi-consumer read pattern the
+      // memo exists for); docs outside every cluster default to
+      // weight 1.0 via the left join (vacuous on this workload —
+      // every doc has a clone — but the general contract). The
+      // weight is ONE IEEE division of exact integers ⇒ bit-identical
+      // to the oracle with no rounding.
+      (s, d) => {
+        val docs = docTable(s, d).select("doc_id", "text")
+        val toks = tokens(col("text"))
+        val clones = docs.select(
+          col("doc_id").bitwiseOR(lit(1L << 40)).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+        val all = docs.unionByName(clones)
+        val labels = dedupClusters(all, tau = 0.8, shingleN = 5,
+          cacheKey = Some(d))
+        all.select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+            coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+            (lit(1.0) / coalesce(col("cluster_size"), lit(1L)).cast("double"))
+              .as("weight"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE raw AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT d.doc_id | (1::BIGINT << 40) AS doc_id,
+                  array_to_string(tk[1:len(tk) - 1], ' ') AS text
+                FROM (SELECT doc_id, string_split(
+                    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                    ' ') AS tk FROM documents) d),
+              t AS (
+                SELECT doc_id,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM raw),
+              sh AS (
+                SELECT doc_id,
+                  CASE WHEN len(toks) >= 5 THEN
+                    list_distinct(list_transform(
+                      generate_series(1, len(toks) - 4),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4]))
+                  ELSE [norm] END AS sh
+                FROM t),
+              ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+              j AS (
+                SELECT c.doc_a, c.doc_b,
+                  len(list_intersect(sa.sh, sb.sh)) AS inter,
+                  len(sa.sh) AS na, len(sb.sh) AS nb
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.doc_a
+                JOIN sh sb ON sb.doc_id = c.doc_b),
+              pairs AS (
+                SELECT doc_a, doc_b FROM j
+                WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+              e AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs),
+              n AS (SELECT DISTINCT a AS node FROM e),
+              reach(node, lbl) AS (
+                SELECT node, node FROM n
+                UNION
+                SELECT e.a, r.lbl FROM e JOIN reach r ON r.node = e.b),
+              c AS (SELECT node, min(lbl) AS cluster_id
+                    FROM reach GROUP BY node),
+              sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                        FROM c GROUP BY cluster_id)
+              SELECT r.doc_id,
+                coalesce(c.cluster_id, r.doc_id) AS cluster_id,
+                coalesce(s.cluster_size, 1) AS cluster_size,
+                1e0 / coalesce(s.cluster_size, 1) AS weight
+              FROM raw r
+              LEFT JOIN c ON c.node = r.doc_id
+              LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+              ORDER BY r.doc_id"""))
   )
 }
