@@ -76,6 +76,53 @@ object Joins extends OpModule {
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               GROUP BY s_nationkey ORDER BY s_nationkey""")),
 
+    Op("join_bucketed",
+      // the ZERO-SHUFFLE fact⋈dim join: both sides pre-bucketed (and
+      // bucket-sorted) on the join key, so the sort-merge join reads
+      // co-located buckets directly — no exchange on either side, the
+      // layout users buy with bucketBy at 100 TB (pay the shuffle
+      // once at write time, never again per query). The bucketed
+      // fixture is written once per (session, corpus) under a
+      // session-scoped path + catalog name (saveAsTable is what
+      // carries bucket metadata); the steady-state run measures the
+      // exchange-free join itself. PlanSpec pins no hashpartitioning
+      // exchange under the join; the oracle reads the original
+      // tables — same rows by construction.
+      (s, d) => {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString.take(12)
+        val sid = org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)
+          .replace("-", "").take(12)
+        val (tOrd, tCust) = (s"graft_b_ord_${sid}_$digest",
+          s"graft_b_cust_${sid}_$digest")
+        val root = s"/tmp/graft_bucketed/$sid/$digest"
+        root.intern.synchronized {
+          if (!s.catalog.tableExists(tOrd) || !s.catalog.tableExists(tCust)) {
+            Tables.orders(s, d).write.option("path", s"$root/orders")
+              .bucketBy(8, "o_custkey").sortBy("o_custkey")
+              .mode("overwrite").saveAsTable(tOrd)
+            Tables.customer(s, d).write.option("path", s"$root/cust")
+              .bucketBy(8, "c_custkey").sortBy("c_custkey")
+              .mode("overwrite").saveAsTable(tCust)
+          }
+        }
+        // hint("merge") pins SMJ: Catalyst would otherwise broadcast
+        // the small-SF dim and never exercise the bucket layout the
+        // op exists to demonstrate (at real scale neither side
+        // broadcasts and SMJ is what the planner picks unaided)
+        s.table(tOrd).hint("merge")
+          .join(s.table(tCust), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("segment_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 6) AS DOUBLE) AS segment_value
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     Op("join_null_safe",
       // null-safe equality join (<=> / IS NOT DISTINCT FROM): the
       // dimension carries an explicit NULL-keyed UNKNOWN row and fact

@@ -79,6 +79,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("join_bucketed: co-located buckets join with no exchange on the keys") {
+    val p = planOf("join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    val joinPart = p.split("SortMergeJoin")(1)
+    assert(!joinPart.contains("Exchange hashpartitioning(o_custkey") &&
+      !joinPart.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join still shuffles a side:\n$p")
+  }
+
   test("agg_hash_group: partial (map-side) + final hash aggregation") {
     val p = planOf("agg_hash_group")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
