@@ -106,7 +106,11 @@ object GraphOps extends OpModule {
       // on a crafted graph and mass conservation on this one.
       (s, d) => {
         val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|$d"
-        val ranks = prCache.getOrElseUpdate(key, {
+        // key-scoped lock: TrieMap.getOrElseUpdate can run two
+        // concurrent builders and drop the loser's PERSISTED frame
+        // with no reachable reference (the ivfBaseDirCache race,
+        // ADVICE r9) — serialize per key so exactly one loop builds
+        val ranks = key.intern.synchronized(prCache.getOrElseUpdate(key, {
           val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
           val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
           val trade = li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -120,7 +124,7 @@ object GraphOps extends OpModule {
           r.count()
           handle.unpersist(blocking = false)
           r
-        })
+        }))
         ranks
           .select(col("node"),
             when(col("node") % 2 === 0, lit("customer"))

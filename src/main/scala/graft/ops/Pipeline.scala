@@ -296,7 +296,11 @@ object PipelineOps extends OpModule {
     cacheKey match {
       case Some(k) =>
         val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(docs.sparkSession)}|$k|t$tau|n$shingleN"
-        ccCache.getOrElseUpdate(key, {
+        // key-scoped lock: TrieMap.getOrElseUpdate evaluates the
+        // builder under a race, and the losing builder's PERSISTED
+        // frame would stay cached with no reachable reference (the
+        // ivfBaseDirCache lesson, ADVICE r9)
+        key.intern.synchronized(ccCache.getOrElseUpdate(key, {
           val (df, handle) = build()
           val r = df.persist()
           r.count()
@@ -306,7 +310,7 @@ object PipelineOps extends OpModule {
           // r9 it stayed cached for the session alongside the memo
           handle.unpersist(blocking = false)
           r
-        })
+        }))
       case None =>
         // lazy result: the caller reads through the final round's
         // blocks, so the handle must stay alive — same contract as
