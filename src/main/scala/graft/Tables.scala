@@ -49,4 +49,20 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Scratch root for a write-once fixture, scoped by (session,
+    * corpus): `/tmp/graft_fixtures/<name>/<sessionUUID>/<md5(sfDir)>`.
+    * One dir per (session, corpus) means concurrent sessions never
+    * overwrite each other's fixtures mid-scan and different-SF runs
+    * within a session never race — the ONE keying recipe every
+    * fixture-writing op shares (a per-op copy of this logic is how
+    * keying schemes silently drift apart).
+    */
+  def fixtureRoot(spark: SparkSession, sfDir: String, name: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val sid = org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)
+    s"/tmp/graft_fixtures/$name/$sid/$digest"
+  }
 }

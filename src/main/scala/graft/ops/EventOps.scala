@@ -249,8 +249,11 @@ object EventOps extends OpModule {
       // changed by a full outer join on the primary key with value
       // comparison. The "target" is the source drifted
       // deterministically (every 97th key deleted, every 101st status
-      // rewritten, every 103rd re-inserted under a shifted key) so
-      // both engines construct the identical replica from one table.
+      // rewritten, every 103rd re-inserted under a high-bit-tagged
+      // key — | 2^42 ≡ +2^42 for keys < 2^42, so tagged keys can
+      // NEVER alias real o_orderkeys at any SF, where an additive
+      // shift would collide once the corpus outgrows it) so both
+      // engines construct the identical replica from one table.
       // At 100 TB: one shuffle per side on the pk (or zero with
       // co-bucketed layouts), only differing keys emitted — the diff
       // report is |drift|-sized, never |table|-sized.
@@ -264,7 +267,7 @@ object EventOps extends OpModule {
             when(col("o_orderkey") % 101 === 0, lit("X"))
               .otherwise(col("o_orderstatus")))
           .unionByName(src.filter(col("o_orderkey") % 103 === 0)
-            .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+            .withColumn("o_orderkey", col("o_orderkey").bitwiseOR(lit(1L << 42))))
         val s2 = src.select(col("o_orderkey").as("sk"), col("o_custkey").as("sc"),
           col("o_orderstatus").as("ss"), col("d").as("sd"))
         val t2 = tgt.select(col("o_orderkey").as("tk"), col("o_custkey").as("tc"),
@@ -289,7 +292,8 @@ object EventOps extends OpModule {
                        ELSE o_orderstatus END AS o_orderstatus, d
                 FROM src WHERE o_orderkey % 97 <> 0
                 UNION ALL
-                SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, d
+                SELECT o_orderkey | (1::BIGINT << 42), o_custkey,
+                  o_orderstatus, d
                 FROM src WHERE o_orderkey % 103 = 0),
               j AS (
                 SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,

@@ -64,13 +64,19 @@ object GraphOps extends OpModule {
             lit(damping) * coalesce(col("in_pr"), lit(0.0))).as("pr"))
         .persist()
       upd.count() // one action: materialize every partition
+      // round 1's action materialized `nodes` and `out`, the only
+      // readers of the raw edge list — drop it NOW, not after the
+      // loop: `out` already carries every edge row (plus outdeg), so
+      // keeping both caches doubles the largest frame's footprint
+      // for the remaining rounds with zero further reads
+      if (it == 0) e.unpersist(blocking = false)
       val flat = rewrap(upd)
       if (persisted != null) persisted.unpersist(blocking = false)
       persisted = upd
       ranks = flat
       it += 1
     }
-    e.unpersist(blocking = false)
+    e.unpersist(blocking = false) // no-op if already dropped; covers iters=0
     nodes.unpersist(blocking = false)
     out.unpersist(blocking = false)
     (ranks, persisted)

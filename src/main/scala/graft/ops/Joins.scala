@@ -89,16 +89,18 @@ object Joins extends OpModule {
       // exchange under the join; the oracle reads the original
       // tables — same rows by construction.
       (s, d) => {
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString.take(12)
-        val sid = org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)
-          .replace("-", "").take(12)
-        val (tOrd, tCust) = (s"graft_b_ord_${sid}_$digest",
-          s"graft_b_cust_${sid}_$digest")
-        val root = s"/tmp/graft_bucketed/$sid/$digest"
+        val root = Tables.fixtureRoot(s, d, "bucketed")
+        // catalog identifiers from the same (session, corpus) key the
+        // root encodes (dashes stripped, truncated for readability)
+        val tag = root.split('/').takeRight(2)
+          .map(_.replace("-", "").take(12)).mkString("_")
+        val (tOrd, tCust) = (s"graft_b_ord_$tag", s"graft_b_cust_$tag")
         root.intern.synchronized {
-          if (!s.catalog.tableExists(tOrd) || !s.catalog.tableExists(tCust)) {
+          // double-check the backing PATH, not just the catalog: a
+          // /tmp cleaner on a long-lived session leaves a dangling
+          // catalog entry whose scans would fail forever after
+          if (!s.catalog.tableExists(tOrd) || !s.catalog.tableExists(tCust)
+              || !new java.io.File(root).exists()) {
             Tables.orders(s, d).write.option("path", s"$root/orders")
               .bucketBy(8, "o_custkey").sortBy("o_custkey")
               .mode("overwrite").saveAsTable(tOrd)

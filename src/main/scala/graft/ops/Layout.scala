@@ -529,13 +529,9 @@ object LayoutOps extends OpModule {
       // and overwritten in place each run, so a long-lived service's
       // repeat cadence holds /tmp at one copy per corpus.
       (s, d) => {
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
         // SESSION-scoped root: sessions never overwrite each other's
         // scratch mid-scan, and the memo below can't outlive its files
-        val root = "/tmp/graft_compact_demo/" +
-          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}/$digest"
+        val root = Tables.fixtureRoot(s, d, "compact_demo")
         val (srcDir, dstDir) = (s"$root/frag", s"$root/compacted")
         // the fragmented INPUT is fixture setup (in production it is
         // the stream sink's own output, which a maintenance run never

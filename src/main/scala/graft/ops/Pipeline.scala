@@ -268,6 +268,11 @@ object PipelineOps extends OpModule {
     *    earlier localCheckpoint rendering leaked every round's blocks
     *    for the session lifetime).
     */
+  /** `cacheKey` must identify the INPUT DOC SET, not just the corpus
+    * dir: the memo key folds in (session, cacheKey, tau, shingleN)
+    * and nothing else, so two callers with different clone plantings
+    * sharing a bare corpus key would silently read each other's
+    * labels — tag the planting (e.g. "sfdir|w=droplast"). */
   def dedupClusters(docs: DataFrame, tau: Double = 0.8,
       shingleN: Int = 5, maxIters: Int = 25,
       cacheKey: Option[String] = None): DataFrame = {
@@ -1109,7 +1114,7 @@ object PipelineOps extends OpModule {
           col("doc_id").bitwiseOR(lit(1L << 40)).as("doc_id"),
           concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
         dedupClusters(docs.unionByName(clones), tau = 0.8, shingleN = 5,
-          cacheKey = Some(d))
+          cacheKey = Some(s"$d|w=droplast"))
           .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE raw AS (
@@ -1184,7 +1189,7 @@ object PipelineOps extends OpModule {
           concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
         val all = docs.unionByName(clones)
         val labels = dedupClusters(all, tau = 0.8, shingleN = 5,
-          cacheKey = Some(d))
+          cacheKey = Some(s"$d|w=droplast"))
         all.select(col("doc_id"))
           .join(labels, Seq("doc_id"), "left")
           .select(col("doc_id"),

@@ -87,11 +87,7 @@ object Relational extends OpModule {
       // data filters. The oracle reads the ORIGINAL events table:
       // same rows by construction.
       (s, d) => {
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
-        val root = "/tmp/graft_scan_partitioned/" +
-          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}/$digest"
+        val root = Tables.fixtureRoot(s, d, "scan_partitioned")
         root.intern.synchronized {
           if (!partFixtureWritten.contains(root) ||
               !new java.io.File(root).exists()) {
@@ -125,11 +121,7 @@ object Relational extends OpModule {
       // DISCOVERY path. Oracle reconstructs the same relation from
       // the original table (v1 rows get NULL region by construction).
       (s, d) => {
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
-        val root = "/tmp/graft_scan_evolve/" +
-          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}/$digest"
+        val root = Tables.fixtureRoot(s, d, "scan_evolve")
         root.intern.synchronized {
           if (!evolveFixtureWritten.contains(root) ||
               !new java.io.File(root).exists()) {

@@ -293,8 +293,15 @@ object EventStreams {
           var s = state.getOption.getOrElse(
             LocfState(Long.MinValue, Long.MinValue, 0.0, has = false))
           val out = events.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-            e.reading.foreach(v =>
-              s = LocfState(e.ts_us, e.event_id, v, has = true))
+            // the stored (last_ts, last_id) IS the order guard: a
+            // straggler older than the carried reading (late replay
+            // across batches) must not roll the state backwards —
+            // only a strictly newer good reading advances it
+            e.reading.foreach { v =>
+              if (e.ts_us > s.last_ts ||
+                  (e.ts_us == s.last_ts && e.event_id > s.last_id))
+                s = LocfState(e.ts_us, e.event_id, v, has = true)
+            }
             LocfOut(e.event_id, uid, e.ts_us, e.reading,
               e.reading.orElse(if (s.has) Some(s.last_value) else None))
           }
