@@ -82,6 +82,42 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(r => r._2.isEmpty && r._3.nonEmpty))
   }
 
+  test("streaming LOCF: a late replayed batch cannot roll carried state backwards") {
+    // the order guard the processor documents: state holds the NEWEST
+    // good reading by (ts, id); a straggler batch carrying older rows
+    // must neither advance fills with its stale value nor regress the
+    // state that future batches read. MemoryStream gives exact batch
+    // boundaries: batch 1 plants (ts=100, 5.0); batch 2 replays older
+    // rows (ts=50 null, ts=60 3.0); batch 3 asks (ts=200, null) —
+    // the fill must be 5.0, not the stale 3.0.
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.{LocfIn, fillForward}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[LocfIn]
+    val q = fillForward(in.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_locf_ooo").start()
+    try {
+      in.addData(LocfIn(1L, 7L, 100L, Some(5.0)))
+      q.processAllAvailable()
+      in.addData(LocfIn(2L, 7L, 50L, None), LocfIn(3L, 7L, 60L, Some(3.0)))
+      q.processAllAvailable()
+      in.addData(LocfIn(4L, 7L, 200L, None))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_locf_ooo")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(got(1L) == Some(5.0))
+    // the late null reads the carried (newer) state — state is
+    // monotone by design; stale 3.0 never becomes the carried value
+    assert(got(2L) == Some(5.0))
+    assert(got(3L) == Some(3.0)) // its own reading passes through
+    assert(got(4L) == Some(5.0), s"stale value leaked forward: $got")
+  }
+
   test("filter/route co-locates every key in exactly one partition (ordered delivery)") {
     val routed = EventStreams.filterRoute(batchEvents, nSinks = 4, nPartitions = 32)
     val byKey = routed
