@@ -2113,19 +2113,31 @@ object LlmOps extends OpModule {
       // parses as DOUBLE in both engines where 2.2 parses as
       // DECIMAL), and Spark and the oracle evaluate the ONE shared,
       // fully-parenthesized expression string — same IEEE ops in the
-      // same order ⇒ bit-identical doubles. Shuffle shape: tf agg +
-      // window-fused df on the term key (one shuffle), dl joined on
-      // the doc key (second equi-shuffle — BM25 genuinely needs the
-      // per-doc length), corpus stats ride a 1-row broadcast.
+      // same order ⇒ bit-identical doubles. Shuffle shape: ONE
+      // corpus tokenization — dl (doc length in indexed terms) is
+      // Σtf aggregated from the SAME (doc,term) relation to a
+      // doc-grain relation and joined back; the naive second corpus
+      // scan for lengths is gone, and the tf exchange feeds all
+      // three consumers (scored, dl, g) via ReusedExchange. (A
+      // window-by-doc rendering of dl was measured SLOWER here: it
+      // serializes a second full sort of the term relation, where
+      // the doc-grain join side is vocabulary-bounded.) Corpus stats
+      // ride a 1-row broadcast.
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
-        val tf = docs
+        // isNotNull at the SOURCE: the dl join below pushes an
+        // IsNotNull(doc_id) into only its own branch, which would
+        // de-duplicate the two tf subplans and re-run the
+        // tokenization (the containment ReusedExchange lesson);
+        // planting the filter once keeps both branches identical
+        val tf = docs.filter(col("doc_id").isNotNull)
           .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
           .filter(col("term") =!= "")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
-        val g = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot_dl"))
+        val dl = tf.groupBy("doc_id").agg(sum("tf").cast("int").as("dl"))
+        val g = dl.agg(count(lit(1)).as("nd"),
+          sum(col("dl").cast("long")).as("tot_dl"))
         val scored = tf.withColumn("df", count(lit(1)).over(byTerm))
           .join(dl, "doc_id")
           .crossJoin(broadcast(g))
@@ -2142,20 +2154,18 @@ object LlmOps extends OpModule {
                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
                   AS term
                 FROM documents),
-              dl AS (
-                SELECT doc_id, CAST(len(string_split(
-                  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
-                  AS INTEGER) AS dl
-                FROM documents),
               tf AS (
                 SELECT doc_id, term, count(*) AS tf FROM tk
                 WHERE term <> '' GROUP BY doc_id, term),
-              g AS (SELECT count(*) AS nd, sum(dl) AS tot_dl FROM dl),
+              dlx AS (SELECT doc_id, CAST(sum(tf) AS INTEGER) AS dl
+                      FROM tf GROUP BY doc_id),
+              g AS (SELECT count(*) AS nd,
+                      CAST(sum(dl) AS BIGINT) AS tot_dl FROM dlx),
               scored AS (
                 SELECT t.doc_id, t.term, t.tf,
                   count(*) OVER (PARTITION BY t.term) AS df,
                   d.dl, g.nd, g.tot_dl
-                FROM tf t JOIN dl d USING (doc_id), g),
+                FROM tf t JOIN dlx d USING (doc_id), g),
               s2 AS (SELECT doc_id, term, tf, df, dl,
                        $bm25ScoreExpr AS score
                      FROM scored),

@@ -281,5 +281,15 @@ class PlanSpec extends SparkSpec {
     val cl = planOf("llm_cooccur_lift")
     assert(!cl.contains("CartesianProduct"), cl)
     assert(cl.contains("BroadcastHashJoin"), cl)
+    // bm25: ONE corpus tokenization — dl and the corpus stats are
+    // aggregated from the SAME tf exchange (ReusedExchange), not a
+    // second scan+explode; the source-planted isNotNull keeps the
+    // branches identical (they diverge again if the join's pushed
+    // filter reaches only one side)
+    val bm = planOf("llm_bm25")
+    val bmFinal = bm.split("== Initial Plan ==")(0)
+    assert("Generate explode".r.findAllIn(bmFinal).size == 1,
+      s"bm25 tokenizes the corpus more than once:\n$bm")
+    assert(bmFinal.contains("ReusedExchange"), bm)
   }
 }
