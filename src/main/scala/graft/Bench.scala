@@ -144,32 +144,17 @@ object Bench {
       s""""queries":${obj(minQ)},"queries_cold":${obj(cold)},""" +
       s""""queries_warm":${obj(warm)},"spread":${obj3(spread)},$shared}"""
     println(json)
-    // r10: the driver's capture keeps only the last 2000 chars of the
-    // run log BEFORE parsing — every BENCH_r*.json since r1 records
-    // parsed:null with {"metric" absent from the 2000-char tail (the
-    // full line is ~3.6 KB, so its head is always cut; the judge has
-    // been recovering numbers from the committed file report). Emit a
-    // LAST line that survives that clamp: same headline fields, the
-    // per-query map truncated to the slowest mins under a hard char
-    // budget (sbt's trailing "[success] Total time..." line eats ~80
-    // chars of the 2000), errors summarized as n_failed (full maps +
-    // error text stay in the file report, where size is unbounded).
-    val bySlowest = minQ.filter(_._2 >= 0).toSeq.sortBy(-_._2)
-    def entry(kv: (String, Double)): String =
-      s"\"" + kv._1 + "\":" +
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(kv._2))
-    val mapBudget = 1300 // chars for the queries map body
-    val picked = {
-      var used = 0
-      bySlowest.takeWhile { kv =>
-        used += entry(kv).length + 1; used <= mapBudget
-      }
-    }
+    // The driver's capture keeps only the last 2000 chars of the run
+    // log BEFORE parsing — every BENCH_r*.json through r11 records
+    // parsed:null because the last stdout line carried a per-query map
+    // that pushed it past the clamp (r10's 1300-char "budget" version
+    // still clamped: 162 queries' worth of entries plus sbt's trailing
+    // "[success] Total time..." line exceeded 2000). Emit a LAST line
+    // with NO maps at all — headline scalars only, well under 200
+    // chars; the full per-query maps, spread, and error text live in
+    // the file report ($out), where size is unbounded.
     val compact = s"""{"metric":"total","value":${total(minQ)},"unit":"sec",""" +
-      s""""queries":${picked.map(entry).mkString("{", ",", "}")},""" +
-      s""""n_queries":${minQ.size},""" +
-      s""""queries_shown":"slowest ${picked.size} of ${minQ.size} by min; full maps + errors in $out",""" +
-      s""""value_cold":${total(cold)},$spreadSummary,""" +
+      s""""n_queries":${minQ.size},"value_cold":${total(cold)},""" +
       s""""n_failed":$nFailed,"sf":"$sfDir"}"""
     println(compact)
     try {

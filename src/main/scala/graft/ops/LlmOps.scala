@@ -959,11 +959,32 @@ object LlmOps extends OpModule {
     // disk-backed sharing with no block-manager residency (a persist()
     // would hold corpus-sized shingle arrays in executor memory at
     // 100 TB and leak for the session without an unpersist point).
-    val sorted = shingleSets(docs, shingleN).repartition(col("doc_id"))
-    val pref = prefixPostings(sorted, tau)
-    val a = pref.select(col("doc_id").as("doc_a"), col("s"))
-    val b = pref.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
-    val cand = a.join(b, col("s") === col("s_b") && col("doc_a") < col("doc_b"))
+    // The explicit no-op filter mirrors [[containmentPairs]]: it
+    // pre-applies the union of every branch's pushed-down predicates so
+    // the four consuming subtrees stay canonically equal and AQE reuses
+    // ONE kernel corpus pass (without it, each branch's own pushed
+    // isnotnull/size filters below the repartition broke reuse and the
+    // kernel ran four times — measured via explain, r12).
+    val sorted = shingleSets(docs, shingleN)
+      .filter(col("doc_id").isNotNull && col("sh").isNotNull &&
+        size(col("sh")) > 0)
+      .repartition(col("doc_id"))
+    // Prefix postings as posexplode + pos-filter (not explode(slice)):
+    // value-identical, but the Generate's implicit predicates land on
+    // `sh` itself — the same expressions every other branch pushes — so
+    // the prefix relation reuses the shared exchange too. Candidates
+    // join on xxhash64(shingle): 8-byte keys through the largest
+    // shuffle; a collision only ADDS a candidate the exact confirm
+    // rejects (the containmentPairs argument).
+    val pref = sorted
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        posexplode(col("sh")).as(Seq("pos", "s")))
+      .filter(col("pos") <
+        (col("n") - ceil(col("n") * tau) + 1).cast("int"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val a = pref.select(col("doc_id").as("doc_a"), col("h"))
+    val b = pref.select(col("doc_id").as("doc_b"), col("h").as("h_b"))
+    val cand = a.join(b, col("h") === col("h_b") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
     val sa = sorted.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sorted.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -990,10 +1011,41 @@ object LlmOps extends OpModule {
     * The confirm filters on the UNROUNDED ratio (one IEEE division —
     * bit-identical across engines) so the τ boundary can never
     * disagree with the oracle through rounding.
+    *
+    * `maxPostingDf` is the web-corpus skew guard (the
+    * [[decontaminate]] `maxTrainDf` move, asymmetric form): a
+    * boilerplate shingle ("all rights reserved …") is a hot join key
+    * whose containing-side posting list is O(corpus) — the candidate
+    * join would land that key's entire fan-out on one reducer. The cap
+    * drops postings whose document frequency exceeds it from the
+    * CONTAINING side only (the contained side is already
+    * prefix-bounded), bounding per-key candidate fan-out at
+    * prefix_df × cap. It is a recall trade: a pair whose every shared
+    * prefix shingle is hotter than the cap is no longer proposed —
+    * exactly the boilerplate-only overlaps the confirm would reject on
+    * containment anyway for real corpora; LlmSpec pins that at the
+    * registered cap the confirmed pair set is UNCHANGED on this
+    * corpus. df is counted on the 64-bit shingle hash (`sh` is
+    * distinct per doc, so rows per hash = df); a hash collision can
+    * only merge two shingles' counts and at worst drops an extra
+    * candidate — never a false positive, the confirm is exact.
     */
   def containmentPairs(docs: DataFrame, tau: Double = 0.9,
-      shingleN: Int = 3): DataFrame = {
-    val sorted = shingleSets(docs, shingleN).repartition(col("doc_id"))
+      shingleN: Int = 3, maxPostingDf: Option[Long] = None): DataFrame = {
+    // The explicit filter is semantically a no-op (sh is a CASE that
+    // always yields a non-empty array; doc_id is a key) but it is what
+    // makes exchange reuse HAPPEN: each consuming branch pushes its own
+    // predicates (the posexplode sides push size(sh)>0 ∧ isnotnull(sh),
+    // the join sides push isnotnull(doc_id)) through the repartition,
+    // and branches with different pushed-down filters are no longer
+    // canonically equal subtrees — the kernel corpus pass ran FOUR
+    // times (measured via explain, r12). Pre-applying the UNION of
+    // those predicates makes every pushed copy redundant (CombineFilters
+    // drops it), so all four branches share ONE exchange.
+    val sorted = shingleSets(docs, shingleN)
+      .filter(col("doc_id").isNotNull && col("sh").isNotNull &&
+        size(col("sh")) > 0)
+      .repartition(col("doc_id"))
     // BOTH candidate sides derive from ONE posexploded posting
     // relation: the contained side is `pos < prefixLen`, the
     // containing side is every row (the asymmetric bound says nothing
@@ -1014,7 +1066,17 @@ object LlmOps extends OpModule {
     val a = posted
       .filter(col("pos") < (col("n") - ceil(col("n") * tau) + 1).cast("int"))
       .select(col("doc_id").as("doc_a"), col("h"))
-    val full = posted.select(col("doc_id").as("doc_b"), col("h"))
+    val full0 = posted.select(col("doc_id").as("doc_b"), col("h"))
+    val full = maxPostingDf match {
+      case None => full0
+      case Some(cap) =>
+        // window-count df over the SAME shared posting subplan (the
+        // decontaminate pattern): one shuffle on h — the key the
+        // candidate join needs anyway — no second corpus pass
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        full0.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= cap).drop("df")
+    }
     val cand = a.join(full,
         Seq("h")).filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
@@ -1810,7 +1872,17 @@ object LlmOps extends OpModule {
       // dedup threshold, which is precisely the family Jaccard misses.
       // τ=0.9 keeps the contained-side prefixes short; candidates are
       // contained-prefix ⋈ full-postings, confirmed on the unrounded
-      // ratio so the boundary agrees with the oracle bit for bit
+      // ratio so the boundary agrees with the oracle bit for bit.
+      // Registered WITH the df-cap skew guard (cap=16): on this corpus
+      // max shingle df is 6 (sf0.01) / 8 (sf0.1) — LlmSpec pins
+      // df_max < cap — so the cap provably filters nothing here and
+      // the oracle (which mirrors the cap via HAVING on the b-side
+      // postings) stays exact; at web scale it bounds the hot-key
+      // candidate fan-out at prefix_df × 16. When the cap DOES bite,
+      // Spark proposes from capped prefix postings while the oracle
+      // proposes from all capped postings — a superset — so the cap
+      // value must stay above the corpus df_max for oracle parity;
+      // production callers dial it down knowing the recall trade.
       (s, d) => {
         val docs = Tables.documents(s, d).select("doc_id", "text")
         val toks = tokens(col("text"))
@@ -1818,7 +1890,8 @@ object LlmOps extends OpModule {
           col("doc_id").bitwiseOR(lit(1L << 40)).as("doc_id"),
           concat_ws(" ", slice(toks, lit(1),
             ((size(toks) + 1) / 2).cast("int"))).as("text"))
-        containmentPairs(docs.unionByName(clones), tau = 0.9, shingleN = 5)
+        containmentPairs(docs.unionByName(clones), tau = 0.9, shingleN = 5,
+          maxPostingDf = Some(16L))
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH raw AS (
@@ -1845,9 +1918,11 @@ object LlmOps extends OpModule {
                   ELSE [norm] END AS sh
                 FROM t),
               ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+              keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 16),
+              exb AS (SELECT e.doc_id, e.g FROM ex e JOIN keep k ON e.g = k.g),
               cand AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id),
+                FROM ex a JOIN exb b ON a.g = b.g AND a.doc_id <> b.doc_id),
               j AS (
                 SELECT c.doc_a, c.doc_b,
                   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)

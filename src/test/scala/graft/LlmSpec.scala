@@ -81,6 +81,45 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("containment df-cap: registered cap=16 exceeds corpus df_max (filters nothing, oracle stays exact); a biting cap only removes pairs") {
+    import org.apache.spark.sql.DataFrame
+    def corpus(sfDir: String): DataFrame = {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val toks = split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+      val clones = docs.select(
+        col("doc_id").bitwiseOR(lit(1L << 40)).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1),
+          ((size(toks) + 1) / 2).cast("int"))).as("text"))
+      docs.unionByName(clones)
+    }
+    val docs = corpus(sf001)
+    // 1) the invariant the registered query's oracle parity rests on:
+    //    no shingle's document frequency reaches the cap, so the capped
+    //    posting relation is the full one (if the corpus generator ever
+    //    changes this, the cap must be raised or the oracle re-derived)
+    val dfMax = LlmOps.shingleSets(docs, 5)
+      .select(explode(col("sh")).as("s"))
+      .groupBy("s").count().agg(max("count")).head().getLong(0)
+    assert(dfMax < 16L, s"corpus df_max=$dfMax reached the registered cap")
+    // 2) therefore capped ≡ uncapped, pair set and values
+    val capped = LlmOps.containmentPairs(docs, tau = 0.9, shingleN = 5,
+      maxPostingDf = Some(16L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = LlmOps.containmentPairs(docs, tau = 0.9, shingleN = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped)
+    // 3) the recall trade is one-sided: a cap that DOES bite (cap=1
+    //    drops every shingle shared by ≥2 docs — which on this corpus
+    //    includes every clone↔original shingle) removes pairs, never
+    //    adds them; the exact confirm keeps survivors' values identical
+    val tight = LlmOps.containmentPairs(docs, tau = 0.9, shingleN = 5,
+      maxPostingDf = Some(1L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(tight.subsetOf(uncapped))
+    assert(tight.size < uncapped.size,
+      "cap=1 should demonstrably bite on a corpus full of clone pairs")
+  }
+
   test("near-dedup: exact duplicates and small edits are caught; disjoint docs are not") {
     SeededFnvHash.register(spark)
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
