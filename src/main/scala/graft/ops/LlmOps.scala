@@ -355,11 +355,28 @@ object LlmOps extends OpModule {
     * costs one narrow pass over the train postings.
     */
   def decontaminate(docs: DataFrame, n: Int = 8,
-      maxTrainDf: Option[Long] = None): DataFrame = {
+      maxTrainDf: Option[Long] = None,
+      pretok: Option[DataFrame] = None): DataFrame = {
     graft.functions.VectorKernels.register(docs.sparkSession)
-    val sp = trainSplit(docs).select("doc_id", "split")
-    val ngrams = docs.join(sp, "doc_id")
-      .select(col("doc_id"), col("split"), tokens(col("text")).as("toks"))
+    // r12: split derives INLINE from the token array instead of
+    // joining trainSplit(docs) back on doc_id — that was a corpus
+    // self-join whose only payload was a CASE over md5, recomputable
+    // per row. concat_ws(" ", toks) reconstructs normText(text)
+    // exactly (the normal form has no edge/double spaces, so
+    // split-then-join is the identity, "" included), so the md5
+    // bucket — and therefore the split — is byte-identical to
+    // [[trainSplit]]'s. `pretok` (doc_id, toks) lets the registered
+    // queries feed from the session [[tokenizedDocs]] memo; values
+    // are unchanged either way.
+    val toked = pretok.map(_.select(col("doc_id"), col("toks")))
+      .getOrElse(docs.select(col("doc_id"), tokens(col("text")).as("toks")))
+    val bucket = conv(substring(md5(concat_ws(" ", col("toks"))), 1, 8), 16, 10)
+      .cast("long") % 100
+    val ngrams = toked
+      .select(col("doc_id"),
+        when(bucket < 90, "train").when(bucket < 95, "validation")
+          .otherwise("test").as("split"),
+        col("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), col("split"),
         // fused sorted-distinct kernel: same element SET as
@@ -544,6 +561,54 @@ object LlmOps extends OpModule {
 
   private val ivfCache =
     scala.collection.concurrent.TrieMap[String, IvfIdx]()
+
+  private val tokCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Session-memoized tokenized corpus — ONE row per document:
+    * (doc_id, lang, toks ARRAY<STRING>), where toks is the shared
+    * [[tokens]] normalization. Five registered text queries
+    * (llm_tfidf, llm_bm25, llm_bigram_lm, llm_cooccur_lift,
+    * llm_ngrams_tf) previously each re-ran scan → regexp-normalize →
+    * split over the whole corpus; they now all read this one persisted
+    * relation (the ccCache pattern: key-scoped lock, count() to
+    * materialize, evictable via [[evictTokCache]]).
+    *
+    * Shape notes for 100 TB: the compact array form is deliberately
+    * the DOC-grain relation, not exploded (doc_id, term) rows — no
+    * per-token key duplication, order preserved so both the
+    * term-explode consumers (explode(toks)) and the adjacency
+    * consumers (graft_shingles bigrams) derive from it. MEMORY_AND_DISK
+    * so token arrays spill rather than evict under pressure; at
+    * production scale this relation is a materialized tokenized-column
+    * table written once per corpus snapshot, which a session persist
+    * stands in for here.
+    */
+  private[ops] def tokenizedDocs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val key =
+      s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}|tok|$sfDir"
+    // namespaced key ("|tok|") — interned-string locks collide across
+    // memos when two caches build the same key text (the prCache /
+    // rotCache ADVICE r10 collision)
+    key.intern.synchronized(tokCache.getOrElseUpdate(key, {
+      val df = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }))
+  }
+
+  /** Evict this session's memoized tokenized corpus — companion to
+    * [[evictIvfCache]] / [[PipelineOps.evictCcCache]]. */
+  def evictTokCache(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prefix =
+      s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}|tok|"
+    tokCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      tokCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
 
   /** Memoized ON-DISK base-index dirs for the registered maintenance
     * cycle, keyed (sessionUUID, corpus): the production analogue is an
@@ -910,7 +975,7 @@ object LlmOps extends OpModule {
     * without any document-frequency aggregation (see note in
     * [[jaccardPairs]]).
     */
-  private[ops] def shingleSets(docs: DataFrame, shingleN: Int): DataFrame = {
+  private[graft] def shingleSets(docs: DataFrame, shingleN: Int): DataFrame = {
     graft.functions.VectorKernels.register(docs.sparkSession)
     val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
       normText(col("text")).as("norm"))
@@ -1527,7 +1592,8 @@ object LlmOps extends OpModule {
       // collisions at that length at every SF (16/15/259 docs); real
       // pipelines dial n to 8-13 via the parameter, and a planted-leak
       // test pins the n=8 path in LlmSpec
-      (s, d) => decontaminate(Tables.documents(s, d), n = 4).orderBy("doc_id"),
+      (s, d) => decontaminate(Tables.documents(s, d), n = 4,
+        pretok = Some(tokenizedDocs(s, d))).orderBy("doc_id"),
       Some("""WITH s AS (
                 SELECT doc_id,
                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
@@ -1566,7 +1632,8 @@ object LlmOps extends OpModule {
       // every SF's output non-empty; the oracle applies the IDENTICAL
       // cap via HAVING on the train postings, so the gate stays exact
       (s, d) => decontaminate(Tables.documents(s, d), n = 4,
-        maxTrainDf = Some(2L)).orderBy("doc_id"),
+        maxTrainDf = Some(2L), pretok = Some(tokenizedDocs(s, d)))
+        .orderBy("doc_id"),
       Some("""WITH s AS (
                 SELECT doc_id,
                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
@@ -1830,10 +1897,11 @@ object LlmOps extends OpModule {
         // bigrams via the fused graft_shingles kernel (value-identical
         // to the old transform+slice+concat_ws HOF rendering, which
         // paid interpreted lambda evals per gram); the kernel returns
-        // [] below n tokens so no size guard is needed
+        // [] below n tokens so no size guard is needed. Tokens come
+        // from the session-shared [[tokenizedDocs]] memo — one corpus
+        // tokenize pass feeds the whole text-analysis family
         graft.functions.VectorKernels.register(s)
-        val exploded = Tables.documents(s, d)
-          .select(col("lang"), tokens(col("text")).as("toks"))
+        val exploded = tokenizedDocs(s, d)
           .select(col("lang"),
             explode(call_function("graft_shingles", col("toks"), lit(2)))
               .as("ngram"))
@@ -1992,9 +2060,9 @@ object LlmOps extends OpModule {
       // vocabulary-bounded, and the final window is per-doc (no
       // global sort).
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = tokenizedDocs(s, d)
         val tf = docs
-          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .select(col("doc_id"), explode(col("toks")).as("term"))
           .filter(col("term") =!= "")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
@@ -2056,9 +2124,9 @@ object LlmOps extends OpModule {
       // separate filter.
       (s, d) => {
         graft.functions.VectorKernels.register(s)
-        val bi = Tables.documents(s, d)
+        val bi = tokenizedDocs(s, d)
           .select(explode(call_function("graft_shingles",
-            tokens(col("text")), lit(2))).as("bigram"))
+            col("toks"), lit(2))).as("bigram"))
         val byW1 = org.apache.spark.sql.expressions.Window
           .partitionBy(substring_index(col("bigram"), " ", 1))
         bi.groupBy("bigram").agg(count(lit(1)).as("c2"))
@@ -2136,9 +2204,9 @@ object LlmOps extends OpModule {
       // ride a broadcast (vocabulary-bounded). The c_ab floor bounds
       // the report to recurring associations.
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = tokenizedDocs(s, d)
         val tk = docs.select(col("doc_id"),
-          explode(array_distinct(tokens(col("text")))).as("term"))
+          explode(array_distinct(col("toks"))).as("term"))
           .filter(col("term") =!= "")
         val cnt = tk.groupBy("term").agg(count(lit(1)).as("c"))
         val pairs = tk.as("a")
@@ -2199,18 +2267,27 @@ object LlmOps extends OpModule {
       // the doc-grain join side is vocabulary-bounded.) Corpus stats
       // ride a 1-row broadcast.
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        // isNotNull at the SOURCE: the dl join below pushes an
-        // IsNotNull(doc_id) into only its own branch, which would
-        // de-duplicate the two tf subplans and re-run the
-        // tokenization (the containment ReusedExchange lesson);
-        // planting the filter once keeps both branches identical
-        val tf = docs.filter(col("doc_id").isNotNull)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val docs = tokenizedDocs(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(col("toks")).as("term"))
           .filter(col("term") =!= "")
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
-        val dl = tf.groupBy("doc_id").agg(sum("tf").cast("int").as("dl"))
+        // r12, with the [[tokenizedDocs]] memo as the source: dl no
+        // longer re-aggregates the (doc,term) relation — the doc's
+        // indexed length is size(array_remove(toks, '')) computed
+        // per ROW of the cached doc-grain leaf (array_remove is
+        // codegen'd; ≡ Σtf because tf counts exactly the non-empty
+        // tokens). The dl>0 filter keeps the doc set identical to
+        // the Σtf rendering (a doc with only empty tokens never
+        // reaches tf, so it must not count toward nd/tot_dl). This
+        // replaces the old tf-exchange ReusedExchange economy: the
+        // dl and g branches now cost one cached array scan each,
+        // with no explode and no (doc,term) aggregate at all.
+        val dl = docs
+          .select(col("doc_id"),
+            size(array_remove(col("toks"), "")).as("dl"))
+          .filter(col("dl") > 0)
         val g = dl.agg(count(lit(1)).as("nd"),
           sum(col("dl").cast("long")).as("tot_dl"))
         val scored = tf.withColumn("df", count(lit(1)).over(byTerm))

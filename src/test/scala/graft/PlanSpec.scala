@@ -281,15 +281,18 @@ class PlanSpec extends SparkSpec {
     val cl = planOf("llm_cooccur_lift")
     assert(!cl.contains("CartesianProduct"), cl)
     assert(cl.contains("BroadcastHashJoin"), cl)
-    // bm25: ONE corpus tokenization — dl and the corpus stats are
-    // aggregated from the SAME tf exchange (ReusedExchange), not a
-    // second scan+explode; the source-planted isNotNull keeps the
-    // branches identical (they diverge again if the join's pushed
-    // filter reaches only one side)
+    // bm25: ONE term explosion — tf is the only consumer that
+    // explodes tokens; dl (indexed doc length) and the corpus stats
+    // derive per-row from the cached tokenizedDocs leaf
+    // (size(array_remove(toks,''))), so there is no second explode
+    // and no (doc,term) re-aggregate. The corpus tokenize itself
+    // lives in the session memo (InMemoryTableScan in every branch,
+    // FileScan+regex paid once per session, not per query).
     val bm = planOf("llm_bm25")
     val bmFinal = bm.split("== Initial Plan ==")(0)
     assert("Generate explode".r.findAllIn(bmFinal).size == 1,
-      s"bm25 tokenizes the corpus more than once:\n$bm")
-    assert(bmFinal.contains("ReusedExchange"), bm)
+      s"bm25 explodes the corpus more than once:\n$bm")
+    assert(bmFinal.contains("InMemoryTableScan"),
+      s"bm25 is not reading the tokenizedDocs memo:\n$bm")
   }
 }
