@@ -498,6 +498,16 @@ object EventOps extends OpModule {
       // arithmetic). One shuffle on user_id, bounded per-partition
       // state; the frame is running, so Spark evaluates it in one
       // pass, never re-scanning the preceding rows per row.
+      //
+      // Streaming twin: EventStreams.fillForward. Its precondition is
+      // STRONGER than this batch window's: micro-batches must arrive
+      // in (ts_us, event_id) order PER KEY across batches (in-batch
+      // disorder is sorted inside the processor; a cross-batch
+      // straggler older than the carried reading is ignored by the
+      // state guard rather than re-filled — binlog-position-ordered
+      // CDC feeds satisfy this, arbitrary event streams need the
+      // watermark ops instead). The batch window has no such
+      // precondition: one global per-key sort sees every row.
       (s, d) => {
         val w = Window.partitionBy("user_id")
           .orderBy(col("ts").asc, col("event_id").asc)

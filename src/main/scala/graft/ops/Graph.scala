@@ -24,23 +24,35 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps extends OpModule {
 
-  /** Fixed-iteration PageRank over a directed edge list (src, dst).
+  /** PageRank over a directed edge list (src, dst), with dangling-mass
+    * redistribution and an optional tolerance early-stop.
     *
-    * pr_{t+1}(v) = (1−d) + d·Σ_{u→v} pr_t(u)/outdeg(u), pr_0 = 1.
-    * (The "sum to n" normalization — every rank ≥ 1−d; dangling
-    * nodes contribute nothing, matching the classic formulation.)
-    * Fixed `iters` rounds rather than convergence-tested: rank
-    * deltas shrink geometrically and a fixed horizon keeps the
-    * round count — and therefore the job's stage graph — static,
-    * which is what a production scheduler wants to see.
+    * pr_{t+1}(v) = (1−d) + d·(Σ_{u→v} pr_t(u)/outdeg(u) + dm_t/n),
+    * pr_0 = 1, where dm_t = Σ_{sinks u} pr_t(u) ("sum to n"
+    * normalization — every rank ≥ 1−d). A sink (no out-edges) would
+    * otherwise LEAK its mass each round: on a web-shaped graph a
+    * large fraction of pages are sinks, the total falls below n, and
+    * well-linked nodes end up undervalued; redistributing dm
+    * uniformly conserves Σpr = n exactly (GraphSpec pins both the
+    * sink-graph values at 1e-9 and mass conservation).
+    *
+    * Rounds run to `iters` — a fixed horizon keeps the stage graph
+    * static, which a production scheduler wants — or stop earlier
+    * when `tol` > 0 and max_v |pr_{t+1}(v) − pr_t(v)| < tol. The
+    * delta check rides the round's ONE materializing action (the
+    * max-abs aggregate reads every partition of the new round, so
+    * it both persists and tests in the same job); tol = 0 keeps the
+    * plain count() action and never stops early.
     *
     * Returns (ranks, handle): `ranks` is a lazy flat frame over the
     * final round's cache blocks; `handle` is the persisted final
     * round the CALLER must unpersist once it has materialized its
     * own copy (the [[connectedComponentsWithHandle]] contract).
+    * iters = 0 returns the persisted uniform pr_0 — the handle is
+    * never null.
     */
   private[graft] def pageRankWithHandle(edges: DataFrame, iters: Int = 5,
-      damping: Double = 0.85): (DataFrame, DataFrame) = {
+      damping: Double = 0.85, tol: Double = 0.0): (DataFrame, DataFrame) = {
     val e = edges.persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
@@ -48,22 +60,45 @@ object GraphOps extends OpModule {
     // built once, reused every round (degree join OUT of the loop)
     val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .join(e, "src").persist()
+    // sink set — nodes with no out-edges; loop-invariant. Its rank
+    // mass re-enters the walk uniformly each round.
+    val sinks = nodes.join(e.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti").persist()
+    // n is the one scalar the update needs on the driver: bounded
+    // metadata (a count), loop-invariant, and this first action also
+    // materializes `nodes`
+    val n = nodes.count().toDouble
     def rewrap(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.Bridge.rewrapInternal(df)
     var ranks = nodes.select(col("node"), lit(1.0).as("pr"))
     var persisted: DataFrame = null
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
+      // dangling mass: 1-row aggregate, broadcast into the update —
+      // stays distributed, no extra driver action
+      val dm = ranks.join(sinks, "node")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
       val contrib = out
         .join(ranks.select(col("node").as("src"), col("pr")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("outdeg")).as("in_pr"))
       val upd = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("node"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("in_pr"), lit(0.0))).as("pr"))
+          (lit(1.0 - damping) + lit(damping) *
+            (coalesce(col("in_pr"), lit(0.0)) + col("dm") / lit(n)))
+            .as("pr"))
         .persist()
-      upd.count() // one action: materialize every partition
+      // one action: materialize every partition (and, when tol is
+      // on, compute the round delta against the previous ranks in
+      // the same job)
+      if (tol > 0.0) {
+        val delta = upd
+          .join(ranks.select(col("node"), col("pr").as("prev")), "node")
+          .agg(max(abs(col("pr") - col("prev")))).head().getDouble(0)
+        converged = delta < tol
+      } else upd.count()
       // round 1's action materialized `nodes` and `out`, the only
       // readers of the raw edge list — drop it NOW, not after the
       // loop: `out` already carries every edge row (plus outdeg), so
@@ -76,9 +111,18 @@ object GraphOps extends OpModule {
       ranks = flat
       it += 1
     }
+    if (persisted == null) {
+      // iters = 0: hand back pr_0 as a real persisted round so the
+      // handle contract holds (callers unpersist it; null would NPE)
+      val init = ranks.persist()
+      init.count()
+      persisted = init
+      ranks = rewrap(init)
+    }
     e.unpersist(blocking = false) // no-op if already dropped; covers iters=0
     nodes.unpersist(blocking = false)
     out.unpersist(blocking = false)
+    sinks.unpersist(blocking = false)
     (ranks, persisted)
   }
 
@@ -111,7 +155,11 @@ object GraphOps extends OpModule {
       // GraphSpec pins the kernel against a hand-computed reference
       // on a crafted graph and mass conservation on this one.
       (s, d) => {
-        val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|$d"
+        // "|pr|" namespace: interned-string key locks collide ACROSS
+        // memos when two caches intern the same key text (prCache and
+        // Pq.rotCache both built "$sid|$d" — ADVICE r10 item 3)
+        val key =
+          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|pr|$d"
         // key-scoped lock: TrieMap.getOrElseUpdate can run two
         // concurrent builders and drop the loser's PERSISTED frame
         // with no reachable reference (the ivfBaseDirCache race,

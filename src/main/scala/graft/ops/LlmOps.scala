@@ -423,8 +423,8 @@ object LlmOps extends OpModule {
     * the ranking window is probe-partitioned over candidates, never
     * the corpus. Degrade path is a larger candidate set, never n².
     */
-  def simSearchLsh(emb: DataFrame, nProbes: Int, topK: Int, r: Int = 6,
-      bands: Int = 24, seed: Long = 7L): DataFrame = {
+  def simSearchLsh(emb: DataFrame, nProbes: Int, topK: Int, r: Int = 5,
+      bands: Int = 28, seed: Long = 7L): DataFrame = {
     graft.functions.VectorKernels.register(emb.sparkSession)
     val banded = emb.select(col("vec_id"),
         posexplode(call_function("graft_rpbands",

@@ -11,23 +11,27 @@ import org.apache.spark.sql.functions._
   */
 class GraphSpec extends SparkSpec {
 
-  /** In-memory reference: identical formulation, identical fixed
-    * iteration count — only the summation strategy differs. */
+  /** In-memory reference: identical formulation — dangling-mass
+    * redistribution included — only the summation strategy differs. */
   private def referencePr(edges: Seq[(Long, Long)], iters: Int,
       d: Double = 0.85): Map[Long, Double] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val sinks = nodes.filterNot(outdeg.contains)
     var pr = nodes.map(_ -> 1.0).toMap
     for (_ <- 1 to iters) {
+      val dm = sinks.map(pr).sum
       val in = edges.groupBy(_._2).view.mapValues(
         _.map { case (u, _) => pr(u) / outdeg(u) }.sum).toMap
-      pr = nodes.map(n => n -> ((1 - d) + d * in.getOrElse(n, 0.0))).toMap
+      pr = nodes.map(n =>
+        n -> ((1 - d) + d * (in.getOrElse(n, 0.0) + dm / nodes.size))).toMap
     }
     pr
   }
 
-  test("pageRank kernel ≡ in-memory reference on a crafted graph") {
-    // asymmetric: a hub (1) fed by everyone, a chain, one dangler (5)
+  test("pageRank kernel ≡ in-memory reference on a crafted graph WITH a sink, and conserves mass") {
+    // asymmetric: a hub (1) fed by everyone, a chain, one SINK (5) —
+    // node 5 has no out-edges, so every round redistributes its mass
     val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L), (2L, 3L),
       (3L, 4L), (4L, 5L))
     import spark.implicits._
@@ -41,7 +45,36 @@ class GraphSpec extends SparkSpec {
     }
     // the hub must outrank every chain node
     assert(got(1L) == got.values.max)
+    // redistribution means the sink graph ALSO conserves Σpr = n —
+    // the exact property the pre-r12 kernel leaked (sum drifted
+    // below n by the sink's held mass each round)
+    assert(math.abs(got.values.sum - got.size) < 1e-9,
+      s"mass ${got.values.sum} for ${got.size} nodes")
     handle.unpersist(blocking = false)
+  }
+
+  test("tolerance early-stop converges to the fixed-horizon answer; iters=0 returns a usable pr_0 handle") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L), (2L, 3L),
+      (3L, 4L), (4L, 5L))
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    // a horizon long past convergence, stopped by tol: must land
+    // within tol-scale distance of the true fixed point — compare
+    // against a deep fixed-iteration reference
+    val (er, eh) = ops.GraphOps.pageRankWithHandle(df, iters = 100, tol = 1e-10)
+    val got = er.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = referencePr(edges, iters = 100)
+    want.foreach { case (n, p) =>
+      assert(math.abs(got(n) - p) < 1e-8, s"node $n: got ${got(n)} want $p")
+    }
+    eh.unpersist(blocking = false)
+    // iters=0: the pre-r12 kernel returned a NULL handle (latent NPE
+    // for any caller honoring the unpersist contract); now pr_0
+    val (r0, h0) = ops.GraphOps.pageRankWithHandle(df, iters = 0)
+    assert(h0 != null)
+    val flat = r0.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(flat.size == 5 && flat.values.forall(_ == 1.0))
+    h0.unpersist(blocking = false)
   }
 
   test("bidirectional trade graph conserves rank mass (sum ≈ n)") {

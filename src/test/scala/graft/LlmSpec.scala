@@ -234,10 +234,19 @@ class LlmSpec extends SparkSpec {
     val self = lsh.filter(col("rank") === 1).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(self.forall { case (p, v) => p == v }, s"self-miss: $self")
-    // recall at the registered (r=6, bands=24) parameters, fixed seed
+    // recall at the registered (r=5, bands=28) parameters, fixed seed.
+    // Parameter derivation (r12, up from 0.5 at r=6/b=24): this
+    // corpus's rank-10 neighbors sit at cosine ≈ 0.24-0.29, i.e.
+    // per-hyperplane agreement p = 1−θ/π ≈ 0.58 — barely above the
+    // 0.50 background, so each band bit buys little discrimination.
+    // Shorter bands + more of them (5×28) lift the per-band match to
+    // p^5 ≈ 0.066 → predicted recall 1−(1−p^5)^28 ≈ 0.85 at the
+    // rank-10 frontier (higher for nearer ranks), at ~1.9× the
+    // candidate volume — still a vanishing fraction of n² and the
+    // same runtime class (measured, bench ≤ current).
     val exactSet = exactScores.keySet
     val recall = (lshRows.map(_._1).toSet & exactSet).size.toDouble / exactSet.size
-    assert(recall >= 0.5, s"recall@10 = $recall")
+    assert(recall >= 0.8, s"recall@10 = $recall")
   }
 
   test("train split: content-determined, 90/5/5 shaped, exact dups never straddle") {

@@ -88,6 +88,26 @@ class PlanSpec extends SparkSpec {
       s"bucketed join still shuffles a side:\n$p")
   }
 
+  test("evictFixtures tears down this session's fixture dirs + catalog tables; next use heals by rewriting") {
+    // materialize the bucketed fixture (and any other fixture ops'
+    // scratch) for this session
+    SparkEntry.queries("join_bucketed")(spark, sf001).collect()
+    val root = new java.io.File(Tables.fixtureRoot(spark, sf001, "bucketed"))
+      .getParentFile // the per-session dir that evict deletes
+    assert(root.isDirectory, s"fixture dir missing before evict: $root")
+    val sidTag = org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)
+      .replace("-", "").take(12)
+    assert(spark.catalog.listTables().collect()
+      .exists(t => t.name.startsWith("graft_") && t.name.contains(sidTag)))
+    Tables.evictFixtures(spark)
+    assert(!root.exists(), s"fixture dir survived evict: $root")
+    assert(!spark.catalog.listTables().collect()
+      .exists(t => t.name.startsWith("graft_") && t.name.contains(sidTag)))
+    // the op double-checks the PATH on entry, so the next run rewrites
+    val again = SparkEntry.queries("join_bucketed")(spark, sf001).collect()
+    assert(again.nonEmpty)
+  }
+
   test("agg_hash_group: partial (map-side) + final hash aggregation") {
     val p = planOf("agg_hash_group")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
