@@ -41,14 +41,34 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** `events` with `ts` converted long-nanos → TimestampType (µs,
-    * truncated toward −∞ for positive epochs — matches DuckDB's
-    * TIMESTAMP_NS→TIMESTAMP cast). Integer `DIV` keeps full 64-bit
-    * precision (a double roundtrip would lose sub-µs bits).
+  /** `events` with `ts` normalized to TimestampType(µs) regardless of
+    * how the parquet encoded it. The driver has shipped the column two
+    * ways across rounds: timestamp[ns] (which `nanosAsLong` surfaces
+    * as long nanos — convert with integer `DIV` so 64-bit precision
+    * survives; truncation toward −∞ for positive epochs matches
+    * DuckDB's TIMESTAMP_NS→TIMESTAMP cast) and timestamp[us] (read
+    * natively — already the target type). Dispatching on the actual
+    * scan schema instead of assuming one encoding is what kept r12's
+    * testdata regeneration from breaking every events query twice.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(load(spark, sfDir, "events"))
+
+  /** Normalize a raw events relation's `ts` to TimestampType (LTZ µs):
+    * long nanos convert via integer DIV; a tz-less parquet
+    * timestamp[us] (which Spark 4 infers as TIMESTAMP_NTZ) casts under
+    * the session's pinned UTC zone — same instant DuckDB sees reading
+    * the naive column; an LTZ timestamp passes through. Downstream
+    * (`unix_micros`, windowing) requires LTZ. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Scratch root for a write-once fixture, scoped by (session,
     * corpus): `/tmp/graft_fixtures/<name>/<sessionUUID>/<md5(sfDir)>`.

@@ -29,8 +29,11 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw parquet schema for `readStream` (ts = int64 nanos; the
-    * nanosAsLong conf makes the parquet reader accept it). */
+  /** Raw long-ns stream-input schema (ts = int64 nanos) — the shape
+    * EventStreamSpec's synthetic stream fixtures write. The driver
+    * testdata itself may instead carry a native timestamp[us] `ts`;
+    * [[readEventStream]] probes the actual file schema rather than
+    * assuming either encoding. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -43,11 +46,16 @@ object EventStreams {
     * The testdata table is a single file and the streaming file source
     * requires a directory basePath — a glob character in the path
     * switches the source to listing mode over the parent directory.
+    * The stream schema must be declared up front, so probe the file's
+    * batch schema (one footer read, driver-side) and normalize `ts`
+    * the same way [[Tables.events]] does — long nanos and native
+    * timestamps both land on TimestampType(µs).
     */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.configure(spark)
-    spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    Tables.normalizeEventTs(
+      spark.readStream.schema(fileSchema).parquet(s"$sfDir/events.parque[t]"))
   }
 
   // ── op 54: change-feed envelope (binlog parse analog) ───────────

@@ -23,6 +23,15 @@ class EventStreamSpec extends SparkSpec {
   private def batchEvents: DataFrame = Tables.events(spark, sf001)
   private def streamEvents: DataFrame = EventStreams.readEventStream(spark, sf001)
 
+  /** The raw long-ns rendering of the events table — the shape the
+    * multi-batch stream fixtures below write to their input dirs
+    * (`rawSchema` + `ts DIV 1000`). The driver parquet has shipped
+    * `ts` as both timestamp[ns] and timestamp[us] across rounds;
+    * re-encoding the NORMALIZED table to long nanos keeps these
+    * fixtures stable under either source encoding. */
+  private def rawNsEvents: DataFrame = Tables.events(spark, sf001)
+    .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+
   test("tumbling window: stream (complete mode) equals batch") {
     val batch = EventStreams.tumbling(batchEvents)
       .orderBy("hour_start_us", "event_type").collect().toSeq
@@ -172,7 +181,7 @@ class EventStreamSpec extends SparkSpec {
     import spark.implicits._
     val dir = tmpDir("graft_cdc_multi")
     Tables.configure(spark)
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = rawNsEvents
     val evs = EventStreams.toFoldEvents(batchEvents).collect()
     val mid = (evs.map(_.ts_us).min + evs.map(_.ts_us).max) / 2
     ev.filter(expr("ts DIV 1000") < mid).write.mode("overwrite").parquet(s"$dir/in")
@@ -359,7 +368,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.StatefulProcessors
     val dir = tmpDir("graft_sess_timer")
     Tables.configure(spark)
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = rawNsEvents
     ev.write.mode("overwrite").parquet(s"$dir/in")
     val raw = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -404,7 +413,7 @@ class EventStreamSpec extends SparkSpec {
     // split by TIME so cross-batch arrival order equals log order and
     // the bounded error buffer's contents are deterministic
     val mid = (evs.map(_.ts_us).min + evs.map(_.ts_us).max) / 2
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = rawNsEvents
     val tsUs = expr("ts DIV 1000")
     ev.filter(tsUs < mid).write.mode("overwrite").parquet(s"$dir/in")
     val raw = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
@@ -440,7 +449,7 @@ class EventStreamSpec extends SparkSpec {
     import graft.streaming.StatefulProcessors
     val dir = tmpDir("graft_bootstrap")
     Tables.configure(spark)
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = rawNsEvents
     // snapshot = batch fold of the log's first half (the materialized
     // table a cdc_apply/fold job wrote yesterday)...
     val snapshot = EventStreams.statefulFold(EventStreams.toFoldEvents(
@@ -479,7 +488,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("dedup: at-least-once delivery (every event twice) folds to exactly-once") {
     val dir = tmpDir("graft_dup")
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = rawNsEvents
     ev.union(ev).write.mode("overwrite").parquet(s"$dir/in")
     val raw = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -581,7 +590,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("checkpoint replay: restart neither loses nor duplicates") {
     val dir = tmpDir("graft_replay")
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = rawNsEvents
     val half1 = ev.filter(col("event_id") % 2 === 0)
     val half2 = ev.filter(col("event_id") % 2 === 1)
     half1.write.mode("overwrite").parquet(s"$dir/in")
@@ -603,7 +612,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("stateful fold resumes from checkpointed state across a restart") {
     val dir = tmpDir("graft_fold_replay")
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = rawNsEvents
     ev.filter(col("event_id") % 2 === 0).write.mode("overwrite").parquet(s"$dir/in")
     def startQuery() = {
       val src = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
