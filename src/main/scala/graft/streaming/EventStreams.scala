@@ -3,7 +3,8 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming._
 import org.apache.spark.sql.types._
 
 /** Event-sourcing / broadcasting layer (SURVEY.md §2.9) — the
@@ -148,44 +149,59 @@ object EventStreams {
   /** Streaming rendering of [[envelopeTxn]]: per-key state carries the
     * last row-event image, so before-images come from the StateStore
     * instead of a lag window (unsupported over streams). DDL events
-    * pass through without touching state. Emits in Append mode via
-    * flatMapGroupsWithState — one record per input event.
+    * pass through without touching state. Emits in Append mode — one
+    * record per input event. `transformWithState` (the Spark-4-current
+    * stateful idiom, migrated from flatMapGroupsWithState in r13)
+    * keeps the identical per-batch sort + carried-image logic; the
+    * EventStreamSpec equivalences vs [[envelopeTxn]] and the
+    * cross-micro-batch before-image threading test are unchanged.
     */
   case class CdcRecord(position: Long, pk: Long, ts_us: Long, op: String,
       txn_id: Long, txn_seq: Long, before_value: Option[Double],
       after_value: Option[Double], ddl_stmt: Option[String])
   case class CdcImage(event_type: String, value: Double)
 
+  class CdcEnvelopeProcessor(txnW: Int)
+      extends StatefulProcessor[Long, FoldEvent, CdcRecord] {
+    @transient private var last: ValueState[CdcImage] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[CdcImage]("lastImage",
+        Encoders.product[CdcImage], TTLConfig.NONE)
+
+    override def handleInputRows(pk: Long, rows: Iterator[FoldEvent],
+        timerValues: TimerValues): Iterator[CdcRecord] = {
+      var cur = if (last.exists()) Some(last.get()) else None
+      val out = rows.toVector.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        val op = e.event_type match {
+          case "signup" => "I"; case "error" => "D"
+          case "view" => "DDL"; case _ => "U"
+        }
+        val txnId = e.event_id / txnW
+        if (op == "DDL")
+          CdcRecord(e.event_id, pk, e.ts_us, op, txnId, e.event_id % txnW,
+            None, None,
+            Some(s"ALTER TABLE events ADD PARTITION (txn=$txnId)"))
+        else {
+          val before = if (op == "I") None else cur.map(_.value)
+          val after = if (op == "D") None else Some(e.value)
+          cur = Some(CdcImage(e.event_type, e.value))
+          CdcRecord(e.event_id, pk, e.ts_us, op, txnId, e.event_id % txnW,
+            before, after, None)
+        }
+      }
+      cur.foreach(last.update)
+      out.iterator
+    }
+  }
+
   def cdcEnvelopeStream(ds: Dataset[FoldEvent], txnW: Int = 16): Dataset[CdcRecord] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    requireRocksDb(spark, ds.isStreaming)
     ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[CdcImage, CdcRecord](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (pk: Long, events: Iterator[FoldEvent], state: GroupState[CdcImage]) =>
-          var last = state.getOption
-          val out = events.toVector.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-            val op = e.event_type match {
-              case "signup" => "I"; case "error" => "D"
-              case "view" => "DDL"; case _ => "U"
-            }
-            val txnId = e.event_id / txnW
-            if (op == "DDL")
-              CdcRecord(e.event_id, pk, e.ts_us, op, txnId, e.event_id % txnW,
-                None, None,
-                Some(s"ALTER TABLE events ADD PARTITION (txn=$txnId)"))
-            else {
-              val before = if (op == "I") None else last.map(_.value)
-              val after = if (op == "D") None else Some(e.value)
-              last = Some(CdcImage(e.event_type, e.value))
-              CdcRecord(e.event_id, pk, e.ts_us, op, txnId, e.event_id % txnW,
-                before, after, None)
-            }
-          }
-          last.foreach(state.update)
-          out.iterator
-      }
+      .transformWithState(new CdcEnvelopeProcessor(txnW),
+        TimeMode.None(), OutputMode.Append())
   }
 
   // ── op 55: subscription filter + key routing ────────────────────
@@ -290,32 +306,42 @@ object EventStreams {
     * Runs unchanged under batch (one invocation per key = one global
     * sort per key) and streaming (state across micro-batches).
     */
+  class LocfProcessor extends StatefulProcessor[Long, LocfIn, LocfOut] {
+    @transient private var carried: ValueState[LocfState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      carried = getHandle.getValueState[LocfState]("carried",
+        Encoders.product[LocfState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[LocfIn],
+        timerValues: TimerValues): Iterator[LocfOut] = {
+      var s = if (carried.exists()) carried.get()
+        else LocfState(Long.MinValue, Long.MinValue, 0.0, has = false)
+      val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        // the stored (last_ts, last_id) IS the order guard: a
+        // straggler older than the carried reading (late replay
+        // across batches) must not roll the state backwards —
+        // only a strictly newer good reading advances it
+        e.reading.foreach { v =>
+          if (e.ts_us > s.last_ts ||
+              (e.ts_us == s.last_ts && e.event_id > s.last_id))
+            s = LocfState(e.ts_us, e.event_id, v, has = true)
+        }
+        LocfOut(e.event_id, uid, e.ts_us, e.reading,
+          e.reading.orElse(if (s.has) Some(s.last_value) else None))
+      }
+      carried.update(s)
+      out.iterator
+    }
+  }
+
   def fillForward(ds: Dataset[LocfIn]): Dataset[LocfOut] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    requireRocksDb(spark, ds.isStreaming)
     ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[LocfState, LocfOut](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (uid: Long, events: Iterator[LocfIn], state: GroupState[LocfState]) =>
-          var s = state.getOption.getOrElse(
-            LocfState(Long.MinValue, Long.MinValue, 0.0, has = false))
-          val out = events.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-            // the stored (last_ts, last_id) IS the order guard: a
-            // straggler older than the carried reading (late replay
-            // across batches) must not roll the state backwards —
-            // only a strictly newer good reading advances it
-            e.reading.foreach { v =>
-              if (e.ts_us > s.last_ts ||
-                  (e.ts_us == s.last_ts && e.event_id > s.last_id))
-                s = LocfState(e.ts_us, e.event_id, v, has = true)
-            }
-            LocfOut(e.event_id, uid, e.ts_us, e.reading,
-              e.reading.orElse(if (s.has) Some(s.last_value) else None))
-          }
-          state.update(s)
-          out.iterator
-      }
+      .transformWithState(new LocfProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Fold a user's event history into current state. The fold is
@@ -628,46 +654,126 @@ object EventStreams {
   case class UpsertState(position: Long, ts_us: Long, op: String,
       event_type: String, value: Double, n_seen: Long)
 
+  /** Shared last-write-wins arbitration for the upsert-family
+    * processors: fold a batch's row events into the carried winner,
+    * skipping positions beyond a replay bound. `viewIsDdl` selects the
+    * envelope dialect: [[envelopeTxn]] treats `view` events as DDL
+    * (no row image — skipped here), the plain [[envelope]] treats
+    * them as ordinary updates. */
+  private[streaming] def arbitrate(cur0: Option[UpsertState],
+      rows: Iterator[FoldEvent], maxPos: Long,
+      viewIsDdl: Boolean): Option[UpsertState] = {
+    var cur = cur0
+    var seen = cur.map(_.n_seen).getOrElse(0L)
+    rows.foreach { e =>
+      val op = e.event_type match {
+        case "signup" => "I"; case "error" => "D"
+        case "view" if viewIsDdl => "DDL"
+        case _ => "U"
+      }
+      if (op != "DDL" && e.event_id <= maxPos) {
+        seen += 1
+        val wins = cur.forall(c =>
+          e.ts_us > c.ts_us || (e.ts_us == c.ts_us && e.event_id > c.position))
+        if (wins)
+          cur = Some(UpsertState(e.event_id, e.ts_us, op, e.event_type,
+            e.value, seen))
+        else cur = cur.map(_.copy(n_seen = seen))
+      }
+    }
+    cur
+  }
+
+  class UpsertEvolvingProcessor(ddlPos: Long)
+      extends StatefulProcessor[Long, FoldEvent, UpsertEvolved] {
+    @transient private var winner: ValueState[UpsertState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      winner = getHandle.getValueState[UpsertState]("winner",
+        Encoders.product[UpsertState], TTLConfig.NONE)
+
+    override def handleInputRows(pk: Long, rows: Iterator[FoldEvent],
+        timerValues: TimerValues): Iterator[UpsertEvolved] = {
+      val cur = arbitrate(
+        if (winner.exists()) Some(winner.get()) else None, rows,
+        Long.MaxValue, viewIsDdl = true)
+      cur.foreach(winner.update)
+      // a batch delivering only DDL events for this key has no row
+      // image yet — nothing to materialize
+      cur.iterator.map { c =>
+        UpsertEvolved(pk, c.position, c.op, c.ts_us, c.event_type, c.value,
+          if (c.position >= ddlPos)
+            // same rounding as Spark's round(): BigDecimal.valueOf
+            // (decimal string expansion), HALF_UP at scale 6
+            Some(BigDecimal.valueOf(c.value * 2)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None,
+          c.n_seen)
+      }
+    }
+  }
+
   def cdcApplyUpsertEvolvingStream(ds: Dataset[FoldEvent],
       ddlPos: Long): Dataset[UpsertEvolved] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    requireRocksDb(spark, ds.isStreaming)
     ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[UpsertState, UpsertEvolved](
-        org.apache.spark.sql.streaming.OutputMode.Update(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (pk: Long, events: Iterator[FoldEvent], state: GroupState[UpsertState]) =>
-          var cur = state.getOption
-          var seen = cur.map(_.n_seen).getOrElse(0L)
-          events.foreach { e =>
-            val op = e.event_type match {
-              case "signup" => "I"; case "error" => "D"; case "view" => "DDL"
-              case _ => "U"
-            }
-            if (op != "DDL") {
-              seen += 1
-              val wins = cur.forall(c =>
-                e.ts_us > c.ts_us || (e.ts_us == c.ts_us && e.event_id > c.position))
-              if (wins)
-                cur = Some(UpsertState(e.event_id, e.ts_us, op, e.event_type,
-                  e.value, seen))
-              else cur = cur.map(_.copy(n_seen = seen))
-            }
-          }
-          cur.foreach(state.update)
-          // a batch delivering only DDL events for this key has no row
-          // image yet — nothing to materialize
-          cur.iterator.map { c =>
-            UpsertEvolved(pk, c.position, c.op, c.ts_us, c.event_type, c.value,
-              if (c.position >= ddlPos)
-                // same rounding as Spark's round(): BigDecimal.valueOf
-                // (decimal string expansion), HALF_UP at scale 6
-                Some(BigDecimal.valueOf(c.value * 2)
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-              else None,
-              seen)
-          }
-      }
+      .transformWithState(new UpsertEvolvingProcessor(ddlPos),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  // ── op 62d streaming twin: replay-to-position (meepo's consumer
+  //    read: "materialize the table as of binlog offset P") ─────────
+  /** Position-bounded streaming replay — [[cdcSnapshotAsOf]]'s twin on
+    * the live feed. The consumer passes the bound (`asofPos`, the
+    * binlog offset a production replay names explicitly; the batch op
+    * derives the same number from the log because an offline oracle
+    * needs a closed form). Events beyond the bound are IGNORED, not
+    * buffered: the processor is a plain last-write-wins fold over the
+    * admitted prefix, so state stays one row image per key no matter
+    * how far past the bound the feed runs. Update mode — the final
+    * emission per key (max `n_seen`) minus op=D rows IS the snapshot,
+    * proven ≡ the batch op in EventStreamSpec.
+    *
+    * 100 TB: the bound-filter runs before the shuffle (a pushed
+    * predicate on the position column of a position-sorted feed), so
+    * a replay-to-yesterday reads the prefix, and per-key state is
+    * O(1); the StateStore shards by pk with the groupBy.
+    */
+  case class SnapshotRow(user_id: Long, last_position: Long, op: String,
+      ts_us: Long, last_event_type: String, last_value: Double, n_seen: Long)
+
+  class SnapshotAsOfProcessor(asofPos: Long)
+      extends StatefulProcessor[Long, FoldEvent, SnapshotRow] {
+    @transient private var winner: ValueState[UpsertState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      winner = getHandle.getValueState[UpsertState]("winner",
+        Encoders.product[UpsertState], TTLConfig.NONE)
+
+    override def handleInputRows(pk: Long, rows: Iterator[FoldEvent],
+        timerValues: TimerValues): Iterator[SnapshotRow] = {
+      val cur = arbitrate(
+        if (winner.exists()) Some(winner.get()) else None, rows,
+        asofPos, viewIsDdl = false)
+      cur.foreach(winner.update)
+      cur.iterator.map(c => SnapshotRow(pk, c.position, c.op, c.ts_us,
+        c.event_type, c.value, c.n_seen))
+    }
+  }
+
+  def cdcSnapshotAsOfStream(ds: Dataset[FoldEvent],
+      asofPos: Long): Dataset[SnapshotRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    requireRocksDb(spark, ds.isStreaming)
+    // drop beyond-bound events BEFORE the shuffle: on a position-
+    // ordered feed this is the "read only the prefix" range scan
+    ds.filter(_.event_id <= asofPos)
+      .groupByKey(_.user_id)
+      .transformWithState(new SnapshotAsOfProcessor(asofPos),
+        TimeMode.None(), OutputMode.Update())
   }
 
   // ── op 63: stream × static enrichment ───────────────────────────

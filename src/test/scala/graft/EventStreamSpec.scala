@@ -363,6 +363,28 @@ class EventStreamSpec extends SparkSpec {
     assert(ev.filter(col("event_id") > asof).count() > 0)
   }
 
+  test("cdc snapshot-asof streaming twin: position-bounded replay equals the batch snapshot") {
+    val ev = Tables.events(spark, sf001)
+    // the same ⌊max·3/5⌋ bound the batch op derives from the log — a
+    // production consumer passes the binlog offset explicitly
+    val asof = ev.agg(max("event_id")).head().getLong(0) * 3 / 5
+    val batch = EventStreams.cdcSnapshotAsOf(ev).drop("asof_pos")
+      .orderBy("user_id").collect().toSeq
+    val streamed = runToMemory(
+      EventStreams.cdcSnapshotAsOfStream(
+        EventStreams.toFoldEvents(streamEvents), asof).toDF(),
+      "t_snap_asof", "update")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    val finalState = streamed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D").drop("rn", "n_seen")
+      .orderBy("user_id").collect().toSeq
+    assert(finalState == batch)
+    assert(batch.nonEmpty)
+    // the replay is genuinely bounded: the feed continues past asof
+    assert(ev.filter(col("event_id") > asof).count() > 0)
+  }
+
   test("session timers: event-time timers close idle sessions (TWS)") {
     import spark.implicits._
     import graft.streaming.StatefulProcessors
