@@ -42,6 +42,22 @@ object Relational extends OpModule {
     }
   }
 
+  /** Render the SF-invariant nation CSV fixture (shared by `scan_csv`
+    * and `scan_dsv2`; 25 rows, byte-identical at every SF dir — the
+    * static-oracle-path requirement documented on `scan_csv`). */
+  private def nationCsvFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): java.nio.file.Path = {
+    val rows = Tables.nation(s, d)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey").collect()
+    val f = java.nio.file.Paths.get("/tmp/graft_scan_fixtures/nation.csv")
+    val body = "n_nationkey,n_name,n_regionkey\n" +
+      rows.map(r => s"${r.get(0)},${r.getString(1)},${r.get(2)}")
+        .mkString("\n") + "\n"
+    writeFixtureAtomic(f, body)
+    f
+  }
+
   /** Session-scoped roots whose hive-partitioned events fixture has
     * been written — memoized only AFTER a successful write (the
     * layout_compact pattern: a failed write must retry, never feed
@@ -160,14 +176,7 @@ object Relational extends OpModule {
     // inference pass a schema-less read pays.
     Op("scan_csv",
       (s, d) => {
-        val rows = Tables.nation(s, d)
-          .select("n_nationkey", "n_name", "n_regionkey")
-          .orderBy("n_nationkey").collect()
-        val f = java.nio.file.Paths.get("/tmp/graft_scan_fixtures/nation.csv")
-        val body = "n_nationkey,n_name,n_regionkey\n" +
-          rows.map(r => s"${r.get(0)},${r.getString(1)},${r.get(2)}")
-            .mkString("\n") + "\n"
-        writeFixtureAtomic(f, body)
+        val f = nationCsvFixture(s, d)
         s.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
           .option("header", true).csv(f.toString)
           .orderBy("n_nationkey")
@@ -216,6 +225,27 @@ object Relational extends OpModule {
       Some("""SELECT n_nationkey, n_name, n_regionkey, n_score
               FROM read_json('/tmp/graft_scan_fixtures/nation_ext.jsonl',
                              format='newline_delimited')
+              ORDER BY n_nationkey""")),
+
+    // The custom DataSourceV2 connector (SURVEY row 7f, VERDICT r10
+    // #7): TableProvider → ScanBuilder → Batch → PartitionReader over
+    // the same rendered nation fixture, with the filter PUSHED into
+    // the reader (rows failing it never become InternalRows) and the
+    // projection PRUNED (n_regionkey is consumed by the pushed filter
+    // and never materialized). PlanSpec pins both on the executed
+    // plan's BatchScanExec; the hash gate pins the bytes.
+    Op("scan_dsv2",
+      (s, d) => {
+        val f = nationCsvFixture(s, d)
+        s.read.format("graft.sources.GraftFixtureSource")
+          .option("path", f.toString).load()
+          .filter(col("n_regionkey") <= 2)
+          .select("n_nationkey", "n_name")
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name
+              FROM read_csv('/tmp/graft_scan_fixtures/nation.csv', header=true)
+              WHERE n_regionkey <= 2
               ORDER BY n_nationkey""")),
 
     // ── §2.2 row expressions ──────────────────────────────────────

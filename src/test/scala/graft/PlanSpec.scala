@@ -62,6 +62,39 @@ class PlanSpec extends SparkSpec {
       "l_quantity:double"), s"projection not pruned:\n$p")
   }
 
+  test("scan_dsv2: the custom connector receives the pushed filter and the pruned schema") {
+    val df = SparkEntry.queries("scan_dsv2")(spark, sf001)
+    // AQE wraps the physical plan — collect inside its current plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }
+    val fixture = scans.collectFirst {
+      case s: graft.sources.FixtureScan => s }
+    assert(fixture.isDefined, s"no FixtureScan in:\n${df.queryExecution}")
+    val s = fixture.get
+    // the regionkey predicate crossed the DSv2 boundary…
+    assert(s.pushedForTest.exists {
+      case org.apache.spark.sql.sources.LessThanOrEqual("n_regionkey", v) =>
+        v.asInstanceOf[Number].longValue == 2L
+      case _ => false
+    }, s"filter not pushed: ${s.pushedForTest}")
+    // …and the filter-only column was pruned from the read schema
+    assert(s.readSchema.fieldNames.toSeq == Seq("n_nationkey", "n_name"),
+      s"projection not pruned: ${s.readSchema.fieldNames.toSeq}")
+    // end-to-end: pushed + pruned read equals the plain CSV read
+    val expect = SparkEntry.queries("scan_csv")(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("n_regionkey") <= 2)
+      .select("n_nationkey", "n_name")
+      .collect().toSeq
+    assert(df.collect().toSeq == expect)
+  }
+
   test("join_inner_bhj: dimension is broadcast, fact side never shuffles") {
     val p = planOf("join_inner_bhj")
     assert(p.contains("BroadcastHashJoin"), p)
