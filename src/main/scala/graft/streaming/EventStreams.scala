@@ -776,6 +776,96 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ── op 62e: streaming delivery-gap audit (cdc_gap_audit's twin) ──
+  /** Live form of the batch `cdc_gap_audit`'s two-level decomposition:
+    * the consumer proves it missed nothing WHILE consuming, without a
+    * global window.
+    *
+    *  - **Level 1 (streaming, here)**: positions key by their
+    *    1024-wide block; per-block state is THREE numbers (last seen,
+    *    block min, block max). An in-block jump emits the gap row
+    *    immediately — the detection latency a replication monitor
+    *    actually wants. A per-block `summary` row re-emits whenever
+    *    the block's span grows (monotone, so later rows subsume
+    *    earlier ones).
+    *  - **Level 2 ([[assembleGapAudit]], batch)**: cross-block gaps
+    *    fall out of one lag() over the final block summaries — a
+    *    relation of positions/1024 rows, bounded metadata exactly as
+    *    in the batch op.
+    *
+    * Same in-order-delivery precondition as [[fillForward]] (true of
+    * a binlog feed); a duplicate or stale position is ignored by the
+    * monotone `last` guard, so at-least-once delivery cannot emit a
+    * phantom gap. EventStreamSpec proves level 1 + level 2 over a
+    * two-batch replay ≡ the batch `cdc_gap_audit` row-for-row.
+    */
+  case class GapRow(b: Long, kind: String, gap_start: Long, gap_end: Long,
+      mn: Long, mx: Long)
+  case class BlockState(last: Long, mn: Long, mx: Long)
+
+  class GapAuditProcessor
+      extends StatefulProcessor[Long, Long, GapRow] {
+    @transient private var block: ValueState[BlockState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      block = getHandle.getValueState[BlockState]("block",
+        Encoders.product[BlockState], TTLConfig.NONE)
+
+    override def handleInputRows(b: Long, rows: Iterator[Long],
+        timerValues: TimerValues): Iterator[GapRow] = {
+      var s = if (block.exists()) Some(block.get()) else None
+      val out = Vector.newBuilder[GapRow]
+      rows.toVector.sorted.foreach { p =>
+        s match {
+          case Some(st) if p <= st.last => () // dup/stale redelivery
+          case Some(st) =>
+            if (p - st.last > 1)
+              out += GapRow(b, "gap", st.last + 1, p - 1, 0L, 0L)
+            s = Some(BlockState(p, st.mn, p))
+          case None => s = Some(BlockState(p, p, p))
+        }
+      }
+      s.foreach { st =>
+        block.update(st)
+        out += GapRow(b, "summary", 0L, 0L, st.mn, st.mx)
+      }
+      out.result().iterator
+    }
+  }
+
+  def gapAuditStream(positions: Dataset[Long],
+      blockW: Long = 1024L): Dataset[GapRow] = {
+    val spark = positions.sparkSession
+    import spark.implicits._
+    requireRocksDb(spark, positions.isStreaming)
+    positions.groupByKey(_ / blockW)
+      .transformWithState(new GapAuditProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Level 2 of the audit, over the collected [[gapAuditStream]]
+    * output: final block spans (min/max over the monotone summary
+    * re-emissions) + one lag() across blocks for the cross-block
+    * gaps, unioned with the streamed in-block gaps — the identical
+    * two-level assembly the batch `cdc_gap_audit` runs. */
+  def assembleGapAudit(rows: DataFrame): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window.orderBy("b")
+    val inBlock = rows.filter(col("kind") === "gap")
+      .select(col("gap_start"), col("gap_end"))
+      // at-least-once replay across restarts may re-emit a gap row
+      .distinct()
+    val crossBlock = rows.filter(col("kind") === "summary")
+      .groupBy("b").agg(min("mn").as("mn"), max("mx").as("mx"))
+      .withColumn("prev_mx", lag("mx", 1).over(wB))
+      .filter(col("prev_mx").isNotNull && col("mn") - col("prev_mx") > 1)
+      .select((col("prev_mx") + 1).as("gap_start"),
+        (col("mn") - 1).as("gap_end"))
+    inBlock.unionByName(crossBlock)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("n_missing"))
+      .orderBy("gap_start")
+  }
+
   // ── op 63: stream × static enrichment ───────────────────────────
   def enrichWithCustomer(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),

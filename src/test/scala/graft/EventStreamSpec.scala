@@ -385,6 +385,33 @@ class EventStreamSpec extends SparkSpec {
     assert(ev.filter(col("event_id") > asof).count() > 0)
   }
 
+  test("streaming gap audit: live in-block detection + block-summary assembly equals batch cdc_gap_audit") {
+    import spark.implicits._
+    val batch = SparkEntry.queries("cdc_gap_audit")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val dir = tmpDir("graft_gap_stream")
+    // same planted holes as the batch op; split by POSITION so
+    // per-block arrival order matches the binlog precondition
+    val ids = rawNsEvents.filter(col("event_id") % 97 =!= 0)
+    val mid = ids.agg(max("event_id")).head().getLong(0) / 2
+    ids.filter(col("event_id") < mid).write.mode("overwrite").parquet(s"$dir/in")
+    val raw = spark.readStream.schema(EventStreams.rawSchema).parquet(s"$dir/in")
+    val q = EventStreams.gapAuditStream(raw.select("event_id").as[Long]).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_gap").start()
+    q.processAllAvailable()
+    ids.filter(col("event_id") >= mid).write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    val got = EventStreams.assembleGapAudit(spark.table("t_gap"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == batch)
+    assert(batch.nonEmpty)
+    // the audit crossed a micro-batch boundary with live state: at
+    // least one planted hole sits in each half
+    assert(batch.exists(_._1 < mid) && batch.exists(_._1 > mid))
+  }
+
   test("session timers: event-time timers close idle sessions (TWS)") {
     import spark.implicits._
     import graft.streaming.StatefulProcessors
