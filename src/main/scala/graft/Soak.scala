@@ -44,7 +44,13 @@ object Soak {
     // embeddings family (ANN index + banded candidates)
     "llm_simsearch_ivfpq", "llm_ivf_append_probe", "llm_simsearch_lsh",
     // events family (window/state shapes)
-    "win_session", "cdc_txn_groups")
+    "win_session", "cdc_txn_groups",
+    // TPC-H join/window/agg families (scaled fact, unscaled dims —
+    // per-dim-key fact cardinality grows with volume, the realistic
+    // fact-growth profile)
+    "join_inner_smj", "join_star_multiway", "join_lateral_topn",
+    "agg_hash_group", "agg_topk_partial", "win_running",
+    "win_topk_group", "sort_multi")
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -145,6 +151,29 @@ object Soak {
         .withColumn("user_id", col("user_id") + lit(i * uOff))
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // TPC-H side: scale the FACTS (orders/lineitem, offsetting
+    // o_orderkey/l_orderkey together so the join key stays
+    // consistent; o_custkey/l_suppkey/l_partkey unchanged so
+    // per-dim-key fact cardinality grows with volume), copy the
+    // DIMS verbatim — how a warehouse actually grows.
+    val orders = Tables.orders(spark, base)
+    val oOff = orders.agg(max("o_orderkey")).head().getLong(0) + 1L
+    (0 until k).map { i =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * oOff))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val li = Tables.lineitem(spark, base)
+    (0 until k).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * oOff))
+    }.reduce(_ unionByName _)
+      .repartition(64).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$base/$t.parquet"),
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
 
     java.nio.file.Files.write(marker, Array.emptyByteArray)
     println(f"[soak] generated x$k corpus in ${(System.nanoTime() - t0) / 1e9}%.1fs")
