@@ -74,7 +74,11 @@ object Soak {
       SoakQueries.foreach { q =>
         def once(): Double = {
           val t0 = System.nanoTime()
-          SparkEntry.queries(q)(spark, dir).count()
+          // materialize the FULL plan (all output columns): a plain
+          // count() lets Catalyst prune unreferenced Sort/Window
+          // operators, which would measure only the scan for
+          // sort_multi / win_running
+          SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count()
           (System.nanoTime() - t0) / 1e9
         }
         val t1 = once(); val t2 = once()
