@@ -57,6 +57,9 @@ object Soak {
     val work = if (args.length > 1) args(1) else "/tmp/graft_soak"
     val scales = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
       else Seq(1, 8, 64)
+    // optional 4th arg: restrict to these queries (deep-scale runs)
+    val queries = if (args.length > 3) args(3).split(",").toSeq
+      else SoakQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,7 +74,7 @@ object Soak {
       (String, Int), (Double, Double)]()
     scales.foreach { k =>
       val dir = dirFor(base, work, k)
-      SoakQueries.foreach { q =>
+      queries.foreach { q =>
         def once(): Double = {
           val t0 = System.nanoTime()
           // materialize the FULL plan (all output columns): a plain
@@ -90,7 +93,7 @@ object Soak {
     // per-query exponents between consecutive scale points
     val sb = new StringBuilder
     sb.append("{\"scales\":[").append(scales.mkString(",")).append("],\"queries\":{")
-    sb.append(SoakQueries.map { q =>
+    sb.append(queries.map { q =>
       val pts = scales.map(k => (k, results((q, k))))
       def alphas(sel: ((Double, Double)) => Double) =
         pts.sliding(2).map { case Seq((ka, ta), (kb, tb)) =>
