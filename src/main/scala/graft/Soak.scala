@@ -61,9 +61,13 @@ object Soak {
     val queries = if (args.length > 3) args(3).split(",").toSeq
       else SoakQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // at deep scale points the 100 TB discipline applies on this box
+    // too: shuffle partitions must grow with the data so a partition
+    // stays memory-resident (SPARK_GRAFT_SHUFFLE overrides)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
