@@ -1046,10 +1046,18 @@ object LlmOps extends OpModule {
         posexplode(col("sh")).as(Seq("pos", "s")))
       .filter(col("pos") <
         (col("n") - ceil(col("n") * tau) + 1).cast("int"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val a = pref.select(col("doc_id").as("doc_a"), col("h"))
-    val b = pref.select(col("doc_id").as("doc_b"), col("h").as("h_b"))
-    val cand = a.join(b, col("h") === col("h_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("h"))
+    val a = pref.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("h"))
+    val b = pref.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+      col("h").as("h_b"))
+    // PPJoin+ length filter: J(a,b) ≥ τ ⇒ τ·|a| ≤ |b| ≤ |a|/τ, so a
+    // size-mismatched collision never reaches the dedup shuffle or
+    // the exact confirm. Relaxed by 1e-9 so double rounding can only
+    // KEEP a borderline candidate (the confirm rejects it), never
+    // prune a true pair. Carries one int through the posting shuffle.
+    val cand = a.join(b, col("h") === col("h_b") && col("doc_a") < col("doc_b")
+        && col("n_b").cast("double") >= col("n_a") * tau - 1e-9
+        && col("n_a").cast("double") >= col("n_b") * tau - 1e-9)
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
     val sa = sorted.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sorted.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
