@@ -1138,8 +1138,9 @@ object LlmOps extends OpModule {
         xxhash64(col("s")).as("h"))
     val a = posted
       .filter(col("pos") < (col("n") - ceil(col("n") * tau) + 1).cast("int"))
-      .select(col("doc_id").as("doc_a"), col("h"))
-    val full0 = posted.select(col("doc_id").as("doc_b"), col("h"))
+      .select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("h"))
+    val full0 = posted.select(col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("h"))
     val full = maxPostingDf match {
       case None => full0
       case Some(cap) =>
@@ -1150,8 +1151,13 @@ object LlmOps extends OpModule {
         full0.withColumn("df", count(lit(1)).over(w))
           .filter(col("df") <= cap).drop("df")
     }
-    val cand = a.join(full,
-        Seq("h")).filter(col("doc_a") =!= col("doc_b"))
+    // one-sided length filter (asymmetric PPJoin+ form):
+    // |Sa∩Sb| ≥ τ|Sa| and |Sa∩Sb| ≤ |Sb| force |Sb| ≥ τ|Sa|; there
+    // is no upper bound on |Sb| (a huge doc can contain a small
+    // one). Relaxed by 1e-9 so rounding can only keep a candidate.
+    val cand = a.join(full, Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("n_b").cast("double") >= col("n_a") * tau - 1e-9)
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
     val sa = sorted.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sorted.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
