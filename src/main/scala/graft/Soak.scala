@@ -140,7 +140,9 @@ object Soak {
         .withColumn("text", array_join(
           transform(split(col("text"), " "), x => concat(x, lit(s"_r$i"))),
           " "))
-        .withColumn("n_chars", length(col("text")))
+        // explicit cast: base n_chars is LongType, length() is IntegerType —
+        // don't lean on unionByName's implicit set-op widening
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     docReps.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -40,6 +40,55 @@ object Scale {
       .agg(round(sum("psum"), 6).cast("double").as("total"),
         sum("pcnt").as("cnt"))
 
+  /** The measured partition-sizing law (SCALE.md "Deep point: 256×",
+    * SOAK_R13_DEEP*.json): `spark.sql.shuffle.partitions` is a function
+    * of data volume. At 1.28M docs the fixed 32 partitions made each
+    * posting partition outgrow its memory share and spill I/O became
+    * the growing term (containment α_cold 1.28); partitions sized to
+    * the data (256) restored the sublinear exponent (0.73). The
+    * converse held at the smaller point: 256 partitions at 64× was
+    * WORSE than 32 (per-partition overhead dominates when partitions
+    * are too small) — so the law must engage only when volume demands
+    * it.
+    *
+    * Operating point, calibrated from both soak measurements: ~1 MB of
+    * ESTIMATED INPUT BYTES per shuffle partition. The estimate is
+    * Catalyst's `optimizedPlan.stats.sizeInBytes` over the pre-explode
+    * input (parquet file statistics — trustworthy; post-explode stats
+    * are not), and 1 MB of this corpus's compressed text inflates
+    * ~30–60× into posting-join shuffle rows, landing each sized
+    * partition right at AQE's 64 MB advisory target. Healthy configs
+    * measured: x256 (157 MB on disk) / 256 parts ≈ 1.2 MB-in/part;
+    * x64 (38 MB) / 32 parts ≈ 1.2 MB-in/part.
+    *
+    * Floor = the session's shuffle-partition setting, so at oracle
+    * scales (sf0.01/sf0.1) the law is a no-op and plans stay
+    * byte-identical. Cap = 4096: past that, this single-box harness is
+    * not the instrument — on a cluster the same law is what AQE's
+    * `initialPartitionNum` + advisory partition size automate, and the
+    * cap also bounds the damage if a stats estimate degenerates to
+    * `defaultSizeInBytes` (unknown-stats sentinel).
+    */
+  def sizedPartitions(input: DataFrame,
+      bytesPerPartition: Long = 1L << 20,
+      maxPartitions: Int = 4096): Int = {
+    val sessionDefault =
+      input.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val est = input.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (est / bytesPerPartition).min(BigInt(maxPartitions)).toInt
+    math.max(sessionDefault, want)
+  }
+
+  /** `true` when [[sizedPartitions]] would exceed the session default —
+    * the callers' gate for swapping in explicit partition counts. Kept
+    * separate so call sites can keep the r13 plan (AQE-coalescible
+    * implicit exchanges) byte-for-byte when the law is a no-op.
+    */
+  def sizingEngaged(input: DataFrame,
+      bytesPerPartition: Long = 1L << 20): Boolean =
+    sizedPartitions(input, bytesPerPartition) >
+      input.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** Salted fact⋈dim equi join for skewed fact keys: the fact side
     * gets a nondeterministic-but-irrelevant salt in [0, buckets), the
     * dim side is REPLICATED once per salt value (explode over the

@@ -65,7 +65,10 @@ object GraftFixtureSource {
       case LessThanOrEqual(a, v) => lng(row(a)) <= lng(v)
       case In(a, vs) => vs.exists(v => lng(row(a)) == lng(v))
       case And(l, r) => eval(l, row) && eval(r, row)
-      case _ => true
+      // A shape accepted by pushable() but not handled here means Spark
+      // already removed the filter from the plan (it was not residual) —
+      // silently returning `true` would drop the predicate. Fail loudly.
+      case other => sys.error(s"pushable/eval drift: unhandled pushed filter $other")
     }
   }
 
@@ -159,7 +162,12 @@ class FixtureReader(path: String, columns: Array[String],
   override def next(): Boolean = {
     current = null
     while (current == null && lines.hasNext) {
-      val parts = lines.next().split(",", -1)
+      val line = lines.next()
+      val parts = line.split(",", -1)
+      // the renderer guarantees exactly 3 unquoted fields; any other file
+      // wired in via the `path` option should fail loudly, not mis-parse
+      require(parts.length == 3,
+        s"graft_fixture: malformed line (expected 3 comma-separated fields): $line")
       val row = Map[String, Any](
         "n_nationkey" -> parts(0).toLong,
         "n_name" -> parts(1),

@@ -400,12 +400,26 @@ object EventStreams {
   /** transformWithState requires the RocksDB provider. Session-conf
     * side effect — scoped to streaming inputs only (batch doesn't read
     * it) and documented: queries resuming an HDFS-provider checkpoint
-    * on the same session must reset this conf first. */
+    * on the same session must reset this conf first. To keep that
+    * footgun loud rather than silent, this refuses to OVERWRITE a
+    * session that was explicitly pinned to a different provider —
+    * flipping the provider under a live checkpoint corrupts/fails the
+    * resume, so the caller must opt in by clearing the conf. */
   private[streaming] def requireRocksDb(spark: SparkSession,
       isStreaming: Boolean): Unit =
     if (isStreaming) {
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val rocks =
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      // getAll = explicitly-set confs only; getOption would surface the
+      // HDFS *default* and trip the guard on every fresh session
+      val current = spark.conf.getAll.get(key)
+      require(current.forall(_ == rocks),
+        s"session state-store provider already pinned to ${current.get}; " +
+          "transformWithState needs RocksDB — unset the conf (or use a " +
+          "separate session) instead of letting graft silently switch " +
+          "providers under existing checkpoints")
+      spark.conf.set(key, rocks)
     }
 
   def statefulFoldTws(ds: Dataset[FoldEvent]): Dataset[UserFold] = {
