@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * decoder (JNI image lib, ffmpeg pipe, …) amortizes its init across
   * a partition.
   *
-  * The decode step itself is STUBBED — media codecs are not in this
-  * container — with a deterministic fake (byte histogram) so the
-  * Spark-side contract is fully real and testable: binary schema,
-  * metadata struct, mapPartitions batch shape, fixed-size float
-  * feature output, partition-count preservation.
+  * Decode is REAL for three image families: P6 PPM (pure-JVM parser
+  * below), and PNG/JPEG via the JDK's built-in `javax.imageio` (no
+  * external codec dependency, works offline). Media the JDK cannot
+  * decode (audio/video containers, or opaque blobs mislabeled as
+  * images) falls back to a deterministic byte histogram so the
+  * Spark-side contract — binary schema, metadata struct,
+  * mapPartitions batch shape, fixed-size float feature output,
+  * partition-count preservation — is exercised for every record.
   *
   * 100 TB notes: records flow through mapPartitions without
   * collect/driver involvement; feature vectors are fixed-size arrays
@@ -82,6 +85,78 @@ object Multimodal extends OpModule {
     } catch { case _: NumberFormatException => None }
   }
 
+  /** Real PNG/JPEG decode via the JDK's `javax.imageio` — no external
+    * codec library, deterministic per JDK. Pixels come out as packed
+    * sRGB ints (`getRGB`), flattened to the same (w, h, rgb-bytes)
+    * shape as [[decodePpm]]; PNG round-trips losslessly, JPEG is
+    * lossy-but-deterministic. Returns None when no registered reader
+    * matches the byte stream (the stub-fallback trigger). */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          rgb(i) = ((p >> 16) & 0xff).toByte
+          rgb(i + 1) = ((p >> 8) & 0xff).toByte
+          rgb(i + 2) = (p & 0xff).toByte
+          i += 3
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, rgb))
+    }
+  }
+
+  /** Deterministic real PNG/JPEG bytes from text: pixel (x,y) channel
+    * k reads the UTF-8 payload cycled at stride 3 — the [[ppmBytes]]
+    * pattern rendered through `BufferedImage` + `ImageIO.write`. */
+  private[graft] def imageBytes(text: String, w: Int, h: Int,
+      fmt: String): Array[Byte] = {
+    val payload = text.getBytes("UTF-8")
+    def at(k: Int): Int =
+      if (payload.isEmpty) 0 else payload(k % payload.length) & 0xff
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (at(i) << 16) | (at(i + 1) << 8) | at(i + 2))
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  /** Real encoded images from the corpus (`fmt` = "png" | "jpg"),
+    * media-typed so [[extractFeatures]] routes them through the
+    * ImageIO decoder. */
+  def packImages(docs: DataFrame, fmt: String = "png", w: Int = 4,
+      h: Int = 4): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mt = if (fmt == "jpg") "image/jpeg" else s"image/$fmt"
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) => MediaRecord(id, imageBytes(text, w, h, fmt), mt, w, h)
+    }
+  }
+
   /** Nearest-neighbor RGB resize — the real thing, not a stub: source
     * pixel (floor(x·w/tw), floor(y·h/th)) per target pixel. */
   def resizeRgb(w: Int, h: Int, rgb: Array[Byte],
@@ -123,23 +198,28 @@ object Multimodal extends OpModule {
     out.result()
   }
 
-  /** Feature extraction. `image/ppm` media decodes for real (P6
-    * parser above → per-channel means + dimensions); other media
-    * types fall back to the STUB path — a real pipeline would invoke
-    * the codec library here (unavailable in this container) — a
-    * deterministic byte histogram that keeps the Spark contract fully
-    * exercised: per-partition iteration, fixed-size Array[Float]
-    * output, no driver round-trip.
+  /** Feature extraction. `image/ppm` decodes via the P6 parser,
+    * `image/png` / `image/jpeg` (any image subtype) via the JDK ImageIO
+    * decoder; media that fails to decode — audio/video containers, or
+    * blobs mislabeled as images (packMedia's fake types) — falls back
+    * to the deterministic byte histogram, keeping the Spark contract
+    * fully exercised for every record: per-partition iteration,
+    * fixed-size Array[Float] output, no driver round-trip.
     */
   def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = records.sparkSession
     import spark.implicits._
     records.mapPartitions { it =>
-      // real decoder init (codec contexts, buffers) happens once per
-      // partition here
+      // real decoder init happens once per partition: disable ImageIO's
+      // tmp-file disk cache so per-record decodes stay in-memory
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val feats = new Array[Float](FeatureDim)
-        val decoded = if (r.media_type == "image/ppm") decodePpm(r.media) else None
+        val decoded = r.media_type match {
+          case "image/ppm" => decodePpm(r.media)
+          case t if t.startsWith("image/") => decodeImage(r.media)
+          case _ => None
+        }
         decoded match {
           case Some((w, h, rgb)) =>
             val sums = new Array[Long](3)
@@ -276,6 +356,22 @@ object Multimodal extends OpModule {
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
           round(element_at(col("features"), 1), 6).as("f0"),
           round(element_at(col("features"), 2), 6).as("f1"))
+        .orderBy("doc_id"),
+      None),
+
+    // REAL PNG decode end-to-end: corpus text → ImageIO-encoded PNGs →
+    // ImageIO decode → channel-mean features. PNG is lossless, so the
+    // decoded means are exact deterministic functions of the text bytes
+    // (MultimodalSpec pins them against the byte-cycle pattern; the
+    // JPEG lossy variant is spec-pinned with tolerance). No oracle:
+    // binary pipeline is Spark-side only.
+    Op("llm_multimodal_decode_img",
+      (s, d) => extractFeatures(packImages(Tables.documents(s, d), fmt = "png"))
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("mean_r"),
+          round(element_at(col("features"), 4), 6).as("brightness"),
+          element_at(col("features"), 8).cast("int").as("decoded"))
         .orderBy("doc_id"),
       None),
 
