@@ -76,10 +76,9 @@ object LlmOps extends OpModule {
     // shuffle files (the jaccardPairs/simHashPairs materialization
     // point, VERDICT r7 #1/#2). Shingles are projected away first so
     // the shuffle ships (doc_id, toks, k longs), not the shingle blowup
-    val sig = withSh
+    val sig = Scale.repartitionSized(Scale.sizedShuffle(docs), withSh
       .withColumn("mh", minhashes)
-      .select(col("doc_id"), col("toks"), col("mh"))
-      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("toks"), col("mh")), col("doc_id"))
     val banded = sig
       .select(col("doc_id"),
         posexplode(array((0 until bands).map { b =>
@@ -96,9 +95,15 @@ object LlmOps extends OpModule {
     // token arrays would otherwise cross the shuffle 2×bands times;
     // they re-attach via doc_id joins on the (small) candidate set
     val (banded, tokSets) = bandedMinhash(docs, k, bands)
-    val a = banded.select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
-      col("band_hash").as("band_hash_b"))
+    // partition-sizing law on the band self-join (the family's big
+    // shuffle) — no-op below the Scale.sizedShuffle threshold
+    val sized = Scale.sizedShuffle(docs)
+    val a = Scale.shuffleSized(sized,
+      banded.select(col("doc_id").as("doc_a"), col("band_id"),
+        col("band_hash")), col("band_id"), col("band_hash"))
+    val b = Scale.shuffleSized(sized,
+      banded.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"),
+        col("band_hash").as("band_hash_b")), col("band_id_b"), col("band_hash_b"))
     val candidates = a.join(b,
         col("band_id") === col("band_id_b") &&
         col("band_hash") === col("band_hash_b") &&
@@ -1030,10 +1035,15 @@ object LlmOps extends OpModule {
     // ONE kernel corpus pass (without it, each branch's own pushed
     // isnotnull/size filters below the repartition broke reuse and the
     // kernel ran four times — measured via explain, r12).
-    val sorted = shingleSets(docs, shingleN)
+    // The measured partition-sizing law (Scale.sizedShuffle, SCALE.md
+    // "Deep point: 256×"): sized off the pre-explode corpus estimate,
+    // a no-op (plan byte-identical to r13) at oracle/bench scales,
+    // widening this materialization point AND the candidate-join
+    // exchanges below once the corpus outgrows the session default.
+    val sized = Scale.sizedShuffle(docs)
+    val sorted = Scale.repartitionSized(sized, shingleSets(docs, shingleN)
       .filter(col("doc_id").isNotNull && col("sh").isNotNull &&
-        size(col("sh")) > 0)
-      .repartition(col("doc_id"))
+        size(col("sh")) > 0), col("doc_id"))
     // Prefix postings as posexplode + pos-filter (not explode(slice)):
     // value-identical, but the Generate's implicit predicates land on
     // `sh` itself — the same expressions every other branch pushes — so
@@ -1055,7 +1065,13 @@ object LlmOps extends OpModule {
     // the exact confirm. Relaxed by 1e-9 so double rounding can only
     // KEEP a borderline candidate (the confirm rejects it), never
     // prune a true pair. Carries one int through the posting shuffle.
-    val cand = a.join(b, col("h") === col("h_b") && col("doc_a") < col("doc_b")
+    // The posting join is the family's largest shuffle — the exchange
+    // the sizing law exists for. Pinning both sides to the sized
+    // hash partitioning on their join key means the SMJ adopts it
+    // (no second exchange); law off → no plan change.
+    val cand = Scale.shuffleSized(sized, a, col("h"))
+      .join(Scale.shuffleSized(sized, b, col("h_b")),
+        col("h") === col("h_b") && col("doc_a") < col("doc_b")
         && col("n_b").cast("double") >= col("n_a") * tau - 1e-9
         && col("n_a").cast("double") >= col("n_b") * tau - 1e-9)
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
@@ -1115,10 +1131,14 @@ object LlmOps extends OpModule {
     // times (measured via explain, r12). Pre-applying the UNION of
     // those predicates makes every pushed copy redundant (CombineFilters
     // drops it), so all four branches share ONE exchange.
-    val sorted = shingleSets(docs, shingleN)
+    // Partition-sizing law (Scale.sizedShuffle) — this op is WHY it
+    // exists: at the 256× soak point the fixed-width posting-join
+    // shuffle spilled and α_cold hit 1.03 (SOAK_R13_DEEP_SH256.json);
+    // sized partitions restored 0.73. No-op below the threshold.
+    val sized = Scale.sizedShuffle(docs)
+    val sorted = Scale.repartitionSized(sized, shingleSets(docs, shingleN)
       .filter(col("doc_id").isNotNull && col("sh").isNotNull &&
-        size(col("sh")) > 0)
-      .repartition(col("doc_id"))
+        size(col("sh")) > 0), col("doc_id"))
     // BOTH candidate sides derive from ONE posexploded posting
     // relation: the contained side is `pos < prefixLen`, the
     // containing side is every row (the asymmetric bound says nothing
@@ -1139,8 +1159,12 @@ object LlmOps extends OpModule {
     val a = posted
       .filter(col("pos") < (col("n") - ceil(col("n") * tau) + 1).cast("int"))
       .select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("h"))
-    val full0 = posted.select(col("doc_id").as("doc_b"),
-      col("n").as("n_b"), col("h"))
+    // sized BEFORE the df window: the window clusters on h, adopts the
+    // sized exchange, and the join side stays co-partitioned on h all
+    // the way through — one sized shuffle serves df-count AND join
+    val full0 = Scale.shuffleSized(sized,
+      posted.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        col("h")), col("h"))
     val full = maxPostingDf match {
       case None => full0
       case Some(cap) =>
@@ -1155,7 +1179,7 @@ object LlmOps extends OpModule {
     // |Sa∩Sb| ≥ τ|Sa| and |Sa∩Sb| ≤ |Sb| force |Sb| ≥ τ|Sa|; there
     // is no upper bound on |Sb| (a huge doc can contain a small
     // one). Relaxed by 1e-9 so rounding can only keep a candidate.
-    val cand = a.join(full, Seq("h"))
+    val cand = Scale.shuffleSized(sized, a, col("h")).join(full, Seq("h"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("n_b").cast("double") >= col("n_a") * tau - 1e-9)
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")

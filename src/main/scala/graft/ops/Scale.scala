@@ -89,6 +89,49 @@ object Scale {
     sizedPartitions(input, bytesPerPartition) >
       input.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
 
+  /** The law as a value call sites can thread: `Some(n)` when the
+    * pre-explode input's size estimate demands more partitions than
+    * the session default, `None` otherwise. Evaluated ONCE per query
+    * build against the un-exploded input (parquet-stat-backed; stats
+    * after a shingle/posting explode are fiction), then applied at
+    * each of the query's heavy exchanges via [[repartitionSized]] /
+    * [[shuffleSized]].
+    */
+  def sizedShuffle(stats: DataFrame,
+      bytesPerPartition: Long = 1L << 20): Option[Int] = {
+    val n = sizedPartitions(stats, bytesPerPartition)
+    if (n > stats.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      Some(n)
+    else None
+  }
+
+  /** A repartition the law may widen: `repartition(n, keys)` when
+    * engaged, the byte-identical-to-r13 `repartition(keys)` (implicit
+    * session count, AQE-coalescible) otherwise. For materialization
+    * points that exist in the plan either way.
+    */
+  def repartitionSized(sized: Option[Int], df: DataFrame,
+      keys: Column*): DataFrame = sized match {
+    case Some(n) => df.repartition(n, keys: _*)
+    case None    => df.repartition(keys: _*)
+  }
+
+  /** A shuffle the law may INTRODUCE: when engaged, pin `df` to an
+    * n-way hash partitioning on `keys` so the downstream join/window
+    * that clusters on those keys adopts it (EnsureRequirements sees
+    * the distribution satisfied — no second exchange) instead of
+    * inserting its own session-default-width exchange; when the law
+    * is a no-op, NO plan change at all. This is the fix for the 256×
+    * soak point: the candidate-join shuffle was the overflow (AQE
+    * coalesces partitions down, never splits an un-skewed stage up,
+    * so a fixed 32 stayed 32 at every scale).
+    */
+  def shuffleSized(sized: Option[Int], df: DataFrame,
+      keys: Column*): DataFrame = sized match {
+    case Some(n) => df.repartition(n, keys: _*)
+    case None    => df
+  }
+
   /** Salted fact⋈dim equi join for skewed fact keys: the fact side
     * gets a nondeterministic-but-irrelevant salt in [0, buckets), the
     * dim side is REPLICATED once per salt value (explode over the

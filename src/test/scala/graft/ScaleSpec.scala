@@ -326,4 +326,37 @@ class ScaleSpec extends SparkSpec {
       .orderBy("p_id", "rank").collect().toSeq == srcRows,
       "source index probe changed after clone append")
   }
+
+  test("partition-sizing law: no-op at oracle scale, sized at soak scale") {
+    val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // oracle-scale corpus: the law must be a strict no-op so the r13
+    // dedup plans (and their DuckDB hashes) stay byte-identical
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+    assert(Scale.sizedShuffle(docs).isEmpty,
+      "law engaged at oracle scale — dedup plans would change")
+    // shuffleSized(None, …) introduces NOTHING: same object back
+    assert(Scale.shuffleSized(None, docs, col("doc_id")) eq docs)
+    // a statistically large input (range stats are exact: 8 B/row,
+    // so 50M rows ≈ 400 MB ≫ the 1 MB/partition operating point)
+    val big = spark.range(50L << 20).toDF("doc_id")
+    val sized = Scale.sizedShuffle(big)
+    assert(sized.exists(_ > default), s"law failed to engage: $sized")
+    assert(sized.exists(_ <= 4096), "cap not applied")
+    // the pinned exchange really is n-way on the key (logical-plan
+    // pin — no need to run a 400 MB shuffle to read the count; an
+    // explicit numPartitions is also what AQE refuses to coalesce,
+    // which is the law's whole point)
+    def repartNums(df: org.apache.spark.sql.DataFrame): Seq[Option[Int]] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical
+            .RepartitionByExpression => r.optNumPartitions
+      }
+    assert(repartNums(Scale.shuffleSized(sized, big, col("doc_id")))
+      == Seq(sized))
+    // and repartitionSized keeps the materialization point either way
+    assert(repartNums(Scale.repartitionSized(None, big, col("doc_id")))
+      == Seq(None))
+    assert(repartNums(Scale.repartitionSized(sized, big, col("doc_id")))
+      == Seq(sized))
+  }
 }
