@@ -21,7 +21,8 @@ object SparkEntry {
     ops.PqOps,
     ops.Multimodal,
     ops.GraphOps,
-    ops.Extension)
+    ops.Extension,
+    ops.AvroWire)
 
   lazy val all: Seq[Op] = {
     val xs = modules.flatMap(_.ops)

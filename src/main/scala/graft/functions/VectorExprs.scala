@@ -209,6 +209,47 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_tokens(string) → array<string>: the engine tokenizer as ONE
+  * codegen pass — lowercase, split on ASCII whitespace runs, and
+  * segment CJK (Han/Hiragana/Katakana/Hangul script) codepoints into
+  * their own tokens, so no-whitespace scripts yield per-character
+  * unigrams instead of one giant token per document.
+  *
+  * On whitespace-delimited text the output is byte-identical to the
+  * classic `split(lower(trim(regexp_replace(s, "\s+", " "))), " ")`
+  * rendering (LlmSpec pins ≡ over the driver corpus): same `\s` set
+  * (Java's ASCII class — U+00A0 etc. stay in-token like the regex),
+  * same lowercase (UTF8String.toLowerCase, what Spark's `lower`
+  * runs), same `[""]` on empty/all-space input. Exists as a kernel
+  * because a regex alternation with script classes paid a per-char
+  * script lookup on EVERY document of every tokens() consumer
+  * (measured +75% on the x256 jaccard soak); here ASCII chars — the
+  * entire Latin corpus — never reach the script check.
+  */
+case class CjkTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_tokens requires string, got $other")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.tokensCjk(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.tokensCjk($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_rpbands(array<double>, r, bands, seed) → array<long>:
   * banded random-hyperplane (sign-random-projection) LSH signature.
   * Bit t of r·bands total bits = sign of the projection of the vector
@@ -664,9 +705,61 @@ object VectorKernels {
     }
   }
 
+  /** CJK scripts carry no whitespace word boundaries; everything
+    * below U+1100 (Latin, Greek, Cyrillic, Arabic, …) short-circuits
+    * before the script table lookup.
+    */
+  private def isCjkCp(cp: Int): Boolean = cp >= 0x1100 && {
+    val sc = Character.UnicodeScript.of(cp)
+    sc == Character.UnicodeScript.HAN ||
+      sc == Character.UnicodeScript.HIRAGANA ||
+      sc == Character.UnicodeScript.KATAKANA ||
+      sc == Character.UnicodeScript.HANGUL
+  }
+
+  /** Kernel behind [[CjkTokens]] — see its Scaladoc for the exact
+    * equivalence contract with the regex rendering.
+    */
+  def tokensCjk(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val str = s.toLowerCase.toString
+    val len = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    val sb = new java.lang.StringBuilder
+    def flush(): Unit = if (sb.length > 0) {
+      out += org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      sb.setLength(0)
+    }
+    var i = 0
+    while (i < len) {
+      val c = str.charAt(i)
+      // Java regex \s — the set the r13 tokenizer split on
+      if (c == ' ' || c == '\t' || c == '\n' || c == 11.toChar ||
+          c == '\f' || c == '\r') {
+        flush()
+        i += 1
+      } else {
+        val cp = str.codePointAt(i)
+        val w = Character.charCount(cp)
+        if (isCjkCp(cp)) {
+          flush()
+          out += org.apache.spark.unsafe.types.UTF8String
+            .fromString(str.substring(i, i + w))
+        } else sb.append(str, i, i + w)
+        i += w
+      }
+    }
+    flush()
+    // split("", " ") and split-of-all-space both yield [""] — keep it
+    if (out.isEmpty)
+      out += org.apache.spark.unsafe.types.UTF8String.fromString("")
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Idempotent SQL registration of all graft kernels. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_tokens",
+      exprs => CjkTokens(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_char_ngrams",
       exprs => CharNgrams(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

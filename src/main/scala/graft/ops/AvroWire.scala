@@ -1,0 +1,174 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+
+/** Wire-format serialization for the CDC envelope (SURVEY §2 gap #3:
+  * meepo-family systems PUBLISH serialized rows; until now the
+  * envelope existed only as Spark structs / JSON strings). Avro
+  * binary via the avro core library that ships with Spark's jars —
+  * the spark-avro connector (`to_avro`/`from_avro` expressions) is
+  * NOT in /opt/spark/jars, so the serde runs in `mapPartitions`,
+  * which is the right primitive for codec work anyway (the
+  * Multimodal argument): writer/encoder instances are reused across
+  * every row of a partition instead of per-row, nothing touches the
+  * driver, and the wire bytes flow as an ordinary binary column.
+  *
+  * Determinism: Avro binary encodes long as zigzag varint, double as
+  * the 8 IEEE-754 bytes, string as length-prefixed UTF-8 — all exact,
+  * so decode∘encode is the identity on every field INCLUDING nullable
+  * doubles, which is what lets the round-tripped query share
+  * `cdc_envelope_full`'s DuckDB oracle verbatim (the hash gate proves
+  * the identity end to end on real data: I-rows carry null before,
+  * D-rows null after, DDL rows null both).
+  *
+  * At 100 TB: one narrow pass per direction, no shuffle, no state;
+  * the schema is a driver-side constant compiled once per task. This
+  * is the broadcast-side encoding a Kafka producer would write —
+  * kept transport-agnostic because no broker exists offline
+  * (KafkaShapeSink carries the transport recipe).
+  */
+object AvroWire extends OpModule {
+
+  /** Avro schema of the flattened Debezium-shaped envelope — the same
+    * nine columns `cdc_envelope_full` flattens to (EventOps.scala).
+    * Nullable fields are `["null", T]` unions, Avro's standard
+    * optional-field encoding (one discriminator byte on the wire).
+    */
+  val EnvelopeSchemaJson: String =
+    """{"type":"record","name":"CdcEnvelope","namespace":"graft.wire",
+      |"fields":[
+      |{"name":"position","type":"long"},
+      |{"name":"pk","type":"long"},
+      |{"name":"ts_us","type":"long"},
+      |{"name":"op","type":"string"},
+      |{"name":"txn_id","type":"long"},
+      |{"name":"txn_seq","type":"long"},
+      |{"name":"before_value","type":["null","double"],"default":null},
+      |{"name":"after_value","type":["null","double"],"default":null},
+      |{"name":"ddl_stmt","type":["null","string"],"default":null}
+      |]}""".stripMargin
+
+  /** The flat envelope record; `Option` fields ↔ Avro null unions. */
+  final case class EnvRecord(
+      position: Long, pk: Long, ts_us: Long, op: String,
+      txn_id: Long, txn_seq: Long,
+      before_value: Option[Double], after_value: Option[Double],
+      ddl_stmt: Option[String])
+
+  /** (position, wire) — one Avro-binary datum per envelope record.
+    * `position` rides alongside as the replay key so a consumer can
+    * seek/ack without decoding (the Kafka-key convention).
+    */
+  def toAvroBytes(flat: Dataset[EnvRecord]): DataFrame = {
+    import flat.sparkSession.implicits._
+    flat.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(EnvelopeSchemaJson)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val bos = new java.io.ByteArrayOutputStream(64)
+      var enc: BinaryEncoder = null
+      it.map { e =>
+        bos.reset()
+        enc = EncoderFactory.get().binaryEncoder(bos, enc)
+        val r = new GenericData.Record(schema)
+        r.put("position", e.position); r.put("pk", e.pk)
+        r.put("ts_us", e.ts_us); r.put("op", e.op)
+        r.put("txn_id", e.txn_id); r.put("txn_seq", e.txn_seq)
+        r.put("before_value", e.before_value.map(Double.box).orNull)
+        r.put("after_value", e.after_value.map(Double.box).orNull)
+        r.put("ddl_stmt", e.ddl_stmt.orNull)
+        writer.write(r, enc)
+        enc.flush()
+        (e.position, bos.toByteArray)
+      }
+    }.toDF("position", "wire")
+  }
+
+  /** Inverse of [[toAvroBytes]]: decode the binary column back to the
+    * flat envelope columns. Reader schema = writer schema (evolution
+    * would pass a distinct reader schema here — Avro resolves by
+    * field name + default, same rules `scan_schema_evolution` pins
+    * for parquet).
+    */
+  def fromAvroBytes(wire: DataFrame): Dataset[EnvRecord] = {
+    import wire.sparkSession.implicits._
+    wire.select(col("wire")).as[Array[Byte]].mapPartitions { it =>
+      val schema = new Schema.Parser().parse(EnvelopeSchemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      var dec: BinaryDecoder = null
+      it.map { bytes =>
+        dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+        val r = reader.read(null, dec)
+        def optD(f: String) = Option(r.get(f)).map(_.asInstanceOf[Double])
+        def str(f: String) = Option(r.get(f)).map(_.toString)
+        EnvRecord(
+          r.get("position").asInstanceOf[Long],
+          r.get("pk").asInstanceOf[Long],
+          r.get("ts_us").asInstanceOf[Long],
+          r.get("op").toString,
+          r.get("txn_id").asInstanceOf[Long],
+          r.get("txn_seq").asInstanceOf[Long],
+          optD("before_value"), optD("after_value"), str("ddl_stmt"))
+      }
+    }
+  }
+
+  /** The flattened envelope as a typed Dataset — the exact projection
+    * `cdc_envelope_full` registers, so the two queries share one
+    * oracle.
+    */
+  private[graft] def flatEnvelope(events: DataFrame): Dataset[EnvRecord] = {
+    import events.sparkSession.implicits._
+    EventStreams.envelopeTxn(events)
+      .select(col("position"), col("pk"),
+        unix_micros(col("ts")).as("ts_us"), col("op"),
+        col("txn_id"), col("txn_seq"),
+        col("before.value").as("before_value"),
+        col("after.value").as("after_value"),
+        col("ddl_stmt"))
+      .as[EnvRecord]
+  }
+
+  override def ops: Seq[Op] = Seq(
+    Op("cdc_envelope_avro",
+      // envelope → Avro binary → envelope: the wire serialization
+      // under the hash gate. The oracle is cdc_envelope_full's SQL
+      // verbatim — hash equality proves decode∘encode is the identity
+      // on every field (nullable doubles and strings included) over
+      // the whole sf corpus.
+      (s, d) => fromAvroBytes(toAvroBytes(flatEnvelope(Tables.events(s, d))))
+        .toDF()
+        .orderBy("position"),
+      Some("""WITH base AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       WHEN event_type = 'view' THEN 'DDL'
+                       ELSE 'U' END AS op,
+                  value, event_id // 16 AS txn_id, event_id % 16 AS txn_seq
+                FROM events),
+              r AS (
+                SELECT *, lag(value) OVER (PARTITION BY pk
+                  ORDER BY tts, position) AS prev_value
+                FROM base WHERE op <> 'DDL')
+              SELECT position, pk, epoch_us(tts) AS ts_us, op,
+                txn_id, txn_seq,
+                CASE WHEN op = 'I' THEN NULL ELSE prev_value END AS before_value,
+                CASE WHEN op = 'D' THEN NULL ELSE value END AS after_value,
+                CAST(NULL AS VARCHAR) AS ddl_stmt
+              FROM r
+              UNION ALL
+              SELECT position, pk, epoch_us(tts), op, txn_id, txn_seq,
+                NULL, NULL,
+                'ALTER TABLE events ADD PARTITION (txn=' ||
+                  CAST(txn_id AS VARCHAR) || ')'
+              FROM base WHERE op = 'DDL'
+              ORDER BY position""")))
+}

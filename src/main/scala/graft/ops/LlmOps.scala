@@ -23,7 +23,27 @@ object LlmOps extends OpModule {
   private[ops] def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  private[ops] def tokens(c: Column): Column = split(normText(c), " ")
+  /** Engine-wide tokenizer: whitespace split, with a codepoint-class
+    * fallback for no-whitespace scripts — every CJK codepoint
+    * (Han/Hiragana/Katakana/Hangul script) becomes its own token, so
+    * a Chinese/Japanese/Korean document yields per-character unigrams
+    * (and the shingle layer on top yields character n-grams — the
+    * standard no-segmenter CJK retrieval/dedup representation)
+    * instead of degrading to one giant token per text.
+    *
+    * On whitespace-delimited text the output is byte-identical to the
+    * r13 `split(normText(c), " ")` (LlmSpec pins ≡ over the driver
+    * corpus), so every oracled query's hash is unchanged. Implemented
+    * as the codegen'd [[graft.functions.CjkTokens]] kernel: the first
+    * cut — a regex alternation with `\p{IsXxx}` script classes — paid
+    * a per-char script-table lookup on every document and measured
+    * +75% on the x256 jaccard soak; the kernel's ASCII fast path
+    * never reaches the script check on Latin text.
+    */
+  private[graft] def tokens(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CjkTokens(
+        org.apache.spark.sql.graftbridge.Bridge.expr(c)))
 
   /** The ONE BM25 score expression both Spark and the DuckDB oracle
     * evaluate (`llm_bm25`) — fully parenthesized so both engines run

@@ -727,4 +727,22 @@ class EventStreamSpec extends SparkSpec {
     assert(contents.forall(_._1 == n))
     assert(contents.distinct.size == 1)
   }
+
+  test("avro wire: envelope → bytes → envelope is the identity; nulls survive") {
+    import graft.ops.AvroWire
+    val flat = AvroWire.flatEnvelope(Tables.events(spark, sf001))
+    val src = flat.collect().sortBy(_.position)
+    // the corpus exercises every null shape: I rows (null before),
+    // D rows (null after), DDL rows (null both + non-null ddl_stmt)
+    assert(src.exists(_.before_value.isEmpty))
+    assert(src.exists(_.after_value.isEmpty))
+    assert(src.exists(_.ddl_stmt.nonEmpty))
+    val wire = AvroWire.toAvroBytes(flat)
+    val sizes = wire.select(length(col("wire"))).collect().map(_.getInt(0))
+    // sanity: real varint-encoded data, not empty and not bloated
+    // (9 fields, zigzag longs + 3 union bytes: tens of bytes per row)
+    assert(sizes.forall(s => s > 10 && s < 200), s"wire sizes off: ${sizes.take(5).mkString(",")}")
+    val back = AvroWire.fromAvroBytes(wire).collect().sortBy(_.position)
+    assert(back.toSeq == src.toSeq, "avro round-trip not the identity")
+  }
 }

@@ -144,6 +144,42 @@ class LlmSpec extends SparkSpec {
     assert(j12 == 1.0)
   }
 
+  test("tokens: CJK codepoint fallback; Latin corpus byte-identical to the whitespace tokenizer") {
+    // 1. the dispatch is a no-op on whitespace-delimited text: over the
+    //    whole driver corpus, tokens() ≡ the r13 expression verbatim —
+    //    this is what keeps every oracled query's hash unchanged
+    val docs = Tables.documents(spark, sf001)
+    val r13Tokens = split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+    assert(docs.filter(not(LlmOps.tokens(col("text")) <=> r13Tokens)).count() == 0,
+      "CJK-aware tokens() diverged from the whitespace tokenizer on Latin text")
+    // 2. CJK runs segment per codepoint; mixed script keeps Latin words whole
+    val df = docsDf(Seq(
+      1L -> "我爱大数据",
+      2L -> "Spark处理引擎 fast",
+      3L -> "한국어 text"))
+    val got = df.select(col("doc_id"), LlmOps.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("我", "爱", "大", "数", "据"))
+    assert(got(2L) == Seq("spark", "处", "理", "引", "擎", "fast"))
+    assert(got(3L) == Seq("한", "국", "어", "text"))
+  }
+
+  test("CJK near-identical docs pair in exact-Jaccard dedup via character n-grams") {
+    // 30 distinct Han codepoints; one-char edit at the tail. Under the
+    // r13 whitespace tokenizer each doc was ONE giant token → distinct
+    // singleton shingles → J = 0, pair missed. Per-codepoint tokens
+    // give character 3-gram shingles: 28 per doc, 25 shared → J ≈ 0.81.
+    val base = "数据引擎处理系统快速分析大规模语料去重相似检索质量评估流水线运行良"
+    val edited = base.dropRight(1) + "好"
+    val other = "完全无关的另一段文字内容与前面那句没有任何共同之处嗯"
+    val cjk = docsDf(Seq(10L -> base, 11L -> edited, 12L -> other))
+    val pairs = LlmOps.jaccardPairs(cjk, tau = 0.7, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((10L, 11L)),
+      s"expected exactly the edited pair, got ${pairs.mkString(",")}")
+    assert(pairs.head._3 > 0.7 && pairs.head._3 < 1.0)
+  }
+
   test("near-dedup is idempotent on an already-deduped corpus, short docs included") {
     SeededFnvHash.register(spark)
     val df = docsDf(Seq(
