@@ -76,6 +76,31 @@ case class TopKAgg(k: Int) extends Aggregator[TopKIn, TopKBuf, Seq[TopKIn]] {
   */
 object Aggs extends OpModule {
 
+  /** Input-size ceiling for exact aggregates whose per-group state is
+    * unbounded (exact `percentile` buffers EVERY value of a group).
+    * 8 GiB of estimated input is far past any oracle/bench scale yet
+    * well before a hot group's buffer threatens an executor heap; a
+    * 100 TB caller hits the require and is pointed at the bounded-
+    * state registered substitute instead of spilling unboundedly.
+    */
+  val MaxExactAggInputBytes: Long = 8L << 30
+
+  /** The executable form of SCALE.md's "known-unsafe exact forms"
+    * boundary: same Catalyst stats estimate the partition-sizing law
+    * reads ([[Scale.sizedPartitions]]), zero cost beyond plan
+    * analysis, fails loudly toward `substitute` instead of letting an
+    * unbounded-state aggregate onto a 100 TB input.
+    */
+  private[graft] def requireExactAggSafe(df: org.apache.spark.sql.DataFrame,
+      op: String, substitute: String): org.apache.spark.sql.DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= MaxExactAggInputBytes,
+      s"$op buffers whole groups in aggregation state; estimated input " +
+        s"$est B exceeds ${MaxExactAggInputBytes} B — use $substitute " +
+        "(bounded-state sketch) at this scale")
+    df
+  }
+
   override def ops: Seq[Op] = Seq(
 
     // flagship — TPC-H Q1 shape (SparkEntry.entry points here)
@@ -329,10 +354,16 @@ object Aggs extends OpModule {
 
     Op("agg_percentile",
       // exact interpolated percentile (Spark `percentile` ≡ DuckDB
-      // `quantile_cont`). At 100 TB you'd switch to approx_percentile
-      // (t-digest) — exact percentile needs all values per group.
+      // `quantile_cont`) — the op exists BECAUSE the DuckDB oracle
+      // needs the exact form. It is NOT the 100 TB path: Spark's
+      // exact percentile buffers every group's values in aggregation
+      // state, so one hot event_type at scale spills unboundedly.
+      // requireExactAggSafe makes that boundary executable (stats
+      // gate, fails toward agg_approx_percentile); SCALE.md
+      // "Known-unsafe exact forms" names the same trade.
       (s, d) => {
-        Tables.events(s, d).createOrReplaceTempView("graft_events")
+        requireExactAggSafe(Tables.events(s, d), "agg_percentile",
+          "agg_approx_percentile").createOrReplaceTempView("graft_events")
         s.sql("""SELECT event_type,
                    round(percentile(value, 0.5), 6) AS p50,
                    round(percentile(value, 0.9), 6) AS p90,

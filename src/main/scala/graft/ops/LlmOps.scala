@@ -140,14 +140,33 @@ object LlmOps extends OpModule {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Brute-force top-k cosine neighbors (the verifiable baseline).
-    * 100 TB path: replace the crossJoin candidate generation with
-    * LSH bucketing (random-hyperplane SimHash bands over the same
-    * banded-join machinery as [[nearDupPairs]]) or an IVF coarse
-    * quantizer (cluster-id equi-join), keeping this exact scorer for
-    * the per-bucket refine step.
+  /** Hard ceiling on [[simSearch]]'s probe side. The probe set is the
+    * BROADCAST side of the brute-force scorer: m probes × n corpus =
+    * O(m·n) score evaluations by definition, so m is the only dial
+    * that keeps the baseline usable — 4096 probes over any corpus is
+    * a bounded calibration/verification workload; beyond that the
+    * call is a probes-at-scale search and belongs on the registered
+    * ANN paths ([[simSearchLsh]], [[simSearchIvf]], PqOps' IVFPQ),
+    * whose exactness degenerates ([[simSearchIvfExact]],
+    * `llm_simsearch_ivfpq_exact`) are hash-matched against this very
+    * scorer's oracle.
+    */
+  val MaxBruteForceProbes = 4096
+
+  /** Brute-force top-k cosine neighbors — the verifiable REFERENCE
+    * implementation, not the scale path: the registered
+    * `llm_simsearch` query dispatches to [[simSearchIvfExact]] (the
+    * cid-equi-join plan; PlanSpec pins no nested-loop in its physical
+    * plan) and the approximate family handles probes-at-scale.
+    * [[MaxBruteForceProbes]] bounds the broadcast probe side in code
+    * so an at-scale call fails loudly toward the ANN paths instead of
+    * scheduling an O(m·n) nested loop.
     */
   def simSearch(emb: DataFrame, nProbes: Int, topK: Int): DataFrame = {
+    require(nProbes <= MaxBruteForceProbes,
+      s"simSearch is the brute-force reference scorer; $nProbes probes " +
+        s"exceeds MaxBruteForceProbes=$MaxBruteForceProbes — use " +
+        "simSearchLsh/simSearchIvf/simSearchIvfPq for probes at scale")
     graft.functions.VectorKernels.register(emb.sparkSession)
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))

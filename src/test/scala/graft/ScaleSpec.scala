@@ -327,6 +327,26 @@ class ScaleSpec extends SparkSpec {
       "source index probe changed after clone append")
   }
 
+  test("exact-aggregate and brute-force guards fail loudly toward the scale paths") {
+    import graft.ops.{Aggs, LlmOps}
+    // exact percentile: fine under the gate, refused over it
+    val events = Tables.events(spark, sf001)
+    assert(Aggs.requireExactAggSafe(events, "agg_percentile",
+      "agg_approx_percentile") eq events)
+    val big = spark.range(2L << 30).toDF("value") // 8 B/row ⇒ 16 GiB est
+    val e1 = intercept[IllegalArgumentException] {
+      Aggs.requireExactAggSafe(big, "agg_percentile", "agg_approx_percentile")
+    }
+    assert(e1.getMessage.contains("agg_approx_percentile"))
+    // brute-force simsearch: the probe side is the broadcast side —
+    // bounded in code, and the error names the ANN dispatch targets
+    val e2 = intercept[IllegalArgumentException] {
+      LlmOps.simSearch(Tables.embeddings(spark, sf001),
+        nProbes = LlmOps.MaxBruteForceProbes + 1, topK = 10)
+    }
+    assert(e2.getMessage.contains("simSearchIvf"))
+  }
+
   test("partition-sizing law: no-op at oracle scale, sized at soak scale") {
     val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // oracle-scale corpus: the law must be a strict no-op so the r13
