@@ -119,6 +119,61 @@ object AvroWire extends OpModule {
     }
   }
 
+  /** An EVOLVED consumer's schema for the same wire: `txn_seq` is
+    * gone (writer fields absent from the reader are skipped) and
+    * `source` is new with a default (reader fields absent from the
+    * writer resolve to their default) — the two legal directions of
+    * Avro schema resolution, the same name+default rules
+    * `scan_schema_evolution` pins for parquet. Old bytes stay
+    * readable forever; that is the point of a wire format.
+    */
+  val EnvelopeSchemaV2Json: String =
+    """{"type":"record","name":"CdcEnvelope","namespace":"graft.wire",
+      |"fields":[
+      |{"name":"position","type":"long"},
+      |{"name":"pk","type":"long"},
+      |{"name":"ts_us","type":"long"},
+      |{"name":"op","type":"string"},
+      |{"name":"txn_id","type":"long"},
+      |{"name":"before_value","type":["null","double"],"default":null},
+      |{"name":"after_value","type":["null","double"],"default":null},
+      |{"name":"ddl_stmt","type":["null","string"],"default":null},
+      |{"name":"source","type":"string","default":"binlog"}
+      |]}""".stripMargin
+
+  /** The evolved record [[EnvelopeSchemaV2Json]] decodes to. */
+  final case class EnvRecordV2(
+      position: Long, pk: Long, ts_us: Long, op: String, txn_id: Long,
+      before_value: Option[Double], after_value: Option[Double],
+      ddl_stmt: Option[String], source: String)
+
+  /** Decode v1 wire bytes through the v2 reader — writer schema v1,
+    * reader schema v2, Avro resolves the difference per record.
+    */
+  def fromAvroBytesEvolved(wire: DataFrame): Dataset[EnvRecordV2] = {
+    import wire.sparkSession.implicits._
+    wire.select(col("wire")).as[Array[Byte]].mapPartitions { it =>
+      val writer = new Schema.Parser().parse(EnvelopeSchemaJson)
+      val reader2 = new Schema.Parser().parse(EnvelopeSchemaV2Json)
+      val reader = new GenericDatumReader[GenericRecord](writer, reader2)
+      var dec: BinaryDecoder = null
+      it.map { bytes =>
+        dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+        val r = reader.read(null, dec)
+        def optD(f: String) = Option(r.get(f)).map(_.asInstanceOf[Double])
+        EnvRecordV2(
+          r.get("position").asInstanceOf[Long],
+          r.get("pk").asInstanceOf[Long],
+          r.get("ts_us").asInstanceOf[Long],
+          r.get("op").toString,
+          r.get("txn_id").asInstanceOf[Long],
+          optD("before_value"), optD("after_value"),
+          Option(r.get("ddl_stmt")).map(_.toString),
+          r.get("source").toString)
+      }
+    }
+  }
+
   /** The flattened envelope as a typed Dataset — the exact projection
     * `cdc_envelope_full` registers, so the two queries share one
     * oracle.
@@ -169,6 +224,44 @@ object AvroWire extends OpModule {
                 NULL, NULL,
                 'ALTER TABLE events ADD PARTITION (txn=' ||
                   CAST(txn_id AS VARCHAR) || ')'
+              FROM base WHERE op = 'DDL'
+              ORDER BY position""")),
+
+    Op("cdc_envelope_avro_evolve",
+      // the same v1 wire bytes read through an evolved consumer
+      // schema: txn_seq dropped (writer-only fields skip), `source`
+      // added with a default (reader-only fields default) — Avro's
+      // two resolution directions under the hash gate. The oracle is
+      // the envelope SQL minus txn_seq plus the defaulted constant.
+      (s, d) => fromAvroBytesEvolved(
+        toAvroBytes(flatEnvelope(Tables.events(s, d))))
+        .toDF()
+        .orderBy("position"),
+      Some("""WITH base AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       WHEN event_type = 'view' THEN 'DDL'
+                       ELSE 'U' END AS op,
+                  value, event_id // 16 AS txn_id
+                FROM events),
+              r AS (
+                SELECT *, lag(value) OVER (PARTITION BY pk
+                  ORDER BY tts, position) AS prev_value
+                FROM base WHERE op <> 'DDL')
+              SELECT position, pk, epoch_us(tts) AS ts_us, op, txn_id,
+                CASE WHEN op = 'I' THEN NULL ELSE prev_value END AS before_value,
+                CASE WHEN op = 'D' THEN NULL ELSE value END AS after_value,
+                CAST(NULL AS VARCHAR) AS ddl_stmt,
+                'binlog' AS source
+              FROM r
+              UNION ALL
+              SELECT position, pk, epoch_us(tts), op, txn_id,
+                NULL, NULL,
+                'ALTER TABLE events ADD PARTITION (txn=' ||
+                  CAST(txn_id AS VARCHAR) || ')',
+                'binlog' AS source
               FROM base WHERE op = 'DDL'
               ORDER BY position""")))
 }

@@ -212,19 +212,26 @@ object LlmOps extends OpModule {
     // ONE fingerprint-kernel stage via exchange reuse instead of each
     // recomputing scan → tokens → graft_simhash_text (VERDICT r7 #2 —
     // same rationale as the jaccardPairs materialization point)
-    val fp = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), packed.as("fp"))
-      .repartition(col("doc_id"))
+    // partition-sizing law (Scale.sizedShuffle): same self-join shape
+    // the deep soak flagged on the jaccard/containment family; no-op
+    // below the threshold
+    val sized = Scale.sizedShuffle(docs)
+    val fp = Scale.repartitionSized(sized,
+      docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), packed.as("fp")), col("doc_id"))
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))
       }: _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_val")
-    val a = banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
-      col("band_id"), col("band_val"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
-      col("band_id").as("band_id_b"), col("band_val").as("band_val_b"))
+    val a = Scale.shuffleSized(sized,
+      banded.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+        col("band_id"), col("band_val")), col("band_id"), col("band_val"))
+    val b = Scale.shuffleSized(sized,
+      banded.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("band_id").as("band_id_b"), col("band_val").as("band_val_b")),
+      col("band_id_b"), col("band_val_b"))
     a.join(b, col("band_id") === col("band_id_b") &&
         col("band_val") === col("band_val_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
