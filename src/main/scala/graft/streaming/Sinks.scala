@@ -189,3 +189,25 @@ class KafkaShapeSink(bootstrapServers: String, topic: String) extends Sink {
       .save()
   }
 }
+
+/** Wire-format publisher sink — the broadcast side of the meepo story
+  * in PUBLISHED bytes (SURVEY rows 62f/65): each micro-batch of flat
+  * envelope rows encodes to Avro binary via [[graft.ops.AvroWire]]
+  * (per-partition encoder reuse, distributed, never collected) and
+  * lands as (position, wire) parquet under a batchId-keyed directory —
+  * idempotent by path overwrite, same contract as [[ParquetDirSink]].
+  * A Kafka producer would ship the SAME bytes with `wire` as the
+  * record value and `position` as the key ([[KafkaShapeSink]] carries
+  * that transport recipe); the file layout keeps the publisher
+  * testable offline and doubles as a replayable wire log, which is
+  * how a consumer's decode path is proven against it
+  * (SinkContractSpec: decode∘publish ≡ the input batch).
+  */
+class AvroWireSink(root: String) extends Sink {
+  override def name: String = s"avrowire:$root"
+  override def write(batch: DataFrame, batchId: Long): Unit = {
+    import batch.sparkSession.implicits._
+    graft.ops.AvroWire.toAvroBytes(batch.as[graft.ops.AvroWire.EnvRecord])
+      .write.mode("overwrite").parquet(s"$root/batch_$batchId")
+  }
+}

@@ -138,4 +138,25 @@ class SinkContractSpec extends SparkSpec {
     assert(pqRows.size.toLong == n)
     assert(pqRows == memRows)
   }
+
+  test("avro wire publisher: decode∘publish ≡ the batch; idempotent per batchId") {
+    import graft.ops.AvroWire
+    import graft.streaming.AvroWireSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_wiresink").toString
+    val sink = new AvroWireSink(s"$dir/wire")
+    val env = AvroWire.flatEnvelope(Tables.events(spark, sf001))
+    val src = env.collect().sortBy(_.position).toSeq
+    sink.write(env.toDF(), 0L)
+    sink.write(env.toDF(), 0L) // redelivery: overwrite, not append
+    val published = spark.read.parquet(s"$dir/wire/batch_0")
+    assert(published.count() == src.size)
+    // a consumer decodes the published wire log back to the envelope
+    val decoded = AvroWire.fromAvroBytes(published)
+      .collect().sortBy(_.position).toSeq
+    assert(decoded == src, "published wire bytes did not decode to the batch")
+    // and the evolved consumer reads the SAME published log
+    val v2 = AvroWire.fromAvroBytesEvolved(published)
+      .collect().sortBy(_.position).toSeq
+    assert(v2.size == src.size && v2.forall(_.source == "binlog"))
+  }
 }
