@@ -432,6 +432,62 @@ object EventOps extends OpModule {
               WHERE c.event_type = 'click' AND b.event_type = 'purchase'
               GROUP BY 1 ORDER BY user_id""")),
 
+    Op("stream_funnel_conversion",
+      // ordered conversion funnel — the product-analytics staple over
+      // an event log: per user, the FIRST signup, then the first
+      // click strictly after it, then the first purchase strictly
+      // after that. Three stage aggregates, each one hash-shuffle on
+      // user_id with map-side min-combine, chained by co-partitioned
+      // joins (after the first exchange every stage reuses the
+      // user_id partitioning — no fact re-shuffle), so at 100 TB the
+      // cost is three partial-agg passes, never a per-user sort or a
+      // whole-log window. Strict `>` between stages on both engines
+      // keeps ties deterministic; timestamps leave as epoch micros
+      // (§5.2: no raw timestamp outputs).
+      (s, d) => {
+        val e = Tables.events(s, d)
+        def stage(tpe: String, after: org.apache.spark.sql.DataFrame,
+            afterCol: String, out: String): org.apache.spark.sql.DataFrame =
+          e.filter(col("event_type") === tpe)
+            .join(after, "user_id")
+            .filter(col("ts") > col(afterCol))
+            .groupBy("user_id").agg(min(col("ts")).as(out))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = stage("click", s1, "t1", "t2")
+        val s3 = stage("purchase", s2, "t2", "t3")
+        s1.join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+          .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+          .select(col("user_id"),
+            unix_micros(col("t1")).as("signup_us"),
+            unix_micros(col("t2")).as("click_us"),
+            unix_micros(col("t3")).as("purchase_us"),
+            col("t3").isNotNull.as("converted"))
+          .orderBy("user_id")
+      },
+      Some("""WITH s1 AS (
+                SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+              s2 AS (
+                SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click'
+                  AND CAST(e.ts AS TIMESTAMP) > s1.t1
+                GROUP BY 1),
+              s3 AS (
+                SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase'
+                  AND CAST(e.ts AS TIMESTAMP) > s2.t2
+                GROUP BY 1)
+              SELECT s1.user_id AS user_id, epoch_us(t1) AS signup_us,
+                epoch_us(t2) AS click_us, epoch_us(t3) AS purchase_us,
+                t3 IS NOT NULL AS converted
+              FROM s1
+              LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+              ORDER BY 1""")),
+
     Op("win_gap_fill",
       // date-spine gap fill: per-user daily counts with missing days
       // zero-filled between the user's first and last active day — the

@@ -347,7 +347,76 @@ object Multimodal extends OpModule {
     }
   }
 
+  private val binFixtureWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Session-memoized directory of real PNG FILES (first `n` corpus
+    * docs rendered via [[imageBytes]], one `doc_<id>.png` each) — the
+    * raw-file landing zone a media pipeline actually ingests from,
+    * as opposed to the parquet-embedded media the other multimodal
+    * ops read. Written once per (session, corpus); bounded (n files
+    * of a few hundred bytes).
+    */
+  private[graft] def pngFixtureDir(s: org.apache.spark.sql.SparkSession,
+      d: String, n: Int = 64): String = {
+    val root = Tables.fixtureRoot(s, d, "scan_binaryfile")
+    root.intern.synchronized {
+      if (!binFixtureWritten.contains(root) ||
+          !new java.io.File(root).exists()) {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < n).as[(Long, String)].collect()
+        val dir = new java.io.File(root)
+        dir.mkdirs()
+        docs.foreach { case (id, text) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(root, s"doc_$id.png"),
+            imageBytes(text, 4, 4, "png"))
+        }
+        binFixtureWritten.add(root)
+        ()
+      }
+    }
+    root
+  }
+
   override def ops: Seq[Op] = Seq(
+
+    Op("scan_binaryfile",
+      // media INGESTION from raw files — the front door of the
+      // multimodal pipeline: Spark's `binaryFile` source lists a
+      // directory of encoded images into (path, length, content) rows
+      // with `pathGlobFilter` applied AT THE SOURCE (non-matching
+      // files are never opened), then the content column flows
+      // through the SAME ImageIO decode as the parquet-embedded
+      // media. At 100 TB this is the object-store landing-zone scan:
+      // files partition across executors by size, nothing routes
+      // through the driver, and the glob/path filters are the
+      // partition pruning of unstructured data. The fixture writes
+      // the first 64 corpus docs as real PNG files once per
+      // (session, corpus); doc_id parses back out of the file name.
+      // No oracle (binary pipeline is Spark-side only by design —
+      // SURVEY §2's oracle column); MultimodalSpec pins ingested
+      // bytes ≡ imageBytes and decode ≡ the in-memory pipeline.
+      (s, d) => {
+        val root = pngFixtureDir(s, d)
+        import s.implicits._
+        val recs = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png").load(root)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) => MediaRecord(id, bytes, "image/png", 4, 4) }
+        extractFeatures(recs)
+          .toDF()
+          .select(col("doc_id"), col("n_bytes"),
+            round(element_at(col("features"), 1), 6).as("mean_r"),
+            element_at(col("features"), 8).cast("int").as("decoded"))
+          .orderBy("doc_id")
+      },
+      None),
     // no oracle: the decode stub is Spark-side only; MultimodalSpec
     // pins schema, determinism, and partition behavior
     Op("llm_multimodal_decode",

@@ -778,6 +778,25 @@ class LlmSpec extends SparkSpec {
     assert(again.toSeq == frames.toSeq)
   }
 
+  test("scan_binaryfile: raw-file ingestion ≡ the in-memory media pipeline") {
+    import graft.ops.Multimodal
+    val got = SparkEntry.queries("scan_binaryfile")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(2), r.getInt(3)))
+    assert(got.nonEmpty, "binaryFile scan found no fixture files")
+    assert(got.forall(_._4 == 1), "a file failed the real ImageIO decode")
+    // ingested-from-disk features == the parquet-embedded pipeline's
+    // for the same docs (same text → same PNG bytes → same decode)
+    val want = Multimodal.extractFeatures(Multimodal.packImages(
+        Tables.documents(spark, sf001).filter(col("doc_id") < 64), fmt = "png"))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        round(element_at(col("features"), 1), 6).as("mean_r"),
+        element_at(col("features"), 8).cast("int").as("decoded"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("multimodal pipeline: schema, determinism, distributed shape") {
     val docs = Tables.documents(spark, sf001)
     val out = Multimodal.mediaPipeline(docs)
