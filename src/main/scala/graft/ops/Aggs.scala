@@ -376,6 +376,41 @@ object Aggs extends OpModule {
                 round(quantile_cont(value, 0.99), 6) AS p99
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    Op("agg_histogram_equidepth",
+      // equi-depth (equal-count) histogram — the optimizer-statistics
+      // companion to table_histogram's equi-width form: ntile(10)
+      // over a TOTAL order (value, then the unique line key, so both
+      // engines assign identical buckets even among equal values),
+      // then per-bucket min/max/count. Values pass through
+      // bit-unchanged (selection only, no arithmetic). Like
+      // agg_percentile, the exact form is here because the oracle
+      // needs it: a global ntile is a single-partition window sort,
+      // so the same requireExactAggSafe gate bounds it, and the
+      // 100 TB path is approx-percentile cut points + a map-side
+      // range bucketing pass (bounded state, no global sort) —
+      // SCALE.md "Known-unsafe exact forms".
+      (s, d) => {
+        val li = requireExactAggSafe(Tables.lineitem(s, d),
+          "agg_histogram_equidepth", "agg_approx_percentile cut points")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("v").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        li.select(col("l_extendedprice").as("v"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("bucket", ntile(10).over(w).cast("long"))
+          .groupBy("bucket")
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+            count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (
+                SELECT l_extendedprice AS v,
+                  ntile(10) OVER (ORDER BY l_extendedprice ASC,
+                    l_orderkey ASC, l_linenumber ASC) AS bucket
+                FROM lineitem)
+              SELECT bucket, min(v) AS lo, max(v) AS hi, count(*) AS n
+              FROM b GROUP BY bucket ORDER BY bucket""")),
+
     Op("agg_pivot",
       // long→wide reshape with EXPLICIT pivot values: passing the
       // value list skips the eager distinct-scan job Spark otherwise

@@ -542,6 +542,144 @@ object EventOps extends OpModule {
                 ON s.user_id = d.user_id AND s.eday = d.eday
               ORDER BY s.user_id, s.eday""")),
 
+    Op("stream_retention_cohort",
+      // weekly retention cohorts — the OTHER product-analytics staple
+      // next to stream_funnel_conversion: users grouped by their
+      // signup week (cohort), then for each later week the fraction
+      // of the cohort still active. Week ids are absolute
+      // epoch-week numbers (days-since-1970 DIV 7) — NOT ISO
+      // week-of-year, whose year-boundary semantics differ between
+      // engines. Shape at 100 TB: one map-combined min-aggregate
+      // collapses the log to |users| first-seen rows; the activity
+      // join is a user_id equi-join (co-partitioned with the
+      // aggregate's exchange); the per-(user, week) distinct
+      // collapses before the tiny (cohort, offset) aggregate, so
+      // nothing wider than |users|×|active weeks| ever crosses a
+      // shuffle. retention is ONE IEEE division of two exact longs —
+      // bit-identical across engines, no rounding.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val firstSeen = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t0"))
+          .select(col("user_id"),
+            expr("datediff(CAST(t0 AS DATE), DATE '1970-01-01') DIV 7")
+              .as("cohort_week"))
+        val active = e
+          .select(col("user_id"),
+            expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7")
+              .as("wk"))
+          .join(firstSeen, "user_id")
+          .filter(col("wk") >= col("cohort_week"))
+          .select(col("user_id"), col("cohort_week"),
+            (col("wk") - col("cohort_week")).as("week_offset"))
+          .distinct()
+        val cohortSize = firstSeen.groupBy("cohort_week")
+          .agg(count(lit(1)).as("n_cohort"))
+        active.groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .join(cohortSize, "cohort_week")
+          .select(col("cohort_week"), col("week_offset"),
+            col("n_active"), col("n_cohort"),
+            (col("n_active") / col("n_cohort")).as("retention"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH fs AS (
+                SELECT user_id,
+                  date_diff('day', DATE '1970-01-01',
+                    CAST(min(CAST(ts AS TIMESTAMP)) AS DATE)) // 7
+                    AS cohort_week
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+              act AS (
+                SELECT DISTINCT e.user_id, fs.cohort_week,
+                  date_diff('day', DATE '1970-01-01',
+                    CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) // 7
+                    - fs.cohort_week AS week_offset
+                FROM events e JOIN fs ON e.user_id = fs.user_id
+                WHERE date_diff('day', DATE '1970-01-01',
+                    CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) // 7
+                  >= fs.cohort_week),
+              cs AS (SELECT cohort_week, count(*) AS n_cohort
+                     FROM fs GROUP BY cohort_week),
+              aw AS (SELECT cohort_week, week_offset, count(*) AS n_active
+                     FROM act GROUP BY cohort_week, week_offset)
+              SELECT aw.cohort_week AS cohort_week, week_offset,
+                n_active, n_cohort,
+                n_active / n_cohort AS retention
+              FROM aw JOIN cs ON aw.cohort_week = cs.cohort_week
+              ORDER BY cohort_week, week_offset""")),
+
+    Op("stream_anomaly_zscore",
+      // trailing-window anomaly detection — the monitoring query a
+      // meepo-style event bus feeds: per event_type hourly volumes,
+      // each hour z-scored against the PRECEDING 24 observed hours
+      // (never including itself — self-inclusion dilutes the very
+      // spike being tested). Exactness across engines without
+      // rounding: the window carries only INTEGER moment sums
+      // (Σx, Σx², n over a ROWS frame on the unique hour key), and
+      // the z finish step is ONE shared, fully-parenthesized
+      // expression string evaluated by both engines — identical IEEE
+      // ops in identical order on identical exact operands ⇒
+      // bit-identical doubles (the bm25/agg_stats_moments pattern;
+      // sqrt/÷/×/− are all correctly-rounded per IEEE-754). Guards:
+      // z is NULL until 12 observations exist and when the trailing
+      // variance is 0 (division by zero yields engine-dependent
+      // inf/NaN renderings — gated out, not compared). Shape at
+      // 100 TB: the raw log collapses map-side to |types|×|hours|
+      // rows in ONE partial-aggregated pass; the window sorts only
+      // that collapsed relation per type. The moment sums are the
+      // same six-numbers-per-frame state agg_stats_moments ships —
+      // bounded, map-combinable, no per-row buffering.
+      (s, d) => {
+        val zExpr =
+          """CASE WHEN n_obs >= 12
+                   AND (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*s/n_obs) > 0
+                  THEN (CAST(x AS DOUBLE) - CAST(s AS DOUBLE)/n_obs)
+                       / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*s/n_obs)
+                              /(n_obs-1))
+             END"""
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 3600000000").as("hour_id"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("hour_id")
+          .rowsBetween(-24, -1)
+        hourly
+          .withColumn("s", sum(col("x")).over(w))
+          .withColumn("sq", sum(col("x") * col("x")).over(w))
+          .withColumn("n_obs", count(lit(1)).over(w))
+          .withColumn("z", expr(zExpr))
+          .select(col("event_type"), col("hour_id"), col("x"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+            col("z"), (abs(col("z")) > lit(3.0)).as("is_anomaly"))
+          .orderBy("event_type", "hour_id")
+      },
+      Some("""WITH hourly AS (
+                SELECT event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id,
+                  count(*) AS x
+                FROM events GROUP BY 1, 2),
+              st AS (
+                SELECT event_type, hour_id, x,
+                  sum(x) OVER w AS s,
+                  sum(x * x) OVER w AS sq,
+                  count(*) OVER w AS n_obs
+                FROM hourly
+                WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+              z AS (
+                SELECT event_type, hour_id, x, n_obs,
+                  CASE WHEN n_obs >= 12
+                        AND (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*s/n_obs) > 0
+                       THEN (CAST(x AS DOUBLE) - CAST(s AS DOUBLE)/n_obs)
+                            / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*s/n_obs)
+                                   /(n_obs-1))
+                  END AS z
+                FROM st)
+              SELECT event_type, hour_id, x,
+                CAST(n_obs AS BIGINT) AS n_obs, z,
+                abs(z) > 3.0 AS is_anomaly
+              FROM z ORDER BY event_type, hour_id""")),
+
     Op("win_fill_forward",
       // LOCF (last observation carried forward) — the other half of
       // time-series repair next to win_gap_fill's zero-fill: a sensor

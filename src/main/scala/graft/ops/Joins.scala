@@ -421,6 +421,70 @@ object Joins extends OpModule {
                      o_orderkey AS asof_orderkey, o_totalprice AS asof_price
               FROM ranked WHERE rn = 1 ORDER BY event_id""")),
 
+    Op("join_asof_nearest",
+      // nearest-neighbor time join — the bidirectional as-of variant:
+      // each click pairs with the NEAREST purchase of the same user
+      // within ±1 h (|Δt| minimized; ties → earlier purchase, then
+      // lower event_id — a total order, so the winner is unique).
+      // Candidate generation is the bucketed range-join rewrite
+      // (join_range_bucket's discipline applied to a tolerance
+      // band): bucket width = tolerance, the probe side explodes to
+      // its bucket ±1, and the equi-join on (user, bucket) provably
+      // covers every pair with |Δ| ≤ tolerance while each
+      // (click, purchase) candidate appears EXACTLY once (a purchase
+      // lives in one bucket; the three probe buckets are distinct).
+      // At 100 TB this is the whole point: the naive per-user
+      // click×purchase join is quadratic in per-user activity, the
+      // bucketed form shuffles on (user, bucket) and each probe sees
+      // only its ±1 h of candidates. LEFT semantics: clicks with no
+      // purchase in tolerance keep NULLs.
+      (s, d) => {
+        val e = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("c_us"))
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("p_us"),
+            col("event_id").as("purchase_id"))
+          .withColumn("bkt", expr("p_us DIV 3600000000"))
+        val probe = clicks.withColumn("bkt",
+          explode(expr("array(c_us DIV 3600000000 - 1, " +
+            "c_us DIV 3600000000, c_us DIV 3600000000 + 1)")))
+        val w = Window.partitionBy("click_id")
+          .orderBy(abs(col("p_us") - col("c_us")).asc,
+            col("p_us").asc, col("purchase_id").asc)
+        val best = probe.join(purch, Seq("user_id", "bkt"))
+          .filter(abs(col("p_us") - col("c_us")) <= lit(3600000000L))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("click_id"), col("purchase_id"),
+            (col("p_us") - col("c_us")).as("delta_us"))
+        clicks.join(best, Seq("click_id"), "left")
+          .select(col("click_id"), col("user_id"),
+            col("c_us").as("click_us"), col("purchase_id"), col("delta_us"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (
+                SELECT event_id AS click_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+                FROM events WHERE event_type = 'click'),
+              p AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+                  event_id AS purchase_id
+                FROM events WHERE event_type = 'purchase'),
+              cand AS (
+                SELECT c.click_id, p.p_us, p.purchase_id, c.c_us,
+                  row_number() OVER (PARTITION BY c.click_id
+                    ORDER BY abs(p.p_us - c.c_us) ASC, p.p_us ASC,
+                             p.purchase_id ASC) AS rn
+                FROM c JOIN p ON c.user_id = p.user_id
+                 AND abs(p.p_us - c.c_us) <= 3600000000)
+              SELECT c.click_id AS click_id, c.user_id, c.c_us AS click_us,
+                b.purchase_id, b.p_us - b.c_us AS delta_us
+              FROM c LEFT JOIN (SELECT * FROM cand WHERE rn = 1) b
+                ON c.click_id = b.click_id
+              ORDER BY c.click_id""")),
+
     Op("join_star_multiway",
       // 5-table star: Catalyst/AQE pick broadcast for the dim chain and
       // reorder; only lineitem⋈orders shuffles.

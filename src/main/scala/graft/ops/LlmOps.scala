@@ -2274,6 +2274,66 @@ object LlmOps extends OpModule {
                 CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p
               FROM win WHERE c2 >= 5 ORDER BY bigram""")),
 
+    Op("llm_lm_score",
+      // per-document fluency scoring under the corpus bigram LM —
+      // the quality-filter stage a perplexity filter implements
+      // (Wenzek et al.'s CCNet keeps documents a reference LM finds
+      // probable). Scores are LINEAR-space statistics of the
+      // conditional probabilities P(w2|w1): mean (via the DECIMAL
+      // accumulator, order-independent) and min (exact selection) —
+      // deliberately NOT log-perplexity, because ln is libm-dependent
+      // across engines (the recorded bm25 lesson); a monotone
+      // transform ranks documents identically, and the geometric-mean
+      // form is pinned in LlmSpec instead where only Spark evaluates
+      // it. The model is self-trained with NO count floor and no
+      // smoothing: every document bigram is in the model by
+      // construction, so p = c2/c1 is ONE IEEE division of exact
+      // integers. Shuffle shape at 100 TB: doc bigrams aggregate
+      // map-side to the vocab² model once (same exchange the
+      // llm_bigram_lm family uses); scoring is a bigram-keyed
+      // equi-join of the exploded doc bigrams against that model,
+      // then a doc-keyed re-aggregate — two bounded shuffles, no
+      // per-doc state beyond three numbers.
+      (s, d) => {
+        graft.functions.VectorKernels.register(s)
+        val bi = tokenizedDocs(s, d)
+          .select(col("doc_id"), explode(call_function("graft_shingles",
+            col("toks"), lit(2))).as("bigram"))
+        val byW1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(substring_index(col("bigram"), " ", 1))
+        val model = bi.groupBy("bigram").agg(count(lit(1)).as("c2"))
+          .withColumn("c1", sum(col("c2")).over(byW1))
+          .select(col("bigram"),
+            (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+        bi.join(model, "bigram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            davg(col("p")).as("avg_p"),
+            min(col("p")).as("min_p"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+                FROM documents),
+              bg AS (
+                SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i+1])) AS bigram
+                FROM tk WHERE len(t) >= 2),
+              cnt AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+              model AS (
+                SELECT bigram,
+                  CAST(c2 AS DOUBLE) /
+                    CAST(sum(c2) OVER (PARTITION BY split_part(bigram, ' ', 1))
+                         AS DOUBLE) AS p
+                FROM cnt),
+              sc AS (SELECT doc_id, p FROM bg JOIN model USING (bigram))
+              SELECT doc_id, count(*) AS n_bigrams,
+                round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE)
+                      / count(p), 6) AS avg_p,
+                min(p) AS min_p
+              FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
     Op("llm_dedup_canonical",
       // canonicalization dedup — the cheapest dedup family member:
       // case folding + punctuation strip + whitespace collapse, then

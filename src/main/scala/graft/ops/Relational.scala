@@ -69,6 +69,10 @@ object Relational extends OpModule {
   private val evolveFixtureWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Same memo discipline for the ORC fixture. */
+  private val orcFixtureWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   override def ops: Seq[Op] = Seq(
     // ── §2.1 scans ────────────────────────────────────────────────
     Op("scan_parquet",
@@ -247,6 +251,43 @@ object Relational extends OpModule {
               FROM read_csv('/tmp/graft_scan_fixtures/nation.csv', header=true)
               WHERE n_regionkey <= 2
               ORDER BY n_nationkey""")),
+
+    Op("scan_orc",
+      // ORC scan surface (SURVEY row 7h) — the other columnar format
+      // Spark ships natively; a meepo-adjacent warehouse is as likely
+      // to hand us ORC (Hive lineage) as parquet. Fixture = an ORC
+      // copy of events written once per (session, corpus) under the
+      // shared fixtureRoot keying; the read back is the 100 TB
+      // discipline end-to-end: EXPLICIT schema (no footer-inference
+      // pass over the fleet of files), predicate pushed to the ORC
+      // reader (ORC carries per-stripe min/max + optional bloom
+      // indexes, so `event_type = 'view'` skips whole stripes the
+      // same way parquet row-group pruning does — PlanSpec pins
+      // PushedFilters lands in the scan), projection pruned to the
+      // three output columns. The oracle reads the ORIGINAL parquet
+      // events: same rows by construction, so the hash gate proves
+      // the ORC round-trip is value-exact (incl. the double column).
+      (s, d) => {
+        val root = Tables.fixtureRoot(s, d, "scan_orc")
+        root.intern.synchronized {
+          if (!orcFixtureWritten.contains(root) ||
+              !new java.io.File(root).exists()) {
+            Tables.events(s, d)
+              .select("event_id", "user_id", "value", "event_type")
+              .write.mode("overwrite").orc(root)
+            orcFixtureWritten.add(root)
+            ()
+          }
+        }
+        s.read
+          .schema("event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING")
+          .orc(root)
+          .filter(col("event_type") === "view")
+          .select("event_id", "user_id", "value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+              WHERE event_type = 'view' ORDER BY event_id""")),
 
     // ── §2.2 row expressions ──────────────────────────────────────
     Op("project_expr",

@@ -245,4 +245,103 @@ class OperatorSpec extends SparkSpec {
     assert(df.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
     assert(df.filter(col("op") === "D").count() == 0)
   }
+
+  test("stream_retention_cohort: week-0 retention is exactly 1.0; retention never exceeds 1") {
+    val df = SparkEntry.queries("stream_retention_cohort")(spark, sf01)
+    // a cohort member's signup event makes them active in offset 0 by
+    // construction, so every cohort's first row must be full retention
+    val w0 = df.filter(col("week_offset") === 0)
+    assert(w0.count() > 0)
+    assert(w0.filter(col("retention") =!= 1.0).count() == 0,
+      "week-0 retention must be 1.0 for every cohort")
+    assert(df.filter(col("n_active") > col("n_cohort")).count() == 0)
+  }
+
+  test("stream_anomaly_zscore: z is gated on 12 observations and matches a hand-computed frame") {
+    val df = SparkEntry.queries("stream_anomaly_zscore")(spark, sf01).cache()
+    try {
+      assert(df.filter(col("n_obs") < 12 && col("z").isNotNull).count() == 0,
+        "z must be NULL until 12 trailing observations exist")
+      assert(df.filter(col("n_obs") > 24).count() == 0,
+        "trailing frame is capped at 24 observations")
+      // recompute one non-null z from its raw trailing counts
+      val r = df.filter(col("z").isNotNull)
+        .orderBy("event_type", "hour_id").head()
+      val tpe = r.getString(0); val hr = r.getLong(1)
+      val trail = df.filter(col("event_type") === tpe &&
+          col("hour_id") < hr)
+        .orderBy(col("hour_id").desc).limit(24)
+        .select("x").collect().map(_.getLong(0).toDouble)
+      val n = trail.length; val mean = trail.sum / n
+      val sd = math.sqrt(trail.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+      val z = (r.getLong(2) - mean) / sd
+      assert(math.abs(z - r.getDouble(4)) < 1e-9,
+        s"z mismatch: op ${r.getDouble(4)} vs recomputed $z")
+    } finally { df.unpersist(); () }
+  }
+
+  test("graph_triangle_count: handshake identity — per-node counts sum to 3·T") {
+    val df = SparkEntry.queries("graph_triangle_count")(spark, sf01)
+    val counts = df.collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ > 0))
+    assert(counts.sum % 3 == 0,
+      "each triangle contributes exactly one count to each of its 3 corners")
+  }
+
+  test("join_asof_nearest: bucketed candidates ≡ brute-force nearest within tolerance") {
+    val df = SparkEntry.queries("join_asof_nearest")(spark, sf001).cache()
+    try {
+      assert(df.filter(col("delta_us").isNotNull &&
+        abs(col("delta_us")) > 3600000000L).count() == 0)
+      // brute-force check: per click, min |Δ| over ALL purchases of the
+      // user agrees with the op's pick (or both sides find none)
+      val e = Tables.events(spark, sf001)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val brute = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("us").as("c_us"))
+        .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("p_us")), Seq("user_id"))
+        .filter(abs(col("p_us") - col("c_us")) <= 3600000000L)
+        .groupBy("click_id")
+        .agg(min(abs(col("p_us") - col("c_us"))).as("best_abs"))
+      val joined = df.join(brute, Seq("click_id"), "full_outer")
+      assert(joined.filter(
+        coalesce(abs(col("delta_us")), lit(-1L)) =!=
+          coalesce(col("best_abs"), lit(-1L))).count() == 0,
+        "bucketed nearest disagrees with brute force")
+    } finally { df.unpersist(); () }
+  }
+
+  test("agg_histogram_equidepth: balanced buckets that tile the value range") {
+    val df = SparkEntry.queries("agg_histogram_equidepth")(spark, sf001)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val ns = rows.map(_.getLong(3))
+    assert(ns.max - ns.min <= 1, s"equi-depth buckets unbalanced: ${ns.toSeq}")
+    assert(ns.sum == Tables.lineitem(spark, sf001).count())
+    // buckets are ordered and non-overlapping: each hi ≤ next lo
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) <= b.getDouble(1),
+        s"bucket ${a.getLong(0)} hi > bucket ${b.getLong(0)} lo")
+    case _ => ()
+    }
+  }
+
+  test("llm_lm_score: probabilities are proper; log-space perplexity is finite and ≥ 1") {
+    val df = SparkEntry.queries("llm_lm_score")(spark, sf001).cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(col("avg_p") <= 0.0 || col("avg_p") > 1.0).count() == 0)
+      assert(df.filter(col("min_p") > col("avg_p") + 1e-6).count() == 0)
+      // the geometric-mean (perplexity) form lives here, Spark-only —
+      // ln is libm-dependent so the oracled op ships linear stats
+      // (see the op's Scaladoc); self-trained model ⇒ every bigram
+      // has p > 0 ⇒ perplexity finite, and ppl ≥ 1 since p ≤ 1
+      val ppl = df.select(exp(-avg(log(col("min_p")))).as("ppl"))
+        .head().getDouble(0)
+      assert(!ppl.isNaN && !ppl.isInfinite && ppl >= 1.0)
+    } finally { df.unpersist(); () }
+  }
 }

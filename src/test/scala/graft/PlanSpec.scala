@@ -348,4 +348,44 @@ class PlanSpec extends SparkSpec {
     assert(bmFinal.contains("InMemoryTableScan"),
       s"bm25 is not reading the tokenizedDocs memo:\n$bm")
   }
+
+  test("r14b additions: ORC pushdown, triangle-join reuse, bucketed nearest, narrow analytics") {
+    // scan_orc: the predicate reaches the ORC reader (stripe-level
+    // min/max skipping), and the scan really is the ORC format
+    val orc = planOf("scan_orc")
+    assert(orc.contains("Scan orc"), s"not an ORC scan:\n$orc")
+    assert(orc.contains("PushedFilters") &&
+      orc.contains("EqualTo(event_type,view)"),
+      s"event_type filter not pushed to the ORC reader:\n$orc")
+    // triangle count: the three edge-list references must not become
+    // three pair aggregations over the fact table — the support-
+    // filtered edge list is memoized (InMemoryTableScan in every
+    // branch), and nothing degenerates to a cartesian
+    val tri = planOf("graph_triangle_count")
+    val triFinal = tri.split("== Initial Plan ==")(0)
+    assert(!tri.contains("CartesianProduct"), tri)
+    // (the InMemoryTableScan nodes print their cached relation's
+    // ORIGINAL plan inline — FileScan lines inside that description
+    // are not executed scans, so only the memo's presence is pinned)
+    assert(triFinal.contains("InMemoryTableScan"),
+      s"edge list rebuilt per triangle-join reference:\n$tri")
+    // nearest join: explode-bucketed candidates (Generate), hash
+    // equi-join (never a nested loop on the |Δ| predicate), and the
+    // rn=1 filter truncating map-side via WindowGroupLimit
+    val nn = planOf("join_asof_nearest")
+    assert(!nn.contains("CartesianProduct") &&
+      !nn.contains("BroadcastNestedLoopJoin"),
+      s"nearest join fell back to a non-equi loop:\n$nn")
+    assert(nn.contains("Generate explode"), nn)
+    assert(nn.contains("WindowGroupLimit"),
+      s"rn=1 did not push into WindowGroupLimit:\n$nn")
+    // retention cohort / anomaly zscore: partial aggregation collapses
+    // the log before any shuffle; the zscore plan is join-free
+    val az = planOf("stream_anomaly_zscore")
+    val azFinal = az.split("== Initial Plan ==")(0)
+    assert(!az.contains("Join"), s"zscore should be join-free:\n$az")
+    assert("HashAggregate".r.findAllIn(azFinal).size >= 2,
+      s"hourly aggregate lost map-side partials:\n$az")
+    assert(az.contains("Window"), az)
+  }
 }
