@@ -629,30 +629,15 @@ object EventOps extends OpModule {
       // that collapsed relation per type. The moment sums are the
       // same six-numbers-per-frame state agg_stats_moments ships —
       // bounded, map-combinable, no per-row buffering.
-      (s, d) => {
-        val zExpr =
-          """CASE WHEN n_obs >= 12
-                   AND (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*s/n_obs) > 0
-                  THEN (CAST(x AS DOUBLE) - CAST(s AS DOUBLE)/n_obs)
-                       / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*s/n_obs)
-                              /(n_obs-1))
-             END"""
-        val hourly = Tables.events(s, d)
+      // the hourly aggregate + z finish live in
+      // [[EventStreams.anomalyZscoreFinish]], shared verbatim with
+      // the streaming twin ([[EventStreams.hourlyCountsStream]] →
+      // assembleAnomalyZscore) so twin ≡ batch is an identity
+      (s, d) => EventStreams.anomalyZscoreFinish(
+        Tables.events(s, d)
           .groupBy(col("event_type"),
             expr("unix_micros(ts) DIV 3600000000").as("hour_id"))
-          .agg(count(lit(1)).as("x"))
-        val w = Window.partitionBy("event_type").orderBy("hour_id")
-          .rowsBetween(-24, -1)
-        hourly
-          .withColumn("s", sum(col("x")).over(w))
-          .withColumn("sq", sum(col("x") * col("x")).over(w))
-          .withColumn("n_obs", count(lit(1)).over(w))
-          .withColumn("z", expr(zExpr))
-          .select(col("event_type"), col("hour_id"), col("x"),
-            coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-            col("z"), (abs(col("z")) > lit(3.0)).as("is_anomaly"))
-          .orderBy("event_type", "hour_id")
-      },
+          .agg(count(lit(1)).as("x"))),
       Some("""WITH hourly AS (
                 SELECT event_type,
                   epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id,

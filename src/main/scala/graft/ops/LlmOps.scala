@@ -2370,6 +2370,89 @@ object LlmOps extends OpModule {
               SELECT canon_key, min(doc_id) AS keeper, count(*) AS n_copies
               FROM c GROUP BY canon_key ORDER BY keeper""")),
 
+    Op("llm_dedup_paragraph",
+      // paragraph-grain dedup — the CCNet/RefinedWeb move the
+      // DOC-grain dedup family can't make: boilerplate paragraphs
+      // (headers, license blocks, navigation) repeat across millions
+      // of otherwise-distinct pages, so dedup below the document
+      // boundary removes the repetition while keeping the documents.
+      // "Paragraph" here = consecutive 8-token chunks (the corpus is
+      // single-line, so a fixed token window stands in for line
+      // breaks); each chunk is kept only at its FIRST occurrence
+      // corpus-wide (ordered by doc_id then position — a total
+      // order), and documents are reassembled from their surviving
+      // chunks. Planted full clones (high-bit-tagged ids, every 7th
+      // doc) must come back with zero kept paragraphs — every chunk
+      // already occurred in the original (the hash gate proves it on
+      // every row). Shape at 100 TB: the shuffle is keyed by the
+      // 16-byte chunk hash (never the chunk text twice — the rn=1
+      // filter truncates map-side via WindowGroupLimit); reassembly
+      // shuffles surviving chunks once on doc_id. No all-pairs
+      // anything — this is exact dedup at a finer grain, same
+      // hash-shuffle scaling as llm_dedup_exact.
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val allDocs = docs.unionByName(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + lit(2199023255552L)).as("doc_id"),
+              col("text")))
+        val par = allDocs
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, CAST(ceil(size(t)/8.0) AS INT) - 1),
+               i -> struct(i AS pos, array_join(slice(t, i*8+1, 8), ' ')
+                           AS par))""")).as("c"))
+          .select(col("doc_id"), col("c.pos").as("pos"), col("c.par").as("par"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("par"))).orderBy("doc_id", "pos")
+        val kept = par.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("par")))),
+              x => x.getField("par")), " ").as("new_text"))
+        allDocs
+          .select(col("doc_id"),
+            ceil(size(split(col("text"), " ")) / 8.0).cast("long").as("n_par"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_par"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            md5(coalesce(col("new_text"), lit(""))).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 2199023255552, text FROM documents
+                WHERE doc_id % 7 = 0),
+              tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM all_docs),
+              ch AS (
+                SELECT doc_id,
+                  unnest(list_transform(range(0, CAST(ceil(len(t)/8.0) AS INT)),
+                    i -> struct_pack(pos := i,
+                      par := array_to_string(t[i*8+1 : i*8+8], ' ')))) AS c
+                FROM tk),
+              par AS (SELECT doc_id, c.pos AS pos, c.par AS par FROM ch),
+              keep AS (
+                SELECT doc_id, pos, par,
+                  row_number() OVER (PARTITION BY md5(par)
+                    ORDER BY doc_id, pos) AS rn
+                FROM par),
+              agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                  string_agg(par, ' ' ORDER BY pos) AS new_text
+                FROM keep WHERE rn = 1 GROUP BY doc_id),
+              base AS (SELECT doc_id,
+                         CAST(ceil(len(string_split(text, ' '))/8.0) AS BIGINT)
+                           AS n_par
+                       FROM all_docs)
+              SELECT b.doc_id AS doc_id, b.n_par,
+                coalesce(a.n_kept, 0) AS n_kept,
+                md5(coalesce(a.new_text, '')) AS kept_md5
+              FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+              ORDER BY b.doc_id""")),
+
     Op("llm_cooccur_lift",
       // term co-occurrence lift — market-basket association over
       // documents: lift(a,b) = P(a,b)/(P(a)·P(b)) = (n·c_ab)/(c_a·c_b)

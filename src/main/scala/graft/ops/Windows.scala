@@ -188,6 +188,48 @@ object Windows extends OpModule {
                 CAST(ntile(4) OVER (PARTITION BY o_custkey
                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER)
                   AS quartile
-              FROM orders ORDER BY o_orderkey"""))
+              FROM orders ORDER BY o_orderkey""")),
+
+    Op("win_ewma",
+      // exponentially-weighted moving average (α = 0.25) of each
+      // user's reading series — the smoothing primitive behind rate
+      // limiters, load estimators and drift monitors. EWMA is a
+      // RECURSIVE fold (acc ← α·x + (1−α)·acc), which no frame-based
+      // window aggregate expresses exactly, and a pow()-expanded
+      // rendering would not hash-match (libm). Both engines instead
+      // LEFT-FOLD the identical lambda over the identically-ordered
+      // value list (Spark `aggregate` HOF over an array_sort'ed
+      // collect_list keyed by the unique (ts_us, event_id) tuple ≡
+      // DuckDB `list_reduce` over `list(... ORDER BY ...)`; constants
+      // in exponent form, 25e-2, so both parse DOUBLE) — same IEEE
+      // ops in the same order ⇒ bit-identical doubles, no rounding.
+      // The per-user array buffer is the oracle-exact form's cost;
+      // EWMA itself needs O(1) state, so the unbounded-scale path is
+      // the streaming stateful fold (stream_stateful_fold /
+      // transformWithState), where this fold runs incrementally with
+      // one accumulator per key and no buffering.
+      (s, d) => {
+        val series = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value"))
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(
+            struct(col("ts_us"), col("event_id"), col("value")))).as("xs"))
+          .select(col("user_id"),
+            expr("transform(xs, x -> x.value)").as("vs"))
+        series.select(col("user_id"), size(col("vs")).as("n_obs"),
+            expr("""aggregate(slice(vs, 2, size(vs)),
+                    CAST(element_at(vs, 1) AS DOUBLE),
+                    (acc, x) -> 25e-2 * x + 75e-2 * acc)""").as("ewma"))
+          .orderBy("user_id")
+      },
+      Some("""WITH s AS (
+                SELECT user_id,
+                  list(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                       event_id) AS vs
+                FROM events GROUP BY user_id)
+              SELECT user_id, CAST(len(vs) AS INTEGER) AS n_obs,
+                list_reduce(vs, (acc, x) -> 25e-2 * x + 75e-2 * acc) AS ewma
+              FROM s ORDER BY user_id"""))
   )
 }

@@ -857,6 +857,87 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ── op 54f streaming twin: live hourly volumes → trailing z ──────
+  /** One live hourly-count row. `x` re-emits monotonically as the
+    * hour's count grows across micro-batches; later rows subsume
+    * earlier ones (the gap-audit summary discipline), so the
+    * assembly's `max(x)` recovers the final count exactly. */
+  case class HourlyRow(event_type: String, hour_id: Long, x: Long)
+
+  /** Per-(type, hour) running count — ONE long of state per open
+    * hour. The monitor reads the current micro-batch's re-emission
+    * for live dashboards; the z assembly runs over the subsumed
+    * final counts. At 100 TB the key space is |types|×|hours| —
+    * the state store shards it by the groupBy, and a TTL (not
+    * needed for the bounded replay here) would retire closed hours
+    * in a production run. */
+  class HourlyCountProcessor
+      extends StatefulProcessor[(String, Long), (String, Long), HourlyRow] {
+    @transient private var n: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long),
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[HourlyRow] = {
+      val cur = (if (n.exists()) n.get() else 0L) + rows.size
+      n.update(cur)
+      Iterator.single(HourlyRow(key._1, key._2, cur))
+    }
+  }
+
+  /** Live hourly event volumes keyed (event_type, hour_id) —
+    * level 1 of the streaming anomaly monitor. Update mode: each
+    * micro-batch re-emits the grown counts for the hours it touched.
+    */
+  def hourlyCountsStream(ds: Dataset[(String, Long)]): Dataset[HourlyRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    requireRocksDb(spark, ds.isStreaming)
+    ds.groupByKey(identity)
+      .transformWithState(new HourlyCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The z finish SHARED by the batch `stream_anomaly_zscore` op and
+    * the streaming assembly: trailing-24-observation integer moment
+    * sums over the hourly relation + the one shared finish-expression
+    * string both engines evaluate (see the op's Scaladoc in
+    * [[graft.ops.EventOps]] — this sharing is what makes twin ≡
+    * batch a row-for-row identity, not an approximation). */
+  def anomalyZscoreFinish(hourly: DataFrame): DataFrame = {
+    val zExpr =
+      """CASE WHEN n_obs >= 12
+               AND (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*s/n_obs) > 0
+              THEN (CAST(x AS DOUBLE) - CAST(s AS DOUBLE)/n_obs)
+                   / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*s/n_obs)
+                          /(n_obs-1))
+         END"""
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour_id")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("sq", sum(col("x") * col("x")).over(w))
+      .withColumn("n_obs", count(lit(1)).over(w))
+      .withColumn("z", expr(zExpr))
+      .select(col("event_type"), col("hour_id"), col("x"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("z"), (abs(col("z")) > lit(3.0)).as("is_anomaly"))
+      .orderBy("event_type", "hour_id")
+  }
+
+  /** Level 2 of the anomaly monitor, over the collected
+    * [[hourlyCountsStream]] output: final count per (type, hour) =
+    * max over the monotone re-emissions, then the identical z finish
+    * the batch op runs — EventStreamSpec proves twin ≡ batch
+    * row-for-row across a two-batch replay. */
+  def assembleAnomalyZscore(rows: DataFrame): DataFrame =
+    anomalyZscoreFinish(rows.groupBy("event_type", "hour_id")
+      .agg(max(col("x")).as("x")))
+
   /** Level 2 of the audit, over the collected [[gapAuditStream]]
     * output: final block spans (min/max over the monotone summary
     * re-emissions) + one lag() across blocks for the cross-block

@@ -412,6 +412,43 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists(_._1 < mid) && batch.exists(_._1 > mid))
   }
 
+  test("streaming anomaly z-score: live hourly counts + trailing-window assembly equals batch") {
+    import spark.implicits._
+    val batch = SparkEntry.queries("stream_anomaly_zscore")(spark, sf001)
+      .collect().toSeq
+    val dir = tmpDir("graft_anom_stream")
+    val ev = rawNsEvents
+    val mid = ev.agg(max("event_id")).head().getLong(0) / 2
+    // split by POSITION, not time: counting is order-independent and
+    // the monotone re-emissions must survive an hour straddling the
+    // micro-batch boundary — that is exactly what this proves
+    ev.filter(col("event_id") < mid).write.mode("overwrite")
+      .parquet(s"$dir/in")
+    val raw = spark.readStream.schema(EventStreams.rawSchema)
+      .parquet(s"$dir/in")
+    val typed = raw.select(col("event_type"),
+        expr("(ts DIV 1000) DIV 3600000000").as("hour_id"))
+      .as[(String, Long)]
+    val q = EventStreams.hourlyCountsStream(typed).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_anom").start()
+    q.processAllAvailable()
+    ev.filter(col("event_id") >= mid).write.mode("append")
+      .parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    val got = EventStreams.assembleAnomalyZscore(spark.table("t_anom"))
+      .collect().toSeq
+    assert(got == batch)
+    assert(batch.nonEmpty)
+    // at least one hour's count really did grow across the boundary
+    // (otherwise the monotone-subsumption path went untested)
+    val perEmit = spark.table("t_anom")
+      .groupBy("event_type", "hour_id").count()
+    assert(perEmit.filter(col("count") > 1).count() > 0,
+      "no hour re-emitted across micro-batches — split did not straddle")
+  }
+
   test("session timers: event-time timers close idle sessions (TWS)") {
     import spark.implicits._
     import graft.streaming.StatefulProcessors
