@@ -621,8 +621,122 @@ object Aggs extends OpModule {
                 count(DISTINCT year(o_orderdate)) AS n_years,
                 count(*) AS n_orders
               FROM orders GROUP BY o_orderstatus
-              ORDER BY o_orderstatus"""))
+              ORDER BY o_orderstatus""")),
+
+    Op("agg_regression",
+      // per-group OLS fit (slope / intercept / R²) of extendedprice on
+      // quantity — the statsMomentsSql discipline: both engines run
+      // the IDENTICAL shared SQL over 2dp-scaled integer moment sums
+      // (exact, order-independent, map-side-combinable — six numbers
+      // per group cross the shuffle at any scale), and the finish step
+      // is a fixed sequence of IEEE-exact double ops (×, −, ÷), so the
+      // outputs are bit-identical without rounding. Built-in
+      // regr_slope/regr_intercept would NOT hash-match: each engine
+      // merges its own float state in its own order.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_regr")
+        s.sql(regressionSql("graft_li_regr"))
+      },
+      Some(regressionSql("lineitem"))),
+
+    Op("agg_percentile_disc",
+      // discrete percentiles (PERCENTILE_DISC semantics: the smallest
+      // actual value whose cume_dist reaches the fraction) — Spark has
+      // no percentile_disc built-in, so both engines run the shared
+      // cume_dist + conditional-min rewrite. The selected values pass
+      // through bit-unchanged (no arithmetic → no rounding needed).
+      // 100 TB: one window sort per event_type partition, then a
+      // map-combined min aggregate — same shape as win_cume_pct; for
+      // sort-free percentiles at scale use agg_approx_percentile.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_pdisc")
+        s.sql(percentileDiscSql("graft_ev_pdisc"))
+      },
+      Some(percentileDiscSql("events"))),
+
+    Op("agg_entropy",
+      // Shannon entropy of each source's language mix — the
+      // distribution-shape profiler a corpus-balance report runs.
+      // Counts are exact longs; p·ln(p) terms are IEEE doubles whose
+      // ≤|langs| summation error (~1e-15) sits far below the 6dp
+      // round. 100 TB: collapses to |source|×|lang| rows in ONE
+      // map-combined aggregate before any math happens.
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("graft_docs_ent")
+        s.sql(entropySql("graft_docs_ent"))
+      },
+      Some(entropySql("documents")))
   )
+
+  /** Shared SQL for `agg_regression` — moment-sum widths proven in
+    * [[statsMomentsSql]] (widest term n·Σy² ≤ 4e33 at sf 1000). */
+  private def regressionSql(table: String): String =
+    s"""SELECT l_returnflag, n_rows, slope,
+          (sy_d - slope * sx_d) / (1e2 * n_d) AS intercept,
+          (num * num) / (dxx * dyy) AS r2
+        FROM (
+          SELECT l_returnflag, n_rows, n_d, sx_d, sy_d,
+            num, dxx, dyy, num / dxx AS slope
+          FROM (
+            SELECT l_returnflag,
+              CAST(n AS BIGINT) AS n_rows,
+              CAST(n AS DOUBLE) AS n_d,
+              CAST(sx AS DOUBLE) AS sx_d,
+              CAST(sy AS DOUBLE) AS sy_d,
+              CAST(CAST(n AS DECIMAL(34,0))*sxy
+                   - CAST(sx AS DECIMAL(34,0))*sy AS DOUBLE) AS num,
+              CAST(CAST(n AS DECIMAL(31,0))*sxx
+                   - CAST(sx AS DECIMAL(31,0))*sx AS DOUBLE) AS dxx,
+              CAST(CAST(n AS DECIMAL(37,0))*syy
+                   - CAST(sy AS DECIMAL(37,0))*sy AS DOUBLE) AS dyy
+            FROM (
+              SELECT l_returnflag,
+                CAST(count(*) AS DECIMAL(11,0)) AS n,
+                CAST(sum(CAST(x AS DECIMAL(15,0))) AS DECIMAL(15,0)) AS sx,
+                CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sy,
+                CAST(sum(CAST(x*x AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sxx,
+                CAST(sum(CAST(y*y AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS syy,
+                CAST(sum(CAST(x*y AS DECIMAL(22,0))) AS DECIMAL(22,0)) AS sxy
+              FROM (
+                SELECT l_returnflag,
+                  CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+                FROM $table)
+              GROUP BY l_returnflag)))
+        ORDER BY l_returnflag"""
+
+  /** Shared SQL for `agg_percentile_disc` — conditional-min over
+    * cume_dist, the engine-portable PERCENTILE_DISC rewrite. */
+  private def percentileDiscSql(table: String): String =
+    s"""WITH r AS (
+          SELECT event_type, value,
+            cume_dist() OVER (PARTITION BY event_type
+              ORDER BY value ASC) AS cd
+          FROM $table)
+        SELECT event_type,
+          min(CASE WHEN cd >= 0.5e0 THEN value END) AS p50_disc,
+          min(CASE WHEN cd >= 0.9e0 THEN value END) AS p90_disc,
+          max(value) AS p100_disc
+        FROM r GROUP BY event_type ORDER BY event_type"""
+
+  /** Shared SQL for `agg_entropy` — exact counts, one ln per
+    * (source, lang) cell, 6dp round absorbing the tiny term-order
+    * drift of the ≤|langs|-element double sum. */
+  private def entropySql(table: String): String =
+    s"""WITH c AS (
+          SELECT source, lang, count(*) AS n
+          FROM $table GROUP BY source, lang),
+        t AS (
+          SELECT source, CAST(sum(n) AS BIGINT) AS tot
+          FROM c GROUP BY source)
+        SELECT c.source,
+          CAST(min(t.tot) AS BIGINT) AS n_docs,
+          CAST(count(*) AS INT) AS n_langs,
+          round(-sum((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                     * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6)
+            AS entropy
+        FROM c JOIN t ON c.source = t.source
+        GROUP BY c.source ORDER BY c.source"""
 
   /** Shared SQL for `agg_percentile_weighted` — identical text on both
     * engines (the `statsMomentsSql` discipline): DECIMAL cumulative

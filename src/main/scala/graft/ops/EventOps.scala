@@ -710,6 +710,110 @@ object EventOps extends OpModule {
                         ORDER BY ts ASC, event_id ASC
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS reading_ffill
-              FROM events ORDER BY event_id"""))
+              FROM events ORDER BY event_id""")),
+
+    Op("stream_markov_transition",
+      // first-order Markov transition matrix over the event stream:
+      // P(next event_type | event_type) per user-ordered sequence —
+      // the behavioral model a product-analytics/anomaly layer fits.
+      // lead() over (user, ts, event_id) gives each event its
+      // successor with no self-join; the pair counts collapse to
+      // |types|² rows before the tiny per-from window normalizes.
+      // prob is ONE IEEE division of exact longs — bit-identical, no
+      // rounding. 100 TB: one shuffle on user_id for the sequence
+      // window (bounded per-user state), then a map-combined pair
+      // aggregate; nothing wider than |types|² reaches the driver-less
+      // final window.
+      (s, d) => {
+        val seq = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val perFrom = Window.partitionBy("from_type")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type").as("from_type"),
+            lead(col("event_type"), 1).over(seq).as("to_type"))
+          .filter(col("to_type").isNotNull)
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n_trans"))
+          .select(col("from_type"), col("to_type"), col("n_trans"),
+            (col("n_trans").cast("double") /
+              sum(col("n_trans")).over(perFrom).cast("double")).as("prob"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH p AS (
+                SELECT event_type AS from_type,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+                    AS to_type
+                FROM events),
+              c AS (
+                SELECT from_type, to_type, count(*) AS n_trans
+                FROM p WHERE to_type IS NOT NULL
+                GROUP BY from_type, to_type)
+              SELECT from_type, to_type, n_trans,
+                CAST(n_trans AS DOUBLE) /
+                  CAST(sum(n_trans) OVER (PARTITION BY from_type) AS DOUBLE)
+                  AS prob
+              FROM c ORDER BY from_type, to_type""")),
+
+    Op("stream_debounce",
+      // min-gap filter (debounce/throttle): drop events that arrive
+      // within 60 s of the SAME user's previous raw event — the
+      // duplicate-burst suppressor a broadcast pipeline puts in front
+      // of expensive sinks. Gap is computed against the previous raw
+      // event (window-expressible, one pass); the reset-on-keep
+      // variant needs a running state machine — that form lives in
+      // the streaming layer (transformWithState), this is its batch
+      // audit twin. Gaps are exact integer µs — no float anywhere.
+      // 100 TB: one shuffle on user_id, bounded per-user window state.
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .filter(col("gap_us").isNull || col("gap_us") > lit(60000000L))
+          .select("event_id", "user_id", "event_type", "gap_us")
+          .orderBy("event_id")
+      },
+      Some("""WITH g AS (
+                SELECT event_id, user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) -
+                    epoch_us(lag(CAST(ts AS TIMESTAMP), 1)
+                      OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC))
+                    AS gap_us
+                FROM events)
+              SELECT event_id, user_id, event_type, gap_us
+              FROM g WHERE gap_us IS NULL OR gap_us > 60000000
+              ORDER BY event_id""")),
+
+    Op("cdc_liveness",
+      // per-source liveness/staleness audit: how far behind the
+      // stream head each event_type's latest event sits — the
+      // "is this subscription still flowing?" check a meepo-style
+      // operator dashboard polls. The global head is a one-row
+      // aggregate broadcast against the per-type maxima; staleness is
+      // exact integer µs. 100 TB: two map-combined max-aggregates
+      // (each collapses the scan before any shuffle) and a broadcast
+      // of ONE row — no wide join anywhere.
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val head = e.agg(max(col("ts")).as("head_ts"))
+        e.groupBy("event_type")
+          .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+          .crossJoin(broadcast(head))
+          .select(col("event_type"), col("last_ts"), col("n_events"),
+            (unix_micros(col("head_ts")) - unix_micros(col("last_ts")))
+              .as("staleness_us"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (
+                SELECT max(CAST(ts AS TIMESTAMP)) AS head_ts FROM events)
+              SELECT event_type,
+                max(CAST(ts AS TIMESTAMP)) AS last_ts,
+                count(*) AS n_events,
+                epoch_us((SELECT head_ts FROM h)) -
+                  epoch_us(max(CAST(ts AS TIMESTAMP))) AS staleness_us
+              FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

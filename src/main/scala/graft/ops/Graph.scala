@@ -287,6 +287,27 @@ object GraphOps extends OpModule {
                 SELECT va AS supp FROM t
                 UNION ALL SELECT vb FROM t
                 UNION ALL SELECT vc FROM t) u
-              GROUP BY supp ORDER BY supp"""))
+              GROUP BY supp ORDER BY supp""")),
+
+    Op("graph_degree_hist",
+      // degree distribution of the customer→order bipartite graph
+      // (orders per customer, then how many customers sit at each
+      // degree) — the first profiling query any graph workload runs,
+      // and the skew detector that decides whether a downstream join
+      // needs salting. Two map-combined hash aggregates; the second
+      // one's input is |customers| rows and its output |distinct
+      // degrees| — at 100 TB nothing but those tiny relations crosses
+      // the second shuffle. Exact longs only.
+      (s, d) => {
+        val deg = Tables.orders(s, d)
+          .groupBy("o_custkey").agg(count(lit(1)).as("degree"))
+        deg.groupBy("degree").agg(count(lit(1)).as("n_customers"))
+          .orderBy("degree")
+      },
+      Some("""WITH d AS (
+                SELECT o_custkey, count(*) AS degree
+                FROM orders GROUP BY o_custkey)
+              SELECT degree, count(*) AS n_customers
+              FROM d GROUP BY degree ORDER BY degree"""))
   )
 }

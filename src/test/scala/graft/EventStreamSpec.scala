@@ -127,6 +127,59 @@ class EventStreamSpec extends SparkSpec {
     assert(got(4L) == Some(5.0), s"stale value leaked forward: $got")
   }
 
+  test("streaming debounce (reset-on-keep) matches a reference fold over the corpus") {
+    // the TRUE debounce is a running state machine (each decision
+    // depends on the previous DECISION) — reference = a per-user Scala
+    // fold over the totally-ordered event list; 48 h gap so the sparse
+    // sf0.001 corpus actually drops events
+    val gap = 48L * 3600 * 1000000
+    val evs = EventStreams.toFoldEvents(batchEvents).collect().toSeq
+    val expected = evs.groupBy(_.user_id).flatMap { case (_, xs) =>
+      var last = Long.MinValue
+      xs.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        val keep = last == Long.MinValue || e.ts_us - last > gap
+        if (keep) last = e.ts_us
+        e.event_id -> keep
+      }
+    }
+    val streamed = runToMemory(
+      EventStreams.debounceStream(
+        EventStreams.toFoldEvents(streamEvents), gap).toDF(),
+      "t_debounce", "append")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(streamed == expected)
+    assert(expected.values.exists(identity) && expected.exists(!_._2),
+      "corpus produced no drops — gap too small to exercise debounce")
+  }
+
+  test("streaming debounce: reset-on-keep keeps what the lag filter cannot") {
+    // planted sequence t = 0, 50, 80, 130 s with a 60 s gap: the batch
+    // lag-vs-previous-RAW op drops 80 (only 30 s after raw 50); the
+    // stateful form KEEPS 80 (>60 s after last KEPT 0) — the semantic
+    // the batch op documents itself as approximating. Batch boundary
+    // between 50 and 80 proves the kept-position state crosses
+    // micro-batches.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.FoldEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[FoldEvent]
+    val q = EventStreams.debounceStream(in.toDS(), 60000000L).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_debounce_plant").start()
+    def ev(id: Long, tSec: Long) =
+      FoldEvent(id, 7L, tSec * 1000000L, "click", 1.0)
+    try {
+      in.addData(ev(1, 0), ev(2, 50))
+      q.processAllAvailable()
+      in.addData(ev(3, 80), ev(4, 130))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("t_debounce_plant")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(kept == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
   test("filter/route co-locates every key in exactly one partition (ordered delivery)") {
     val routed = EventStreams.filterRoute(batchEvents, nSinks = 4, nPartitions = 32)
     val byKey = routed

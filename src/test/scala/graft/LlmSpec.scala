@@ -821,4 +821,105 @@ class LlmSpec extends SparkSpec {
     assert(re.map(r => (r.getLong(0), r.getInt(2))).toSeq ==
       rows.map(r => (r.getLong(0), r.getInt(2))).toSeq)
   }
+
+  test("audio: WAV round-trip — header fields and 16-bit PCM samples exact") {
+    val text = "audio fixture with deterministic bytes"
+    val wav = Multimodal.wavBytes(text, sampleRate = 8000, n = 256)
+    val Some((rate, ch, bits, xs)) = Multimodal.parseWav(wav)
+    assert(rate == 8000 && ch == 1 && bits == 16 && xs.length == 256)
+    val payload = text.getBytes("UTF-8")
+    // sample i must equal the centered/scaled payload byte exactly
+    (0 until 256).foreach { i =>
+      val expect = (((payload(i % payload.length) & 0xff) - 128) << 7).toShort
+      assert(xs(i) == expect, s"sample $i")
+    }
+    // non-RIFF bytes refuse to parse
+    assert(Multimodal.parseWav("not audio at all".getBytes).isEmpty)
+  }
+
+  test("audio: features — RMS/ZCR/peak exact on a hand-built square wave") {
+    import spark.implicits._
+    // ±1000 square wave, period 2: rms = 1000, zcr = (n-1)/n, peak = 1000
+    val n = 64
+    val data = Array.tabulate(n)(i => if (i % 2 == 0) 1000 else -1000)
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + n * 2).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(n * 2)
+    data.foreach(v => bb.putShort(v.toShort))
+    val rec = Seq(Multimodal.MediaRecord(7L, bb.array(), "audio/wav", 0, 0)).toDS()
+    val f = Multimodal.audioFeatures(rec).collect().head
+    assert(f.sample_rate == 16000 && f.bits == 16 && f.n_samples == n)
+    assert(f.duration_us == n.toLong * 1000000L / 16000)
+    assert(math.abs(f.rms - 1000f / 32768f) < 1e-6)
+    assert(f.peak == 1000)
+    assert(math.abs(f.zcr - (n - 1).toFloat / n) < 1e-6)
+    // registered query runs over the whole corpus, one row per doc
+    val df = SparkEntry.queries("llm_audio_features")(spark, sf001)
+    assert(df.count() == Tables.documents(spark, sf001).count())
+    assert(df.filter(col("sample_rate") =!= 8000).count() == 0)
+  }
+
+  test("media meta: header sniff detects format + dims without decoding") {
+    val text = "metadata sniffing fixture"
+    assert(Multimodal.sniffMediaMeta(
+      Multimodal.imageBytes(text, 5, 3, "png")) == Some(("png", 5, 3)))
+    assert(Multimodal.sniffMediaMeta(
+      Multimodal.imageBytes(text, 6, 4, "jpg")) == Some(("jpeg", 6, 4)))
+    assert(Multimodal.sniffMediaMeta(
+      Multimodal.wavBytes(text)) == Some(("wav", 0, 0)))
+    assert(Multimodal.sniffMediaMeta("P6\n2 2\n255\n".getBytes ++
+      Array.fill[Byte](12)(1)) == Some(("ppm", 2, 2)))
+    assert(Multimodal.sniffMediaMeta("garbage bytes".getBytes).isEmpty)
+    // registered query: every corpus row sniffs to its packed type
+    val rows = SparkEntry.queries("llm_media_meta")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expect = (id % 4) match {
+        case 0 => "png"; case 1 => "jpeg"; case 2 => "wav"; case _ => "ppm"
+      }
+      assert(r.getAs[String]("detected") == expect, s"doc $id")
+      if (expect == "png" || expect == "jpeg" || expect == "ppm")
+        assert(r.getAs[Int]("width") == 4 && r.getAs[Int]("height") == 4)
+    }
+  }
+
+  test("phash: re-encoded copies pair, distinct images stay far apart") {
+    val docs = Tables.documents(spark, sf001).limit(64)
+    val png = Multimodal.perceptualHashes(
+      Multimodal.packBlockImages(docs, fmt = "png")).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    val jpg = Multimodal.perceptualHashes(
+      Multimodal.packBlockImages(docs, fmt = "jpg")).collect()
+      .map(h => h.doc_id -> h.phash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // cross-encoding robustness: the SAME image through lossless PNG
+    // and lossy JPEG stays within the banding radius for the
+    // overwhelming majority of docs (block-smooth fixtures measured
+    // 0–6; the noise-pattern fixtures measured 12–24 — see
+    // blockImageBytes)
+    val within = png.keys.count(id => ham(png(id), jpg(id)) <= 6)
+    assert(within >= png.size * 9 / 10,
+      s"only $within/${png.size} png↔jpg pairs within Hamming 6")
+    // distinct images are far apart: median pairwise distance ≥ 16
+    val ids = png.keys.toSeq.sorted.take(24)
+    val dists = for { a <- ids; b <- ids if a < b } yield ham(png(a), png(b))
+    val med = dists.sorted.apply(dists.size / 2)
+    assert(med >= 16, s"median inter-image Hamming $med")
+    // registered band-join query finds each doc's two encodings as a
+    // pair (possibly among further near-dup pairs); the Manku triple
+    // banding at radius 6 makes detection of every ≤6-bit pair a
+    // guarantee, not luck
+    val pairs = SparkEntry.queries("llm_phash_dedup")(spark, sf001)
+      .collect()
+    val selfPairs = pairs.filter(r =>
+      r.getAs[Long]("doc_a") == r.getAs[Long]("doc_b"))
+    val docCount = Tables.documents(spark, sf001).count()
+    assert(selfPairs.length >= docCount * 9 / 10,
+      s"${selfPairs.length}/$docCount docs paired their own re-encoding")
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 6))
+  }
 }
