@@ -814,6 +814,43 @@ object EventOps extends OpModule {
                 count(*) AS n_events,
                 epoch_us((SELECT head_ts FROM h)) -
                   epoch_us(max(CAST(ts AS TIMESTAMP))) AS staleness_us
-              FROM events GROUP BY event_type ORDER BY event_type"""))
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Op("stream_quota_limit",
+      // per-key delivery quota: at most the first 2 events per
+      // (user, day) pass downstream — the rate limiter a broadcast
+      // layer puts in front of a per-subscriber budget (meepo-style
+      // consumer protection). row_number over the (user, day)
+      // partition in (ts, event_id) total order; WindowGroupLimit
+      // truncates each group to 2 rows MAP-SIDE before the shuffle,
+      // so at 100 TB the exchange carries ≤2 rows per (user, day),
+      // not the raw stream. Day = exact epoch-day integer.
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "day_nr")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("day_nr",
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("event_id"), col("user_id"), col("day_nr"),
+            col("rn"), col("event_type"))
+          .orderBy("event_id")
+      },
+      Some("""WITH q AS (
+                SELECT event_id, user_id,
+                  date_diff('day', DATE '1970-01-01',
+                    CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day_nr,
+                  event_type,
+                  row_number() OVER (
+                    PARTITION BY user_id,
+                      date_diff('day', DATE '1970-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS rn
+                FROM events)
+              SELECT event_id, user_id, day_nr, CAST(rn AS INTEGER) AS rn,
+                event_type
+              FROM q WHERE rn <= 2 ORDER BY event_id"""))
   )
 }

@@ -615,6 +615,68 @@ object LayoutOps extends OpModule {
               SELECT count(*) AS n_rows,
                 CAST(sum(fp) AS BIGINT) AS checksum_sum,
                 CAST(bit_xor(fp) AS BIGINT) AS checksum_xor
-              FROM v"""))
+              FROM v""")),
+
+    Op("table_skew_report",
+      // heavy-hitter share per column — the skew detector that decides
+      // whether a join/agg on that column needs salting (feeds the
+      // join_skew_salted / agg_salted_skew machinery): top value,
+      // its count, ndv, and the top-1 frequency share. ONE pass:
+      // unpivot fans each row ×4 map-side (no shuffle), then a single
+      // map-combined (col, value) aggregate collapses to Σ ndv rows
+      // before the tiny per-column top-1 window — at 100 TB the only
+      // shuffle carries value-count pairs, never rows. share is ONE
+      // IEEE division of exact longs; tie-break by value string keeps
+      // the top-1 deterministic.
+      (s, d) => {
+        val pairs = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_suppkey").cast("string").as("l_suppkey"),
+            col("l_partkey").cast("string").as("l_partkey"))
+          .unpivot(Array.empty[org.apache.spark.sql.Column],
+            Array(col("l_returnflag"), col("l_linestatus"),
+              col("l_suppkey"), col("l_partkey")),
+            "col_name", "val")
+        val counts = pairs.groupBy("col_name", "val")
+          .agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("col_name").orderBy(col("cnt").desc, col("val").asc)
+        counts
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_rows", sum(col("cnt")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("col_name")))
+          .withColumn("ndv", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("col_name")))
+          .filter(col("rn") === 1)
+          .select(col("col_name"), col("val").as("top_value"),
+            col("cnt").as("top_count"), col("n_rows"), col("ndv"),
+            (col("cnt").cast("double") / col("n_rows").cast("double"))
+              .as("top_share"))
+          .orderBy("col_name")
+      },
+      Some("""WITH p AS (
+                SELECT 'l_returnflag' AS col_name, l_returnflag AS val
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_linestatus', l_linestatus FROM lineitem
+                UNION ALL
+                SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+                UNION ALL
+                SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem),
+              c AS (
+                SELECT col_name, val, count(*) AS cnt
+                FROM p GROUP BY col_name, val),
+              r AS (
+                SELECT col_name, val, cnt,
+                  row_number() OVER (PARTITION BY col_name
+                    ORDER BY cnt DESC, val ASC) AS rn,
+                  sum(cnt) OVER (PARTITION BY col_name) AS n_rows,
+                  count(*) OVER (PARTITION BY col_name) AS ndv
+                FROM c)
+              SELECT col_name, val AS top_value, cnt AS top_count,
+                CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(ndv AS BIGINT) AS ndv,
+                CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share
+              FROM r WHERE rn = 1 ORDER BY col_name"""))
   )
 }

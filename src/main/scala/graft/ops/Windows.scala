@@ -304,10 +304,16 @@ object Windows extends OpModule {
       // orders at most that user's distinct days.
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("day_nr")
+        // ONE hash exchange for the whole chain: partitioning by
+        // user_id alone satisfies the (user_id, day_nr) distinct (the
+        // subset rule), the user_id window, and both aggregates — a
+        // bare .distinct() would instead shuffle on the pair and force
+        // a SECOND exchange for the window
         val days = Tables.events(s, d)
           .select(col("user_id"),
             datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
               .cast("long").as("day_nr"))
+          .repartition(col("user_id"))
           .distinct()
         val islands = days
           .withColumn("island", col("day_nr") - dense_rank().over(w))

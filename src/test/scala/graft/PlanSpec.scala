@@ -388,4 +388,37 @@ class PlanSpec extends SparkSpec {
       s"hourly aggregate lost map-side partials:\n$az")
     assert(az.contains("Window"), az)
   }
+
+  test("r14 late additions: quota truncates map-side, winnow stays per-doc, skew report is one pass") {
+    // quota limit: the rn<=2 filter must push into WindowGroupLimit so
+    // the exchange carries <=2 rows per (user, day), not the raw log
+    val ql = planOf("stream_quota_limit")
+    assert(ql.contains("WindowGroupLimit"),
+      s"quota rn<=2 did not push into WindowGroupLimit:\n$ql")
+    // winnowing fingerprints: per-document work ONLY — no join of any
+    // kind (a cross-doc join would make the fingerprint pass O(n²)),
+    // one Generate (the position explode) feeding a doc-partitioned
+    // window
+    val wn = planOf("llm_fingerprint_winnow")
+    assert(!wn.contains("Join"), s"winnowing must not join docs:\n$wn")
+    assert(wn.contains("Generate") && wn.contains("Window"), wn)
+    // skew report: the unpivot (Expand) collapses through ONE
+    // map-combined aggregate before the tiny per-column window — the
+    // scan must not be repeated per column
+    val sk = planOf("table_skew_report")
+    val skFinal = sk.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(skFinal).size <= 1,
+      s"skew report re-scans per column:\n$sk")
+    assert(skFinal.contains("Expand"), sk)
+    assert("HashAggregate".r.findAllIn(skFinal).size >= 2,
+      s"value counts lost map-side partials:\n$sk")
+    // gaps-and-islands: the distinct, the window and both aggregates
+    // all run off ONE user_id hash exchange (the final orderBy's range
+    // exchange is the oracle's total-order cost, not the operator's)
+    val gi = planOf("win_gaps_islands")
+    val giFinal = gi.split("== Initial Plan ==")(0)
+    val nHashEx = "Exchange hashpartitioning".r.findAllIn(giFinal).size
+    assert(nHashEx <= 1,
+      s"gaps-islands should reuse one user_id hash shuffle:\n$gi")
+  }
 }
