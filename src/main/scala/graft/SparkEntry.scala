@@ -22,7 +22,8 @@ object SparkEntry {
     ops.Multimodal,
     ops.GraphOps,
     ops.Extension,
-    ops.AvroWire)
+    ops.AvroWire,
+    ops.BinlogWire)
 
   lazy val all: Seq[Op] = {
     val xs = modules.flatMap(_.ops)
