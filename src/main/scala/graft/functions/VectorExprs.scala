@@ -250,6 +250,53 @@ case class CjkTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** graft_winnow_fps(string, k, w) → array<string>: the winnowing
+  * fingerprint selector (Schleimer/Wilkerson/Aiken, SIGMOD 2003) as
+  * ONE codegen pass per document — md5 every k-char substring, keep
+  * the minimum hash of each sliding w-window of positions, return the
+  * DISTINCT minima as 12-hex-char strings (first 6 md5 bytes),
+  * unsigned-sorted (== lexicographic hex order).
+  *
+  * Value-identical to the SQL rendering
+  * `array_distinct(transform(seq, i -> array_min(slice(hs, i, w))))`
+  * over `hs = transform(seq, i -> substr(md5(substring(text, i, k)),
+  * 1, 12))` — same codepoint-based substring semantics
+  * (UTF8String), same md5 bytes, and 12 fixed lowercase hex digits
+  * compare lexicographically exactly as the 48-bit value compares
+  * unsigned. Exists as a kernel because the HOF rendering pays an
+  * interpreted-lambda dispatch plus a NEW MessageDigest instance per
+  * position (DigestUtils.md5Hex), and the explode+window rendering
+  * shuffles one 12-byte-keyed row per character position through a
+  * window sort + distinct exchange (measured superlinear at the x64
+  * soak point). Here: one reused ThreadLocal digest, one primitive
+  * long[] of 48-bit prefixes, a w-wide scan for minima, a HashSet
+  * for dedup — per-document work only, nothing crosses a shuffle.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType if k > 0 && w > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow_fps requires string and k,w > 0, got $other k=$k w=$w")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.winnowFps(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.winnowFps($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_rpbands(array<double>, r, bands, seed) → array<long>:
   * banded random-hyperplane (sign-random-projection) LSH signature.
   * Bit t of r·bands total bits = sign of the projection of the vector
@@ -417,6 +464,90 @@ case class CosCentroids(left: Expression, right: Expression)
 }
 
 object VectorKernels {
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** See [[WinnowFps]]. Returns the distinct sliding-window md5
+    * minima of every k-char substring, 12 lowercase hex chars each,
+    * unsigned-ascending (== lexicographic). Empty array when the
+    * document has fewer than k + w − 1 chars (no full window).
+    */
+  def winnowFps(s: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    // char-start byte offsets (UTF8String substring semantics:
+    // positions are codepoints, multi-byte chars are one position)
+    var n = 0
+    var b = 0
+    while (b < bytes.length) {
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(b))
+      n += 1
+    }
+    val npos = n - k + 1
+    if (npos < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val off = new Array[Int](n + 1)
+    var i = 0
+    b = 0
+    while (b < bytes.length) {
+      off(i) = b
+      b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    off(n) = bytes.length
+    // 48-bit md5 prefix per position — primitive, no boxing
+    val md = md5Local.get()
+    val fp = new Array[Long](npos)
+    i = 0
+    while (i < npos) {
+      md.reset()
+      md.update(bytes, off(i), off(i + k) - off(i))
+      val d = md.digest()
+      fp(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    // sliding-window minima (48-bit values: signed compare == unsigned)
+    val distinct = new java.util.HashSet[java.lang.Long]()
+    i = 0
+    val last = npos - w
+    while (i <= last) {
+      var m = fp(i)
+      var j = i + 1
+      val end = i + w
+      while (j < end) {
+        if (fp(j) < m) m = fp(j)
+        j += 1
+      }
+      distinct.add(m)
+      i += 1
+    }
+    val out = new Array[Long](distinct.size)
+    val it = distinct.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    val arr = new Array[Any](out.length)
+    i = 0
+    while (i < out.length) {
+      val cs = new Array[Byte](12)
+      var sh = 44
+      var c = 0
+      while (c < 12) {
+        cs(c) = hexChars(((out(i) >>> sh) & 0xf).toInt).toByte
+        sh -= 4
+        c += 1
+      }
+      arr(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(cs)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
 
   /** cosine clamped like clamp1: NaN (zero-norm side) → 0, then
     * [-1, 1] — value-identical to the Catalyst clamp1(cosineCols)
@@ -760,6 +891,18 @@ object VectorKernels {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_tokens",
       exprs => CjkTokens(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow_fps",
+      exprs => WinnowFps(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow_fps k must be a literal integer, got $other")
+      }, exprs(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow_fps w must be a literal integer, got $other")
+      }), "built-in")
     reg.createOrReplaceTempFunction("graft_char_ngrams",
       exprs => CharNgrams(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

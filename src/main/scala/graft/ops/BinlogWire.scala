@@ -305,17 +305,27 @@ object BinlogWire extends OpModule {
   private val shardWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Write the 4-shard binlog fixture once per (session, corpus) —
+  /** Write the sharded binlog fixture once per (session, corpus) —
     * EXECUTOR-side: txn-ranged partitions (txns never straddle a
     * shard; a split transaction would be an unfaithful log) each
-    * synthesize and write their own shard file. */
+    * synthesize and write their own shard file. Shard count GROWS
+    * with the log (~100k events per shard, floor 4, cap 256): a
+    * binlog parses sequentially within a shard by nature, so
+    * parallelism comes only from shard count — the r14-late soak
+    * measured α 1.1–1.2 with 4 fixed shards at x64 (each shard 1.6M
+    * rows on one task, and a single shard's byte array is the other
+    * bound sharding keeps small). On a real deployment the shard
+    * count is the number of source servers; this scaling stands in
+    * for that fleet. */
   private[ops] def binlogFixtureDir(s: org.apache.spark.sql.SparkSession,
-      d: String, nShards: Int = 4): String = {
+      d: String): String = {
     val root = Tables.fixtureRoot(s, d, "binlog")
     root.intern.synchronized {
       if (!shardWritten.contains(root) || !new java.io.File(root).exists()) {
         new java.io.File(root).mkdirs()
         import s.implicits._
+        val nEvents = Tables.events(s, d).count()
+        val nShards = math.min(256L, math.max(4L, nEvents / 100000L)).toInt
         Tables.events(s, d)
           .select(col("event_id"), col("user_id"),
             expr("unix_micros(ts) DIV 1000000").as("ts_sec"),

@@ -2638,30 +2638,42 @@ object LlmOps extends OpModule {
       // rolling-hash sibling, but ORACLED: both engines hash with
       // md5 (identical bytes in, identical hex out) and take
       // lexicographic window-minima, so the fingerprint SETS match
-      // exactly. 100 TB: per-document work only (explode → window
-      // partitioned by doc_id → distinct) — no cross-document join;
-      // positions stream through one bounded window sort per doc.
-      // The dialects differ only in the lateral-positions spelling
-      // (LATERAL VIEW explode(sequence(...)) vs generate_series).
+      // exactly. 100 TB: fingerprinting is per-document by
+      // definition, so the Spark side keeps it per-ROW — the k-gram
+      // hash array, the sliding w-minima and the dedup are all array
+      // HOFs (`transform`/`slice`/`array_min`/`array_distinct`)
+      // evaluated inside one projection; NO explode, NO window, NO
+      // shuffle before the presentation sort. The first cut exploded
+      // to one row per character position and ran a per-doc window +
+      // DISTINCT — at x64 that's 160M 12-byte-keyed rows through a
+      // window sort and a distinct exchange, and the late-r14 soak
+      // measured it superlinear (warm α≈1.2, 44 s at x64; the
+      // partition-sizing law didn't flatten it because the spill was
+      // the exploded volume itself, not the partition width). The HOF
+      // form's transient state is one hash array per document
+      // (n_chars × 12-char strings — bounded by the corpus's own
+      // document-length cap, the same bound the explode form paid
+      // per window buffer anyway). The per-row chain is the
+      // graft_winnow_fps kernel (functions/VectorExprs.scala): a pure
+      // HOF rendering was measured paying an interpreted-lambda
+      // dispatch + a new MessageDigest per position — and its
+      // subquery spelling hit the CollapseProject trap (the hash
+      // array's definition inlined into the consuming lambda =
+      // re-evaluating all n md5s per position, O(n²) per document).
+      // Oracle SQL keeps the DuckDB explode+window spelling — engines
+      // agree on the SETS.
       (s, d) => {
-        Tables.documents(s, d).createOrReplaceTempView("graft_docs_winnow")
+        val docs = Tables.documents(s, d)
+        graft.functions.VectorKernels.register(s)
+        docs.createOrReplaceTempView("graft_docs_winnow")
         s.sql("""
-          WITH g AS (
-            SELECT doc_id, i,
-              substr(md5(substring(text, i, 8)), 1, 12) AS h,
-              length(text) - 7 AS npos
+          SELECT doc_id, CAST(size(fps) AS BIGINT) AS n_fp,
+            array_min(fps) AS min_fp
+          FROM (
+            SELECT doc_id, graft_winnow_fps(text, 8, 4) AS fps
             FROM graft_docs_winnow
-            LATERAL VIEW explode(sequence(1, length(text) - 7)) t AS i
-            WHERE length(text) >= 8),
-          m AS (
-            SELECT doc_id, i, npos,
-              min(h) OVER (PARTITION BY doc_id ORDER BY i
-                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-            FROM g),
-          f AS (
-            SELECT DISTINCT doc_id, fp FROM m WHERE i <= npos - 3)
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(fp) AS min_fp
-          FROM f GROUP BY doc_id ORDER BY doc_id""")
+            WHERE length(text) >= 11)
+          ORDER BY doc_id""")
       },
       Some("""WITH pos AS (
                 SELECT doc_id, text,

@@ -397,11 +397,18 @@ class PlanSpec extends SparkSpec {
       s"quota rn<=2 did not push into WindowGroupLimit:\n$ql")
     // winnowing fingerprints: per-document work ONLY — no join of any
     // kind (a cross-doc join would make the fingerprint pass O(n²)),
-    // one Generate (the position explode) feeding a doc-partitioned
-    // window
+    // and since the r14-late kernel rewrite the whole hash→sliding-min
+    // →distinct chain is ONE graft_winnow_fps call per row: no
+    // explode (Generate), no Window, no exchange before the
+    // presentation sort (the explode+window form measured superlinear
+    // at the x64 soak point — SCALE.md r14-late)
     val wn = planOf("llm_fingerprint_winnow")
     assert(!wn.contains("Join"), s"winnowing must not join docs:\n$wn")
-    assert(wn.contains("Generate") && wn.contains("Window"), wn)
+    assert(wn.contains("graft_winnow_fps"), wn)
+    assert(!wn.contains("Generate") && !wn.contains("Window"),
+      s"winnowing regressed to the exploded per-position form:\n$wn")
+    assert(!wn.contains("Exchange hashpartitioning"),
+      s"winnowing must not shuffle before the presentation sort:\n$wn")
     // skew report: the unpivot (Expand) collapses through ONE
     // map-combined aggregate before the tiny per-column window — the
     // scan must not be repeated per column
