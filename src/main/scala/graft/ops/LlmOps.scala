@@ -2692,6 +2692,66 @@ object LlmOps extends OpModule {
               f AS (
                 SELECT DISTINCT doc_id, fp FROM m WHERE i <= npos - 3)
               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp, min(fp) AS min_fp
-              FROM f GROUP BY doc_id ORDER BY doc_id"""))
+              FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
+    Op("llm_winnow_pairs",
+      // the MOSS pairing step on top of the winnow selector: document
+      // pairs sharing winnowing fingerprints, scored by how many
+      // DISTINCT fingerprints they share — any ≥ k+w−1 = 11-char
+      // common substring guarantees ≥ 1 shared fingerprint
+      // (Schleimer/Wilkerson/Aiken's theorem), so this is cross-doc
+      // shared-substring detection at ~2/(w+1) the cost of substring
+      // enumeration. 100 TB: the SAME bucketed-postings shape as the
+      // text dedup family — candidates come from an equi-join on the
+      // fingerprint (never all-pairs), and the df-cap (2..16 docs per
+      // fingerprint) drops both the singletons (no pair) and the
+      // boilerplate hot keys that would square a reducer (the
+      // llm_decontaminate_capped guard); per-pair scoring is a
+      // map-combined count. Fingerprint extraction itself is the
+      // graft_winnow_fps kernel — per-row, shuffle-free.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.functions.VectorKernels.register(s)
+        docs.createOrReplaceTempView("graft_docs_wpairs")
+        s.sql("""
+          WITH f AS (
+            SELECT doc_id, fp
+            FROM (SELECT doc_id, explode(graft_winnow_fps(text, 8, 4)) AS fp
+                  FROM graft_docs_wpairs WHERE length(text) >= 11)),
+          keep AS (
+            SELECT fp FROM f GROUP BY fp
+            HAVING count(*) BETWEEN 2 AND 16),
+          g AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          ORDER BY doc_a, doc_b""")
+      },
+      Some("""WITH pos AS (
+                SELECT doc_id, text,
+                  unnest(generate_series(1, length(text) - 7)) AS i
+                FROM documents WHERE length(text) >= 11),
+              h AS (
+                SELECT doc_id, i,
+                  substr(md5(substring(text, CAST(i AS INT), 8)), 1, 12) AS hh,
+                  length(text) - 7 AS npos
+                FROM pos),
+              m AS (
+                SELECT doc_id, i, npos,
+                  min(hh) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                FROM h),
+              f AS (
+                SELECT DISTINCT doc_id, fp FROM m WHERE i <= npos - 3),
+              keep AS (
+                SELECT fp FROM f GROUP BY fp
+                HAVING count(*) BETWEEN 2 AND 16),
+              g AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+              FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              ORDER BY doc_a, doc_b"""))
   )
 }

@@ -409,6 +409,14 @@ class PlanSpec extends SparkSpec {
       s"winnowing regressed to the exploded per-position form:\n$wn")
     assert(!wn.contains("Exchange hashpartitioning"),
       s"winnowing must not shuffle before the presentation sort:\n$wn")
+    // winnow PAIRS: candidates must come from the fingerprint
+    // equi-join (the bucketed-postings shape), never an all-pairs
+    // product
+    val wp = planOf("llm_winnow_pairs")
+    assert(wp.contains("graft_winnow_fps"), wp)
+    assert(!wp.contains("CartesianProduct") &&
+      !wp.contains("BroadcastNestedLoopJoin"),
+      s"winnow pairing plans a cross product:\n$wp")
     // skew report: the unpivot (Expand) collapses through ONE
     // map-combined aggregate before the tiny per-column window — the
     // scan must not be repeated per column
