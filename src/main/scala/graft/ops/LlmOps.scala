@@ -2752,6 +2752,121 @@ object LlmOps extends OpModule {
                 CAST(count(*) AS BIGINT) AS n_shared
               FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
-              ORDER BY doc_a, doc_b"""))
+              ORDER BY doc_a, doc_b""")),
+
+    Op("llm_rag_fuse",
+      // hybrid retrieval — reciprocal-rank fusion (Cormack/Clarke/
+      // Buettcher RRF, k=60) of a lexical and a vector leg, the
+      // standard RAG retrieval composition: lexical = corpus docs
+      // ranked per probe by DISTINCT shared tokens (exact integer
+      // overlap — rank-equivalent to a same-length-query BM25 at
+      // this grain, and hash-exact where BM25's floats would need
+      // the shared-expression dance); vector = the exact cosine
+      // top-10 the simsearch family already pins (reused via the
+      // session-memoized exact IVF). rrf = 1/(60+r_lex) + 1/(60+
+      // r_vec) over the FULL OUTER union of the two top-10 lists —
+      // two IEEE divisions and one add of exact-int-derived
+      // operands in fixed order ⇒ bit-identical doubles, no
+      // rounding. 100 TB: the lexical leg is a postings scan ⋈
+      // BROADCAST probe terms + map-combined count; both legs'
+      // top-10-per-probe truncate map-side (WindowGroupLimit); the
+      // fusion join touches ≤ 2·topK rows per probe. The vector leg
+      // at fleet scale dispatches to the registered ANN paths —
+      // fusion algebra is rank-only, so any leg that returns ranks
+      // plugs in.
+      (s, d) => {
+        val postings = tokenizedDocs(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term") =!= "").distinct()
+        val pterms = postings.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("p_id"), col("term").as("p_term"))
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy("p_id").orderBy(col("overlap").desc, col("doc_id").asc)
+        val lexTop = postings
+          .join(broadcast(pterms), col("term") === col("p_term"))
+          .groupBy(col("p_id"), col("doc_id"))
+          .agg(count(lit(1)).as("overlap"))
+          .withColumn("lex_rank", row_number().over(wl))
+          .filter(col("lex_rank") <= 10)
+          .select("p_id", "doc_id", "lex_rank")
+        val vecTop = simSearchIvfExact(Tables.embeddings(s, d), nProbes = 5,
+            topK = 10, cacheKey = Some(d))
+          .select(col("p_id").as("v_p_id"), col("vec_id"),
+            col("rank").cast("int").as("vec_rank"))
+        val fused = lexTop.join(vecTop,
+            col("p_id") === col("v_p_id") && col("doc_id") === col("vec_id"),
+            "full_outer")
+          .select(
+            coalesce(col("p_id"), col("v_p_id")).as("p_id"),
+            coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+            col("lex_rank"), col("vec_rank"))
+          .withColumn("rrf", expr(
+            "coalesce(1e0 / (60 + lex_rank), 0e0)" +
+              " + coalesce(1e0 / (60 + vec_rank), 0e0)"))
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy("p_id").orderBy(col("rrf").desc, col("doc_id").asc)
+        fused.withColumn("rank", row_number().over(wf))
+          .filter(col("rank") <= 10)
+          .select("p_id", "rank", "doc_id", "lex_rank", "vec_rank", "rrf")
+          .orderBy("p_id", "rank")
+      },
+      Some("""WITH tk AS (
+                SELECT DISTINCT doc_id, term FROM (
+                  SELECT doc_id, unnest(string_split(
+                    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                    AS term
+                  FROM documents)
+                WHERE term <> ''),
+              pt AS (SELECT doc_id AS p_id, term FROM tk WHERE doc_id < 5),
+              ov AS (
+                SELECT pt.p_id, tk.doc_id, count(*) AS overlap
+                FROM tk JOIN pt USING (term)
+                GROUP BY pt.p_id, tk.doc_id),
+              lex AS (
+                SELECT p_id, doc_id, lex_rank FROM (
+                  SELECT p_id, doc_id,
+                    CAST(row_number() OVER (PARTITION BY p_id
+                      ORDER BY overlap DESC, doc_id ASC) AS INTEGER)
+                      AS lex_rank
+                  FROM ov)
+                WHERE lex_rank <= 10),
+              probes AS (
+                SELECT vec_id AS p_id, embedding AS p_emb
+                FROM embeddings WHERE vec_id < 5),
+              scored AS (
+                SELECT p_id, vec_id,
+                  round(
+                    list_reduce(list_transform(range(1, 65),
+                      i -> p_emb[i]::DOUBLE * embedding[i]::DOUBLE),
+                      (a, b) -> a + b)
+                    / (sqrt(list_reduce(list_transform(p_emb,
+                         x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))
+                     * sqrt(list_reduce(list_transform(embedding,
+                         x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))),
+                    6) AS cosine
+                FROM probes, embeddings),
+              vec AS (
+                SELECT p_id, vec_id, vec_rank FROM (
+                  SELECT p_id, vec_id,
+                    CAST(row_number() OVER (PARTITION BY p_id
+                      ORDER BY cosine DESC, vec_id ASC) AS INTEGER)
+                      AS vec_rank
+                  FROM scored)
+                WHERE vec_rank <= 10),
+              fused AS (
+                SELECT coalesce(lex.p_id, vec.p_id) AS p_id,
+                  coalesce(lex.doc_id, vec.vec_id) AS doc_id,
+                  lex.lex_rank, vec.vec_rank,
+                  coalesce(1e0 / (60 + lex.lex_rank), 0e0)
+                    + coalesce(1e0 / (60 + vec.vec_rank), 0e0) AS rrf
+                FROM lex FULL OUTER JOIN vec
+                  ON lex.p_id = vec.p_id AND lex.doc_id = vec.vec_id)
+              SELECT p_id, rank, doc_id, lex_rank, vec_rank, rrf FROM (
+                SELECT p_id, doc_id, lex_rank, vec_rank, rrf,
+                  CAST(row_number() OVER (PARTITION BY p_id
+                    ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+                FROM fused)
+              WHERE rank <= 10
+              ORDER BY p_id, rank"""))
   )
 }
