@@ -1620,6 +1620,46 @@ object LlmOps extends OpModule {
                   AS chars_per_token
               FROM documents ORDER BY doc_id""")),
 
+    Op("llm_bpe",
+      // REAL learned subword tokenization (Sennrich ACL'16 BPE —
+      // see [[Bpe]]) where llm_token_count keeps the cheap regex
+      // profiler: 200 merges trained on the top-2048 word-count
+      // sample (bounded driver metadata — the PQ-codebook
+      // discipline; collect is V rows, never corpus rows), then each
+      // DISTINCT word is encoded ONCE cluster-wide (vocabulary-grain
+      // mapPartitions — the dictionary-stateful segmentation loop no
+      // Catalyst expression composition expresses) and documents
+      // pick up per-word subword counts through a word-keyed
+      // equi-join + doc-grain sum. No oracle (the merge-training
+      // loop has no SQL rendering); LlmSpec pins determinism,
+      // round-trip, the planted most-frequent-pair merge, and the
+      // per-row count invariants.
+      (s, d) => {
+        import s.implicits._
+        val docs = tokenizedDocs(s, d)
+        val occurrences = docs
+          .select(col("doc_id"), explode(col("toks")).as("word"))
+          .filter(col("word") =!= "")
+        val wc = occurrences.groupBy("word").agg(count(lit(1)).as("cnt"))
+        val sample = wc.orderBy(col("cnt").desc, col("word").asc)
+          .limit(2048)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val ranks = Bpe.trainMerges(sample, 200).zipWithIndex.toMap
+        val vocabEnc = wc.select("word").as[String]
+          .mapPartitions { it =>
+            it.map(w => (w, Bpe.encode(w, ranks).length))
+          }.toDF("word", "n_sub")
+        occurrences.join(vocabEnc, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_sub").cast("long")).as("n_bpe"))
+          .withColumn("bpe_per_word",
+            round(col("n_bpe").cast("double") / col("n_words"), 6))
+          .select("doc_id", "n_words", "n_bpe", "bpe_per_word")
+          .orderBy("doc_id")
+      },
+      None),
+
     // IVF path: recall vs the exact scorer is property-tested in
     // LlmSpec (and exact when nProbe = nCentroids); no DuckDB oracle —
     // the assignment step's argmax has no portable rendering

@@ -922,4 +922,52 @@ class LlmSpec extends SparkSpec {
       s"${selfPairs.length}/$docCount docs paired their own re-encoding")
     pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 6))
   }
+
+  test("bpe: training is deterministic, picks the weighted most-frequent pair") {
+    import graft.ops.Bpe
+    // hand-checkable vocabulary: pair (a,b) has weight 5+5=10 from
+    // "abab" (two occurrences x 5) ... compute: "abab" syms a,b,a,b
+    // pairs (a,b)x2, (b,a)x1 each weighted 5 => (a,b)=10, (b,a)=5;
+    // "abc" adds (a,b)+3 =13, (b,c)+3 => first merge must be (a,b)
+    val wc = Seq(("abab", 5L), ("abc", 3L))
+    val merges = Bpe.trainMerges(wc, 3)
+    assert(merges.head == ("a", "b"), merges.toString)
+    // deterministic: same input, same table (no hash-order leakage)
+    assert(merges == Bpe.trainMerges(wc, 3))
+    // after merging (a,b): "abab" -> [ab, ab], "abc" -> [ab, c];
+    // pair (ab,ab)=5, (ab,c)=3 => second merge (ab, ab)
+    assert(merges(1) == ("ab", "ab"), merges.toString)
+  }
+
+  test("bpe: encode round-trips and a fully-learned word is one token") {
+    import graft.ops.Bpe
+    val ranks = Bpe.trainMerges(Seq(("the", 100L), ("then", 10L)), 10)
+      .zipWithIndex.toMap
+    // merges learned from "the"-dominated counts collapse it fully
+    assert(Bpe.encode("the", ranks).length == 1)
+    // round-trip: concatenation reproduces any word, learned or not
+    for (w <- Seq("the", "then", "there", "cat", "a", ""))
+      assert(Bpe.encode(w, ranks).mkString("") == w, s"round-trip '$w'")
+  }
+
+  test("bpe: registered query — per-doc invariants over the corpus") {
+    val rows = SparkEntry.queries("llm_bpe")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val words = r.getAs[Long]("n_words")
+      val bpe = r.getAs[Long]("n_bpe")
+      // every word is >= 1 subword token; subword count never exceeds
+      // character count (merges only ever SHRINK the char segmentation)
+      assert(bpe >= words, r.toString)
+      assert(bpe <= docs(r.getAs[Long]("doc_id")), r.toString)
+    }
+    // the merge table bites: trained segmentation beats the
+    // char-per-token ceiling by a wide margin on natural text
+    val avg = rows.map(r =>
+      r.getAs[Double]("bpe_per_word")).sum / rows.length
+    assert(avg < 4.0, s"avg bpe tokens per word $avg — merges not applied?")
+  }
 }
