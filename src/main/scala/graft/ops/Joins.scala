@@ -649,6 +649,73 @@ object Joins extends OpModule {
                   AS overlap_days,
                 min(r_key) AS first_r_key
               FROM l JOIN r ON l_s < r_e AND r_s < l_e
-              GROUP BY l_key ORDER BY l_key"""))
+              GROUP BY l_key ORDER BY l_key""")),
+
+    Op("join_scd2",
+      // versioned-dimension (SCD Type 2) join — the warehouse
+      // temporal primitive: reconstruct per-key validity intervals
+      // from a change history (valid_from = event time, valid_to =
+      // next version's time via lead() — HALF-OPEN [from, next), so
+      // the intervals partition the timeline and every fact matches
+      // AT MOST one version, ties included), then each fact row joins
+      // the version valid AT ITS OWN timestamp. The temporal
+      // generalization of `cdc_snapshot_asof` (one AS-OF position for
+      // all keys) to per-row positions. Here: 'click' events are the
+      // profile-version stream (value = the versioned attribute),
+      // 'purchase' events are facts; LEFT join keeps pre-first-version
+      // purchases with null version fields. 100 TB: the interval
+      // build is ONE per-key window pass; the join is an EQUI join on
+      // user_id with the range as residual — per-key version history
+      // rides one sort-merge bucket, no range-bucketing machinery
+      // needed because the key equality already bounds the candidate
+      // set (join_range_bucket covers the keyless case). Exact
+      // integer µs everywhere; doubles pass through unread.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val vers = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("ver_id"),
+            expr("unix_micros(ts)").as("vfrom"),
+            col("value").as("ver_value"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("vfrom").asc, col("ver_id").asc)
+        val dim = vers.withColumn("vto", lead(col("vfrom"), 1).over(w))
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("fact_id"),
+            col("user_id").as("f_user_id"),
+            expr("unix_micros(ts)").as("fact_ts_us"),
+            col("value").as("amount"))
+        facts.join(dim,
+            col("f_user_id") === dim("user_id") &&
+              col("fact_ts_us") >= col("vfrom") &&
+              (col("vto").isNull || col("fact_ts_us") < col("vto")),
+            "left")
+          .select(col("fact_id"), col("f_user_id").as("user_id"),
+            col("fact_ts_us"), col("amount"),
+            col("ver_id"), col("ver_value"),
+            col("vfrom").as("ver_from_us"))
+          .orderBy("fact_id")
+      },
+      Some("""WITH vers AS (
+                SELECT user_id, event_id AS ver_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS vfrom,
+                  value AS ver_value
+                FROM events WHERE event_type = 'click'),
+              dim AS (
+                SELECT user_id, ver_id, vfrom, ver_value,
+                  lead(vfrom) OVER (PARTITION BY user_id
+                    ORDER BY vfrom ASC, ver_id ASC) AS vto
+                FROM vers),
+              facts AS (
+                SELECT event_id AS fact_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS fact_ts_us,
+                  value AS amount
+                FROM events WHERE event_type = 'purchase')
+              SELECT f.fact_id, f.user_id, f.fact_ts_us, f.amount,
+                d.ver_id, d.ver_value, d.vfrom AS ver_from_us
+              FROM facts f LEFT JOIN dim d
+                ON f.user_id = d.user_id
+                AND f.fact_ts_us >= d.vfrom
+                AND (d.vto IS NULL OR f.fact_ts_us < d.vto)
+              ORDER BY fact_id"""))
   )
 }
