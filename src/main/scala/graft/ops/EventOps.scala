@@ -851,6 +851,54 @@ object EventOps extends OpModule {
                 FROM events)
               SELECT event_id, user_id, day_nr, CAST(rn AS INTEGER) AS rn,
                 event_type
-              FROM q WHERE rn <= 2 ORDER BY event_id"""))
+              FROM q WHERE rn <= 2 ORDER BY event_id""")),
+
+    Op("stream_pattern_seq",
+      // MATCH_RECOGNIZE-style event-pattern detection (the CEP
+      // primitive of the Flink/Esper family, SQL:2016 row-pattern
+      // matching): find every STRICTLY ADJACENT view → click →
+      // purchase run inside a user's event-time sequence — the
+      // micro-conversion pattern, where stream_funnel_conversion
+      // matches stages anywhere in the history. Rendered as lead()
+      // chains over ONE per-user sequence window (lead(type,1),
+      // lead(type,2) — no self-joins, no regex engine): each event
+      // sees its two successors, a row IS a match iff the triple
+      // lines up. Overlapping matches are reported like
+      // MATCH_RECOGNIZE's AFTER MATCH SKIP TO NEXT ROW. Exact
+      // integer µs latencies; 100 TB: one user_id shuffle, bounded
+      // window state (two leads), map-side everything after.
+      (s, d) => {
+        val seq = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("t0_us"), col("event_type"),
+            lead(col("event_type"), 1).over(seq).as("t1"),
+            lead(col("event_type"), 2).over(seq).as("t2"),
+            lead(expr("unix_micros(ts)"), 2).over(seq).as("t2_us"),
+            lead(col("event_id"), 2).over(seq).as("purchase_id"))
+          .filter(col("event_type") === "view" &&
+            col("t1") === "click" && col("t2") === "purchase")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("purchase_id"),
+            (col("t2_us") - col("t0_us")).as("span_us"))
+          .orderBy("view_id")
+      },
+      Some("""WITH s AS (
+                SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS t0_us, event_type,
+                  lead(event_type, 1) OVER w AS t1,
+                  lead(event_type, 2) OVER w AS t2,
+                  lead(epoch_us(CAST(ts AS TIMESTAMP)), 2) OVER w AS t2_us,
+                  lead(event_id, 2) OVER w AS purchase_id
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC))
+              SELECT user_id, event_id AS view_id, purchase_id,
+                t2_us - t0_us AS span_us
+              FROM s
+              WHERE event_type = 'view' AND t1 = 'click'
+                AND t2 = 'purchase'
+              ORDER BY view_id"""))
   )
 }
