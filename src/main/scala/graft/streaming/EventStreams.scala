@@ -465,6 +465,57 @@ object EventStreams {
     }
   }
 
+  case class PatternMatch(user_id: Long, view_id: Long,
+      purchase_id: Long, span_us: Long)
+  case class PatternState(p2_type: String, p2_id: Long, p2_us: Long,
+      p1_type: String, p1_id: Long, p1_us: Long)
+
+  /** Streaming twin of the batch `stream_pattern_seq` CEP op: the
+    * per-key pattern state machine (two events of lookback — exactly
+    * the lead(,1)/lead(,2) window the batch form reads) carried in
+    * `transformWithState`, so a view → click → purchase run that
+    * STRADDLES a micro-batch boundary still matches — the case no
+    * per-batch window can see and the whole point of the stateful
+    * form. In-batch rows are totally ordered (ts, id) before folding,
+    * cross-batch ordering is the feed's delivery guarantee (the
+    * LocfProcessor/DebounceProcessor discipline). State is two
+    * (type, id, ts) triples per key, O(1) forever.
+    */
+  class PatternProcessor
+      extends StatefulProcessor[Long, FoldEvent, PatternMatch] {
+    @transient private var lookback: ValueState[PatternState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lookback = getHandle.getValueState[PatternState]("lookback",
+        Encoders.product[PatternState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[FoldEvent],
+        timerValues: TimerValues): Iterator[PatternMatch] = {
+      var s = if (lookback.exists()) lookback.get()
+        else PatternState("", Long.MinValue, 0L, "", Long.MinValue, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (s.p2_type == "view" && s.p1_type == "click" &&
+            e.event_type == "purchase")
+          out += PatternMatch(uid, s.p2_id, e.event_id, e.ts_us - s.p2_us)
+        s = PatternState(s.p1_type, s.p1_id, s.p1_us,
+          e.event_type, e.event_id, e.ts_us)
+      }
+      lookback.update(s)
+      out.iterator
+    }
+  }
+
+  def patternSeqStream(ds: Dataset[FoldEvent]): Dataset[PatternMatch] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    requireRocksDb(spark, ds.isStreaming)
+    ds.groupByKey(_.user_id)
+      .transformWithState(new PatternProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   def debounceStream(ds: Dataset[FoldEvent],
       minGapUs: Long = 60000000L): Dataset[DebounceOut] = {
     val spark = ds.sparkSession

@@ -180,6 +180,50 @@ class EventStreamSpec extends SparkSpec {
     assert(kept == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("streaming CEP pattern twin ≡ the batch lead-chain op over the corpus") {
+    val expected = SparkEntry.queries("stream_pattern_seq")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("span_us"))).toSet
+    assert(expected.nonEmpty, "corpus has no view→click→purchase runs")
+    val streamed = runToMemory(
+      EventStreams.patternSeqStream(
+        EventStreams.toFoldEvents(streamEvents)).toDF(),
+      "t_cep", "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == expected)
+  }
+
+  test("streaming CEP pattern: a match straddling a micro-batch boundary fires") {
+    // view and click arrive in batch 1, the purchase in batch 2 — the
+    // two-event lookback must cross the boundary through state; a
+    // second purchase right after must NOT re-match (the lookback
+    // shifted past the view)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.FoldEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[FoldEvent]
+    val q = EventStreams.patternSeqStream(in.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_cep_plant").start()
+    def ev(id: Long, tSec: Long, tpe: String) =
+      FoldEvent(id, 9L, tSec * 1000000L, tpe, 1.0)
+    try {
+      in.addData(ev(1, 0, "view"), ev(2, 10, "click"))
+      q.processAllAvailable()
+      in.addData(ev(3, 25, "purchase"), ev(4, 30, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_cep_plant").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 25000000L)),
+      s"expected exactly the straddling match: ${got.mkString(",")}")
+  }
+
   test("filter/route co-locates every key in exactly one partition (ordered delivery)") {
     val routed = EventStreams.filterRoute(batchEvents, nSinks = 4, nPartitions = 32)
     val byKey = routed
