@@ -665,7 +665,38 @@ object Aggs extends OpModule {
         Tables.documents(s, d).createOrReplaceTempView("graft_docs_ent")
         s.sql(entropySql("graft_docs_ent"))
       },
-      Some(entropySql("documents")))
+      Some(entropySql("documents"))),
+
+    Op("agg_bitmap_distinct",
+      // exact distinct counting through BITMAP blocks — the
+      // ClickHouse/Druid bitmap-rollup technique for dense integer
+      // keys: users pack into 64-bit blocks (blk = id DIV 64, one bit
+      // per id), bit_or is the map-combinable "seen" union, and
+      // Σ bit_count(block) IS count(DISTINCT id) — provably, which is
+      // why the oracle runs plain COUNT(DISTINCT) and the hash gate
+      // proves the rewrite exact. 100 TB: the first aggregate's
+      // shuffle carries (type, blk, 8 bytes) — |ids|/64 rows per type
+      // where exact count-distinct's Expand ships |ids| rows — a 64×
+      // exchange reduction, and the blocks keep partial-merging under
+      // re-aggregation (the same mergeability HLL gives up exactness
+      // for). The scale ceiling is key DENSITY, not volume: sparse
+      // 64-bit id spaces want the HLL row (`agg_approx_hll`) instead.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_bmd")
+        s.sql("""
+          SELECT event_type,
+            CAST(sum(bit_count(bits)) AS BIGINT) AS n_users
+          FROM (
+            SELECT event_type, user_id DIV 64 AS blk,
+              bit_or(1 << CAST(user_id % 64 AS INT)) AS bits
+            FROM graft_ev_bmd
+            GROUP BY event_type, user_id DIV 64)
+          GROUP BY event_type
+          ORDER BY event_type""")
+      },
+      Some("""SELECT event_type,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 
   /** Shared SQL for `agg_regression` — moment-sum widths proven in

@@ -293,6 +293,36 @@ object Functions extends OpModule {
                 printf('%5s|', o_orderstatus) AS status_padded
               FROM orders ORDER BY o_orderkey""")),
 
+    Op("fn_binary",
+      // the binary/wire-encoding function surface a broadcast layer
+      // publishes through: UTF-8 text → bytes, base64 encode +
+      // round-trip (decode∘encode ≡ identity, checked IN the query so
+      // the oracle hashes the proof), byte-grain slicing + hex
+      // (sliced on the hex STRING — 16 hex chars = first 8 BYTES,
+      // the multi-byte-safe grain that matters for wire formats;
+      // DuckDB has no BLOB substring, so both engines slice hex),
+      // sha256 over the UTF-8 bytes (DuckDB's VARCHAR sha256 hashes
+      // exactly the encoded bytes Spark's binary cast produces). All codegen built-ins, one scan, no
+      // shuffle before the presentation sort.
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(base64(col("text").cast("binary")), 1, 24)
+            .as("b64_prefix"),
+          (unbase64(base64(col("text").cast("binary"))).cast("string")
+            === col("text")).as("roundtrip_ok"),
+          substring(hex(col("text").cast("binary")), 1, 16).as("hex8"),
+          sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+          length(col("text").cast("binary")).as("n_bytes"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                substring(base64(encode(text)), 1, 24) AS b64_prefix,
+                decode(from_base64(base64(encode(text)))) = text
+                  AS roundtrip_ok,
+                substring(hex(encode(text)), 1, 16) AS hex8,
+                sha256(text) AS sha256_hex,
+                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+              FROM documents ORDER BY doc_id""")),
+
     Op("fn_strdist",
       // edit-distance + structural string battery — the fuzzy-match
       // primitives entity resolution and typo-tolerant dedup build
