@@ -696,7 +696,41 @@ object Aggs extends OpModule {
       },
       Some("""SELECT event_type,
                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-              FROM events GROUP BY event_type ORDER BY event_type"""))
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    Op("agg_cms_heavy",
+      // count-min sketch (Cormode/Muthukrishnan '05) beside the exact
+      // heavy hitters: d=4 hash rows × w=1024 counters, every counter
+      // a PLAIN SUM under a seeded hash bucket — so the whole sketch
+      // is one map-combined (row, bucket) aggregate and, like the HLL
+      // row above, MERGEABLE by construction (sketch(A) + sketch(B)
+      // counter-wise == sketch(A ∪ B), exactly — OperatorSpec pins
+      // the merge law and the est ≥ true one-sided error). The query
+      // reports the CMS estimate (min over the 4 rows) next to the
+      // exact count for the true top-10 users: the shape a 100 TB
+      // deployment uses when the raw stream is too hot to keep but
+      // per-key frequencies still need answering. No DuckDB oracle by
+      // design (the bucket hash is xxhash64 — Spark-specific); the
+      // exact column is what the oracled agg_topk_partial row pins.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val rows = ev.select(col("user_id"),
+            explode(expr("sequence(0, 3)")).as("r"))
+          .select(col("r"),
+            pmod(expr("xxhash64(r, user_id)"), lit(1024L)).as("bucket"))
+          .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("user_id").asc).limit(10)
+        top.select(col("user_id"), col("true_cnt"),
+            explode(expr("sequence(0, 3)")).as("r"))
+          .select(col("user_id"), col("true_cnt"), col("r"),
+            pmod(expr("xxhash64(r, user_id)"), lit(1024L)).as("bucket"))
+          .join(rows, Seq("r", "bucket"))
+          .groupBy("user_id", "true_cnt")
+          .agg(min(col("cnt")).as("est_cnt"))
+          .orderBy(col("true_cnt").desc, col("user_id").asc)
+      },
+      None)
   )
 
   /** Shared SQL for `agg_regression` — moment-sum widths proven in

@@ -90,6 +90,43 @@ class OperatorSpec extends SparkSpec {
     assert(row.getAs[Long]("n_days") >= 28)
   }
 
+  test("agg_cms_heavy: estimate dominates truth; split sketches merge exactly") {
+    val rows = SparkEntry.queries("agg_cms_heavy")(spark, sf01).collect()
+    assert(rows.length == 10)
+    val n = Tables.events(spark, sf01).count()
+    rows.foreach { r =>
+      val t = r.getAs[Long]("true_cnt"); val e = r.getAs[Long]("est_cnt")
+      // CMS error is ONE-SIDED (counters only ever over-count) ...
+      assert(e >= t, s"CMS under-counted: est $e < true $t")
+      // ... and bounded: E[overcount] = N/w per row, min over 4 rows;
+      // 16x slack keeps the pin non-flaky while still catching a
+      // broken bucket hash (which would collide everything)
+      assert(e - t <= 16 * n / 1024,
+        s"overcount ${e - t} beyond bound (N=$n, w=1024)")
+    }
+    // the merge law, exact: counter-wise sum of two half-corpus
+    // sketches == the whole-corpus sketch (what lets a fleet persist
+    // per-shard sketches and aggregate them later)
+    val ev = Tables.events(spark, sf01)
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), explode(expr("sequence(0, 3)")).as("r"))
+      .select(col("r"),
+        pmod(expr("xxhash64(r, user_id)"), lit(1024L)).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    val whole = sketch(ev).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val h1 = sketch(ev.filter(col("event_id") % 2 === 0)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val h2 = sketch(ev.filter(col("event_id") % 2 === 1)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mergedKeys = h1.keySet ++ h2.keySet
+    assert(mergedKeys == whole.keySet)
+    mergedKeys.foreach { k =>
+      assert(h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L) == whole(k),
+        s"merge law broke at $k")
+    }
+  }
+
   test("agg_approx_percentile tracks the exact percentile within 1%") {
     val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf01)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
