@@ -2750,23 +2750,26 @@ object LlmOps extends OpModule {
       // map-combined count. Fingerprint extraction itself is the
       // graft_winnow_fps kernel — per-row, shuffle-free.
       (s, d) => {
-        val docs = Tables.documents(s, d)
         graft.functions.VectorKernels.register(s)
-        docs.createOrReplaceTempView("graft_docs_wpairs")
-        s.sql("""
-          WITH f AS (
-            SELECT doc_id, fp
-            FROM (SELECT doc_id, explode(graft_winnow_fps(text, 8, 4)) AS fp
-                  FROM graft_docs_wpairs WHERE length(text) >= 11)),
-          keep AS (
-            SELECT fp FROM f GROUP BY fp
-            HAVING count(*) BETWEEN 2 AND 16),
-          g AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            CAST(count(*) AS BIGINT) AS n_shared
-          FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-          ORDER BY doc_a, doc_b""")
+        // ONE fp-pinned materialization of the (doc, fingerprint)
+        // postings: the df-cap aggregate, the keep join and BOTH
+        // self-join sides all cluster on fp, so they adopt this
+        // exchange (ReusedExchange) instead of each re-running the
+        // kernel + explode subtree — a CTE spelling evaluated it 3×
+        val f = Tables.documents(s, d)
+          .filter(length(col("text")) >= 11)
+          .select(col("doc_id"),
+            explode(expr("graft_winnow_fps(text, 8, 4)")).as("fp"))
+          .repartition(col("fp"))
+        val keep = f.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 16)).select("fp")
+        val g = f.join(keep, "fp")
+        val a = g.select(col("fp"), col("doc_id").as("doc_a"))
+        val b = g.select(col("fp").as("fp_b"), col("doc_id").as("doc_b"))
+        a.join(b, col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_a", "doc_b")
       },
       Some("""WITH pos AS (
                 SELECT doc_id, text,
