@@ -190,7 +190,128 @@ object AvroWire extends OpModule {
       .as[EnvRecord]
   }
 
+  private val avroDirWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write the envelope as Avro OBJECT CONTAINER files once per
+    * (session, corpus) — the landing-zone artifact (embedded writer
+    * schema + sync markers, the self-describing file a crawler/CDC
+    * archiver actually drops into object storage), where
+    * [[toAvroBytes]] is the per-record TRANSPORT framing. Written
+    * EXECUTOR-side: position-ranged partitions each stream their
+    * rows through one DataFileWriter — no driver collect, and each
+    * file is a position run (the natural archive layout: resume =
+    * pick the file covering your position). */
+  private[ops] def avroFixtureDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val root = Tables.fixtureRoot(s, d, "avrofiles")
+    root.intern.synchronized {
+      if (!avroDirWritten.contains(root) || !new java.io.File(root).exists()) {
+        new java.io.File(root).mkdirs()
+        val schemaJson = EnvelopeSchemaJson
+        flatEnvelope(Tables.events(s, d))
+          .repartitionByRange(8, col("position"))
+          .foreachPartition { (it: Iterator[EnvRecord]) =>
+            if (it.hasNext) {
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              val schema = new Schema.Parser().parse(schemaJson)
+              val w = new org.apache.avro.file.DataFileWriter(
+                new GenericDatumWriter[GenericRecord](schema))
+              w.create(schema,
+                new java.io.File(root, f"envelope-$pid%03d.avro"))
+              it.foreach { e =>
+                val r = new GenericData.Record(schema)
+                r.put("position", e.position); r.put("pk", e.pk)
+                r.put("ts_us", e.ts_us); r.put("op", e.op)
+                r.put("txn_id", e.txn_id); r.put("txn_seq", e.txn_seq)
+                r.put("before_value", e.before_value.map(Double.box).orNull)
+                r.put("after_value", e.after_value.map(Double.box).orNull)
+                r.put("ddl_stmt", e.ddl_stmt.orNull)
+                w.append(r)
+              }
+              w.close()
+            }
+          }
+        avroDirWritten.add(root)
+      }
+    }
+    root
+  }
+
   override def ops: Seq[Op] = Seq(
+    Op("scan_avro",
+      // Avro CONTAINER-FILE scan — the landing-zone read path (the
+      // spark-avro connector is absent offline, so the files are
+      // decoded with avro core inside mapPartitions over a
+      // `binaryFile` scan: files spread across executors by size,
+      // DataFileReader walks each container's blocks with the
+      // EMBEDDED writer schema — self-describing, no schema registry
+      // needed at read time). Oracle = cdc_envelope_full's SQL: the
+      // hash gate proves envelope → container file → scan is the
+      // identity on every field across all null shapes. 100 TB:
+      // parallelism is the file count (container blocks are
+      // sequential within a file — the binlog-shard argument);
+      // position-ranged files make a position seek a file prune.
+      (s, d) => {
+        import s.implicits._
+        val dir = avroFixtureDir(s, d)
+        s.read.format("binaryFile").load(dir)
+          .select(col("content"))
+          .as[Array[Byte]]
+          .mapPartitions { it =>
+            it.flatMap { bytes =>
+              val reader = new org.apache.avro.file.DataFileReader(
+                new org.apache.avro.file.SeekableByteArrayInput(bytes),
+                new GenericDatumReader[GenericRecord]())
+              val out = scala.collection.mutable.ArrayBuffer.empty[EnvRecord]
+              while (reader.hasNext) {
+                val r = reader.next()
+                def optD(f: String) =
+                  Option(r.get(f)).map(_.asInstanceOf[Double])
+                def str(f: String) = Option(r.get(f)).map(_.toString)
+                out += EnvRecord(
+                  r.get("position").asInstanceOf[Long],
+                  r.get("pk").asInstanceOf[Long],
+                  r.get("ts_us").asInstanceOf[Long],
+                  r.get("op").toString,
+                  r.get("txn_id").asInstanceOf[Long],
+                  r.get("txn_seq").asInstanceOf[Long],
+                  optD("before_value"), optD("after_value"),
+                  str("ddl_stmt"))
+              }
+              reader.close()
+              out
+            }
+          }.toDF()
+          .orderBy("position")
+      },
+      Some("""WITH base AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       WHEN event_type = 'view' THEN 'DDL'
+                       ELSE 'U' END AS op,
+                  value, event_id // 16 AS txn_id, event_id % 16 AS txn_seq
+                FROM events),
+              r AS (
+                SELECT *, lag(value) OVER (PARTITION BY pk
+                  ORDER BY tts, position) AS prev_value
+                FROM base WHERE op <> 'DDL')
+              SELECT position, pk, epoch_us(tts) AS ts_us, op,
+                txn_id, txn_seq,
+                CASE WHEN op = 'I' THEN NULL ELSE prev_value END AS before_value,
+                CASE WHEN op = 'D' THEN NULL ELSE value END AS after_value,
+                CAST(NULL AS VARCHAR) AS ddl_stmt
+              FROM r
+              UNION ALL
+              SELECT position, pk, epoch_us(tts), op, txn_id, txn_seq,
+                NULL, NULL,
+                'ALTER TABLE events ADD PARTITION (txn=' ||
+                  CAST(txn_id AS VARCHAR) || ')'
+              FROM base WHERE op = 'DDL'
+              ORDER BY position""")),
+
     Op("cdc_envelope_avro",
       // envelope → Avro binary → envelope: the wire serialization
       // under the hash gate. The oracle is cdc_envelope_full's SQL
