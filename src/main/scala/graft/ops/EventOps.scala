@@ -18,6 +18,49 @@ import org.apache.spark.sql.functions._
   */
 object EventOps extends OpModule {
 
+  /** Shared rolling-correlation SQL (win_rolling_corr): one window
+    * pass of exact integer moment sums over the `daily` relation
+    * (event_type, eday, x = cents BIGINT, y = count BIGINT), then the
+    * IEEE finish. The string is shared verbatim between the Spark
+    * query and the DuckDB oracle (the bm25/statsMoments discipline —
+    * ONE expression shape is what makes the doubles bit-identical);
+    * only the engine-specific `daily` SQL differs (datediff vs
+    * date_diff spelling). Decimal widths per the Scaladoc bound
+    * (x, y ≤ 3e9): frame sums ≤ 2.1e10 → (14,0); squares ≤ 9e18
+    * (inside int64) → sums ≤ 6.3e19 → (20,0); n·Σ and Σ·Σ terms
+    * ≤ 4.4e20 → left operand pre-cast to (21,0), the DuckDB
+    * result-width convention agg_stats_moments documents.
+    */
+  private def rollingCorrSql(daily: String): String =
+    s"""SELECT event_type, eday,
+          CAST(n AS BIGINT) AS n_days,
+          CASE WHEN vx = 0 OR vy = 0 THEN NULL
+               ELSE CAST(cxy AS DOUBLE)
+                    / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+          END AS corr7
+        FROM (
+          SELECT event_type, eday, n,
+            CAST(n AS DECIMAL(21,0))*sxx - CAST(sx AS DECIMAL(21,0))*sx AS vx,
+            CAST(n AS DECIMAL(21,0))*syy - CAST(sy AS DECIMAL(21,0))*sy AS vy,
+            CAST(n AS DECIMAL(21,0))*sxy - CAST(sx AS DECIMAL(21,0))*sy AS cxy
+          FROM (
+            SELECT event_type, eday,
+              CAST(count(*) OVER w AS DECIMAL(1,0)) AS n,
+              CAST(sum(CAST(x AS DECIMAL(13,0))) OVER w AS DECIMAL(14,0))
+                AS sx,
+              CAST(sum(CAST(y AS DECIMAL(13,0))) OVER w AS DECIMAL(14,0))
+                AS sy,
+              CAST(sum(CAST(x*x AS DECIMAL(19,0))) OVER w AS DECIMAL(20,0))
+                AS sxx,
+              CAST(sum(CAST(y*y AS DECIMAL(19,0))) OVER w AS DECIMAL(20,0))
+                AS syy,
+              CAST(sum(CAST(x*y AS DECIMAL(19,0))) OVER w AS DECIMAL(20,0))
+                AS sxy
+            FROM ($daily)
+            WINDOW w AS (PARTITION BY event_type ORDER BY eday
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)))
+        ORDER BY event_type, eday"""
+
   override def ops: Seq[Op] = Seq(
 
     Op("stream_envelope",
@@ -432,6 +475,32 @@ object EventOps extends OpModule {
               WHERE c.event_type = 'click' AND b.event_type = 'purchase'
               GROUP BY 1 ORDER BY user_id""")),
 
+    Op("stream_join_outer",
+      // stream-stream LEFT OUTER interval join (op 64b) — the
+      // conversion-attribution form of stream_join_stream: EVERY
+      // click gets a row, with its in-window purchase count or an
+      // explicit 0/false when none arrived. The outer side is the
+      // genuinely streaming-hard part (a "no match" can only emit
+      // once the watermark proves the match window closed — state
+      // eviction, not a processing-time race); EventStreamSpec pins
+      // the append-mode stream ≡ this batch body under a
+      // watermark-flush sentinel. Shape at 100 TB: both sides
+      // hash-partition on user_id; per-key join state is bounded by
+      // interval + watermark delay. Batch plan: one user_id
+      // equi-join with the hour range as residual, then a
+      // map-combined count keyed by the high-cardinality click id.
+      (s, d) => EventStreams.clickToPurchaseOuter(Tables.events(s, d))
+        .orderBy("user_id", "click_id"),
+      Some("""SELECT c.user_id AS user_id, c.event_id AS click_id,
+                count(b.event_id) AS n_purchases,
+                count(b.event_id) > 0 AS converted
+              FROM events c LEFT JOIN events b
+                ON c.user_id = b.user_id
+               AND b.event_type = 'purchase'
+               AND b.ts >= c.ts AND b.ts < c.ts + INTERVAL 1 HOUR
+              WHERE c.event_type = 'click'
+              GROUP BY 1, 2 ORDER BY user_id, click_id""")),
+
     Op("stream_funnel_conversion",
       // ordered conversion funnel — the product-analytics staple over
       // an event log: per user, the FIRST signup, then the first
@@ -541,6 +610,108 @@ object EventOps extends OpModule {
               FROM spine s LEFT JOIN daily d
                 ON s.user_id = d.user_id AND s.eday = d.eday
               ORDER BY s.user_id, s.eday""")),
+
+    Op("win_interp_linear",
+      // linear-interpolation gap fill — win_gap_fill's zero-fill twin
+      // for CONTINUOUS metrics (a gauge, a balance, a sensor reading),
+      // where an absent day means "unobserved", not "zero": each
+      // missing day gets v_prev + (v_next − v_prev)·frac along the
+      // straight line between its surrounding observations. Same
+      // scalable lead()+sequence shape as win_gap_fill (the daily
+      // aggregate collapses the log map-side; the window sorts only
+      // the |user|×|active-day| relation; each gap fills from the ONE
+      // preceding row — no spine join, no second scan). Determinism:
+      // the daily value is a DECIMAL-accumulated sum (order-
+      // independent, dsum) and the interpolation is pure IEEE −,×,÷
+      // on identically-shaped expressions, so both engines emit
+      // bit-identical doubles with no rounding step (§5.2
+      // project_expr precedent).
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"),
+            datediff(col("ts").cast("date"),
+              to_date(lit("1970-01-01"))).as("eday"))
+          .agg(dsum(col("value")).as("v"))
+        val w = Window.partitionBy("user_id").orderBy("eday")
+        daily
+          .withColumn("next_eday", lead("eday", 1).over(w))
+          .withColumn("next_v", lead("v", 1).over(w))
+          .withColumn("day",
+            explode(expr("sequence(eday, coalesce(next_eday - 1, eday))")))
+          .select(col("user_id"), col("day").as("gday"),
+            when(col("day") === col("eday"), col("v"))
+              .otherwise(col("v") + (col("next_v") - col("v")) *
+                ((col("day") - col("eday")).cast("double") /
+                 (col("next_eday") - col("eday")).cast("double")))
+              .as("v_interp"),
+            (col("day") =!= col("eday")).as("interpolated"))
+          .orderBy("user_id", "gday")
+      },
+      Some("""WITH daily AS (
+                SELECT user_id,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS eday,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE)
+                    AS v
+                FROM events GROUP BY 1, 2),
+              l AS (
+                SELECT user_id, eday, v,
+                  lead(eday) OVER (PARTITION BY user_id ORDER BY eday)
+                    AS next_eday,
+                  lead(v) OVER (PARTITION BY user_id ORDER BY eday) AS next_v
+                FROM daily),
+              x AS (
+                SELECT user_id, eday, v, next_eday, next_v,
+                  CAST(unnest(generate_series(eday,
+                    coalesce(next_eday - 1, eday))) AS INTEGER) AS day
+                FROM l)
+              SELECT user_id, day AS gday,
+                CASE WHEN day = eday THEN v
+                     ELSE v + (next_v - v) *
+                       (CAST(day - eday AS DOUBLE)
+                        / CAST(next_eday - eday AS DOUBLE))
+                END AS v_interp,
+                day <> eday AS interpolated
+              FROM x ORDER BY user_id, gday""")),
+
+    Op("win_rolling_corr",
+      // rolling 7-day Pearson correlation between a series pair (per
+      // event_type: daily total value vs daily event count) — the
+      // metric-drift detector ("did spend stop tracking volume this
+      // week?") that quant/ops dashboards run over every KPI pair.
+      // Exactness: the agg_stats_moments discipline applied INSIDE a
+      // window frame — both engines accumulate the classic moment
+      // sums (n, Σx, Σy, Σx², Σy², Σxy) over 2dp-scaled INTEGER
+      // daily values (the daily cents total is itself a
+      // DECIMAL-accumulated, order-independent sum), so every frame
+      // statistic is exact; the finish step is IEEE ×,−,÷,sqrt on
+      // identically-shaped casts → bit-identical doubles. Shape at
+      // 100 TB: the raw log collapses to |type|×|day| rows in one
+      // map-combined aggregate; the window sorts only that tiny daily
+      // relation with single-pass frame sums (six numbers of state
+      // per frame). Decimal widths hold through x ≤ 3e9 cents/day
+      // (int64-square bound documented on agg_stats_moments — past
+      // that, rescale the fixed-point unit). Zero-variance frames
+      // (n = 1, or a constant series) yield NULL via the vx·vy = 0
+      // guard on both engines.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events_rcorr")
+        s.sql(rollingCorrSql(
+          """SELECT event_type,
+               datediff(CAST(ts AS DATE), DATE '1970-01-01') AS eday,
+               CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
+                    AS BIGINT) AS x,
+               count(*) AS y
+             FROM graft_events_rcorr GROUP BY 1, 2"""))
+      },
+      Some(rollingCorrSql(
+        """SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01',
+               CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS eday,
+             CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
+                  AS BIGINT) AS x,
+             count(*) AS y
+           FROM events GROUP BY 1, 2"""))),
 
     Op("stream_retention_cohort",
       // weekly retention cohorts — the OTHER product-analytics staple

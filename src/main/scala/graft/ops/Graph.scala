@@ -165,6 +165,41 @@ object GraphOps extends OpModule {
     }
   }
 
+  /** The session-memoized support-filtered supplier co-occurrence
+    * edge list (s1 < s2; adjacent = ≥ 6 shared orders) — built once
+    * per (session, corpus) and shared by [[graph_triangle_count]]'s
+    * three-way join and [[graph_reachability]]'s BFS (one derivation,
+    * two graph algorithms — the materialized-edge-table discipline).
+    * Pair generation avoids the textbook self-join: each order's
+    * distinct supplier set collapses in ONE map-combined collect_set
+    * aggregate and the a<b pairs expand from the sorted array in the
+    * same stage, so the orderkey-keyed relation crosses a shuffle
+    * once (vs three for distinct + two-sided self-join).
+    */
+  private[graft] def supportEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val ekey =
+      s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|tri|$d"
+    ekey.intern.synchronized(triEdgeCache.getOrElseUpdate(ekey, {
+      val pairs = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_suppkey"))).as("supps"))
+        .filter(size(col("supps")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(supps, (x, i) ->
+             transform(slice(supps, i + 2, size(supps)),
+                       y -> struct(x AS s1, y AS s2))))""")).as("p"))
+        .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      val edges = pairs.groupBy("s1", "s2")
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 6)
+        .select("s1", "s2")
+        .persist()
+      edges.count()
+      edges
+    }))
+  }
+
   override def ops: Seq[Op] = Seq(
 
     Op("graph_pagerank",
@@ -233,35 +268,9 @@ object GraphOps extends OpModule {
       // does here; at web scale the same joins run as shuffle-hash
       // on the canonical keys). All outputs are exact integers.
       (s, d) => {
-        // pair generation WITHOUT the textbook self-join: collect each
-        // order's distinct supplier set in ONE map-combined aggregate
-        // (collect_set partials merge map-side), then expand the a<b
-        // pairs from the sorted array in the same stage — the
-        // orderkey-keyed relation crosses a shuffle once, where the
-        // distinct + self-join rendering shuffles it three times
-        // (distinct exchange, then both join sides repartition by
-        // orderkey). The per-order expansion stays bounded by
-        // (lines-per-order choose 2) either way.
-        val ekey =
-          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|tri|$d"
-        val e = ekey.intern.synchronized(triEdgeCache.getOrElseUpdate(ekey, {
-          val pairs = Tables.lineitem(s, d)
-            .groupBy("l_orderkey")
-            .agg(array_sort(collect_set(col("l_suppkey"))).as("supps"))
-            .filter(size(col("supps")) >= 2)
-            .select(explode(expr(
-              """flatten(transform(supps, (x, i) ->
-                 transform(slice(supps, i + 2, size(supps)),
-                           y -> struct(x AS s1, y AS s2))))""")).as("p"))
-            .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
-          val edges = pairs.groupBy("s1", "s2")
-            .agg(count(lit(1)).as("c"))
-            .filter(col("c") >= 6)
-            .select("s1", "s2")
-            .persist()
-          edges.count()
-          edges
-        }))
+        // edge derivation shared with graph_reachability — see
+        // [[supportEdges]] for the one-shuffle pair-generation shape
+        val e = supportEdges(s, d)
         val tri = e.as("e1").join(e.as("e2"), col("e1.s2") === col("e2.s1"))
           .join(e.as("e3"),
             col("e3.s1") === col("e1.s1") && col("e3.s2") === col("e2.s2"))
@@ -308,6 +317,65 @@ object GraphOps extends OpModule {
                 SELECT o_custkey, count(*) AS degree
                 FROM orders GROUP BY o_custkey)
               SELECT degree, count(*) AS n_customers
-              FROM d GROUP BY degree ORDER BY degree"""))
+              FROM d GROUP BY degree ORDER BY degree""")),
+
+    Op("graph_reachability",
+      // bounded-depth BFS over the same support-filtered supplier
+      // co-occurrence graph ([[supportEdges]], undirected): minimum
+      // hop count from the seed set (suppliers of nation 0) to every
+      // reachable supplier within 4 hops — the recursive-query
+      // surface (org charts, BOM explosions, fraud rings) every SQL
+      // engine answers with WITH RECURSIVE, which is exactly the
+      // DuckDB oracle here; Spark has no recursive CTE, so the engine
+      // side is the level-synchronous BFS every distributed graph
+      // system runs. The depth-4 horizon is UNROLLED LAZILY: level h
+      // = distinct neighbors of level h−1 (one tiny equi-join + one
+      // distinct exchange per level against the memoized edge list),
+      // min-hop resolved by one final aggregate over the stacked
+      // levels — no driver-side loop state, no actions inside the
+      // plan. Shape at 100 TB: level-synchronous BFS IS the scalable
+      // form (Pregel's iteration); each level's frontier joins
+      // hash-partitioned edges and dedups — bounded by |reachable
+      // nodes| per level, never |walks| (the per-level distinct is
+      // what keeps a dense graph from exploding the frontier
+      // combinatorially). A fixed horizon keeps the stage graph
+      // static; an open-ended closure runs the same loop with an
+      // empty-frontier early stop (the pageRankWithHandle
+      // discipline).
+      (s, d) => {
+        val e = supportEdges(s, d)
+        val ud = e.select(col("s1").as("src"), col("s2").as("dst"))
+          .unionByName(e.select(col("s2").as("src"), col("s1").as("dst")))
+        val seeds = Tables.supplier(s, d)
+          .filter(col("s_nationkey") === 0)
+          .select(col("s_suppkey").cast("long").as("node"))
+        val levels = (1 to 4).scanLeft(seeds) { (frontier, _) =>
+          frontier.join(ud, frontier("node") === ud("src"))
+            .select(col("dst").as("node")).distinct()
+        }
+        levels.zipWithIndex
+          .map { case (f, h) => f.withColumn("hops", lit(h)) }
+          .reduce(_ unionByName _)
+          .groupBy("node").agg(min(col("hops")).cast("int").as("hops"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE
+              p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+              e AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+                    FROM p a JOIN p b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey
+                    GROUP BY 1, 2 HAVING count(*) >= 6),
+              ud AS (SELECT s1 AS src, s2 AS dst FROM e
+                     UNION ALL SELECT s2, s1 FROM e),
+              r AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS node, 0 AS hops
+                FROM supplier WHERE s_nationkey = 0
+                UNION
+                SELECT CAST(ud.dst AS BIGINT), r.hops + 1
+                FROM r JOIN ud ON CAST(ud.src AS BIGINT) = r.node
+                WHERE r.hops < 4)
+              SELECT node, CAST(min(hops) AS INTEGER) AS hops
+              FROM r GROUP BY node ORDER BY node"""))
   )
 }

@@ -383,6 +383,40 @@ object LlmOps extends OpModule {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** SemDeDup core: cluster-bounded semantic dedup verdicts. Assigns
+    * every vector to a k-means bucket via the session IVF machinery
+    * ([[ivfIndex]] — kernel-assigned, persisted per cacheKey), then
+    * confirms cosine ≥ tau on WITHIN-CLUSTER pairs only and drops the
+    * larger vec_id of each confirmed pair (keep-min, the
+    * llm_dedup_exact convention). Returns (vec_id, is_dup) for every
+    * input vector. C = ⌈√n⌉ (min 8) — see the registered op's
+    * Scaladoc for the cost balance; the cluster equi-join is the only
+    * pair generator, so the plan contains no corpus×corpus product
+    * (pinned in LlmSpec).
+    */
+  private[graft] def semDedup(emb: DataFrame, tau: Double,
+      cacheKey: Option[String]): DataFrame = {
+    graft.functions.VectorKernels.register(emb.sparkSession)
+    val n = emb.count()
+    val c = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    val idx = ivfIndex(emb, c, cacheKey)
+    // norms once per vector; the pairwise hot loop is one codegen dot
+    val a = idx.assign.select(col("cid"), col("vec_id"), col("e"),
+      sqrt(call_function("graft_dot", col("e"), col("e"))).as("nrm"))
+    val l = a.select(col("cid"), col("vec_id").as("vec_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val r = a.select(col("cid").as("cid_b"), col("vec_id").as("vec_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val dropped = l.join(r,
+        col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
+      .filter(call_function("graft_dot", col("ea"), col("eb"))
+        / (col("na") * col("nb")) >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    idx.assign.select(col("vec_id"))
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
+  }
+
   /** Deterministic content-hash train/validation/test assignment —
     * the split step of a training-data pipeline. The bucket is the
     * first 32 bits of md5(normalized text) mod 100 (90/5/5), so:
@@ -1598,6 +1632,44 @@ object LlmOps extends OpModule {
                 WHERE a.vec_id < b.vec_id)
               SELECT vec_a, vec_b, cosine FROM scored
               WHERE cosine >= 0.8 ORDER BY vec_a, vec_b""")),
+
+    Op("llm_semdedup",
+      // SemDeDup (Abbas et al., arXiv 2303.09540): semantic dedup
+      // where K-MEANS CLUSTERS bound the candidate space — every
+      // pairwise cosine is evaluated only WITHIN a cluster, never
+      // across the corpus. The complementary design point to
+      // llm_dedup_embed's stateless LSH bands: the cluster index is a
+      // reusable corpus artifact (here literally the session IVF
+      // index — same Lloyd machinery, kernel-assigned), and the drop
+      // rule composes with downstream IVF search because near-dups
+      // are removed from exactly the buckets a probe would rescore.
+      // Same planted-clone protocol as llm_dedup_embed (isotropic
+      // noise has no real near-dups): clone = 0.9·v + 0.1·reverse(v)
+      // (cos ≈ 0.994 to its source, background ≤ 0.62), verdict at
+      // τ = 0.8, drop rule = smaller-vec_id representative survives.
+      // C = ⌈√n⌉ balances the two quadratic ends (assign O(n·C·d) vs
+      // within-cluster pairs O(n²/C·d) — both n^1.5·d at C = √n);
+      // at 100 TB the paper's shape applies: train centroids on a
+      // bounded sample, write the assignment as the cid-partitioned
+      // table (writeIvfIndex), and cap oversized clusters by
+      // sub-splitting — the same skew guard as the dedup joins'
+      // df-cap. Not oracleable (seeded k-means assignment); LlmSpec
+      // pins planted-clone recall, zero false drops (precision 1.0
+      // against the 0.62 background margin), and the no-cross-
+      // cluster-product plan shape.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ed = col("embedding").cast("array<double>")
+        val base = emb.select(col("vec_id"), ed.as("embedding"))
+        val clones = emb.select(
+          col("vec_id").bitwiseOR(lit(1L << 40)).as("vec_id"),
+          zip_with(ed, reverse(ed),
+            (x, y) => lit(0.9) * x + lit(0.1) * y).as("embedding"))
+        semDedup(base.unionByName(clones), tau = 0.8,
+          cacheKey = Some(s"semdedup|$d"))
+          .orderBy("vec_id")
+      },
+      None),
 
     Op("llm_token_count",
       // whitespace tokens vs a BPE-ish regex segmentation (letter runs /

@@ -231,6 +231,53 @@ object Relational extends OpModule {
                              format='newline_delimited')
               ORDER BY n_nationkey""")),
 
+    Op("scan_xml",
+      // XML scan surface — Spark 4 folded the spark-xml connector into
+      // core (`spark.read.xml`, SPARK-44265), so a landing zone handing
+      // us XML exports (the classic enterprise-integration format) costs
+      // no extra dependency. Fixture = nation rendered to one
+      // SF-invariant XML document (25 rows, byte-identical at every SF
+      // dir — same static-oracle-path requirement as scan_csv), read
+      // back with rowTag + an EXPLICIT schema: XML inference is a full
+      // extra parse pass, doubly expensive here because XML is the most
+      // parse-bound of the text formats. At 100 TB, XML files split by
+      // row tag across executors like any text source, but the per-byte
+      // cost is ~10× CSV — the note a real migration needs is "convert
+      // once, then columnar", which is exactly what the oracle proves:
+      // the XML round-trip is value-identical to the parquet original.
+      // DuckDB cannot read XML, so the oracle queries the SOURCE nation
+      // table the fixture was rendered from — same relation by
+      // construction, which makes the hash gate a true round-trip proof.
+      (s, d) => {
+        val rows = Tables.nation(s, d)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey").collect()
+        def esc(x: String): String = x.flatMap {
+          case '&' => "&amp;"
+          case '<' => "&lt;"
+          case '>' => "&gt;"
+          case c => c.toString
+        }
+        val f = java.nio.file.Paths.get("/tmp/graft_scan_fixtures/nation.xml")
+        val body = "<nations>\n" + rows.map { r =>
+          s"  <nation><n_nationkey>${r.get(0)}</n_nationkey>" +
+            s"<n_name>${esc(r.getString(1))}</n_name>" +
+            s"<n_regionkey>${r.get(2)}</n_regionkey></nation>"
+        }.mkString("\n") + "\n</nations>\n"
+        writeFixtureAtomic(f, body)
+        s.read
+          .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+          .option("rowTag", "nation")
+          .xml(f.toString)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      // keys cast: the source nation parquet stores int32 keys, but
+      // the XML read's explicit schema types them BIGINT
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                CAST(n_regionkey AS BIGINT) AS n_regionkey
+              FROM nation ORDER BY n_nationkey""")),
+
     // The custom DataSourceV2 connector (SURVEY row 7f, VERDICT r10
     // #7): TableProvider → ScanBuilder → Batch → PartitionReader over
     // the same rendered nation fixture, with the filter PUSHED into

@@ -1079,14 +1079,8 @@ object EventStreams {
     * bounded; in batch the same body is a plain interval join.
     */
   def clickToPurchase(events: DataFrame): DataFrame = {
-    def side(tpe: String, pfx: String) = {
-      val base = events.filter(col("event_type") === tpe)
-        .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
-          col("event_id").as(s"${pfx}_id"))
-      if (base.isStreaming) base.withWatermark(s"${pfx}_ts", "1 hour") else base
-    }
-    val clicks = side("click", "c")
-    val buys = side("purchase", "b")
+    val clicks = joinSide(events, "click", "c")
+    val buys = joinSide(events, "purchase", "b")
     clicks.join(buys,
         col("c_user") === col("b_user") &&
         col("b_ts") >= col("c_ts") &&
@@ -1094,6 +1088,54 @@ object EventStreams {
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** One side of the stream-stream interval joins: events of `tpe`,
+    * prefixed, watermarked when streaming (shared by the inner and
+    * LEFT OUTER forms). */
+  private def joinSide(events: DataFrame, tpe: String,
+      pfx: String): DataFrame = {
+    val base = events.filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${pfx}_user"), col("ts").as(s"${pfx}_ts"),
+        col("event_id").as(s"${pfx}_id"))
+    if (base.isStreaming) base.withWatermark(s"${pfx}_ts", "1 hour") else base
+  }
+
+  /** Op 64b shared body — stream-stream LEFT OUTER interval join at
+    * the PAIR grain: every click with each purchase by the same user
+    * inside the following hour, or one null-augmented row if none.
+    * The outer side is what makes this a distinct streaming surface:
+    * in append mode a null-augmented row can only emit once the
+    * WATERMARK proves no matching purchase can still arrive (state
+    * eviction at c_ts + 1h + delay), so "no conversion" is an
+    * event-time fact, not a processing-time race — the semantics the
+    * inner join form cannot express. Batch and stream run this same
+    * body (EventStreamSpec pins append-mode ≡ batch under a
+    * watermark-flush sentinel); the batch op aggregates on top
+    * ([[clickToPurchaseOuter]]). At 100 TB both sides hash-partition
+    * on user_id and per-key state is bounded by the 1 h interval +
+    * watermark delay — the range condition is what lets Spark evict.
+    */
+  def clickPurchasePairs(events: DataFrame): DataFrame = {
+    val clicks = joinSide(events, "click", "c")
+    val buys = joinSide(events, "purchase", "b")
+    clicks.join(buys,
+        col("c_user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") < col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("b_id").as("purchase_id"))
+  }
+
+  /** Op 64b batch aggregate: per-click conversion outcome over
+    * [[clickPurchasePairs]] — count(purchase_id) skips the
+    * null-augmented rows, so an unconverted click reports 0/false
+    * instead of disappearing (the reason the outer form exists). */
+  def clickToPurchaseOuter(events: DataFrame): DataFrame =
+    clickPurchasePairs(events)
+      .groupBy("user_id", "click_id")
+      .agg(count(col("purchase_id")).as("n_purchases"))
+      .withColumn("converted", col("n_purchases") > 0)
 
   // ── op 65: broadcast fan-out (one stream → N sinks) ─────────────
   /** meepo's core "broadcasting": each micro-batch is persisted once

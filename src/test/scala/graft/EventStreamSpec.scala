@@ -771,6 +771,50 @@ class EventStreamSpec extends SparkSpec {
     java.time.LocalDateTime.parse(s.replace(" ", "T"))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
 
+  test("stream-stream LEFT OUTER interval join: append stream equals batch after watermark flush") {
+    import spark.implicits._
+    val dir = tmpDir("graft_sj_outer")
+    // batch 1: the real corpus, re-encoded to the raw long-ns shape
+    rawNsEvents.write.mode("overwrite").parquet(s"$dir/in")
+    val maxUs = Tables.events(spark, sf001)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val stream = spark.readStream.schema(EventStreams.rawSchema)
+      .option("maxFilesPerTrigger", "8").parquet(s"$dir/in")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStreams.clickPurchasePairs(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_sj_outer").start()
+    q.processAllAvailable()
+    // batch 2: watermark-flush sentinels far past the corpus (one per
+    // SIDE — each side's watermark tracks only rows passing its own
+    // type filter), user −1 so they join nothing real and are
+    // excluded from the compare. Without the flush, every click in
+    // the trailing hour of the corpus would sit unemitted: append
+    // mode may not declare "no purchase arrived" until the watermark
+    // proves the window closed — which is the semantics under test.
+    Seq((9000001L, maxUs + 864000000000L, -1L, "click", 0.0, "{}"),
+        (9000002L, maxUs + 864000000000L, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), (col("us") * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_sj_outer").filter(col("user_id") >= 0)
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val want = EventStreams.clickPurchasePairs(batchEvents)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    assert(got == want,
+      s"stream ${got.size} rows vs batch ${want.size}")
+    assert(want.exists(_._3 == -1L),
+      "fixture must exercise null-augmented (unconverted) clicks")
+    assert(want.exists(_._3 >= 0L),
+      "fixture must exercise matched pairs")
+  }
+
   test("checkpoint replay: restart neither loses nor duplicates") {
     val dir = tmpDir("graft_replay")
     val ev = rawNsEvents

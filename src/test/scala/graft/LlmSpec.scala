@@ -485,6 +485,36 @@ class LlmSpec extends SparkSpec {
         s"$cand1 of ${n1 * (n1 - 1) / 2}")
   }
 
+  test("semdedup: drops only planted clones, recall floor holds, no cross product") {
+    val emb = Tables.embeddings(spark, sf001)
+    val ed = col("embedding").cast("array<double>")
+    val base = emb.select(col("vec_id"), ed.as("embedding"))
+    val clones = emb.select(
+      col("vec_id").bitwiseOR(lit(1L << 40)).as("vec_id"),
+      zip_with(ed, reverse(ed),
+        (x, y) => lit(0.9) * x + lit(0.1) * y).as("embedding"))
+    val u = base.unionByName(clones)
+    val out = LlmOps.semDedup(u, tau = 0.8, cacheKey = None)
+    val rows = out.collect()
+    val n = u.count()
+    assert(rows.length == n, "one verdict per input vector")
+    val dropped = rows.filter(_.getBoolean(1)).map(_.getLong(0))
+    // precision 1.0 against the margin: background pairs max out near
+    // cos 0.62, so any dropped vector MUST be a planted clone (and the
+    // keep-min rule always keeps the smaller-id source)
+    assert(dropped.forall(_ >= (1L << 40)),
+      s"non-clone vectors dropped: ${dropped.filter(_ < (1L << 40)).take(5).mkString(",")}")
+    // recall floor: a clone is missed only when k-means splits it from
+    // its source (the documented SemDeDup trade) — rare at cos 0.994
+    assert(dropped.length >= (0.9 * (n / 2)).toInt,
+      s"clone recall below floor: ${dropped.length} of ${n / 2}")
+    // cluster equi-join is the only pair generator — never all-pairs
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "semdedup plan must not contain a cross product")
+  }
+
   test("char-ngram kernel: matches the declarative rendering, handles edges") {
     graft.functions.VectorKernels.register(spark)
     import spark.implicits._
