@@ -383,6 +383,132 @@ object LlmOps extends OpModule {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Shared bigram-LM document-scoring chain (llm_lm_score /
+    * llm_ccnet_buckets): self-trained conditional model p = c2/c1
+    * (exact-integer division, no smoothing — every doc bigram is in
+    * the model by construction), then per-doc linear-space statistics
+    * of p. See llm_lm_score's Op comment for why linear-space (ln is
+    * libm-dependent) and for the two-bounded-shuffle 100 TB shape.
+    */
+  private def lmScores(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    graft.functions.VectorKernels.register(s)
+    val bi = tokenizedDocs(s, d)
+      .select(col("doc_id"), explode(call_function("graft_shingles",
+        col("toks"), lit(2))).as("bigram"))
+    val byW1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(substring_index(col("bigram"), " ", 1))
+    val model = bi.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .withColumn("c1", sum(col("c2")).over(byW1))
+      .select(col("bigram"),
+        (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+    bi.join(model, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        davg(col("p")).as("avg_p"),
+        min(col("p")).as("min_p"))
+  }
+
+  /** Shared DuckDB CTE prefix for the bigram-LM scoring chain — ends
+    * in `ds(doc_id, n_bigrams, avg_p, min_p)`; each consumer appends
+    * its own final SELECT (the statsMomentsSql discipline: one shared
+    * expression shape is what keeps the doubles bit-identical).
+    */
+  private val lmScoreCteSql: String =
+    """WITH tk AS (
+         SELECT doc_id, string_split(
+           lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+         FROM documents),
+       bg AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(t)),
+           i -> t[i] || ' ' || t[i+1])) AS bigram
+         FROM tk WHERE len(t) >= 2),
+       cnt AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+       model AS (
+         SELECT bigram,
+           CAST(c2 AS DOUBLE) /
+             CAST(sum(c2) OVER (PARTITION BY split_part(bigram, ' ', 1))
+                  AS DOUBLE) AS p
+         FROM cnt),
+       sc AS (SELECT doc_id, p FROM bg JOIN model USING (bigram)),
+       ds AS (
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(p), 6) AS avg_p,
+           min(p) AS min_p
+         FROM sc GROUP BY doc_id)
+    """
+
+  /** DSIR core (Xie et al., NeurIPS 2023 — Data Selection via
+    * Importance Resampling): rank raw documents by how target-like
+    * they look under hashed bag-of-ngrams language models, then
+    * Gumbel-top-k resample. Deterministic throughout, per this
+    * engine's no-RNG rule:
+    *
+    *  - features = unigrams + bigrams of the shared tokenization,
+    *    hashed into `m` buckets (xxhash64 — Spark-specific, which is
+    *    why the family is test-only);
+    *  - ONE feature aggregate computes target and raw bucket counts
+    *    together (conditional sum — no second corpus pass); the
+    *    add-one-smoothed log-ratio table is m rows of driver-free
+    *    broadcast metadata;
+    *  - per-doc log importance weight Σ c_f·lr_f accumulates the
+    *    irrational lr terms in DECIMAL(38,18) — order-independent, so
+    *    logw is run-stable even though it is a float sum in spirit;
+    *  - the paper's Gumbel noise comes from the CONTENT HASH
+    *    (u = (md5_32(norm text) + 0.5)/2³², g = −ln(−ln u)) — same
+    *    doc, same draw, across runs and engines; byte-dups get
+    *    identical scores and are kept/dropped together;
+    *  - selected = top 25% by (logw + g), percent_rank with doc_id
+    *    tiebreak.
+    *
+    * Shape at 100 TB: feature explode → one map-combined (bucket)
+    * aggregate; scoring joins features against the broadcast m-row
+    * table and re-aggregates per doc — two bounded shuffles, the
+    * decontaminate shape. The final global rank is a full sort here
+    * (oracle-exact form); at fleet scale the cut point comes from
+    * approx-percentile on logw+g and selection is a stateless filter
+    * (the agg_histogram_equidepth substitute).
+    */
+  private[graft] def dsirSample(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, isTarget: Column, m: Int = 1024,
+      keep: Double = 0.25): DataFrame = {
+    graft.functions.VectorKernels.register(spark)
+    val toks = tokenizedDocs(spark, sfDir)
+    val feats = toks.select(col("doc_id"), col("lang"),
+        explode(concat(col("toks"),
+          call_function("graft_shingles", col("toks"), lit(2)))).as("f"))
+      .select(col("doc_id"), col("lang"),
+        pmod(xxhash64(col("f")), lit(m)).as("b"))
+    val counts = feats
+      .groupBy("b")
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("rc"))
+    val totals = counts.agg(sum("tc").as("tt"), sum("rc").as("rt"))
+    val lr = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("tc") + 1).cast("double") / (col("tt") + m)) -
+         log((col("rc") + 1).cast("double") / (col("rt") + m))).as("lr"))
+    val logw = feats.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("lr").cast(
+        org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double").as("logw"))
+    val u = (conv(substring(md5(normText(col("text"))), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        (-log(-log(u))).as("gumbel"))
+      .join(logw, "doc_id")
+      .withColumn("score", col("logw") + col("gumbel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("selected", percent_rank().over(w) <= keep)
+      .select(col("doc_id"), col("lang"), round(col("logw"), 6).as("logw"),
+        col("selected"))
+  }
+
   /** SemDeDup core: cluster-bounded semantic dedup verdicts. Assigns
     * every vector to a k-means bucket via the session IVF machinery
     * ([[ivfIndex]] — kernel-assigned, persisted per cacheKey), then
@@ -1671,6 +1797,22 @@ object LlmOps extends OpModule {
       },
       None),
 
+    Op("llm_dsir_sample",
+      // DSIR — importance resampling toward a target distribution
+      // (Xie et al., NeurIPS 2023); see [[dsirSample]] for the
+      // deterministic construction (hashed-ngram LMs, DECIMAL-
+      // accumulated log weights, content-hash Gumbel draws).
+      // Registered with target = the English subset: the raw corpus
+      // is reweighted toward English-like text, and LlmSpec pins that
+      // en documents carry higher mean log-weight and higher
+      // selection rate than every other language, plus exact
+      // determinism across runs. Test-only: the feature hash is
+      // xxhash64 (Spark-specific) and ln is libm — neither crosses
+      // the DuckDB oracle boundary.
+      (s, d) => dsirSample(s, d, isTarget = col("lang") === "en")
+        .orderBy("doc_id"),
+      None),
+
     Op("llm_token_count",
       // whitespace tokens vs a BPE-ish regex segmentation (letter runs /
       // digit runs / single other-chars), plus compression ratio
@@ -2417,45 +2559,49 @@ object LlmOps extends OpModule {
       // equi-join of the exploded doc bigrams against that model,
       // then a doc-keyed re-aggregate — two bounded shuffles, no
       // per-doc state beyond three numbers.
+      (s, d) => lmScores(s, d).orderBy("doc_id"),
+      Some(lmScoreCteSql +
+        """SELECT doc_id, n_bigrams, avg_p, min_p
+           FROM ds ORDER BY doc_id""")),
+
+    Op("llm_ccnet_buckets",
+      // the CCNet head/middle/tail split (Wenzek et al., LREC 2020):
+      // documents ranked per LANGUAGE by their fluency under the
+      // reference LM, then cut into terciles — the published recipe
+      // trains on "head" first and drops or deprioritizes "tail".
+      // Composition of two oracled pieces: the shared bigram-LM
+      // scoring chain ([[lmScores]] — linear-space avg_p, same
+      // two-shuffle shape) and an ntile(3) window per lang with the
+      // doc_id tiebreak (avg_p is a 6dp-rounded aggregate, so exact
+      // ties are possible — the unique key makes bucket assignment
+      // total-order deterministic in both engines; the §5.2
+      // discipline). Per-lang ntile is a per-partition sort of the
+      // |docs-per-lang| scored relation, never raw text; at 100 TB
+      // the cut points come from approx-percentile instead of a full
+      // sort (the agg_histogram_equidepth trade, same substitute).
       (s, d) => {
-        graft.functions.VectorKernels.register(s)
-        val bi = tokenizedDocs(s, d)
-          .select(col("doc_id"), explode(call_function("graft_shingles",
-            col("toks"), lit(2))).as("bigram"))
-        val byW1 = org.apache.spark.sql.expressions.Window
-          .partitionBy(substring_index(col("bigram"), " ", 1))
-        val model = bi.groupBy("bigram").agg(count(lit(1)).as("c2"))
-          .withColumn("c1", sum(col("c2")).over(byW1))
-          .select(col("bigram"),
-            (col("c2").cast("double") / col("c1").cast("double")).as("p"))
-        bi.join(model, "bigram")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            davg(col("p")).as("avg_p"),
-            min(col("p")).as("min_p"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("avg_p").desc, col("doc_id"))
+        lmScores(s, d)
+          .join(tokenizedDocs(s, d).select("doc_id", "lang"), "doc_id")
+          .withColumn("tercile", ntile(3).over(w))
+          .select(col("doc_id"), col("lang"), col("avg_p"),
+            when(col("tercile") === 1, "head")
+              .when(col("tercile") === 2, "middle")
+              .otherwise("tail").as("bucket"))
           .orderBy("doc_id")
       },
-      Some("""WITH tk AS (
-                SELECT doc_id, string_split(
-                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
-                FROM documents),
-              bg AS (
-                SELECT doc_id, unnest(list_transform(range(1, len(t)),
-                  i -> t[i] || ' ' || t[i+1])) AS bigram
-                FROM tk WHERE len(t) >= 2),
-              cnt AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
-              model AS (
-                SELECT bigram,
-                  CAST(c2 AS DOUBLE) /
-                    CAST(sum(c2) OVER (PARTITION BY split_part(bigram, ' ', 1))
-                         AS DOUBLE) AS p
-                FROM cnt),
-              sc AS (SELECT doc_id, p FROM bg JOIN model USING (bigram))
-              SELECT doc_id, count(*) AS n_bigrams,
-                round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE)
-                      / count(p), 6) AS avg_p,
-                min(p) AS min_p
-              FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+      Some(lmScoreCteSql +
+        """, lb AS (
+             SELECT ds.doc_id, documents.lang, ds.avg_p,
+               ntile(3) OVER (PARTITION BY documents.lang
+                 ORDER BY ds.avg_p DESC, ds.doc_id) AS tercile
+             FROM ds JOIN documents ON ds.doc_id = documents.doc_id)
+           SELECT doc_id, lang, avg_p,
+             CASE WHEN tercile = 1 THEN 'head'
+                  WHEN tercile = 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+           FROM lb ORDER BY doc_id""")),
 
     Op("llm_dedup_canonical",
       // canonicalization dedup — the cheapest dedup family member:

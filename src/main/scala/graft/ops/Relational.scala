@@ -231,6 +231,35 @@ object Relational extends OpModule {
                              format='newline_delimited')
               ORDER BY n_nationkey""")),
 
+    Op("scan_text",
+      // raw text-line ingestion + in-engine parse — the log-file path:
+      // `spark.read.text` hands each line through as ONE string column
+      // and the structure is recovered by a codegen'd projection
+      // (split + casts), which is how a 100 TB pile of appliance logs
+      // actually lands (no schema, no quoting discipline — the parse
+      // IS the query's first stage, and a malformed line is data, not
+      // an error). Text splits by line across executors like any text
+      // source; the parse projection pushes nothing but also COSTS
+      // nothing extra — it fuses into the first wholestage span.
+      // Fixture = the shared nation CSV read as raw lines, header
+      // skipped by value (a filter, not an option — read.text has no
+      // header concept, which is the point); oracle reads the same
+      // file with DuckDB's CSV reader ⇒ the hash gate proves the
+      // hand parse ≡ a real CSV parser on this dialect.
+      (s, d) => {
+        val f = nationCsvFixture(s, d)
+        s.read.text(f.toString)
+          .filter(col("value") =!= lit("n_nationkey,n_name,n_regionkey"))
+          .select(split(col("value"), ",").as("p"))
+          .select(col("p")(0).cast("long").as("n_nationkey"),
+            col("p")(1).as("n_name"),
+            col("p")(2).cast("long").as("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+              FROM read_csv('/tmp/graft_scan_fixtures/nation.csv', header=true)
+              ORDER BY n_nationkey""")),
+
     Op("scan_xml",
       // XML scan surface — Spark 4 folded the spark-xml connector into
       // core (`spark.read.xml`, SPARK-44265), so a landing zone handing

@@ -232,6 +232,73 @@ object Windows extends OpModule {
                 list_reduce(vs, (acc, x) -> 25e-2 * x + 75e-2 * acc) AS ewma
               FROM s ORDER BY user_id""")),
 
+    Op("win_holt_forecast",
+      // Holt's linear-trend method (double exponential smoothing,
+      // α=0.5, β=0.3) over each event type's daily-total series, with
+      // the 1-step-ahead forecast ŷ = ℓ + b — the capacity-planning
+      // smoother one notch up from win_ewma (EWMA flat-lines on a
+      // trending series; Holt tracks the slope). A TWO-state
+      // recursive fold (ℓ ← α·x + (1−α)(ℓ+b); b ← β(ℓ'−ℓ) + (1−β)b),
+      // so the win_ewma discipline extends with one trick: both
+      // engines fold over the series mapped to [x, 0] PAIRS, making
+      // the accumulator ([ℓ, b]) and the elements the same list type
+      // — DuckDB's init-less list_reduce then starts from the first
+      // element, which IS the textbook init (ℓ₀ = x₀, b₀ = 0), and
+      // Spark's `aggregate` is given that same element explicitly.
+      // ℓ' appears inside the b update — both engines INLINE its
+      // expression rather than let-bind (same repeated IEEE ops, same
+      // order ⇒ bit-identical; the winnow CollapseProject lesson says
+      // never let-bind through a subquery into a lambda anyway).
+      // Constants in exponent form (5e-1/3e-1/7e-1) parse DOUBLE on
+      // both engines. Daily totals are dsum-deterministic. The
+      // per-type array buffer is the oracle-exact cost; like EWMA the
+      // production form is the O(1)-state streaming fold.
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast("date"),
+              to_date(lit("1970-01-01"))).as("eday"))
+          .agg(dsum(col("value")).as("v"))
+        daily.groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("eday"), col("v"))))
+            .as("xs"))
+          .select(col("event_type"),
+            expr("transform(xs, x -> array(x.v, 0e0))").as("vs"))
+          .select(col("event_type"), size(col("vs")).as("n_days"),
+            expr("""aggregate(slice(vs, 2, size(vs)),
+                    element_at(vs, 1),
+                    (acc, e) -> array(
+                      5e-1 * e[0] + 5e-1 * (acc[0] + acc[1]),
+                      3e-1 * ((5e-1 * e[0] + 5e-1 * (acc[0] + acc[1]))
+                              - acc[0]) + 7e-1 * acc[1]))""").as("lt"))
+          .select(col("event_type"), col("n_days"),
+            col("lt")(0).as("level"), col("lt")(1).as("trend"),
+            (col("lt")(0) + col("lt")(1)).as("forecast_next"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS eday,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE)
+                    AS v
+                FROM events GROUP BY 1, 2),
+              s AS (
+                SELECT event_type,
+                  list_transform(list(v ORDER BY eday), x -> [x, 0e0]) AS vs
+                FROM daily GROUP BY event_type),
+              r AS (
+                SELECT event_type, len(vs) AS n_days,
+                  list_reduce(vs, (acc, e) -> [
+                    5e-1 * e[1] + 5e-1 * (acc[1] + acc[2]),
+                    3e-1 * ((5e-1 * e[1] + 5e-1 * (acc[1] + acc[2]))
+                            - acc[1]) + 7e-1 * acc[2]]) AS lt
+                FROM s)
+              SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+                lt[1] AS level, lt[2] AS trend,
+                lt[1] + lt[2] AS forecast_next
+              FROM r ORDER BY event_type""")),
+
     Op("win_ratio_to_report",
       // share-of-partition (RATIO_TO_REPORT): each order's fraction of
       // its customer's lifetime spend. Denominator accumulates in

@@ -515,6 +515,37 @@ class LlmSpec extends SparkSpec {
       "semdedup plan must not contain a cross product")
   }
 
+  test("dsir: en-target weights rank English up, selection skews en, runs are identical") {
+    val a = LlmOps.dsirSample(spark, sf001, isTarget = col("lang") === "en")
+      .orderBy("doc_id").collect().toSeq
+    val b = LlmOps.dsirSample(spark, sf001, isTarget = col("lang") === "en")
+      .orderBy("doc_id").collect().toSeq
+    // determinism: DECIMAL-accumulated weights + content-hash Gumbel
+    // draws make the WHOLE output (weights, selection set) run-stable
+    assert(a == b, "dsir output must be bit-stable across runs")
+    def meanLogw(lang: String) = {
+      val xs = a.filter(_.getString(1) == lang).map(_.getDouble(2))
+      xs.sum / xs.size
+    }
+    def selRate(lang: String) = {
+      val xs = a.filter(_.getString(1) == lang)
+      xs.count(_.getBoolean(3)).toDouble / xs.size
+    }
+    // the hashed-ngram importance weight must rank the target
+    // language above every non-target language, and resampling must
+    // follow it (Gumbel noise perturbs but cannot bury a clear gap)
+    for (other <- Seq("fr", "de", "es", "zh")) {
+      assert(meanLogw("en") > meanLogw(other),
+        s"mean logw(en) must exceed $other")
+      assert(selRate("en") > selRate(other),
+        s"selection rate(en) must exceed $other")
+    }
+    // top 25% by construction (percent_rank <= 0.25 over n docs)
+    val nSel = a.count(_.getBoolean(3))
+    assert(math.abs(nSel - 0.25 * a.size) <= 0.02 * a.size + 2,
+      s"selected $nSel of ${a.size}, expected ~25%")
+  }
+
   test("char-ngram kernel: matches the declarative rendering, handles edges") {
     graft.functions.VectorKernels.register(spark)
     import spark.implicits._

@@ -436,4 +436,35 @@ class PlanSpec extends SparkSpec {
     assert(nHashEx <= 1,
       s"gaps-islands should reuse one user_id hash shuffle:\n$gi")
   }
+
+  test("r14c additions: BFS joins stay equi, interp is join-free, rolling corr collapses first") {
+    // BFS reachability: every level is an equi-join of the frontier
+    // against the memoized edge list — an all-pairs product anywhere
+    // would square a level
+    val rb = planOf("graph_reachability")
+    assert(!rb.contains("CartesianProduct") &&
+      !rb.contains("BroadcastNestedLoopJoin"),
+      s"BFS level joins must stay equi-joins:\n$rb")
+    // linear interpolation: the lead()+sequence form — each gap fills
+    // from its ONE preceding row, so there must be NO join (the
+    // textbook spine-LEFT-JOIN rewrite scans the aggregate twice)
+    val ip = planOf("win_interp_linear")
+    assert(!ip.contains("Join"),
+      s"interp regressed to the spine-join form:\n$ip")
+    // rolling correlation: the raw log must collapse to the daily
+    // relation BEFORE the window (partial + final aggregate), and the
+    // whole op reads the events scan once
+    val rc = planOf("win_rolling_corr")
+    val rcFinal = rc.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(rcFinal).size <= 1,
+      s"rolling corr re-scans events:\n$rc")
+    assert("HashAggregate".r.findAllIn(rcFinal).size >= 2,
+      s"daily collapse lost map-side partials:\n$rc")
+    // stream-stream outer join batch form: user_id equi-join with the
+    // hour range as residual — no cross product
+    val so = planOf("stream_join_outer")
+    assert(!so.contains("CartesianProduct") &&
+      !so.contains("BroadcastNestedLoopJoin"),
+      s"outer interval join plans a product:\n$so")
+  }
 }
