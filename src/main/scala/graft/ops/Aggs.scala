@@ -101,6 +101,27 @@ object Aggs extends OpModule {
     df
   }
 
+  /** Shared MAD-anomaly SQL (agg_mad_anomaly): same string for both
+    * engines with only the exact-median function name spliced
+    * (Spark `percentile` / DuckDB `quantile_cont` — interpolation
+    * agreement under the 6dp round is the agg_percentile precedent).
+    */
+  private def madAnomalySql(table: String, fn: String): String =
+    s"""WITH med AS (
+          SELECT event_type, round($fn(value, 5e-1), 6) AS med
+          FROM $table GROUP BY event_type),
+        dev AS (
+          SELECT e.event_id, e.event_type, e.value, m.med,
+            abs(e.value - m.med) AS ad
+          FROM $table e JOIN med m ON e.event_type = m.event_type),
+        mad AS (
+          SELECT event_type, round($fn(ad, 5e-1), 6) AS mad
+          FROM dev GROUP BY event_type)
+        SELECT d.event_id, d.event_type, d.value, d.med, m.mad
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        WHERE d.ad > 3 * m.mad
+        ORDER BY d.event_id"""
+
   override def ops: Seq[Op] = Seq(
 
     // flagship — TPC-H Q1 shape (SparkEntry.entry points here)
@@ -410,6 +431,30 @@ object Aggs extends OpModule {
                 FROM lineitem)
               SELECT bucket, min(v) AS lo, max(v) AS hi, count(*) AS n
               FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    Op("agg_mad_anomaly",
+      // robust outlier detection via median absolute deviation — the
+      // resistant twin of stream_anomaly_zscore: mean/std themselves
+      // move when the outliers arrive (masking), the median pair does
+      // not, so |x − med| > 3·MAD keeps flagging under contaminated
+      // data. Two grouped EXACT medians (value, then the absolute
+      // deviation from the FIRST median) and a broadcast-back join;
+      // med is rounded to 6dp BEFORE the deviation pass so both
+      // engines subtract the identical double (the shared-expression
+      // discipline — percentile vs quantile_cont interpolation proved
+      // 6dp-stable by agg_percentile). Like every exact-percentile
+      // form this buffers whole groups (requireExactAggSafe gates it,
+      // error names the sketch substitute); the 100 TB path is
+      // approx-percentile for BOTH cut points — the flag filter
+      // itself is a stateless map either way. ONE shared SQL string,
+      // percentile/quantile_cont spliced per engine.
+      (s, d) => {
+        requireExactAggSafe(Tables.events(s, d), "agg_mad_anomaly",
+          "agg_approx_percentile cut points")
+          .createOrReplaceTempView("graft_events_mad")
+        s.sql(madAnomalySql("graft_events_mad", "percentile"))
+      },
+      Some(madAnomalySql("events", "quantile_cont"))),
 
     Op("agg_pivot",
       // long→wide reshape with EXPLICIT pivot values: passing the

@@ -355,6 +355,48 @@ object Joins extends OpModule {
               WHERE e.event_type = 'error'
               GROUP BY e.event_id ORDER BY outage_id""")),
 
+    Op("join_tolerance_rule",
+      // join_range_bucket's rewrite promoted to an AUTOMATIC Catalyst
+      // optimizer rule (graft.plans.ToleranceJoinRule — the
+      // Rule[LogicalPlan] tier of the extension ladder): the query
+      // below is written NAIVELY, `abs(c_us − p_us) <= 300s` with no
+      // join key at all (alert correlation: every click near ANY
+      // high-value purchase, user-agnostic by design), which Spark
+      // alone can only plan as a nested-loop product. The injected
+      // rule rewrites it to the 3-bucket explode + bucket equi-join +
+      // residual confirm — pair multiplicity provably preserved, so
+      // the count/min aggregates below (and the DuckDB hash) are
+      // bit-identical while the plan drops from O(n·m) comparisons to
+      // one hash shuffle of 3n+m rows. PlanSpec pins both directions:
+      // this query plans NO product with the rule installed, and the
+      // identical query on a bare session DOES plan the product.
+      (s, d) => {
+        graft.plans.ToleranceJoinRule.register(s)
+        val e = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts_us").as("c_us"))
+        val alerts = e
+          .filter(col("event_type") === "purchase" && col("value") > 200)
+          .select(col("event_id").as("alert_id"), col("ts_us").as("p_us"))
+        clicks.join(alerts, abs(col("c_us") - col("p_us")) <= lit(300000000L))
+          .groupBy("click_id")
+          .agg(count(lit(1)).as("n_nearby"),
+            min(col("alert_id")).as("first_alert"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (
+                SELECT event_id AS click_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+                FROM events WHERE event_type = 'click'),
+              a AS (
+                SELECT event_id AS alert_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+                FROM events WHERE event_type = 'purchase' AND value > 200)
+              SELECT c.click_id, count(*) AS n_nearby,
+                min(a.alert_id) AS first_alert
+              FROM c JOIN a ON abs(c.c_us - a.p_us) <= 300000000
+              GROUP BY 1 ORDER BY 1""")),
+
     Op("join_asof",
       // native as-of operator (graft.plans.AsOfJoin): LogicalPlan +
       // Strategy + streaming sort-merge exec. Each event ↔ latest order

@@ -5,9 +5,10 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -88,13 +89,146 @@ object GraftFixtureSource {
     name == "n_nationkey" || name == "n_regionkey"
 }
 
-class FixtureTable(path: String) extends Table with SupportsRead {
+class FixtureTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_fixture($path)"
   override def schema(): StructType = GraftFixtureSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FixtureScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FixtureWriteBuilder(path, info)
+}
+
+/** The WRITE half of the connector (the read half landed in r13) —
+  * the full V2 two-phase commit protocol, which is the part of a
+  * production sink that actually earns its keep:
+  *
+  *  1. each TASK streams its rows to a private temp file next to the
+  *     target (`.graft-write-<UUID>.tmp`) and only names it in its
+  *     [[WriterCommitMessage]] — a task that dies mid-write leaves a
+  *     temp the driver never references;
+  *  2. task `abort()` deletes the temp eagerly (speculation losers,
+  *     failed attempts);
+  *  3. the DRIVER's `BatchWrite.commit` concatenates the temps in
+  *     partition order into the final file via temp-then-ATOMIC_MOVE
+  *     (a concurrent reader sees the old complete file or the new
+  *     complete file, never a torn one — the fixture contract), then
+  *     deletes the temps; `BatchWrite.abort` deletes every referenced
+  *     temp and touches nothing else.
+  *
+  * Result: effectively-once visibility from at-least-once task
+  * attempts — the same recipe every file-based V2 sink implements
+  * (commit coordination + atomic rename), exercised end-to-end in
+  * SourcesSpec (round-trip, task abort leaves no partial output,
+  * job abort leaves the previous file intact). Overwrite mode is
+  * declared via TRUNCATE capability: the final MOVE replaces the
+  * file, so truncate needs no separate pass. At 100 TB the temps are
+  * per-task objects in the store and `commit` writes a manifest
+  * instead of concatenating — the protocol shape is identical.
+  */
+class FixtureWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  // schema contract: the connector serves exactly the nation fixture
+  require(info.schema().fieldNames.sameElements(
+      GraftFixtureSource.schema.fieldNames),
+    s"graft_fixture write: schema must be " +
+      s"[${GraftFixtureSource.schema.fieldNames.mkString(",")}], got " +
+      s"[${info.schema().fieldNames.mkString(",")}]")
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new FixtureBatchWrite(path)
+  }
+}
+
+class FixtureBatchWrite(path: String) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new FixtureWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(path)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val temps = messages.collect {
+      case FixtureCommitMessage(p, n) if n >= 0 => Paths.get(p)
+    }
+    val tmp = Files.createTempFile(
+      if (target.getParent != null) target.getParent
+      else Paths.get("."), s".${target.getFileName}", ".commit")
+    try {
+      val out = new StringBuilder("n_nationkey,n_name,n_regionkey\n")
+      temps.foreach { t =>
+        if (Files.exists(t)) out.append(Files.readString(t))
+      }
+      Files.writeString(tmp, out.toString)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      Files.deleteIfExists(tmp)
+      temps.foreach(Files.deleteIfExists)
+      ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    import java.nio.file.{Files, Paths}
+    messages.foreach {
+      case FixtureCommitMessage(p, _) =>
+        Files.deleteIfExists(Paths.get(p)); ()
+      case _ => ()
+    }
+  }
+}
+
+case class FixtureCommitMessage(tempPath: String, rows: Long)
+  extends WriterCommitMessage
+
+class FixtureWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new FixtureDataWriter(path, partitionId, taskId)
+}
+
+/** Per-task writer: rows stream to a private temp; `commit` hands the
+  * temp's name to the driver, `abort` deletes it. The temp carries
+  * the task UUID, so two attempts of the same partition (speculation,
+  * retry) can never collide — the driver commits exactly the attempts
+  * whose messages reached it. */
+class FixtureDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import java.nio.file.{Files, Paths}
+  private val target = Paths.get(path)
+  private val temp = {
+    val dir = if (target.getParent != null) target.getParent
+      else Paths.get(".")
+    Files.createDirectories(dir)
+    dir.resolve(
+      s".graft-write-${java.util.UUID.randomUUID().toString.take(12)}" +
+        s"-p$partitionId-t$taskId.tmp")
+  }
+  private val out = Files.newBufferedWriter(temp)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val name = row.getUTF8String(1).toString
+    require(!name.contains(",") && !name.contains("\n"),
+      s"graft_fixture write: n_name must be comma/newline-free: $name")
+    out.write(s"${row.getLong(0)},$name,${row.getLong(2)}\n")
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    FixtureCommitMessage(temp.toString, rows)
+  }
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(temp)
+    ()
+  }
+  override def close(): Unit = ()
 }
 
 class FixtureScanBuilder(path: String) extends ScanBuilder

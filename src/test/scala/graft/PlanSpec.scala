@@ -467,4 +467,46 @@ class PlanSpec extends SparkSpec {
       !so.contains("BroadcastNestedLoopJoin"),
       s"outer interval join plans a product:\n$so")
   }
+
+  test("tolerance-join rule: rewrites the keyless tolerance join to an equi-join; bare session plans the product") {
+    // with the rule: the registered query (written naively as
+    // abs(a-b) <= tol, NO key) must plan an equi-join off the
+    // generated bucket column — no nested-loop product anywhere
+    val tp = planOf("join_tolerance_rule")
+    assert(!tp.contains("BroadcastNestedLoopJoin") &&
+      !tp.contains("CartesianProduct"),
+      s"rule did not fire — tolerance join planned a product:\n$tp")
+    assert(tp.contains("Generate"),
+      s"bucket explode missing from the rewritten plan:\n$tp")
+    // negative control: the SAME shape on a session WITHOUT the rule
+    // must plan the nested-loop product (proves the rewrite is the
+    // rule's doing, not something Spark does on its own)
+    val bare = spark.newSession()
+    import org.apache.spark.sql.functions.{abs => fAbs, col, lit}
+    val l = bare.range(100).select(col("id").as("lid"),
+      (col("id") * 1000L).as("lt"))
+    val r = bare.range(100).select(col("id").as("rid"),
+      (col("id") * 999L).as("rt"))
+    val naive = l.join(r, fAbs(col("lt") - col("rt")) <= lit(500L))
+    naive.collect()
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"),
+      s"control: expected a product plan on the bare session:\n$naivePlan")
+    // and the rule on that same bare session fixes it, with results
+    // IDENTICAL to the naive plan's
+    val want = naive.collect().map(r0 => (r0.getLong(0), r0.getLong(2)))
+      .sorted.toSeq
+    graft.plans.ToleranceJoinRule.register(bare)
+    val fixed = l.join(r, fAbs(col("lt") - col("rt")) <= lit(500L))
+    fixed.collect()
+    val fixedPlan = fixed.queryExecution.executedPlan.toString
+    assert(!fixedPlan.contains("BroadcastNestedLoopJoin") &&
+      !fixedPlan.contains("CartesianProduct"),
+      s"rule did not fire on the bare session after register:\n$fixedPlan")
+    val got = fixed.collect().map(r0 => (r0.getLong(0), r0.getLong(2)))
+      .sorted.toSeq
+    assert(got == want, "rewritten join changed the result set")
+    assert(want.nonEmpty, "control fixture must produce matches")
+  }
 }

@@ -76,4 +76,62 @@ class SourcesSpec extends SparkSpec {
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
     }
   }
+
+  test("dsv2 write: two-phase commit round-trips; overwrite replaces atomically") {
+    val dir = tmpDir("graft_dsv2_write")
+    val p = s"$dir/nation_out.csv"
+    val src = Tables.nation(spark, sf001)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+    src.write.format("graft.sources.GraftFixtureSource")
+      .option("path", p).mode("overwrite").save()
+    // read back through the connector's own read path
+    val back = spark.read.format("graft.sources.GraftFixtureSource")
+      .option("path", p).load()
+      .orderBy("n_nationkey").collect().toSeq
+    val want = src.orderBy("n_nationkey").collect().toSeq
+    assert(back == want, "write → read round-trip must be identity")
+    // overwrite with a subset replaces the whole file (TRUNCATE path)
+    src.filter(col("n_nationkey") < 5)
+      .write.format("graft.sources.GraftFixtureSource")
+      .option("path", p).mode("overwrite").save()
+    val back2 = spark.read.format("graft.sources.GraftFixtureSource")
+      .option("path", p).load().count()
+    assert(back2 == 5, s"overwrite must replace, got $back2 rows")
+    // no stray task temps survive a successful commit
+    val stray = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith(".graft-write-"))
+    assert(stray.isEmpty, s"leaked task temps: ${stray.mkString(",")}")
+  }
+
+  test("dsv2 write: task abort deletes the temp; job abort leaves the previous file intact") {
+    import graft.sources.{FixtureBatchWrite, FixtureCommitMessage, FixtureDataWriter}
+    val dir = tmpDir("graft_dsv2_abort")
+    val p = s"$dir/out.csv"
+    // seed a committed file (the "previous" generation)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "n_nationkey,n_name,n_regionkey\n1,SEED,1\n")
+    // a task writes rows then ABORTS (failed attempt / speculation
+    // loser): its temp must vanish and the target must be untouched
+    val w = new FixtureDataWriter(p, partitionId = 0, taskId = 7L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(2L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("DOOMED"), 2L))
+    w.abort()
+    val tempsAfterTaskAbort = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith(".graft-write-"))
+    assert(tempsAfterTaskAbort.isEmpty, "task abort must delete its temp")
+    // a committed task whose JOB then aborts: driver abort deletes the
+    // referenced temp; the previous file is byte-identical
+    val w2 = new FixtureDataWriter(p, partitionId = 0, taskId = 8L)
+    w2.write(org.apache.spark.sql.catalyst.InternalRow(3L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("ALSO_DOOMED"), 3L))
+    val msg = w2.commit().asInstanceOf[FixtureCommitMessage]
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(msg.tempPath)))
+    new FixtureBatchWrite(p).abort(Array(msg))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(msg.tempPath)),
+      "job abort must delete referenced temps")
+    val content = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+    assert(content == "n_nationkey,n_name,n_regionkey\n1,SEED,1\n",
+      "job abort must leave the previous committed file intact")
+  }
 }
