@@ -2969,23 +2969,32 @@ object LlmOps extends OpModule {
       // graft_winnow_fps kernel — per-row, shuffle-free.
       (s, d) => {
         graft.functions.VectorKernels.register(s)
-        // ONE fp-pinned materialization of the (doc, fingerprint)
-        // postings: the df-cap aggregate, the keep join and BOTH
-        // self-join sides all cluster on fp, so they adopt this
-        // exchange (ReusedExchange) instead of each re-running the
-        // kernel + explode subtree — a CTE spelling evaluated it 3×
-        val f = Tables.documents(s, d)
-          .filter(length(col("text")) >= 11)
-          .select(col("doc_id"),
-            explode(expr("graft_winnow_fps(text, 8, 4)")).as("fp"))
-          .repartition(col("fp"))
-        val keep = f.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df").between(2, 16)).select("fp")
-        val g = f.join(keep, "fp")
-        val a = g.select(col("fp"), col("doc_id").as("doc_a"))
-        val b = g.select(col("fp").as("fp_b"), col("doc_id").as("doc_b"))
-        a.join(b, col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b")
+        // pair generation WITHOUT the self-join (the triangle-count
+        // pair-expansion pattern, adopted r14-late): ONE fp-keyed
+        // aggregate collects each fingerprint's sorted doc set, the
+        // 2..16 df-cap becomes a size() filter on the array, and the
+        // a<b pairs expand IN-STAGE from the sorted array — the plan
+        // drops from four fp-clustered operators (cap aggregate, keep
+        // join, two self-join sides) to ONE exchange on fp plus the
+        // pair-count exchange. Expansion stays bounded by C(16,2) =
+        // 120 pairs per fingerprint (the df-cap is what makes the
+        // array form safe — an uncapped hot key would blow the array
+        // buffer, which is exactly why the cap must precede the
+        // expansion). The fp exchange is sized by the partition law
+        // (pre-explode input estimate), same as the dedup joins.
+        val docs = Tables.documents(s, d).filter(length(col("text")) >= 11)
+        val f = Scale.repartitionSized(Scale.sizedShuffle(docs),
+          docs.select(col("doc_id"),
+            explode(expr("graft_winnow_fps(text, 8, 4)")).as("fp")),
+          col("fp"))
+        f.groupBy("fp")
+          .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")).between(2, 16))
+          .select(explode(expr(
+            """flatten(transform(docs, (x, i) ->
+               transform(slice(docs, i + 2, size(docs)),
+                         y -> struct(x AS a, y AS b))))""")).as("p"))
+          .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
           .agg(count(lit(1)).as("n_shared"))
           .orderBy("doc_a", "doc_b")
       },

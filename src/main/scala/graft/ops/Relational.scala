@@ -260,6 +260,46 @@ object Relational extends OpModule {
               FROM read_csv('/tmp/graft_scan_fixtures/nation.csv', header=true)
               ORDER BY n_nationkey""")),
 
+    Op("scan_csv_malformed",
+      // malformed-record discipline — the first thing a real 100 TB
+      // text pile teaches: some lines are garbage (wrong field count,
+      // unparseable numbers), and the job must QUARANTINE them, not
+      // crash hours in (the fn_try_ansi argument at the scan layer).
+      // Fixture = the nation rows plus three planted poison lines
+      // (2 fields / 4 fields / non-numeric key — the three classic
+      // corruption shapes). The read runs mode=DROPMALFORMED with an
+      // explicit schema: bad lines drop at the PARSER, good rows flow
+      // — and DuckDB's ignore_errors=true implements the same
+      // contract, so the hash gate proves both parsers agree on
+      // exactly which lines are salvageable. The PERMISSIVE +
+      // _corrupt_record variant (quarantine-to-a-column, count = 3)
+      // is pinned in SourcesSpec — that is the production form when
+      // the bad lines must land in a dead-letter table instead of
+      // vanishing.
+      (s, d) => {
+        val rows = Tables.nation(s, d)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey").collect()
+        val f = java.nio.file.Paths.get(
+          "/tmp/graft_scan_fixtures/nation_bad.csv")
+        val body = "n_nationkey,n_name,n_regionkey\n" +
+          rows.map(r => s"${r.get(0)},${r.getString(1)},${r.get(2)}")
+            .mkString("\n") +
+          "\ngarbage,line\n40,EXTRAFIELD,4,surplus\nnotanumber,BADKEY,3\n"
+        writeFixtureAtomic(f, body)
+        s.read
+          .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+          .option("header", true).option("mode", "DROPMALFORMED")
+          .csv(f.toString)
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+              FROM read_csv('/tmp/graft_scan_fixtures/nation_bad.csv',
+                header=true, ignore_errors=true,
+                columns={'n_nationkey':'BIGINT','n_name':'VARCHAR',
+                         'n_regionkey':'BIGINT'})
+              ORDER BY n_nationkey""")),
+
     Op("scan_xml",
       // XML scan surface — Spark 4 folded the spark-xml connector into
       // core (`spark.read.xml`, SPARK-44265), so a landing zone handing

@@ -77,6 +77,32 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("malformed CSV: PERMISSIVE quarantines exactly the three poison lines to the corrupt column") {
+    // run the registered op once so the fixture (nation + 3 poison
+    // lines) exists at its static path
+    SparkEntry.queries("scan_csv_malformed")(spark, sf001).collect()
+    // the production dead-letter form: corrupt lines land in a column
+    // instead of vanishing (DROPMALFORMED is the registered, oracled
+    // form; this pins that the SAME three lines are what quarantine)
+    val df = spark.read
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _bad STRING")
+      .option("header", true).option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv("/tmp/graft_scan_fixtures/nation_bad.csv")
+      .cache() // Spark disallows filtering the internal corrupt column uncached
+    try {
+      val bad = df.filter(col("_bad").isNotNull)
+        .select("_bad").collect().map(_.getString(0)).sorted
+      assert(bad.length == 3, s"expected 3 quarantined lines, got ${bad.toSeq}")
+      assert(bad.exists(_.startsWith("garbage")) &&
+        bad.exists(_.contains("surplus")) &&
+        bad.exists(_.startsWith("notanumber")),
+        s"unexpected quarantine set: ${bad.toSeq}")
+      assert(df.filter(col("_bad").isNull).count() == 25,
+        "good rows must all survive in PERMISSIVE mode")
+    } finally { df.unpersist(); () }
+  }
+
   test("dsv2 write: two-phase commit round-trips; overwrite replaces atomically") {
     val dir = tmpDir("graft_dsv2_write")
     val p = s"$dir/nation_out.csv"
