@@ -101,6 +101,27 @@ object Aggs extends OpModule {
     df
   }
 
+  /** Shared log2-histogram SQL (agg_histogram_log2): identical on
+    * both engines except the power-of-two lower bound, spliced as a
+    * shift expression (Spark `shiftleft` / DuckDB `<<`) — never
+    * libm pow. */
+  private def histogramLog2Sql(table: String, shift: String): String =
+    s"""WITH c AS (
+          SELECT event_type,
+            CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM $table),
+        b AS (
+          SELECT event_type,
+            CASE WHEN cents <= 0 THEN 0
+                 ELSE length(bin(cents)) END AS bucket
+          FROM c)
+        SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+          CAST(CASE WHEN bucket = 0 THEN 0 ELSE $shift END AS BIGINT)
+            AS lo_cents,
+          count(*) AS n
+        FROM b GROUP BY event_type, bucket
+        ORDER BY event_type, bucket"""
+
   /** Shared MAD-anomaly SQL (agg_mad_anomaly): same string for both
     * engines with only the exact-median function name spliced
     * (Spark `percentile` / DuckDB `quantile_cont` — interpolation
@@ -431,6 +452,27 @@ object Aggs extends OpModule {
                 FROM lineitem)
               SELECT bucket, min(v) AS lo, max(v) AS hi, count(*) AS n
               FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    Op("agg_histogram_log2",
+      // exponential-bucket histogram (the HdrHistogram/Prometheus
+      // shape for latency-style long-tailed metrics): bucket =
+      // ⌊log2(cents)⌋, so bucket boundaries double — constant relative
+      // error where the equi-width form wastes every bucket on the
+      // head and the equi-depth form needs a global sort. The log2 is
+      // NOT libm: for a positive integer, ⌊log2(v)⌋ + 1 is the length
+      // of its binary rendering, so both engines compute the bucket
+      // as length(bin(v)) on the 2dp-scaled integer — pure string-of-
+      // bits arithmetic, exact by construction (the same reason the
+      // moment sums use scaled integers). One map-combined aggregate;
+      // |buckets| ≈ log2(max) rows cross the shuffle. Zero values get
+      // bucket 0 (no binary length game on 0); negative values cannot
+      // occur (value ≥ 0 in the corpus, and cents = round(v·100)).
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events_log2")
+        s.sql(histogramLog2Sql("graft_events_log2",
+          "shiftleft(1, bucket - 1)"))
+      },
+      Some(histogramLog2Sql("events", "(1::BIGINT << (bucket - 1))"))),
 
     Op("agg_mad_anomaly",
       // robust outlier detection via median absolute deviation — the

@@ -1100,6 +1100,40 @@ object EventStreams {
     if (base.isStreaming) base.withWatermark(s"${pfx}_ts", "1 hour") else base
   }
 
+  /** Op 63b streaming form — per-micro-batch DIMENSION REFRESH: the
+    * stream enriches against a slowly-changing dimension that is
+    * RE-READ (and re-broadcast) at every micro-batch, so each batch
+    * joins the dimension AS OF its own processing time. This is the
+    * production gap `stream_join_static` leaves open: a static
+    * DataFrame join resolves the dimension ONCE at query start, and a
+    * routing/labeling table updated mid-run is silently ignored until
+    * restart — exactly wrong for a broadcast layer whose consumers'
+    * subscription rules change while the feed runs. foreachBatch is
+    * the supported idiom (the batch body is plain batch Spark, so the
+    * fresh read costs one dimension scan per micro-batch — a dim
+    * small enough to broadcast is small enough to re-read; cache it
+    * externally if not). Left join: an event whose type has no dim
+    * row yet survives with NULL enrichment (late-binding, the
+    * join_null_safe argument), rather than vanishing on a window
+    * where the dim lags the feed. EventStreamSpec pins the AS-OF
+    * semantics: rows processed before a dim update carry the old
+    * labels, rows after carry the new — per batchId.
+    */
+  def enrichRefreshedDim(events: DataFrame, dimPath: String,
+      checkpointDir: String, sink: Sink): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dim = batch.sparkSession.read
+          .schema("event_type STRING, label STRING")
+          .parquet(dimPath)
+        sink.write(
+          batch.toDF().join(broadcast(dim), Seq("event_type"), "left"),
+          batchId)
+        ()
+      }
+      .start()
+
   /** Op 64b shared body — stream-stream LEFT OUTER interval join at
     * the PAIR grain: every click with each purchase by the same user
     * inside the following hour, or one null-augmented row if none.

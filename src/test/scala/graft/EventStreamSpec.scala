@@ -815,6 +815,41 @@ class EventStreamSpec extends SparkSpec {
       "fixture must exercise matched pairs")
   }
 
+  test("dim refresh: each micro-batch joins the dimension AS OF its own batch") {
+    import spark.implicits._
+    val dir = tmpDir("graft_dim_refresh")
+    def mkEvents(ids: Seq[Long]) = ids.toDF("event_id")
+      .select(col("event_id"), (col("event_id") * 1000000L).as("ts"),
+        lit(1L).as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+    def mkDim(label: String) = Seq(("click", label))
+      .toDF("event_type", "label")
+    // generation 1: dim labels clicks "v1"
+    mkDim("v1").write.mode("overwrite").parquet(s"$dir/dim")
+    mkEvents(Seq(1L, 2L)).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(EventStreams.rawSchema)
+      .parquet(s"$dir/in")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val sink = new graft.streaming.MemorySink("dim_refresh_test")
+    val q = EventStreams.enrichRefreshedDim(stream, s"$dir/dim",
+      s"$dir/ckpt", sink)
+    q.processAllAvailable()
+    // the dimension changes WHILE the query runs — generation 2
+    mkDim("v2").write.mode("overwrite").parquet(s"$dir/dim")
+    mkEvents(Seq(3L)).write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable()
+    q.stop()
+    val byEvent = sink.batches.values.flatten
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("label"))
+      .toMap
+    // batch-1 rows were enriched against v1; batch-2 rows against v2
+    // — the static-join form would have pinned v1 forever
+    assert(byEvent(1L) == "v1" && byEvent(2L) == "v1",
+      s"pre-update rows must carry the old labels: $byEvent")
+    assert(byEvent(3L) == "v2",
+      s"post-update rows must see the refreshed dimension: $byEvent")
+  }
+
   test("checkpoint replay: restart neither loses nor duplicates") {
     val dir = tmpDir("graft_replay")
     val ev = rawNsEvents
