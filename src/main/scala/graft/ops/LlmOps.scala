@@ -519,13 +519,40 @@ object LlmOps extends OpModule {
     * Scaladoc for the cost balance; the cluster equi-join is the only
     * pair generator, so the plan contains no corpus×corpus product
     * (pinned in LlmSpec).
+    *
+    * SCALE BOUNDARY (measured, 256× deep soak): flat-k-means SemDeDup
+    * is Θ(n^1.5·d) BY CONSTRUCTION at the C=√n balance point — both
+    * the full-corpus assignment (n·C·d) and the within-cluster pairs
+    * (n²/C·d) are n^1.5·d, and the measured exponent at 512k→1M
+    * planted vectors is α≈1.2 (SOAK_R14_DEEP256_NEW.json; re-measured
+    * 1.16 with the sampled training, SOAK_SEMDEDUP2.json — within run
+    * noise, because the PAIR join dominates at this operating point).
+    * That is the published algorithm's true cost — the
+    * paper runs it on GPU matmuls and accepts it. For volume dedup at
+    * 100 TB the SUBLINEAR sibling is [[embedNearDupBanded]]
+    * (llm_dedup_embed, stateless LSH bands, α≈0.5 measured); SemDeDup
+    * earns its seat where the cluster index is wanted as a reusable
+    * corpus artifact (per-shard, or on the post-LSH survivor set).
+    * SCALE.md "Known-superlinear exact forms" names the same trade.
     */
   private[graft] def semDedup(emb: DataFrame, tau: Double,
       cacheKey: Option[String]): DataFrame = {
     graft.functions.VectorKernels.register(emb.sparkSession)
     val n = emb.count()
     val c = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
-    val idx = ivfIndex(emb, c, cacheKey)
+    // centroids learn from a BOUNDED deterministic sample (≤ 64k
+    // vectors, hash-strided, seeds always included — lloydCentroids
+    // seeds are the smallest vec_ids) while the full corpus is still
+    // assigned: drops the redundant full-corpus Lloyd refinement pass
+    // (the paper's own shape — cluster GEOMETRY needs a sample,
+    // membership needs everyone; measured effect is modest because
+    // the pair join dominates, see the SCALE BOUNDARY note). Below
+    // 64k the sample is the corpus and behavior is unchanged.
+    val maxTrain = 1L << 16
+    val train = if (n <= maxTrain) None
+      else Some(emb.filter(col("vec_id") < c ||
+        pmod(xxhash64(col("vec_id")), lit(n / maxTrain + 1)) === 0))
+    val idx = ivfIndex(emb, c, cacheKey, trainOn = train)
     // norms once per vector; the pairwise hot loop is one codegen dot
     val a = idx.assign.select(col("cid"), col("vec_id"), col("e"),
       sqrt(call_function("graft_dot", col("e"), col("e"))).as("nrm"))
@@ -920,7 +947,7 @@ object LlmOps extends OpModule {
   }
 
   private[graft] def ivfIndex(emb: DataFrame, nCentroids: Int,
-      cacheKey: Option[String]): IvfIdx = {
+      cacheKey: Option[String], trainOn: Option[DataFrame] = None): IvfIdx = {
     // Cache lifetime contract (ADVICE r3): the assignment DataFrame is
     // persisted ONLY on the keyed path, where the entry — keyed by
     // (session-identity, corpus key, C) — lives for the session and is
@@ -930,7 +957,12 @@ object LlmOps extends OpModule {
     // The anonymous path persists nothing, so repeated un-keyed calls
     // cannot leak block-manager memory.
     def build(persist: Boolean): IvfIdx = {
-      val (cids, cents) = collectCentroids(lloydCentroids(emb, nCentroids))
+      // trainOn: optionally learn the centroids from a bounded sample
+      // while still assigning the FULL corpus — the PQ-codebook
+      // discipline applied to the coarse quantizer (semDedup uses it;
+      // search quality only needs centroids that SHAPE the space)
+      val (cids, cents) =
+        collectCentroids(lloydCentroids(trainOn.getOrElse(emb), nCentroids))
       val assign0 = assignTo(emb, cids, cents)
         .select(col("vec_id"), col("e"), col("cid"),
           acos(col("c_sim")).as("alpha"))

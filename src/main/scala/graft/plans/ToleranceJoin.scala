@@ -36,6 +36,10 @@ import org.apache.spark.sql.types.LongType
   * left rows through one hash shuffle vs |a|·|b| comparisons.
   *
   * Fires only when it is provably safe and profitable:
+  *  - BATCH plans only (`!j.isStreaming`): a stream-stream join has
+  *    its own planning constraints (watermark-driven state eviction
+  *    keys off the raw time columns) that a Generate in front of the
+  *    join would break;
   *  - INNER join whose condition contains a conjunct of shape
   *    `abs(x − y) <= lit` (or `lit >= abs(x − y)`), x and y LongType,
   *    sides resolvable to left/right in either order, tol > 0;
@@ -93,7 +97,7 @@ object ToleranceJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && {
+        if j.resolved && !j.isStreaming && {
           val ps = splitConjunctivePredicates(cond)
           ps.exists(toleranceConjunct(_, left, right).isDefined) &&
             !ps.exists(isCrossSideEqui(_, left, right))
