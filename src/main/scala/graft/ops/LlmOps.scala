@@ -1845,6 +1845,61 @@ object LlmOps extends OpModule {
         .orderBy("doc_id"),
       None),
 
+    Op("llm_ngram_novelty",
+      // corpus-order novelty scoring — the crawl-curation metric
+      // ("how much NEW content does each snapshot add?"): a shingle
+      // is credited to the FIRST document (smallest doc_id = corpus
+      // arrival order) that carries it; each document's novelty is
+      // the fraction of its distinct 4-gram shingles it was first to
+      // introduce. Template spam and boilerplate re-crawls score near
+      // 0, fresh content near 1 — the complement of the dedup family
+      // (which asks "is this a copy of ONE other doc"; novelty asks
+      // "how much of this is new against EVERYONE before me", without
+      // enumerating pairs). Shape at 100 TB: the decontaminate shape
+      // exactly — per-doc DISTINCT shingles explode once (kernel),
+      // the first-seen owner is ONE map-combined min-aggregate keyed
+      // by shingle content, and the credit joins back on the same
+      // shingle key (both sides cluster on g — one exchange reused);
+      // no doc×doc product anywhere, and the incremental form is the
+      // same query with min over (corpus ∪ batch) — first-seen owners
+      // are append-stable because doc_ids only grow.
+      (s, d) => {
+        graft.functions.VectorKernels.register(s)
+        val ng = tokenizedDocs(s, d)
+          .filter(size(col("toks")) >= 4)
+          .select(col("doc_id"), explode(call_function(
+            "graft_shingles_sorted", col("toks"), lit(4))).as("g"))
+        val first = ng.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+        ng.join(first, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L)
+              .otherwise(0L)).as("n_novel"))
+          .withColumn("novelty",
+            round(col("n_novel").cast("double") / col("n_shingles"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                  AS toks
+                FROM documents),
+              ng AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, len(toks) - 3),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3]))) AS g
+                FROM tk WHERE len(toks) >= 4),
+              f AS (SELECT g, min(doc_id) AS first_doc FROM ng GROUP BY g),
+              a AS (
+                SELECT ng.doc_id, count(*) AS n_shingles,
+                  CAST(sum(CASE WHEN f.first_doc = ng.doc_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                FROM ng JOIN f ON ng.g = f.g GROUP BY ng.doc_id)
+              SELECT doc_id, n_shingles, n_novel,
+                round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+              FROM a ORDER BY doc_id""")),
+
     Op("llm_token_count",
       // whitespace tokens vs a BPE-ish regex segmentation (letter runs /
       // digit runs / single other-chars), plus compression ratio

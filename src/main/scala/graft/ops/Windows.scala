@@ -299,6 +299,85 @@ object Windows extends OpModule {
                 lt[1] + lt[2] AS forecast_next
               FROM r ORDER BY event_type""")),
 
+    Op("win_cusum_drift",
+      // one-sided CUSUM drift detection (Page 1954 — the SPC
+      // changepoint primitive): s ← max(0, s + (x − k)) over each
+      // event type's daily-total series, drift declared when the
+      // running excursion ever clears the decision interval h. Where
+      // z-score/MAD flag POINT outliers, CUSUM accumulates small
+      // persistent shifts — the "metric quietly degraded for a week"
+      // detector. The recursion resets at 0 (max), so no frame
+      // aggregate or pow-expansion expresses it: the win_ewma fold
+      // discipline with the win_holt_forecast PAIR trick — both
+      // engines fold [x, 0] pairs with accumulator [s, s_max], init
+      // from the first element's own update... which for element one
+      // is exactly [max(0, x₁−k), same] only if the init encodes it,
+      // so the series is PREFIXED with a zero pair ([0,0] — the
+      // textbook s₀) and every real element folds through the
+      // identical greatest() lambda. k (allowance) = 1.1× the
+      // corpus-wide mean daily total, h = 2k — data-derived but
+      // DETERMINISTIC (dsum-exact constants computed in the same
+      // query on both engines). Daily totals collapse map-side before
+      // the tiny per-type fold; the production form is the O(1)-state
+      // streaming fold like every recursion here.
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast("date"),
+              to_date(lit("1970-01-01"))).as("eday"))
+          .agg(dsum(col("value")).as("v"))
+        val kRef = daily.agg((round(sum(col("v")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 10))), 6)
+          .cast("double") / count(lit(1))).as("mu"))
+          .select((col("mu") * lit(1.1)).as("k"))
+        daily.crossJoin(broadcast(kRef))
+          .groupBy("event_type", "k")
+          .agg(array_sort(collect_list(struct(col("eday"), col("v"))))
+            .as("xs"))
+          .select(col("event_type"), col("k"),
+            size(col("xs")).as("n_days"),
+            expr("""aggregate(
+                    transform(xs, x -> array(x.v, 0e0)),
+                    array(0e0, 0e0),
+                    (acc, e) -> array(
+                      greatest(0e0, acc[0] + (e[0] - k)),
+                      greatest(acc[1],
+                        greatest(0e0, acc[0] + (e[0] - k)))))""").as("st"))
+          .select(col("event_type"), col("n_days"),
+            round(col("k"), 6).as("allowance"),
+            col("st")(0).as("cusum_final"),
+            col("st")(1).as("cusum_max"),
+            (col("st")(1) > col("k") * lit(2.0)).as("drifted"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS eday,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE)
+                    AS v
+                FROM events GROUP BY 1, 2),
+              kref AS (
+                SELECT (CAST(round(sum(CAST(v AS DECIMAL(38,10))), 6)
+                          AS DOUBLE) / count(*)) * 1.1 AS k
+                FROM daily),
+              s AS (
+                SELECT event_type, k,
+                  list_transform(list(v ORDER BY eday), x -> [x, 0e0]) AS xs
+                FROM daily, kref GROUP BY event_type, k),
+              r AS (
+                SELECT event_type, k, len(xs) AS n_days,
+                  list_reduce(list_prepend([0e0, 0e0], xs), (acc, e) -> [
+                    greatest(0e0, acc[1] + (e[1] - k)),
+                    greatest(acc[2],
+                      greatest(0e0, acc[1] + (e[1] - k)))]) AS st
+                FROM s)
+              SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+                round(k, 6) AS allowance,
+                st[1] AS cusum_final, st[2] AS cusum_max,
+                st[2] > k * 2.0 AS drifted
+              FROM r ORDER BY event_type""")),
+
     Op("win_ratio_to_report",
       // share-of-partition (RATIO_TO_REPORT): each order's fraction of
       // its customer's lifetime spend. Denominator accumulates in
