@@ -509,6 +509,103 @@ object LlmOps extends OpModule {
         col("selected"))
   }
 
+  /** MOSS pairing core (llm_winnow_pairs / llm_boilerplate_rank):
+    * document pairs scored by shared winnowing fingerprints. Pair
+    * generation WITHOUT a self-join (the triangle-count expansion
+    * pattern, adopted r14-late): ONE fp-keyed aggregate collects each
+    * fingerprint's sorted doc set, the 2..16 df-cap becomes a size()
+    * filter on the array, and the a<b pairs expand IN-STAGE from the
+    * sorted array — the plan drops from four fp-clustered operators
+    * (cap aggregate, keep join, two self-join sides) to ONE exchange
+    * on fp plus the pair-count exchange. Expansion stays bounded by
+    * C(16,2) = 120 pairs per fingerprint (the df-cap is what makes
+    * the array form safe — an uncapped hot key would blow the array
+    * buffer, which is exactly why the cap must precede the
+    * expansion). The fp exchange is sized by the partition law
+    * (pre-explode input estimate), same as the dedup joins.
+    */
+  private def winnowPairsOf(docsIn: DataFrame): DataFrame = {
+    graft.functions.VectorKernels.register(docsIn.sparkSession)
+    val docs = docsIn.filter(length(col("text")) >= 11)
+    val f = Scale.repartitionSized(Scale.sizedShuffle(docs),
+      docs.select(col("doc_id"),
+        explode(expr("graft_winnow_fps(text, 8, 4)")).as("fp")),
+      col("fp"))
+    f.groupBy("fp")
+      .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, 16))
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+           transform(slice(docs, i + 2, size(docs)),
+                     y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Boilerplate detection by CENTRALITY in the shared-substring
+    * graph — the cross-layer composition: [[winnowPairsOf]] (text
+    * layer) supplies edges between documents sharing ≥ minShared
+    * winnowing fingerprints, and PageRank (graph layer,
+    * [[GraphOps.pageRankWithHandle]] with its iteration discipline)
+    * ranks the nodes. A template/boilerplate document shares
+    * substrings with MANY unrelated documents, so it sits at the
+    * center of a hub — exactly what stationary-visit probability
+    * measures, and something pairwise dedup cannot see (each single
+    * pair may sit below any dedup threshold; the HUB is the signal).
+    * The complementary boundary: a FULL clique (every doc carrying
+    * the whole template) is flat under PageRank — a regular component
+    * has uniform stationary mass — and belongs to the dedup family;
+    * centrality earns its keep on the partial-quotation STAR, where
+    * leaves touch the source but not each other (LlmSpec plants
+    * exactly that shape). Returns (doc_id, degree, pr) for ranked
+    * inspection; the real pipeline quarantines the top slice. Scale:
+    * edges come from the
+    * capped postings expansion (never all-pairs), PageRank is
+    * |edges|-bounded per round — both layers' own 100 TB stories
+    * compose unchanged.
+    */
+  private val wrankCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Evict this session's memoized boilerplate-rank tables. */
+  def evictWrankCache(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prefix =
+      s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}|wrank|"
+    wrankCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      wrankCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  private[graft] def boilerplateRank(docs: DataFrame,
+      minShared: Long = 2L, iters: Int = 5,
+      cacheKey: Option[String] = None): DataFrame = {
+    def build(): DataFrame = {
+      val e = winnowPairsOf(docs).filter(col("n_shared") >= minShared)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val edges = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val (ranks, handle) = GraphOps.pageRankWithHandle(edges, iters = iters)
+      // the prCache discipline: persist OUR flat copy, then free the
+      // loop's final round so no unreachable cache entry outlives it
+      val out = ranks.join(deg, "node")
+        .select(col("node").as("doc_id"), col("degree"),
+          round(col("pr"), 6).as("pr"))
+        .persist()
+      out.count()
+      handle.unpersist(blocking = false)
+      out
+    }
+    cacheKey match {
+      case Some(k) =>
+        val key =
+          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(docs.sparkSession)}|wrank|$k"
+        key.intern.synchronized(wrankCache.getOrElseUpdate(key, build()))
+      case None => build()
+    }
+  }
+
   /** SemDeDup core: cluster-bounded semantic dedup verdicts. Assigns
     * every vector to a k-means bucket via the session IVF machinery
     * ([[ivfIndex]] — kernel-assigned, persisted per cacheKey), then
@@ -1845,6 +1942,25 @@ object LlmOps extends OpModule {
         .orderBy("doc_id"),
       None),
 
+    Op("llm_boilerplate_rank",
+      // boilerplate detection by centrality in the shared-substring
+      // graph — the cross-layer composition ([[boilerplateRank]]):
+      // winnowing pairs (text layer) feed PageRank (graph layer). A
+      // template shares substrings with MANY unrelated docs; each
+      // single pair can sit below every dedup threshold, but the HUB
+      // is unmistakable — stationary-visit probability is exactly the
+      // hub measure. Top-20 for inspection; the real pipeline
+      // quarantines the top slice. Test-only (PageRank's float sums
+      // have no portable SQL rendering — the graph_pagerank
+      // precedent); LlmSpec pins that a planted template clique
+      // outranks a background chain, plus determinism of the
+      // degree/edge layer.
+      (s, d) => boilerplateRank(Tables.documents(s, d),
+          cacheKey = Some(d))
+        .orderBy(col("pr").desc, col("doc_id").asc)
+        .limit(20),
+      None),
+
     Op("llm_ngram_novelty",
       // corpus-order novelty scoring — the crawl-curation metric
       // ("how much NEW content does each snapshot add?"): a shingle
@@ -3054,37 +3170,8 @@ object LlmOps extends OpModule {
       // llm_decontaminate_capped guard); per-pair scoring is a
       // map-combined count. Fingerprint extraction itself is the
       // graft_winnow_fps kernel — per-row, shuffle-free.
-      (s, d) => {
-        graft.functions.VectorKernels.register(s)
-        // pair generation WITHOUT the self-join (the triangle-count
-        // pair-expansion pattern, adopted r14-late): ONE fp-keyed
-        // aggregate collects each fingerprint's sorted doc set, the
-        // 2..16 df-cap becomes a size() filter on the array, and the
-        // a<b pairs expand IN-STAGE from the sorted array — the plan
-        // drops from four fp-clustered operators (cap aggregate, keep
-        // join, two self-join sides) to ONE exchange on fp plus the
-        // pair-count exchange. Expansion stays bounded by C(16,2) =
-        // 120 pairs per fingerprint (the df-cap is what makes the
-        // array form safe — an uncapped hot key would blow the array
-        // buffer, which is exactly why the cap must precede the
-        // expansion). The fp exchange is sized by the partition law
-        // (pre-explode input estimate), same as the dedup joins.
-        val docs = Tables.documents(s, d).filter(length(col("text")) >= 11)
-        val f = Scale.repartitionSized(Scale.sizedShuffle(docs),
-          docs.select(col("doc_id"),
-            explode(expr("graft_winnow_fps(text, 8, 4)")).as("fp")),
-          col("fp"))
-        f.groupBy("fp")
-          .agg(array_sort(collect_set(col("doc_id"))).as("docs"))
-          .filter(size(col("docs")).between(2, 16))
-          .select(explode(expr(
-            """flatten(transform(docs, (x, i) ->
-               transform(slice(docs, i + 2, size(docs)),
-                         y -> struct(x AS a, y AS b))))""")).as("p"))
-          .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => winnowPairsOf(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b"),
       Some("""WITH pos AS (
                 SELECT doc_id, text,
                   unnest(generate_series(1, length(text) - 7)) AS i

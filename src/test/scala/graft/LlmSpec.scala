@@ -515,6 +515,49 @@ class LlmSpec extends SparkSpec {
       "semdedup plan must not contain a cross product")
   }
 
+  test("boilerplate rank: a planted template hub outranks the background chain") {
+    import spark.implicits._
+    // the realistic boilerplate shape is a STAR, not a clique: the
+    // template SOURCE contains 8 distinct sentences, and each "leaf"
+    // doc quotes a DIFFERENT one (partial quotation) — leaves share a
+    // long substring with the hub but not with each other. (A full
+    // clique — every doc carrying the whole template — is flat under
+    // PageRank: a regular component has uniform stationary mass; the
+    // dedup family owns that case. Hub-ness is what centrality adds.)
+    val sentences = Seq(
+      "alpha bravo charlie delta nine", "echo foxtrot golf hotel thirty",
+      "india juliet kilo lima forty", "mike november oscar papa fifty",
+      "quebec romeo sierra tango sixty", "uniform victor whiskey xray",
+      "yankee zulu binary ternary", "quaternary pentagon hexagon")
+    val hub = Seq((0L, sentences.mkString(" ")))
+    val leaves = (10L until 18L).map(i =>
+      (i, s"${sentences((i - 10).toInt)} leaf${i}pad${i}qq"))
+    // chain: link tokens interleave the id between letters so two
+    // DIFFERENT ids never share an 8-char run (the k-gram width) —
+    // only the intended j↔j+1 link shares a ≥11-char substring
+    def linkTok(j: Long) = s"${j}a${j}b${j}c${j}d${j}e"
+    val chain = (100L until 130L).map(j =>
+      (j, s"${linkTok(j)} ${linkTok(j + 1)} pad${j}x${j}y end${j}z"))
+    val docs = (hub ++ leaves ++ chain).toDF("doc_id", "text")
+    val ranked = LlmOps.boilerplateRank(docs, minShared = 1)
+    val rows = ranked.orderBy(col("pr").desc, col("doc_id").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    ranked.unpersist() // None-cacheKey contract: caller owns the frame
+    assert(rows.nonEmpty, "planted structure must produce a graph")
+    // the template source is THE top document, by a real margin
+    assert(rows.head._1 == 0L,
+      s"hub must rank first, got ${rows.take(5).toSeq}")
+    val hubPr = rows.head._3
+    assert(rows.tail.forall(_._3 < hubPr),
+      s"hub must strictly outrank everything: ${rows.take(5).toSeq}")
+    // degree layer: hub sees all 8 leaves; chain stays ≤ 2
+    val degById = rows.map(r => r._1 -> r._2).toMap
+    assert(degById(0L) == 8L, s"hub degree: ${degById(0L)}")
+    assert(rows.filter(_._1 >= 100L).forall(_._2 <= 2L),
+      "chain degrees must stay <= 2")
+    assert(rows.exists(_._1 >= 100L), "chain edges must be detected")
+  }
+
   test("dsir: en-target weights rank English up, selection skews en, runs are identical") {
     val a = LlmOps.dsirSample(spark, sf001, isTarget = col("lang") === "en")
       .orderBy("doc_id").collect().toSeq
