@@ -232,6 +232,55 @@ object Functions extends OpModule {
         .orderBy("doc_id"),
       None),
 
+    Op("fn_ip",
+      // IP-address arithmetic — the network-analytics battery (access
+      // logs, abuse detection, geo joins all start here): dotted-quad
+      // parse → 32-bit integer, /24 subnet extraction, CIDR-range
+      // membership — all PURE integer/string expressions, no UDF, no
+      // engine ip type needed (the portable form: an ip INDEX column
+      // at 100 TB is exactly this int, range-joinable and
+      // zone-map-prunable like any long). Addresses synthesize
+      // deterministically from user_id (the fn_url discipline: both
+      // engines parse identical strings); the aggregation half is the
+      // classic "traffic per /24" rollup — one map-combined
+      // aggregate, |subnets| rows cross the shuffle.
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("ip", concat_ws(".", lit(10),
+            pmod(expr("user_id DIV 65536"), lit(256)),
+            pmod(expr("user_id DIV 256"), lit(256)),
+            pmod(col("user_id"), lit(256))))
+        val oct = split(col("ip"), "\\.")
+        e.select(col("event_id"), col("ip"),
+            (element_at(oct, 1).cast("long") * 16777216L +
+             element_at(oct, 2).cast("long") * 65536L +
+             element_at(oct, 3).cast("long") * 256L +
+             element_at(oct, 4).cast("long")).as("ip_num"),
+            concat_ws(".", element_at(oct, 1), element_at(oct, 2),
+              element_at(oct, 3), lit("0/24")).as("subnet24"))
+          .withColumn("in_block",
+            col("ip_num").between(167772160L + 8L * 65536L,
+              167772160L + 12L * 65536L - 1L))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+                SELECT event_id,
+                  '10.' || ((user_id // 65536) % 256) || '.' ||
+                  ((user_id // 256) % 256) || '.' || (user_id % 256) AS ip
+                FROM events),
+              p AS (
+                SELECT event_id, ip, string_split(ip, '.') AS o FROM e)
+              SELECT event_id, ip,
+                CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536
+                  + CAST(o[3] AS BIGINT) * 256 + CAST(o[4] AS BIGINT)
+                  AS ip_num,
+                o[1] || '.' || o[2] || '.' || o[3] || '.0/24' AS subnet24,
+                (CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536
+                  + CAST(o[3] AS BIGINT) * 256 + CAST(o[4] AS BIGINT))
+                  BETWEEN 167772160 + 8 * 65536
+                      AND 167772160 + 12 * 65536 - 1 AS in_block
+              FROM p ORDER BY event_id""")),
+
     Op("fn_url",
       // URL decomposition — the web-corpus provenance battery (host /
       // path / query / fragment / one query param). URLs are

@@ -425,6 +425,73 @@ object Joins extends OpModule {
                      o_orderkey AS asof_orderkey, o_totalprice AS asof_price
               FROM ranked WHERE rn = 1 ORDER BY event_id""")),
 
+    Op("join_pit_features",
+      // POINT-IN-TIME feature assembly — the feature-store primitive
+      // (training-serving skew kills models; every feature must be
+      // computed from data strictly before the decision moment): for
+      // each event, (a) the user's latest ORDER as of the event time
+      // (the native as-of operator — dimension-table features) and
+      // (b) the user's strictly-prior purchase count and spend from
+      // the event log itself (ROWS UNBOUNDED..1 PRECEDING window —
+      // behavioral features; the frame END is what encodes "no
+      // future leakage", and the (ts, event_id) order makes the
+      // boundary deterministic under ts ties). One as-of merge + one
+      // user-partitioned window = two exchanges total at any scale;
+      // the assembled row is the model's input vector, reproducible
+      // offline ≡ online because both read the same ordered history.
+      // DECIMAL-accumulated spend keeps the window sum
+      // order-independent (dsum discipline inside a frame).
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("ts_ntz", col("ts").cast("timestamp_ntz"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val dec = org.apache.spark.sql.types.DecimalType(38, 10)
+        val feat = e
+          .withColumn("prior_purchases",
+            coalesce(sum(when(col("event_type") === "purchase", 1L))
+              .over(w), lit(0L)))
+          .withColumn("prior_spend",
+            round(coalesce(
+              sum(when(col("event_type") === "purchase", col("value"))
+                .otherwise(0.0).cast(dec)).over(w),
+              lit(0).cast(dec)), 6).cast("double"))
+        val o = Tables.orders(s, d)
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        graft.plans.AsOfJoin.asof(feat, o,
+            "user_id", "o_custkey", "ts_ntz", "o_orderdate", "o_orderkey")
+          .select(col("event_id"), col("user_id"),
+            col("prior_purchases"), col("prior_spend"),
+            col("o_orderkey").as("last_orderkey"),
+            col("o_totalprice").as("last_order_price"))
+          .orderBy("event_id")
+      },
+      Some("""WITH f AS (
+                SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsx,
+                  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                      THEN 1 END) OVER win, 0) AS BIGINT)
+                    AS prior_purchases,
+                  CAST(round(coalesce(sum(CAST(CASE WHEN
+                      event_type = 'purchase' THEN value ELSE 0 END
+                      AS DECIMAL(38,10))) OVER win,
+                      0), 6) AS DOUBLE) AS prior_spend
+                FROM events
+                WINDOW win AS (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              ranked AS (
+                SELECT f.event_id, f.user_id, f.prior_purchases,
+                  f.prior_spend, o.o_orderkey, o.o_totalprice,
+                  row_number() OVER (PARTITION BY f.event_id
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM f LEFT JOIN orders o
+                  ON o.o_custkey = f.user_id AND o.o_orderdate <= f.tsx)
+              SELECT event_id, user_id, prior_purchases, prior_spend,
+                o_orderkey AS last_orderkey,
+                o_totalprice AS last_order_price
+              FROM ranked WHERE rn = 1 ORDER BY event_id""")),
+
     Op("join_asof_window",
       // the pure-built-ins rewrite of the same as-of semantics (SURVEY
       // §4.3 v1): union-tag + window last(ignoreNulls). One shuffle on
