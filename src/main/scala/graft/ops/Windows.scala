@@ -299,6 +299,83 @@ object Windows extends OpModule {
                 lt[1] + lt[2] AS forecast_next
               FROM r ORDER BY event_type""")),
 
+    Op("win_survival_km",
+      // Kaplan–Meier survival curve over user churn (churn event = a
+      // user's LAST active day): S(t) = Π_{i≤t} (1 − d_i/n_i) with
+      // d_i = churns on day i and n_i = users still at risk — THE
+      // standard retention/survival estimator (product-limit,
+      // Kaplan & Meier 1958). The risk set n_i is a suffix sum (one
+      // descending-ordered window over the tiny |days| relation); the
+      // product chain is recursive, so the fold discipline applies —
+      // with a twist: per-day outputs need the RUNNING product, so
+      // the accumulator GROWS (a list of S values). Both engines keep
+      // accumulator and element the same list-of-double type (the
+      // Holt pair trick generalized): elements are [d, n] pairs, the
+      // accumulator is the S list seeded EMPTY (prepended on the
+      // DuckDB side; Spark passes it explicitly), and
+      // try_element_at(acc, −1) / acc[−1] read "previous S or 1.0"
+      // identically. Fixed-order IEEE mults ⇒ bit-identical doubles.
+      // Scale: the per-user last-day aggregate collapses the log
+      // map-side; everything after runs on |distinct days| rows.
+      (s, d) => {
+        val eday = datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01")))
+        val lastd = Tables.events(s, d)
+          .groupBy("user_id").agg(max(eday).as("lday"))
+        val dd = lastd.groupBy("lday").agg(count(lit(1)).as("d"))
+        val wDesc = Window.orderBy(col("lday").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val rk = dd.withColumn("n", sum("d").over(wDesc))
+        rk.agg(expr(
+            """array_sort(collect_list(struct(
+               lday, CAST(d AS DOUBLE) AS dd, CAST(n AS DOUBLE) AS nn)))""")
+            .as("a"))
+          .select(
+            expr("transform(a, x -> x.lday)").as("days"),
+            expr("transform(a, x -> CAST(x.dd AS BIGINT))").as("ds"),
+            expr("transform(a, x -> CAST(x.nn AS BIGINT))").as("ns"),
+            expr("""aggregate(
+                    transform(a, x -> array(x.dd, x.nn)),
+                    CAST(array() AS ARRAY<DOUBLE>),
+                    (acc, e) -> concat(acc, array(
+                      coalesce(try_element_at(acc, -1), CAST(1 AS DOUBLE))
+                        * (CAST(1 AS DOUBLE) - e[0] / e[1]))))""")
+              .as("surv"))
+          .select(explode(arrays_zip(col("days"), col("ds"), col("ns"),
+            col("surv"))).as("z"))
+          .select(col("z.days").as("lday"), col("z.ds").as("d_churned"),
+            col("z.ns").as("n_at_risk"), col("z.surv").as("survival"))
+          .orderBy("lday")
+      },
+      Some("""WITH lastd AS (
+                SELECT user_id,
+                  max(CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(ts AS DATE)) AS INTEGER)) AS lday
+                FROM events GROUP BY 1),
+              dd AS (SELECT lday, count(*) AS d FROM lastd GROUP BY 1),
+              rk AS (
+                SELECT lday, d,
+                  sum(d) OVER (ORDER BY lday DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+                FROM dd),
+              arr AS (
+                SELECT list(lday ORDER BY lday) AS days,
+                  list(CAST(d AS BIGINT) ORDER BY lday) AS ds,
+                  list(CAST(n AS BIGINT) ORDER BY lday) AS ns,
+                  list([CAST(d AS DOUBLE), CAST(n AS DOUBLE)]
+                    ORDER BY lday) AS xs
+                FROM rk),
+              f AS (
+                SELECT days, ds, ns,
+                  list_reduce(list_prepend(CAST([] AS DOUBLE[]), xs),
+                    (acc, e) -> list_append(acc,
+                      coalesce(acc[-1], CAST(1 AS DOUBLE))
+                        * (CAST(1 AS DOUBLE) - e[1] / e[2]))) AS surv
+                FROM arr)
+              SELECT unnest(days) AS lday, unnest(ds) AS d_churned,
+                unnest(ns) AS n_at_risk, unnest(surv) AS survival
+              FROM f ORDER BY lday""")),
+
     Op("win_cusum_drift",
       // one-sided CUSUM drift detection (Page 1954 — the SPC
       // changepoint primitive): s ← max(0, s + (x − k)) over each
