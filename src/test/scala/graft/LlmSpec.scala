@@ -515,6 +515,52 @@ class LlmSpec extends SparkSpec {
       "semdedup plan must not contain a cross product")
   }
 
+  test("semdedup sub-split: cap holds, precision stays 1.0, recall floor holds") {
+    // force the split path at test scale: cap far below the natural
+    // √n cluster size so subSplitAssign must actually recurse
+    val emb = Tables.embeddings(spark, sf001)
+    val ed = col("embedding").cast("array<double>")
+    val base = emb.select(col("vec_id"), ed.as("embedding"))
+    val clones = emb.select(
+      col("vec_id").bitwiseOR(lit(1L << 40)).as("vec_id"),
+      zip_with(ed, reverse(ed),
+        (x, y) => lit(0.9) * x + lit(0.1) * y).as("embedding"))
+    val u = base.unionByName(clones)
+    val n = u.count()
+    val cap = 8
+    // (a) the cap is enforced on the refined assignment itself
+    val c = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    val idx = LlmOps.ivfIndex(u, c, cacheKey = None)
+    val refined = LlmOps.subSplitAssign(idx.assign, cap)
+    assert(!(refined eq idx.assign),
+      s"cap $cap below natural cluster size must trigger a split")
+    val maxSz = refined.groupBy("cid").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxSz <= cap,
+      s"refined max cluster size $maxSz exceeds cap $cap")
+    // ids stay a partition of the input: every vector exactly once
+    assert(refined.select("vec_id").distinct().count() == n)
+    // (b) verdicts through the split path keep the planted-clone
+    // contract: no false drops (precision 1.0 against the 0.62
+    // background margin), recall >= 0.9 (a clone is missed only when
+    // sub-Lloyd separates it from its source — rare at cos 0.994)
+    val out = LlmOps.semDedup(u, tau = 0.8, cacheKey = None,
+      maxClusterSize = cap)
+    val rows = out.collect()
+    assert(rows.length == n, "one verdict per input vector")
+    val dropped = rows.filter(_.getBoolean(1)).map(_.getLong(0))
+    assert(dropped.forall(_ >= (1L << 40)),
+      s"non-clone vectors dropped under sub-split: " +
+        s"${dropped.filter(_ < (1L << 40)).take(5).mkString(",")}")
+    assert(dropped.length >= (0.9 * (n / 2)).toInt,
+      s"clone recall below floor under sub-split: " +
+        s"${dropped.length} of ${n / 2}")
+    // (c) below threshold the split is a byte-for-byte no-op — the
+    // SAME DataFrame object comes back, so every existing plan/pin
+    // is untouched
+    assert(LlmOps.subSplitAssign(idx.assign, n.toInt + 1) eq idx.assign)
+  }
+
   test("boilerplate rank: a planted template hub outranks the background chain") {
     import spark.implicits._
     // the realistic boilerplate shape is a STAR, not a clique: the
