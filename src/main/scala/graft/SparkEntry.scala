@@ -23,6 +23,7 @@ object SparkEntry {
     ops.GraphOps,
     ops.Extension,
     ops.AvroWire,
+    ops.ProtoWire,
     ops.BinlogWire)
 
   lazy val all: Seq[Op] = {

@@ -238,6 +238,72 @@ object AvroWire extends OpModule {
     root
   }
 
+  /** `cdc_envelope_full`'s oracle SQL verbatim — shared by every
+    * wire round-trip op (scan_avro, cdc_envelope_avro,
+    * cdc_envelope_proto): hash equality against ONE oracle proves
+    * each codec's decode∘encode is the identity.
+    */
+  private[ops] val EnvelopeOracleSql: String =
+    """WITH base AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       WHEN event_type = 'view' THEN 'DDL'
+                       ELSE 'U' END AS op,
+                  value, event_id // 16 AS txn_id, event_id % 16 AS txn_seq
+                FROM events),
+              r AS (
+                SELECT *, lag(value) OVER (PARTITION BY pk
+                  ORDER BY tts, position) AS prev_value
+                FROM base WHERE op <> 'DDL')
+              SELECT position, pk, epoch_us(tts) AS ts_us, op,
+                txn_id, txn_seq,
+                CASE WHEN op = 'I' THEN NULL ELSE prev_value END AS before_value,
+                CASE WHEN op = 'D' THEN NULL ELSE value END AS after_value,
+                CAST(NULL AS VARCHAR) AS ddl_stmt
+              FROM r
+              UNION ALL
+              SELECT position, pk, epoch_us(tts), op, txn_id, txn_seq,
+                NULL, NULL,
+                'ALTER TABLE events ADD PARTITION (txn=' ||
+                  CAST(txn_id AS VARCHAR) || ')'
+              FROM base WHERE op = 'DDL'
+              ORDER BY position"""
+
+  /** The evolved-reader oracle (envelope minus txn_seq plus the
+    * defaulted `source`) — shared by cdc_envelope_avro_evolve and
+    * cdc_envelope_proto_evolve.
+    */
+  private[ops] val EnvelopeEvolveOracleSql: String =
+    """WITH base AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       WHEN event_type = 'view' THEN 'DDL'
+                       ELSE 'U' END AS op,
+                  value, event_id // 16 AS txn_id
+                FROM events),
+              r AS (
+                SELECT *, lag(value) OVER (PARTITION BY pk
+                  ORDER BY tts, position) AS prev_value
+                FROM base WHERE op <> 'DDL')
+              SELECT position, pk, epoch_us(tts) AS ts_us, op, txn_id,
+                CASE WHEN op = 'I' THEN NULL ELSE prev_value END AS before_value,
+                CASE WHEN op = 'D' THEN NULL ELSE value END AS after_value,
+                CAST(NULL AS VARCHAR) AS ddl_stmt,
+                'binlog' AS source
+              FROM r
+              UNION ALL
+              SELECT position, pk, epoch_us(tts), op, txn_id,
+                NULL, NULL,
+                'ALTER TABLE events ADD PARTITION (txn=' ||
+                  CAST(txn_id AS VARCHAR) || ')',
+                'binlog' AS source
+              FROM base WHERE op = 'DDL'
+              ORDER BY position"""
+
   override def ops: Seq[Op] = Seq(
     Op("scan_avro",
       // Avro CONTAINER-FILE scan — the landing-zone read path (the
@@ -285,32 +351,7 @@ object AvroWire extends OpModule {
           }.toDF()
           .orderBy("position")
       },
-      Some("""WITH base AS (
-                SELECT event_id AS position, user_id AS pk,
-                  CAST(ts AS TIMESTAMP) AS tts,
-                  CASE WHEN event_type = 'signup' THEN 'I'
-                       WHEN event_type = 'error' THEN 'D'
-                       WHEN event_type = 'view' THEN 'DDL'
-                       ELSE 'U' END AS op,
-                  value, event_id // 16 AS txn_id, event_id % 16 AS txn_seq
-                FROM events),
-              r AS (
-                SELECT *, lag(value) OVER (PARTITION BY pk
-                  ORDER BY tts, position) AS prev_value
-                FROM base WHERE op <> 'DDL')
-              SELECT position, pk, epoch_us(tts) AS ts_us, op,
-                txn_id, txn_seq,
-                CASE WHEN op = 'I' THEN NULL ELSE prev_value END AS before_value,
-                CASE WHEN op = 'D' THEN NULL ELSE value END AS after_value,
-                CAST(NULL AS VARCHAR) AS ddl_stmt
-              FROM r
-              UNION ALL
-              SELECT position, pk, epoch_us(tts), op, txn_id, txn_seq,
-                NULL, NULL,
-                'ALTER TABLE events ADD PARTITION (txn=' ||
-                  CAST(txn_id AS VARCHAR) || ')'
-              FROM base WHERE op = 'DDL'
-              ORDER BY position""")),
+      Some(EnvelopeOracleSql)),
 
     Op("cdc_envelope_avro",
       // envelope → Avro binary → envelope: the wire serialization
@@ -321,32 +362,7 @@ object AvroWire extends OpModule {
       (s, d) => fromAvroBytes(toAvroBytes(flatEnvelope(Tables.events(s, d))))
         .toDF()
         .orderBy("position"),
-      Some("""WITH base AS (
-                SELECT event_id AS position, user_id AS pk,
-                  CAST(ts AS TIMESTAMP) AS tts,
-                  CASE WHEN event_type = 'signup' THEN 'I'
-                       WHEN event_type = 'error' THEN 'D'
-                       WHEN event_type = 'view' THEN 'DDL'
-                       ELSE 'U' END AS op,
-                  value, event_id // 16 AS txn_id, event_id % 16 AS txn_seq
-                FROM events),
-              r AS (
-                SELECT *, lag(value) OVER (PARTITION BY pk
-                  ORDER BY tts, position) AS prev_value
-                FROM base WHERE op <> 'DDL')
-              SELECT position, pk, epoch_us(tts) AS ts_us, op,
-                txn_id, txn_seq,
-                CASE WHEN op = 'I' THEN NULL ELSE prev_value END AS before_value,
-                CASE WHEN op = 'D' THEN NULL ELSE value END AS after_value,
-                CAST(NULL AS VARCHAR) AS ddl_stmt
-              FROM r
-              UNION ALL
-              SELECT position, pk, epoch_us(tts), op, txn_id, txn_seq,
-                NULL, NULL,
-                'ALTER TABLE events ADD PARTITION (txn=' ||
-                  CAST(txn_id AS VARCHAR) || ')'
-              FROM base WHERE op = 'DDL'
-              ORDER BY position""")),
+      Some(EnvelopeOracleSql)),
 
     Op("cdc_envelope_avro_evolve",
       // the same v1 wire bytes read through an evolved consumer
@@ -358,31 +374,5 @@ object AvroWire extends OpModule {
         toAvroBytes(flatEnvelope(Tables.events(s, d))))
         .toDF()
         .orderBy("position"),
-      Some("""WITH base AS (
-                SELECT event_id AS position, user_id AS pk,
-                  CAST(ts AS TIMESTAMP) AS tts,
-                  CASE WHEN event_type = 'signup' THEN 'I'
-                       WHEN event_type = 'error' THEN 'D'
-                       WHEN event_type = 'view' THEN 'DDL'
-                       ELSE 'U' END AS op,
-                  value, event_id // 16 AS txn_id
-                FROM events),
-              r AS (
-                SELECT *, lag(value) OVER (PARTITION BY pk
-                  ORDER BY tts, position) AS prev_value
-                FROM base WHERE op <> 'DDL')
-              SELECT position, pk, epoch_us(tts) AS ts_us, op, txn_id,
-                CASE WHEN op = 'I' THEN NULL ELSE prev_value END AS before_value,
-                CASE WHEN op = 'D' THEN NULL ELSE value END AS after_value,
-                CAST(NULL AS VARCHAR) AS ddl_stmt,
-                'binlog' AS source
-              FROM r
-              UNION ALL
-              SELECT position, pk, epoch_us(tts), op, txn_id,
-                NULL, NULL,
-                'ALTER TABLE events ADD PARTITION (txn=' ||
-                  CAST(txn_id AS VARCHAR) || ')',
-                'binlog' AS source
-              FROM base WHERE op = 'DDL'
-              ORDER BY position""")))
+      Some(EnvelopeEvolveOracleSql)))
 }
