@@ -138,6 +138,48 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("agg_histogram_equidepth_approx tracks the exact equi-depth histogram") {
+    val approx = SparkEntry.queries("agg_histogram_equidepth_approx")(spark, sf01)
+      .collect()
+    val exact = SparkEntry.queries("agg_histogram_equidepth")(spark, sf01)
+      .collect()
+    assert(approx.length == 10, s"expected 10 buckets, got ${approx.length}")
+    val n = exact.map(_.getLong(3)).sum
+    assert(approx.map(_.getLong(3)).sum == n,
+      "every row lands in exactly one bucket")
+    // sketch cut points put each bucket's population within 10% of
+    // the ideal n/10 (rank error at accuracy 10000 is far tighter;
+    // the slack absorbs mass ties at the cut values)
+    approx.foreach { r =>
+      assert(math.abs(r.getLong(3) - n / 10.0) <= n * 0.01 + 1,
+        s"bucket ${r.getLong(0)} holds ${r.getLong(3)} of $n")
+    }
+    // boundaries track the exact deciles: bucket k's hi within 1% of
+    // the exact bucket k's hi (value scale, not rank scale)
+    val exHi = exact.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    approx.foreach { r =>
+      val e = exHi(r.getLong(0))
+      assert(math.abs(r.getDouble(2) - e) <= math.max(1.0, e * 0.01),
+        s"bucket ${r.getLong(0)} hi ${r.getDouble(2)} vs exact $e")
+    }
+    // and the scale plan shape: no single-partition window sort
+    val plan = SparkEntry.queries("agg_histogram_equidepth_approx")(spark, sf01)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "approx equidepth must not plan a (global-sort) window")
+  }
+
+  test("agg_mad_anomaly_approx flags nearly the same rows as the exact MAD") {
+    val approx = SparkEntry.queries("agg_mad_anomaly_approx")(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("agg_mad_anomaly")(spark, sf01)
+      .collect().map(_.getLong(0)).toSet
+    val sym = (approx diff exact) ++ (exact diff approx)
+    assert(exact.nonEmpty, "exact MAD flagged nothing — fixture drifted")
+    assert(sym.size <= math.max(1, exact.size / 20),
+      s"flag sets diverge: ${sym.size} of ${exact.size} differ")
+  }
+
   test("agg_topk_partial: k-bounded aggregator ≡ rank window, with a partial (map-side) phase planned") {
     val viaAgg = SparkEntry.queries("agg_topk_partial")(spark, sf001)
     val w = org.apache.spark.sql.expressions.Window
