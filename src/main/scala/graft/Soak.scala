@@ -100,8 +100,11 @@ object Soak {
     sb.append(queries.map { q =>
       val pts = scales.map(k => (k, results((q, k))))
       def alphas(sel: ((Double, Double)) => Double) =
-        pts.sliding(2).map { case Seq((ka, ta), (kb, tb)) =>
-          math.log(sel(tb) / sel(ta)) / math.log(kb.toDouble / ka)
+        // filter: a single-scale run has no interval (sliding(2)
+        // yields one short window) — report empty alphas, don't crash
+        pts.sliding(2).filter(_.size == 2).map {
+          case Seq((ka, ta), (kb, tb)) =>
+            math.log(sel(tb) / sel(ta)) / math.log(kb.toDouble / ka)
         }.toSeq
       val aCold = alphas(_._1); val aWarm = alphas(_._2)
       s""""$q":{"cold":[${pts.map(p => f"${p._2._1}%.3f").mkString(",")}],""" +

@@ -349,13 +349,30 @@ object GraphOps extends OpModule {
         val seeds = Tables.supplier(s, d)
           .filter(col("s_nationkey") === 0)
           .select(col("s_suppkey").cast("long").as("node"))
+        // r15 stage trim (VERDICT r14 #5): the frontier is bounded by
+        // the SUPPLIER relation, so every per-level exchange is sized
+        // by that bound (Scale.frontierPartitions — the sizing law's
+        // shrink direction) instead of session width, and the
+        // per-level distinct rides the SAME exchange (an explicit
+        // repartition(n, node) satisfies the distinct aggregate's
+        // required distribution, so EnsureRequirements inserts no
+        // second one) — ONE sized exchange per level, no 32-task
+        // micro-stages. At cluster scale the clamp keeps the session
+        // width and the plan is the r14 one.
+        val n = Scale.frontierPartitions(Tables.supplier(s, d))
+        // the edge side gets ONE sized exchange too (reused by all
+        // four levels — identical subplan), keyed on the probe side
+        val udp = ud.repartition(n, col("src"))
         val levels = (1 to 4).scanLeft(seeds) { (frontier, _) =>
-          frontier.join(ud, frontier("node") === ud("src"))
-            .select(col("dst").as("node")).distinct()
+          frontier.join(udp, frontier("node") === udp("src"))
+            .select(col("dst").as("node"))
+            .repartition(n, col("node"))
+            .distinct()
         }
         levels.zipWithIndex
           .map { case (f, h) => f.withColumn("hops", lit(h)) }
           .reduce(_ unionByName _)
+          .repartition(n, col("node"))
           .groupBy("node").agg(min(col("hops")).cast("int").as("hops"))
           .orderBy("node")
       },

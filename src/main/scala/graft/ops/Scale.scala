@@ -132,6 +132,31 @@ object Scale {
     case None    => df
   }
 
+  /** The sizing law's SHRINK direction (r15, the graph_reachability
+    * case): an iterative query whose per-round relation is bounded by
+    * a SMALL key domain (a BFS frontier ≤ |suppliers|, a label-prop
+    * round ≤ |nodes|) should not pay session-default-width exchanges
+    * per round — at local[32] a 4-level BFS was spending more on
+    * 32-task micro-stages than on data. Partitions = the bounding
+    * relation's stats estimate at the same ~1 MB/partition operating
+    * point, clamped to [1, session default] — the mirror image of
+    * [[sizedPartitions]] (whose floor is the session default): this
+    * never EXCEEDS the session setting, so on a real cluster where
+    * the bound relation is genuinely large the round exchanges keep
+    * their full width and AQE coalesces as usual. Distinctness on a
+    * round's key then needs no second exchange:
+    * `repartition(n, key) + dropDuplicatesWithinPartitions` is exact
+    * (equal keys co-locate by construction).
+    */
+  def frontierPartitions(bound: DataFrame,
+      bytesPerPartition: Long = 1L << 20): Int = {
+    val sessionDefault =
+      bound.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val est = bound.queryExecution.optimizedPlan.stats.sizeInBytes
+    (est / bytesPerPartition).max(BigInt(1))
+      .min(BigInt(sessionDefault)).toInt
+  }
+
   /** Salted fact⋈dim equi join for skewed fact keys: the fact side
     * gets a nondeterministic-but-irrelevant salt in [0, buckets), the
     * dim side is REPLICATED once per salt value (explode over the
