@@ -689,9 +689,12 @@ object PipelineOps extends OpModule {
         "batch_id")
       .join(cSets.select(col("doc_id").as("corpus_id"), col("tokset").as("set_b")),
         "corpus_id")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"), 6))
+      // same r15 confirm shape as nearDupPairs: O(1) length prune,
+      // then single-intersect Jaccard over the hashed long sets
+      .filter(least(size(col("set_a")), size(col("set_b"))).cast("double")
+        >= greatest(size(col("set_a")), size(col("set_b"))) * jaccardMin)
+      .withColumn("jaccard",
+        LlmOps.jaccardOfSets(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= jaccardMin)
     val best = confirmed.groupBy("batch_id")
       .agg(max(struct(col("jaccard"), (-col("corpus_id")).as("nid"))).as("b"))
