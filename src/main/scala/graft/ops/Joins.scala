@@ -397,6 +397,45 @@ object Joins extends OpModule {
               FROM c JOIN a ON abs(c.c_us - a.p_us) <= 300000000
               GROUP BY 1 ORDER BY 1""")),
 
+    Op("join_tolerance_price",
+      // the rule's SECOND operating point (VERDICT r14 #8): a
+      // non-time key (price cents), a different tolerance (10 vs
+      // 3×10⁸), a SELF-join, and an extra non-equi conjunct
+      // (key_a < key_b, the canonical-pair dedup) that must survive
+      // in the residual — near-duplicate invoice detection: order
+      // pairs whose totals agree within 10 cents. Written naively as
+      // abs(ca − cb) <= 10 with no key; the injected rule buckets it
+      // (the same 3-bucket explode), so the plan is a hash join of
+      // 3n+n rows instead of an O(n²) product. Cents are
+      // round-then-cast on BOTH engines (the agg_histogram_log2
+      // precedent — a bare cast truncates in Spark and rounds in
+      // DuckDB). PlanSpec pins no-product + Generate for this query
+      // too, at the second operating point.
+      (s, d) => {
+        graft.plans.ToleranceJoinRule.register(s)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val a = o.select(col("o_orderkey").as("key_a"),
+          col("cents").as("cents_a"))
+        val b = o.select(col("o_orderkey").as("key_b"),
+          col("cents").as("cents_b"))
+        a.join(b, abs(col("cents_a") - col("cents_b")) <= lit(10L) &&
+            col("key_a") < col("key_b"))
+          .select(col("key_a"), col("key_b"),
+            (col("cents_a") - col("cents_b")).as("diff_cents"))
+          .orderBy("key_a", "key_b")
+      },
+      Some("""WITH o AS (
+                SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+                FROM orders)
+              SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+                a.cents - b.cents AS diff_cents
+              FROM o a JOIN o b
+                ON abs(a.cents - b.cents) <= 10
+               AND a.o_orderkey < b.o_orderkey
+              ORDER BY key_a, key_b""")),
+
     Op("join_asof",
       // native as-of operator (graft.plans.AsOfJoin): LogicalPlan +
       // Strategy + streaming sort-merge exec. Each event ↔ latest order

@@ -509,4 +509,17 @@ class PlanSpec extends SparkSpec {
     assert(got == want, "rewritten join changed the result set")
     assert(want.nonEmpty, "control fixture must produce matches")
   }
+
+  test("tolerance-join rule: second operating point (price self-join, extra residual conjunct) also rewrites") {
+    // join_tolerance_price: non-time key, tol 10, SELF-join with a
+    // key_a < key_b conjunct that must ride the residual — the rule
+    // has to fire here too, and the extra conjunct must not be lost
+    // (the hash gate proves values; this pins the plan shape)
+    val tp = planOf("join_tolerance_price")
+    assert(!tp.contains("BroadcastNestedLoopJoin") &&
+      !tp.contains("CartesianProduct"),
+      s"rule did not fire at the second operating point:\n$tp")
+    assert(tp.contains("Generate"),
+      s"bucket explode missing at the second operating point:\n$tp")
+  }
 }
