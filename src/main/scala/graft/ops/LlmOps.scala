@@ -2643,6 +2643,113 @@ object LlmOps extends OpModule {
                   THEN 'en_like' ELSE 'other' END AS lang_guess
               FROM t ORDER BY doc_id""")),
 
+    Op("llm_quality_gopher",
+      // the PUBLISHED quality-filter battery (Rae et al. 2021,
+      // "Scaling Language Models: ... Gopher", Appendix A) — the
+      // rule set most production pretraining pipelines start from,
+      // vs llm_text_quality's composite score: each rule is a named
+      // boolean verdict and `keep` is their conjunction, so a
+      // filtering run can report WHICH rule killed a document (the
+      // operational requirement — silent quality filters are
+      // undebuggable). Rules, with the paper's thresholds:
+      // word count ∈ [50, 100k]; mean word length ∈ [3, 10];
+      // symbol-to-word ratio (# and …) ≤ 0.1; ≥ 80% of words carry
+      // an alphabetic char; bullet-started lines ≤ 90%;
+      // ellipsis-ended lines ≤ 30%; ≥ 2 distinct stop words of the
+      // paper's list. One codegen projection, no shuffle, no state —
+      // at 100 TB this is a map over the corpus scan, exactly like
+      // trainSplit. Ratios divide exact ints as doubles on BOTH
+      // engines (identical quotients bit-for-bit), then round 6dp.
+      // Lines split the RAW text (tokens() collapses newlines).
+      (s, d) => {
+        val stop = array(Seq("the", "be", "to", "of", "and",
+          "that", "have", "with").map(lit): _*)
+        val toks = tokens(col("text"))
+        val nW = size(toks).cast("double")
+        val meanLen = expr(
+          "aggregate(graft_toks, 0L, (a, t) -> a + length(t))")
+          .cast("double") / nW
+        val alphaPct = size(expr(
+          "filter(graft_toks, t -> t rlike '[a-z]')")).cast("double") / nW
+        val symbols = (length(col("text")) -
+          length(replace(col("text"), lit("#"), lit(""))) +
+          (length(col("text")) -
+            length(replace(col("text"), lit("..."), lit("")))) / 3).cast("double")
+        val lines = split(col("text"), "\n")
+        val nL = size(lines).cast("double")
+        val bulletPct = size(expr(
+          "filter(graft_lines, l -> startswith(ltrim(l), '- ') " +
+            "or startswith(ltrim(l), '* ') or startswith(ltrim(l), '•'))"))
+          .cast("double") / nL
+        val ellipsisPct = size(expr(
+          "filter(graft_lines, l -> endswith(rtrim(l), '...'))"))
+          .cast("double") / nL
+        val stopHits = size(array_intersect(array_distinct(toks), stop))
+        Tables.documents(s, d)
+          .withColumn("graft_toks", toks)
+          .withColumn("graft_lines", lines)
+          .select(col("doc_id"),
+            size(col("graft_toks")).as("n_words"),
+            round(meanLen, 6).as("mean_word_len"),
+            round(alphaPct, 6).as("alpha_pct"),
+            round(symbols / nW, 6).as("symbol_ratio"),
+            round(bulletPct, 6).as("bullet_pct"),
+            round(ellipsisPct, 6).as("ellipsis_pct"),
+            stopHits.as("n_stop"),
+            (size(col("graft_toks")).between(50, 100000) &&
+              meanLen.between(3.0, 10.0) &&
+              (symbols / nW) <= 0.1 &&
+              alphaPct >= 0.8 &&
+              bulletPct <= 0.9 &&
+              ellipsisPct <= 0.3 &&
+              stopHits >= 2).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, text,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks,
+                  string_split(text, chr(10)) AS lines
+                FROM documents),
+              m AS (
+                SELECT doc_id,
+                  CAST(len(toks) AS INTEGER) AS n_words,
+                  CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / len(toks) AS mean_word_len,
+                  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                    AS DOUBLE) / len(toks) AS alpha_pct,
+                  (CAST(length(text) - length(replace(text, '#', ''))
+                      AS DOUBLE) +
+                   CAST(length(text) - length(replace(text, '...', ''))
+                      AS DOUBLE) / 3) / len(toks) AS symbol_ratio,
+                  CAST(len(list_filter(lines, l ->
+                      starts_with(ltrim(l), '- ') OR
+                      starts_with(ltrim(l), '* ') OR
+                      starts_with(ltrim(l), '•')))
+                    AS DOUBLE) / len(lines) AS bullet_pct,
+                  CAST(len(list_filter(lines, l ->
+                      ends_with(rtrim(l), '...')))
+                    AS DOUBLE) / len(lines) AS ellipsis_pct,
+                  CAST(len(list_intersect(list_distinct(toks),
+                    ['the','be','to','of','and','that','have','with']))
+                    AS INTEGER) AS n_stop
+                FROM t)
+              SELECT doc_id, n_words,
+                round(mean_word_len, 6) AS mean_word_len,
+                round(alpha_pct, 6) AS alpha_pct,
+                round(symbol_ratio, 6) AS symbol_ratio,
+                round(bullet_pct, 6) AS bullet_pct,
+                round(ellipsis_pct, 6) AS ellipsis_pct,
+                n_stop,
+                (n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND symbol_ratio <= 0.1
+                  AND alpha_pct >= 0.8
+                  AND bullet_pct <= 0.9
+                  AND ellipsis_pct <= 0.3
+                  AND n_stop >= 2) AS keep
+              FROM m ORDER BY doc_id""")),
+
     Op("llm_fingerprint",
       // rolling polynomial hash over per-token xxhash64 — Spark-only
       // hash family, no oracle; determinism pinned in LlmSpec
@@ -3017,6 +3124,105 @@ object LlmOps extends OpModule {
                     FROM all_docs)
               SELECT canon_key, min(doc_id) AS keeper, count(*) AS n_copies
               FROM c GROUP BY canon_key ORDER BY keeper""")),
+
+    Op("llm_dedup_substring",
+      // EXACT substring dedup (Lee et al. 2022, "Deduplicating
+      // Training Data Makes Language Models Better" — ExactSubstr):
+      // find document pairs sharing an exact run of ≥ w tokens, and
+      // report HOW LONG the longest shared run is. The paper builds
+      // a suffix array; the distributed re-expression is ALL w-token
+      // windows → postings self-join ON THE WINDOW (collisions meet
+      // in hash buckets — the decontaminate shape, never doc×doc) →
+      // per-pair run CHAINING: matched positions (pa, pb) on the
+      // same diagonal (pa − pb) with consecutive pa form one island
+      // (pa − row_number is constant exactly on an unbroken run —
+      // gaps-and-islands), so max_run_tokens = longest island + w−1.
+      // This is the exact sibling of llm_fingerprint_winnow (which
+      // SAMPLES windows): winnow is the first-pass scale path,
+      // ExactSubstr the confirming exact form — linear in total
+      // tokens (windows ≈ tokens), one content-keyed shuffle that
+      // takes the sizing law, no quadratic anything. Workload =
+      // corpus ∪ head-truncated clones (the dedup-family recall
+      // convention): every clone shares its full remaining run with
+      // its source, so max_run must reach the clone's length. Fully
+      // oracled: DuckDB computes the identical windows/join/islands.
+      (s, d) => {
+        val w = 20
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val toks = tokens(col("text"))
+        val clones = docs.select(
+          col("doc_id").bitwiseOR(lit(1L << 40)).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(2), size(toks))).as("text"))
+        val all = docs.unionByName(clones)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val wins = all.select(col("doc_id"), posexplode(expr(
+          s"""CASE WHEN size(toks) >= $w
+                THEN transform(sequence(1, size(toks) - ${w - 1}),
+                       i -> array_join(slice(toks, i, $w), ' '))
+                ELSE array() END""")))
+          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("win"))
+        val sized = Scale.sizedShuffle(docs)
+        val a = Scale.shuffleSized(sized, wins.select(
+          col("doc_id").as("doc_a"), col("p").as("pa"), col("win")),
+          col("win"))
+        val b = Scale.shuffleSized(sized, wins.select(
+          col("doc_id").as("doc_b"), col("p").as("pb"),
+          col("win").as("win_b")), col("win_b"))
+        val matched = a.join(b,
+            col("win") === col("win_b") && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+            (col("pa") - col("pb")).as("diag"))
+        val wi = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+        matched
+          .withColumn("isl", col("pa") - row_number().over(wi))
+          .groupBy("doc_a", "doc_b", "diag", "isl")
+          .agg(count(lit(1)).as("run_wins"))
+          .groupBy("doc_a", "doc_b")
+          .agg(sum(col("run_wins")).as("n_matches"),
+            (max(col("run_wins")) + lit(w - 1)).cast("long")
+              .as("max_run_tokens"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH raw AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id | (1::BIGINT << 40),
+                  array_to_string(list_slice(
+                    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                    2, 100000000), ' ')
+                FROM documents),
+              t AS (
+                SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM raw),
+              wins AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS p,
+                  array_to_string(toks[i:i+19], ' ') AS win
+                FROM t, unnest(CASE WHEN len(toks) >= 20
+                    THEN generate_series(1, len(toks) - 19)
+                    ELSE [] END) AS u(i)),
+              m AS (
+                SELECT x.doc_a, x.doc_b, x.pa, x.pb, x.pa - x.pb AS diag
+                FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.p AS pa, b.p AS pb
+                      FROM wins a JOIN wins b
+                        ON a.win = b.win AND a.doc_id < b.doc_id) x),
+              isl AS (
+                SELECT doc_a, doc_b, diag,
+                  pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                    ORDER BY pa) AS isl_id
+                FROM m),
+              runs AS (
+                SELECT doc_a, doc_b, diag, isl_id,
+                  count(*) AS run_wins
+                FROM isl GROUP BY 1, 2, 3, 4)
+              SELECT doc_a, doc_b,
+                CAST(sum(run_wins) AS BIGINT) AS n_matches,
+                CAST(max(run_wins) + 19 AS BIGINT) AS max_run_tokens
+              FROM runs GROUP BY 1, 2
+              ORDER BY doc_a, doc_b""")),
 
     Op("llm_dedup_paragraph",
       // paragraph-grain dedup — the CCNet/RefinedWeb move the

@@ -73,6 +73,10 @@ object Relational extends OpModule {
   private val orcFixtureWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Same memo discipline for the JDBC (embedded Derby) fixture. */
+  private val jdbcFixtureWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   override def ops: Seq[Op] = Seq(
     // ── §2.1 scans ────────────────────────────────────────────────
     Op("scan_parquet",
@@ -404,6 +408,63 @@ object Relational extends OpModule {
       },
       Some("""SELECT event_id, user_id, value FROM events
               WHERE event_type = 'view' ORDER BY event_id""")),
+
+    Op("scan_jdbc",
+      // JDBC SOURCE (r15) — the read half of the JDBC story
+      // (`JdbcUpsertSink` is the write half): dimension hydration
+      // from a relational store, the standard warehouse-to-Spark
+      // bridge a meepo-family deployment runs against MySQL. Offline
+      // the server is embedded Derby (in Spark's own jars — the same
+      // boundary the sink draws). The read is the 100 TB discipline
+      // for JDBC: a PARTITIONED scan (partitionColumn/bounds/
+      // numPartitions slices the table into range predicates, one
+      // connection per partition — the only way a JDBC read
+      // parallelizes; an unpartitioned read is one executor thread
+      // pulling the whole table through one socket). Bounds come from
+      // the dimension's own min/max — an O(1) stats read, the same
+      // bounded-driver-metadata class as collectCentroids. The hash
+      // gate proves the parquet → Derby → Spark round trip is
+      // value-exact, doubles included; Derby uppercases identifiers,
+      // so the projection restores the oracle's lowercase names.
+      (s, d) => {
+        val root = Tables.fixtureRoot(s, d, "scan_jdbc")
+        val url = s"jdbc:derby:$root/db;create=true"
+        val props = new java.util.Properties()
+        props.put("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        root.intern.synchronized {
+          if (!jdbcFixtureWritten.contains(root) ||
+              !new java.io.File(s"$root/db").exists()) {
+            Tables.customer(s, d)
+              .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+              .write.mode("overwrite")
+              .option("createTableColumnTypes",
+                "c_name VARCHAR(64)")
+              .jdbc(url, "CUSTOMER", props)
+            jdbcFixtureWritten.add(root)
+            ()
+          }
+        }
+        val bounds = Tables.customer(s, d)
+          .agg(min("c_custkey"), max("c_custkey")).head()
+        s.read.format("jdbc")
+          .option("url", url)
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .option("dbtable", "CUSTOMER")
+          .option("partitionColumn", "C_CUSTKEY")
+          .option("lowerBound", bounds.getLong(0).toString)
+          .option("upperBound", (bounds.getLong(1) + 1).toString)
+          .option("numPartitions", "4")
+          .load()
+          .select(col("C_CUSTKEY").as("c_custkey"),
+            col("C_NAME").as("c_name"),
+            col("C_NATIONKEY").as("c_nationkey"),
+            col("C_ACCTBAL").as("c_acctbal"))
+          .filter(col("c_nationkey") <= 12)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal
+              FROM customer WHERE c_nationkey <= 12
+              ORDER BY c_custkey""")),
 
     // ── §2.2 row expressions ──────────────────────────────────────
     Op("project_expr",
