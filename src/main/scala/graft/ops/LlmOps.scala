@@ -2643,6 +2643,53 @@ object LlmOps extends OpModule {
                   THEN 'en_like' ELSE 'other' END AS lang_guess
               FROM t ORDER BY doc_id""")),
 
+    Op("llm_token_budget",
+      // token-budget sampling — the data-MIXTURE step the domain-mix
+      // ratios feed: a pretraining mix is specified in TOKENS per
+      // source ("30B tokens of web, 5B of code"), so the sampler
+      // must stop at a token budget, not a document count
+      // (llm_sample_stratified keeps a per-doc FRACTION — different
+      // contract). Deterministic greedy fill: docs order by
+      // content-hash (md5 of normalized text — stable across runs,
+      // engines, and partitionings; byte-identical dups are adjacent
+      // so a budget boundary never splits them apart arbitrarily),
+      // running token cumsum per lang (one window over the lang
+      // partition), keep while cum ≤ budget. At 100 TB the cumsum
+      // window shuffles once on lang — and a skewed giant lang
+      // partitions further by hash prefix with per-prefix subtotals
+      // (the two-level cumsum), which this declarative form hands to
+      // the optimizer unchanged.
+      (s, d) => {
+        val budget = 2000L
+        val nt = size(tokens(col("text")))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), nt.as("n_toks"),
+            md5(normText(col("text"))).as("k"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("k", "doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        base.withColumn("cum_toks", sum(col("n_toks").cast("long")).over(w))
+          .filter(col("cum_toks") <= budget)
+          .select("doc_id", "lang", "n_toks", "cum_toks")
+          .orderBy("lang", "cum_toks", "doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang,
+                  CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                    AS INTEGER) AS n_toks,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS k
+                FROM documents),
+              c AS (
+                SELECT doc_id, lang, n_toks,
+                  CAST(sum(CAST(n_toks AS BIGINT)) OVER (PARTITION BY lang
+                    ORDER BY k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_toks
+                FROM t)
+              SELECT doc_id, lang, n_toks, cum_toks
+              FROM c WHERE cum_toks <= 2000
+              ORDER BY lang, cum_toks, doc_id""")),
+
     Op("llm_quality_gopher",
       // the PUBLISHED quality-filter battery (Rae et al. 2021,
       // "Scaling Language Models: ... Gopher", Appendix A) — the

@@ -232,6 +232,62 @@ object Windows extends OpModule {
                 list_reduce(vs, (acc, x) -> 25e-2 * x + 75e-2 * acc) AS ewma
               FROM s ORDER BY user_id""")),
 
+    Op("win_seasonal_dow",
+      // seasonal decomposition, the operational form: a day-of-week
+      // BASELINE per series (the dominant cycle in event data) and
+      // the residual against it — the first thing an on-call person
+      // wants from a traffic anomaly ("is Monday low, or is Monday
+      // always low?"); z-score/MAD flag points against a GLOBAL
+      // center, this flags against the seasonal expectation. Two
+      // map-combined aggregates (daily totals, then dow means over
+      // the tiny |series|×7 relation) + one broadcast-back join —
+      // at 100 TB only group-cardinality rows ever cross a shuffle.
+      // Determinism: days are INTEGER epoch-days, dow is PURE
+      // integer arithmetic ((eday+4) mod 7, 1970-01-01 being a
+      // Thursday — no engine dow() with its own week convention),
+      // totals/means are DECIMAL-accumulated then rounded (§5.2),
+      // residual subtracts two already-rounded doubles (exact on
+      // both engines).
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+              .as("eday"))
+          .agg(dsum(col("value")).as("daily_total"))
+        val withDow = daily.withColumn("dow", pmod(col("eday") + 4, lit(7)))
+        val dowMean = withDow.groupBy("event_type", "dow")
+          .agg(davg(col("daily_total")).as("dow_mean"))
+        withDow.join(broadcast(dowMean), Seq("event_type", "dow"))
+          .withColumn("residual", round(col("daily_total") - col("dow_mean"), 6))
+          .withColumn("spike", abs(col("residual")) > col("dow_mean") * 0.5)
+          .select("event_type", "eday", "dow", "daily_total", "dow_mean",
+            "residual", "spike")
+          .orderBy("event_type", "eday")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                    AS INTEGER) AS eday,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE)
+                    AS daily_total
+                FROM events GROUP BY 1, 2),
+              wd AS (
+                SELECT *, (eday + 4) % 7 AS dow FROM daily),
+              dm AS (
+                SELECT event_type, dow,
+                  round(CAST(sum(CAST(daily_total AS DECIMAL(38,10))) AS DOUBLE)
+                    / count(daily_total), 6) AS dow_mean
+                FROM wd GROUP BY 1, 2)
+              SELECT wd.event_type, wd.eday, wd.dow, wd.daily_total,
+                dm.dow_mean,
+                round(wd.daily_total - dm.dow_mean, 6) AS residual,
+                (abs(round(wd.daily_total - dm.dow_mean, 6))
+                  > dm.dow_mean * 0.5) AS spike
+              FROM wd JOIN dm
+                ON wd.event_type = dm.event_type AND wd.dow = dm.dow
+              ORDER BY wd.event_type, wd.eday""")),
+
     Op("win_holt_forecast",
       // Holt's linear-trend method (double exponential smoothing,
       // α=0.5, β=0.3) over each event type's daily-total series, with
