@@ -193,7 +193,9 @@ object GraphOps extends OpModule {
       val edges = pairs.groupBy("s1", "s2")
         .agg(count(lit(1)).as("c"))
         .filter(col("c") >= 6)
-        .select("s1", "s2")
+        // r15: keep the support count — graph_sssp derives edge
+        // weights from it; every other consumer projects it away
+        .select("s1", "s2", "c")
         .persist()
       edges.count()
       edges
@@ -393,6 +395,84 @@ object GraphOps extends OpModule {
                 FROM r JOIN ud ON CAST(ud.src AS BIGINT) = r.node
                 WHERE r.hops < 4)
               SELECT node, CAST(min(hops) AS INTEGER) AS hops
-              FROM r GROUP BY node ORDER BY node"""))
+              FROM r GROUP BY node ORDER BY node""")),
+
+    Op("graph_sssp",
+      // WEIGHTED single-source shortest path over the same support
+      // graph — the trust/cost-routing twin of graph_reachability
+      // (fewest hops ≠ cheapest route): edge cost = 1000 div support
+      // (strong ties are cheap to traverse; integer division keeps
+      // every path cost EXACT — min-plus over doubles would make the
+      // oracle hash hostage to summation association). Bounded-round
+      // min-plus Bellman–Ford, the level-synchronous layered DP:
+      // round h's relation is the min cost over paths of exactly h
+      // edges (min-aggregate per round — the pruning that keeps a
+      // dense graph's path count from exploding: the ROUND relation
+      // is ≤ |nodes| rows, never |paths|), answer = min over rounds
+      // 0..4. Per round: one frontier-sized exchange (the
+      // graph_reachability discipline — Scale.frontierPartitions,
+      // groupBy rides the explicit repartition). The oracle is the
+      // SAME layered DP as four chained plain-SQL CTEs — a recursive
+      // CTE would enumerate every distinct (node, cost, hop) path
+      // tuple, exponential on a dense support graph; the layered
+      // min-aggregated form is polynomial on BOTH engines and
+      // mirrors the distributed algorithm exactly.
+      (s, d) => {
+        val e = supportEdges(s, d)
+        val wcost = expr("1000 div c")
+        val ud = e.select(col("s1").as("src"), col("s2").as("dst"),
+            wcost.as("w"))
+          .unionByName(e.select(col("s2").as("src"), col("s1").as("dst"),
+            wcost.as("w")))
+        val seeds = Tables.supplier(s, d)
+          .filter(col("s_nationkey") === 0)
+          .select(col("s_suppkey").cast("long").as("node"),
+            lit(0L).as("cost"))
+        val n = Scale.frontierPartitions(Tables.supplier(s, d))
+        val udp = ud.repartition(n, col("src"))
+        val rounds = (1 to 4).scanLeft(seeds) { (front, _) =>
+          front.join(udp, front("node") === udp("src"))
+            .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+            .repartition(n, col("node"))
+            .groupBy("node").agg(min(col("cost")).as("cost"))
+        }
+        rounds.reduce(_ unionByName _)
+          .repartition(n, col("node"))
+          .groupBy("node").agg(min(col("cost")).as("cost"))
+          .orderBy("node")
+      },
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+              e0 AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                       count(*) AS c
+                     FROM p a JOIN p b
+                       ON a.l_orderkey = b.l_orderkey
+                      AND a.l_suppkey < b.l_suppkey
+                     GROUP BY 1, 2 HAVING count(*) >= 6),
+              ud AS (SELECT s1 AS src, s2 AS dst, 1000 // c AS w FROM e0
+                     UNION ALL SELECT s2, s1, 1000 // c FROM e0),
+              d0 AS (SELECT CAST(s_suppkey AS BIGINT) AS node,
+                       CAST(0 AS BIGINT) AS cost
+                     FROM supplier WHERE s_nationkey = 0),
+              d1 AS (SELECT CAST(ud.dst AS BIGINT) AS node,
+                       min(d0.cost + ud.w) AS cost
+                     FROM d0 JOIN ud ON CAST(ud.src AS BIGINT) = d0.node
+                     GROUP BY 1),
+              d2 AS (SELECT CAST(ud.dst AS BIGINT) AS node,
+                       min(d1.cost + ud.w) AS cost
+                     FROM d1 JOIN ud ON CAST(ud.src AS BIGINT) = d1.node
+                     GROUP BY 1),
+              d3 AS (SELECT CAST(ud.dst AS BIGINT) AS node,
+                       min(d2.cost + ud.w) AS cost
+                     FROM d2 JOIN ud ON CAST(ud.src AS BIGINT) = d2.node
+                     GROUP BY 1),
+              d4 AS (SELECT CAST(ud.dst AS BIGINT) AS node,
+                       min(d3.cost + ud.w) AS cost
+                     FROM d3 JOIN ud ON CAST(ud.src AS BIGINT) = d3.node
+                     GROUP BY 1),
+              allp AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+                       UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3
+                       UNION ALL SELECT * FROM d4)
+              SELECT node, CAST(min(cost) AS BIGINT) AS cost
+              FROM allp GROUP BY node ORDER BY node"""))
   )
 }
