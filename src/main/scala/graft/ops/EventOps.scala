@@ -926,6 +926,38 @@ object EventOps extends OpModule {
                   AS prob
               FROM c ORDER BY from_type, to_type""")),
 
+    Op("stream_route_rendezvous",
+      // rendezvous (highest-random-weight) routing — HOW a broadcast
+      // platform assigns keys to consumers (Thaler & Ravishankar
+      // 1996, the algorithm behind most cache/shard routers):
+      // consumer(key) = argmax over consumers of hash(key ∥
+      // consumer). The property that matters operationally — and the
+      // reason over naive hash-mod — is MINIMAL DISRUPTION: removing
+      // a consumer reassigns ONLY that consumer's keys (every other
+      // key's argmax is untouched by deleting a non-maximal
+      // candidate), where hash-mod reshuffles ~(n−1)/n of ALL keys.
+      // One codegen projection per key (argmax over a literal
+      // consumer list — the struct max tie-breaks identically
+      // everywhere), then a map-combined count per consumer: the
+      // routing TABLE a fan-out sink consults is a pure function, no
+      // state, no shuffle beyond the tiny balance aggregate. Not
+      // oracleable (xxhash64 is Spark's hash family); OperatorSpec
+      // pins the rendezvous property exactly (drop one consumer →
+      // only its keys move) plus balance within ±20% of uniform.
+      (s, d) => {
+        val consumers = Seq("c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+        val pick = array_max(array(consumers.map(c =>
+          struct(xxhash64(col("user_id"), lit(c)).as("h"),
+            lit(c).as("c"))): _*)).getField("c")
+        Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .withColumn("consumer", pick)
+          .groupBy("consumer")
+          .agg(count(lit(1)).as("n_keys"))
+          .orderBy("consumer")
+      },
+      None),
+
     Op("stream_debounce",
       // min-gap filter (debounce/throttle): drop events that arrive
       // within 60 s of the SAME user's previous raw event — the

@@ -2387,6 +2387,63 @@ object LlmOps extends OpModule {
               WHERE t.split = 'test' AND r.split = 'train'
               GROUP BY 1 ORDER BY doc_id""")),
 
+    Op("llm_decontaminate_semantic",
+      // SEMANTIC eval decontamination — the embedding-level
+      // complement of the n-gram collision check (`llm_decontaminate`
+      // catches verbatim/near-verbatim overlap; a paraphrased or
+      // translated eval item shares no 8-gram but sits next to its
+      // source in embedding space, the failure mode eval suites
+      // actually worry about): flag TEST vectors whose cosine to ANY
+      // TRAIN vector clears τ. Candidates come from the banded
+      // random-hyperplane join (graft_rpbands, TEST bands ⋈ TRAIN
+      // bands on (band_id, band_val) — never test×train product;
+      // the llm_dedup_embed machinery pointed across two relations),
+      // confirm is the exact codegen dot. Workload: content-split
+      // 90/10 train/test + planted contamination (clones of every
+      // 7th train vector injected as extra test rows, the
+      // llm_dedup_embed clone protocol: cos ≈ 0.994 vs ≤ 0.62
+      // background). Not oracleable (seeded hyperplanes); LlmSpec
+      // pins precision 1.0 (only planted rows flag) and recall ≥ 0.9.
+      (s, d) => {
+        graft.functions.VectorKernels.register(s)
+        val ed = col("embedding").cast("array<double>")
+        val base = Tables.embeddings(s, d).select(col("vec_id"), ed.as("e"))
+          .withColumn("is_train",
+            pmod(xxhash64(col("vec_id")), lit(10)) < 9)
+        val train = base.filter(col("is_train")).select("vec_id", "e")
+        val planted = train.filter(pmod(col("vec_id"), lit(7)) === 0)
+          .select(col("vec_id").bitwiseOR(lit(1L << 41)).as("vec_id"),
+            zip_with(col("e"), reverse(col("e")),
+              (x, y) => lit(0.9) * x + lit(0.1) * y).as("e"))
+        val test = base.filter(!col("is_train")).select("vec_id", "e")
+          .unionByName(planted)
+        def bandsOf(df: DataFrame, idc: String) =
+          df.select(col("vec_id").as(idc),
+              posexplode(call_function("graft_rpbands", col("e"),
+                lit(16), lit(24), lit(7L))))
+            .select(col(idc), col("pos").as(s"band_$idc"),
+              col("col").as(s"val_$idc"))
+        val cand = bandsOf(test, "tid").join(bandsOf(train, "sid"),
+            col("band_tid") === col("band_sid") &&
+              col("val_tid") === col("val_sid"))
+          .select("tid", "sid").dropDuplicates("tid", "sid")
+        val nt = test.select(col("vec_id").as("tid"), col("e").as("et"),
+          sqrt(call_function("graft_dot", col("e"), col("e"))).as("nt"))
+        val ns = train.select(col("vec_id").as("sid"), col("e").as("es"),
+          sqrt(call_function("graft_dot", col("e"), col("e"))).as("ns"))
+        val hits = cand.join(nt, "tid").join(ns, "sid")
+          .filter(call_function("graft_dot", col("et"), col("es"))
+            / (col("nt") * col("ns")) >= 0.8)
+          .select(col("tid")).distinct()
+        test.select(col("vec_id"))
+          .join(hits.withColumn("hit", lit(true)),
+            col("vec_id") === col("tid"), "left")
+          .select(col("vec_id"),
+            coalesce(col("hit"), lit(false)).as("contaminated"))
+          .orderBy("vec_id")
+      },
+      None),
+
     Op("llm_decontaminate_capped",
       // the df-capped form of [[decontaminate]] under the hash gate —
       // the skew/precision guard a web-scale corpus needs registered,

@@ -515,6 +515,22 @@ class LlmSpec extends SparkSpec {
       "semdedup plan must not contain a cross product")
   }
 
+  test("semantic decontamination: planted clones flag, clean test rows don't") {
+    val out = SparkEntry.queries("llm_decontaminate_semantic")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val planted = out.keys.filter(_ >= (1L << 41))
+    assert(planted.nonEmpty, "fixture must plant contamination")
+    // precision 1.0: background cosine tops out near 0.62 < tau 0.8,
+    // so ONLY planted rows may flag
+    val falsePos = out.filter { case (id, c) => c && id < (1L << 41) }
+    assert(falsePos.isEmpty, s"clean test rows flagged: ${falsePos.keys.take(5)}")
+    // recall floor: a planted clone is missed only when no band
+    // collides at cos ~0.994 — rare at (r=16, bands=24)
+    val caught = planted.count(out(_))
+    assert(caught >= (0.9 * planted.size).toInt,
+      s"contamination recall below floor: $caught of ${planted.size}")
+  }
+
   test("semdedup sub-split: cap holds, precision stays 1.0, recall floor holds") {
     // force the split path at test scale: cap far below the natural
     // √n cluster size so subSplitAssign must actually recurse

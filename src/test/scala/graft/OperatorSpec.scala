@@ -180,6 +180,44 @@ class OperatorSpec extends SparkSpec {
       s"flag sets diverge: ${sym.size} of ${exact.size} differ")
   }
 
+  test("rendezvous routing: minimal disruption exactly, balance near uniform") {
+    import org.apache.spark.sql.functions.{array, array_max, col, lit, struct, xxhash64}
+    def pick(consumers: Seq[String]) = array_max(array(consumers.map(c =>
+      struct(xxhash64(col("user_id"), lit(c)).as("h"),
+        lit(c).as("c"))): _*)).getField("c")
+    val all = Seq("c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+    val users = Tables.events(spark, sf01).select("user_id").distinct()
+    val before = users.withColumn("consumer", pick(all))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // balance: each consumer within 5σ of the binomial expectation —
+    // the key count is small (~150 distinct users), so a percentage
+    // band would just measure noise; 5σ fails only on a genuinely
+    // broken hash (a regenerated corpus stays comfortably inside)
+    val n = before.size.toDouble
+    val p = 1.0 / all.size
+    val sigma = math.sqrt(n * p * (1 - p))
+    val byC = before.values.groupBy(identity).view.mapValues(_.size)
+    all.foreach { c =>
+      val got = byC.getOrElse(c, 0)
+      assert(math.abs(got - n * p) <= 5 * sigma,
+        s"$c holds $got of $n (expect ${n * p} ± ${5 * sigma})")
+    }
+    // the rendezvous property, EXACTLY: drop c3 — every key NOT on c3
+    // keeps its assignment (deleting a non-maximal candidate never
+    // changes an argmax); c3's keys all move
+    val after = users.withColumn("consumer", pick(all.filterNot(_ == "c3")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    before.foreach { case (u, c) =>
+      if (c == "c3") assert(after(u) != "c3")
+      else assert(after(u) == c,
+        s"user $u moved $c -> ${after(u)} though c3 was not its home")
+    }
+    // and the registered query is the same assignment aggregated
+    val agg = SparkEntry.queries("stream_route_rendezvous")(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == byC.toMap.map { case (k, v) => k -> v.toLong })
+  }
+
   test("agg_topk_partial: k-bounded aggregator ≡ rank window, with a partial (map-side) phase planned") {
     val viaAgg = SparkEntry.queries("agg_topk_partial")(spark, sf001)
     val w = org.apache.spark.sql.expressions.Window
