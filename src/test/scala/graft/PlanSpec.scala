@@ -510,6 +510,32 @@ class PlanSpec extends SparkSpec {
     assert(want.nonEmpty, "control fixture must produce matches")
   }
 
+  test("llm_quality_gopher plans as a pure map: no join, no aggregate, no hash exchange") {
+    // the rule battery must stay a single codegen projection over the
+    // scan — the 100 TB claim is that this is a map, and a silent
+    // regression into a join/agg would invalidate it
+    val p = planOf("llm_quality_gopher")
+    assert(!p.contains("Join"), s"gopher quality planned a join:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"gopher quality planned an aggregate:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"gopher quality planned a hash exchange (only the presentation " +
+        s"range sort is allowed):\n$p")
+  }
+
+  test("scan_jdbc is a genuinely partitioned read") {
+    // the JDBC scan must carry the range-sliced parallelism — an
+    // unpartitioned read (1 connection pulling everything) is the
+    // classic silent JDBC bottleneck
+    val df = SparkEntry.queries("scan_jdbc")(spark, sf01)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("JDBCRelation"),
+      s"expected a JDBCRelation leaf:\n$scan")
+    assert(scan.contains("numPartitions=4"),
+      s"JDBC scan lost its partitioning:\n$scan")
+  }
+
   test("tolerance-join rule: second operating point (price self-join, extra residual conjunct) also rewrites") {
     // join_tolerance_price: non-time key, tol 10, SELF-join with a
     // key_a < key_b conjunct that must ride the residual — the rule
