@@ -24,6 +24,7 @@ object SparkEntry {
     ops.Extension,
     ops.AvroWire,
     ops.ProtoWire,
+    ops.JsonWire,
     ops.BinlogWire)
 
   lazy val all: Seq[Op] = {

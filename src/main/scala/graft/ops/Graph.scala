@@ -202,6 +202,39 @@ object GraphOps extends OpModule {
     }))
   }
 
+  /** The session-memoized PART co-occurrence edge list (p1 < p2;
+    * adjacent = ≥ 2 shared orders) — the SPARSE sibling of
+    * [[supportEdges]]: the supplier graph saturates into a clique at
+    * sf ≥ 0.01 (every supplier pair co-occurs ≥ 6 times), which makes
+    * peeling and link prediction degenerate, while the part graph
+    * stays at avg degree ~3 (2000 parts × ~4 lines/order). Same
+    * one-shuffle pair-generation shape; shared by [[graph_kcore]] and
+    * [[graph_common_neighbors]].
+    */
+  private[graft] def partEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val ekey =
+      s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|pedge|$d"
+    ekey.intern.synchronized(triEdgeCache.getOrElseUpdate(ekey, {
+      val pairs = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+        .filter(size(col("parts")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)),
+                       y -> struct(x AS s1, y AS s2))))""")).as("p"))
+        .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      val edges = pairs.groupBy("s1", "s2")
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select("s1", "s2")
+        .persist()
+      edges.count()
+      edges
+    }))
+  }
+
   override def ops: Seq[Op] = Seq(
 
     Op("graph_pagerank",
@@ -473,6 +506,112 @@ object GraphOps extends OpModule {
                        UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3
                        UNION ALL SELECT * FROM d4)
               SELECT node, CAST(min(cost) AS BIGINT) AS cost
-              FROM allp GROUP BY node ORDER BY node"""))
+              FROM allp GROUP BY node ORDER BY node""")),
+
+    Op("graph_kcore",
+      // bounded-round k-core peeling (k=3) over the sparse part
+      // co-occurrence graph ([[partEdges]]) — the cohesion filter
+      // community detection and spam/fraud pipelines run before any
+      // expensive per-subgraph work: repeatedly drop nodes whose
+      // degree within the surviving subgraph falls below k. Four
+      // peeling rounds, the bounded-horizon discipline graph_sssp and
+      // graph_reachability establish (a fixed horizon keeps the stage
+      // graph static; a production run loops the same round with an
+      // unchanged-count early stop). Per round: two semi-joins
+      // restrict the edge list to surviving endpoints, then ONE
+      // map-combined degree aggregate — each round is bounded by
+      // |edges| shuffle and the survivor set only shrinks, so at
+      // 100 TB rounds get cheaper monotonically (the peeling
+      // cascade's defining property). All outputs exact integers; the
+      // oracle is the SAME layered peel as chained plain-SQL CTEs.
+      (s, d) => {
+        val e = partEdges(s, d)
+        val ud = e.select(col("s1").as("src"), col("s2").as("dst"))
+          .unionByName(e.select(col("s2").as("src"), col("s1").as("dst")))
+        val n = Scale.frontierPartitions(Tables.part(s, d))
+        val udp = ud.repartition(n, col("src"))
+        val k = 3
+        val a0 = udp.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("src").as("node"), col("deg"))
+        val surv = (1 to 3).foldLeft(a0) { (alive, _) =>
+          udp
+            .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= k)
+            .select(col("src").as("node"), col("deg"))
+        }
+        surv.orderBy("node")
+      },
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              e AS (SELECT a.l_partkey AS s1, b.l_partkey AS s2
+                    FROM p a JOIN p b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+                    GROUP BY 1, 2 HAVING count(*) >= 2),
+              ud AS (SELECT s1 AS src, s2 AS dst FROM e
+                     UNION ALL SELECT s2, s1 FROM e),
+              a0 AS (SELECT src AS node, count(*) AS deg
+                     FROM ud GROUP BY 1 HAVING count(*) >= 3),
+              a1 AS (SELECT u.src AS node, count(*) AS deg FROM ud u
+                     JOIN a0 x ON u.src = x.node
+                     JOIN a0 y ON u.dst = y.node
+                     GROUP BY 1 HAVING count(*) >= 3),
+              a2 AS (SELECT u.src AS node, count(*) AS deg FROM ud u
+                     JOIN a1 x ON u.src = x.node
+                     JOIN a1 y ON u.dst = y.node
+                     GROUP BY 1 HAVING count(*) >= 3),
+              a3 AS (SELECT u.src AS node, count(*) AS deg FROM ud u
+                     JOIN a2 x ON u.src = x.node
+                     JOIN a2 y ON u.dst = y.node
+                     GROUP BY 1 HAVING count(*) >= 3)
+              SELECT node, deg FROM a3 ORDER BY node""")),
+
+    Op("graph_common_neighbors",
+      // common-neighbor link prediction over the same sparse part
+      // graph: for every NON-adjacent pair within two hops, count the
+      // shared neighbors — the classic "people you may know" /
+      // "frequently bought together" candidate generator (Liben-Nowell
+      // & Kleinberg 2003's strongest simple baseline). Shape: the
+      // wedge self-join graph_triangle_count already runs (both sides
+      // partitioned on the shared-neighbor key — co-located, one
+      // exchange), one count aggregate per candidate pair, then an
+      // anti-join against the edge list to keep only PREDICTIONS
+      // (existing edges are not candidates). Top-200 by a total order
+      // (cn desc, pair key) so the cut is deterministic. At 100 TB
+      // the wedge count is Σdeg² of the SUPPORT-FILTERED graph — the
+      // df-cap argument: the threshold bounds the hub degree before
+      // the quadratic step, same guard the dedup postings joins use.
+      (s, d) => {
+        val e = partEdges(s, d)
+        val ud = e.select(col("s1").as("src"), col("s2").as("dst"))
+          .unionByName(e.select(col("s2").as("src"), col("s1").as("dst")))
+        val n = Scale.frontierPartitions(Tables.part(s, d))
+        val udp = ud.repartition(n, col("src"))
+        val w = udp.as("x").join(udp.as("y"),
+            col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+          .groupBy(col("x.dst").as("a"), col("y.dst").as("c"))
+          .agg(count(lit(1)).as("cn"))
+        w.join(e, w("a") === e("s1") && w("c") === e("s2"), "left_anti")
+          .orderBy(col("cn").desc, col("a"), col("c"))
+          .limit(200)
+      },
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              e AS (SELECT a.l_partkey AS s1, b.l_partkey AS s2
+                    FROM p a JOIN p b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+                    GROUP BY 1, 2 HAVING count(*) >= 2),
+              ud AS (SELECT s1 AS src, s2 AS dst FROM e
+                     UNION ALL SELECT s2, s1 FROM e),
+              w AS (SELECT x.dst AS a, y.dst AS c, count(*) AS cn
+                    FROM ud x JOIN ud y
+                      ON x.src = y.src AND x.dst < y.dst
+                    GROUP BY 1, 2)
+              SELECT w.a, w.c, w.cn FROM w
+              LEFT JOIN e ON w.a = e.s1 AND w.c = e.s2
+              WHERE e.s1 IS NULL
+              ORDER BY cn DESC, a, c LIMIT 200"""))
   )
 }
