@@ -3797,6 +3797,161 @@ object LlmOps extends OpModule {
                     ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
                 FROM fused)
               WHERE rank <= 10
-              ORDER BY p_id, rank"""))
+              ORDER BY p_id, rank""")),
+
+    Op("llm_readability",
+      // Flesch reading-ease battery (Flesch 1948) — the classic
+      // readability score quality pipelines bucket documents by
+      // (too-easy = listicles/spam, too-hard = OCR garbage/jargon
+      // walls). Counts are pure string arithmetic so both engines
+      // agree exactly: words = the shared tokens() kernel; sentences
+      // = [.!?]+ RUNS (not chars — "..." is one boundary) counted by
+      // replace-then-length-diff; syllables = the standard vowel-run
+      // heuristic ([aeiouy]+ runs, runs never span whitespace so the
+      // doc-level count equals the per-word sum). The score is ONE
+      // shared expression string (the bm25 discipline: identical IEEE
+      // op sequence on identical int inputs ⇒ bit-identical doubles),
+      // constants in exponent form. One codegen projection, no
+      // shuffle — a map over the corpus scan at any scale.
+      (s, d) => {
+        // 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+        val freExpr =
+          "round(206835e-3 - 1015e-3 * (CAST(n_words AS DOUBLE) / " +
+            "CAST(n_sents AS DOUBLE)) - 846e-1 * (CAST(n_syll AS DOUBLE) / " +
+            "CAST(n_words AS DOUBLE)), 4)"
+        val sr = regexp_replace(col("text"), "[.!?]+", "\u0001")
+        val vr = regexp_replace(lower(col("text")), "[aeiouy]+", "\u0001")
+        def runs(c: Column): Column =
+          length(c) - length(replace(c, lit("\u0001"), lit("")))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            greatest(size(tokens(col("text"))), lit(1)).as("n_words"),
+            greatest(runs(sr), lit(1)).as("n_sents"),
+            greatest(runs(vr), lit(1)).as("n_syll"))
+          .withColumn("fre", expr(freExpr))
+          .withColumn("grade",
+            when(col("fre") >= 90, lit("very_easy"))
+              .when(col("fre") >= 70, lit("easy"))
+              .when(col("fre") >= 50, lit("standard"))
+              .when(col("fre") >= 30, lit("difficult"))
+              .otherwise(lit("very_difficult")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  regexp_replace(text, '[.!?]+', chr(1), 'g') AS sr,
+                  regexp_replace(lower(text), '[aeiouy]+', chr(1), 'g') AS vr,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM documents),
+              c AS (
+                SELECT doc_id,
+                  CAST(greatest(len(toks), 1) AS INTEGER) AS n_words,
+                  CAST(greatest(length(sr) - length(replace(sr, chr(1), '')), 1)
+                    AS INTEGER) AS n_sents,
+                  CAST(greatest(length(vr) - length(replace(vr, chr(1), '')), 1)
+                    AS INTEGER) AS n_syll
+                FROM t),
+              f AS (
+                SELECT doc_id, n_words, n_sents, n_syll,
+                  round(206835e-3 - 1015e-3 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)) - 846e-1 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS fre
+                FROM c)
+              SELECT doc_id, n_words, n_sents, n_syll, fre,
+                CASE WHEN fre >= 90 THEN 'very_easy'
+                     WHEN fre >= 70 THEN 'easy'
+                     WHEN fre >= 50 THEN 'standard'
+                     WHEN fre >= 30 THEN 'difficult'
+                     ELSE 'very_difficult' END AS grade
+              FROM f ORDER BY doc_id""")),
+
+    Op("llm_code_detect",
+      // code-vs-prose routing — the corpus-composition switch every
+      // pretraining mix needs (code goes to the code pipeline:
+      // different dedup grain, different quality rules; prose to the
+      // text one). Rule battery in the gopher style (named verdicts,
+      // conjunction decides): symbol-char ratio ({}();=[] via
+      // translate-delete), indented-line pct, statement-terminated
+      // line pct (; or { after rtrim), distinct-keyword floor. The
+      // fixture corpus is pure prose, so every 9th document is
+      // REWRITTEN into code deterministically (def/braces/semicolons
+      // around its own first 40 chars) by the SAME expression on both
+      // engines — the pii_scrub planted-fixture discipline: the hash
+      // gate then proves the rules separate the classes, not that
+      // everything is constant-false. One codegen projection, no
+      // shuffle.
+      (s, d) => {
+        val planted = col("doc_id") % 9 === 0
+        val et = when(planted,
+          concat(lit("def fn_"), col("doc_id").cast("string"),
+            lit("(x):\n    y = {"),
+            replace(substring(col("text"), 1, 40), lit(" "), lit("_")),
+            lit("};\n    return y;\nimport os;")))
+          .otherwise(col("text"))
+        val kw = array(Seq("def", "class", "import", "return", "if",
+          "else", "for", "while", "function", "const", "var",
+          "lambda").map(lit): _*)
+        Tables.documents(s, d)
+          .withColumn("graft_et", et)
+          .withColumn("graft_lines", split(col("graft_et"), "\n"))
+          .withColumn("graft_toks", tokens(col("graft_et")))
+          .select(col("doc_id"), planted.as("is_planted"),
+            size(col("graft_lines")).as("n_lines"),
+            round((length(col("graft_et")) -
+              length(translate(col("graft_et"), "{}();=[]", "")))
+              .cast("double") / length(col("graft_et")).cast("double"), 6)
+              .as("sym_ratio"),
+            round(size(expr(
+              "filter(graft_lines, l -> startswith(l, '    '))"))
+              .cast("double") / size(col("graft_lines")).cast("double"), 6)
+              .as("indent_pct"),
+            round(size(expr(
+              "filter(graft_lines, l -> endswith(rtrim(l), ';') " +
+                "or endswith(rtrim(l), '{'))"))
+              .cast("double") / size(col("graft_lines")).cast("double"), 6)
+              .as("semi_pct"),
+            size(array_intersect(array_distinct(col("graft_toks")), kw))
+              .as("n_kw"))
+          .withColumn("is_code",
+            col("sym_ratio") > 0.02 && col("n_kw") >= 2 &&
+              col("semi_pct") >= 0.25)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, doc_id % 9 = 0 AS is_planted,
+                  CASE WHEN doc_id % 9 = 0 THEN
+                    'def fn_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10)
+                    || '    y = {'
+                    || replace(substr(text, 1, 40), ' ', '_')
+                    || '};' || chr(10) || '    return y;' || chr(10)
+                    || 'import os;'
+                  ELSE text END AS et
+                FROM documents),
+              u AS (
+                SELECT doc_id, is_planted, et,
+                  string_split(et, chr(10)) AS lines,
+                  string_split(lower(trim(regexp_replace(et, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM t),
+              m AS (
+                SELECT doc_id, is_planted,
+                  CAST(len(lines) AS INTEGER) AS n_lines,
+                  round(CAST(length(et) - length(translate(et, '{}();=[]', ''))
+                    AS DOUBLE) / length(et), 6) AS sym_ratio,
+                  round(CAST(len(list_filter(lines, l ->
+                      starts_with(l, '    '))) AS DOUBLE) / len(lines), 6)
+                    AS indent_pct,
+                  round(CAST(len(list_filter(lines, l ->
+                      ends_with(rtrim(l), ';') OR ends_with(rtrim(l), '{')))
+                    AS DOUBLE) / len(lines), 6) AS semi_pct,
+                  CAST(len(list_intersect(list_distinct(toks),
+                    ['def','class','import','return','if','else','for',
+                     'while','function','const','var','lambda']))
+                    AS INTEGER) AS n_kw
+                FROM u)
+              SELECT doc_id, is_planted, n_lines, sym_ratio, indent_pct,
+                semi_pct, n_kw,
+                (sym_ratio > 0.02 AND n_kw >= 2 AND semi_pct >= 0.25)
+                  AS is_code
+              FROM m ORDER BY doc_id"""))
   )
 }

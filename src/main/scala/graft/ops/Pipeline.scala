@@ -912,6 +912,55 @@ object PipelineOps extends OpModule {
               WHERE t.bucket < r.thr
               ORDER BY doc_id""")),
 
+    Op("llm_domain_temperature",
+      // temperature-scaled mixture weights — the published
+      // multilingual/multi-domain sampling rule (exponential
+      // smoothing, p_i ∝ n_i^α: Conneau et al. 2020 use α=0.3,
+      // GPT-family mixes ~0.5): llm_domain_mix takes target rates as
+      // GIVEN; this op DERIVES them from corpus sizes, upweighting
+      // small domains without letting any giant dominate. α = 0.5 so
+      // n^α = sqrt(n) — a single correctly-rounded IEEE op, no libm
+      // pow in the oracle hash. Size = total chars per source (doc
+      // counts are uniform in this corpus; char mass varies). The
+      // 20-value weight normalization crosses engines' summation
+      // orders, so the sqrt weights are 6dp-DECIMAL-quantized and
+      // summed EXACTLY (the dsum discipline), then ONE double
+      // division per row. Token budgets = floor(weight · 1M) — the
+      // integer allocation a sampler consumes. Shape at 100 TB: one
+      // map-combined aggregate (|sources| rows cross the shuffle) +
+      // a 1-row broadcast back; nothing else moves.
+      (s, d) => {
+        val dec6 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 6)
+        val bySrc = docTable(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("tot_chars"))
+          .withColumn("w_dec",
+            round(sqrt(col("tot_chars").cast("double")), 6).cast(dec6))
+        val tot = bySrc.agg(sum(col("w_dec")).as("tot_dec"))
+        val q = col("w_dec").cast("double") / col("tot_dec").cast("double")
+        bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tot_chars"),
+            round(q, 6).as("weight"),
+            floor(q * lit(1000000L)).cast("long").as("budget_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH b AS (
+                SELECT source, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS tot_chars
+                FROM documents GROUP BY source),
+              w AS (
+                SELECT *, CAST(round(sqrt(CAST(tot_chars AS DOUBLE)), 6)
+                  AS DECIMAL(38,6)) AS w_dec
+                FROM b),
+              t AS (SELECT sum(w_dec) AS tot_dec FROM w)
+              SELECT source, n_docs, tot_chars,
+                round(CAST(w_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE), 6)
+                  AS weight,
+                CAST(floor(CAST(w_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)
+                  * 1000000) AS BIGINT) AS budget_tokens
+              FROM w, t ORDER BY source""")),
+
     Op("llm_pack_sequences",
       (s, d) => packSequences(docTable(s, d), cap = 200, nBuckets = 32)
         .orderBy("doc_id"),
