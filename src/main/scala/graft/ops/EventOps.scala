@@ -1102,6 +1102,52 @@ object EventOps extends OpModule {
               FROM s
               WHERE event_type = 'view' AND t1 = 'click'
                 AND t2 = 'purchase'
-              ORDER BY view_id"""))
+              ORDER BY view_id""")),
+
+    Op("stream_attribution",
+      // last-touch conversion attribution — the revenue-accounting
+      // query every event-broadcast consumer ends up running: each
+      // purchase is credited to the user's most recent TOUCH (click
+      // or view) strictly before it; purchases with no prior touch
+      // land in the 'none' bucket (direct traffic), so credit
+      // mass is conserved (Σ per-channel conversions = Σ purchases —
+      // the invariant a reconciliation job checks). The carry is
+      // last(touch, ignoreNulls) over ROWS UNBOUNDED..1 PRECEDING on
+      // the total (ts, event_id) per-user order — the win_fill_forward
+      // frame shifted one row back so a purchase can never attribute
+      // to itself; both engines walk the identical order. Revenue
+      // sums ride the DECIMAL discipline (dsum). 100 TB: one user_id
+      // shuffle for the window (running frame — single pass), then a
+      // map-combined 3-row aggregate; nothing else moves.
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type").isin("click", "view"),
+          col("event_type"))
+        Tables.events(s, d)
+          .withColumn("attributed",
+            last(touch, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("attributed"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_conversions"),
+            graft.ops.dsum(col("value")).as("revenue"))
+          .orderBy("channel")
+      },
+      Some("""WITH a AS (
+                SELECT event_type, value,
+                  last_value(CASE WHEN event_type IN ('click', 'view')
+                      THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS attributed
+                FROM events)
+              SELECT coalesce(attributed, 'none') AS channel,
+                count(*) AS n_conversions,
+                CAST(round(sum(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE)
+                  AS revenue
+              FROM a WHERE event_type = 'purchase'
+              GROUP BY 1 ORDER BY channel"""))
   )
 }

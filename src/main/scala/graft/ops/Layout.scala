@@ -175,6 +175,83 @@ object LayoutOps extends OpModule {
       .agg(statAggs.head, statAggs.tail: _*)
   }
 
+  // ---------------------------------------------------------------
+  // Hilbert curve
+  // ---------------------------------------------------------------
+
+  /** One Hilbert xy2d iteration at quadrant size `s`, as portable SQL
+    * text over state columns (hx, hy, hd) — the standard bitwise
+    * conversion (Wikipedia "Hilbert curve", Applications): extract
+    * the quadrant bit pair (rx, ry), accumulate s²·gray(rx,ry) into
+    * d, then rotate/flip the sub-quadrant frame. The XOR
+    * `(3·rx) ⊕ ry` is spelled as pure arithmetic
+    * (3·rx + ry·(1−2·rx) — identical truth table on {0,1}²) so both
+    * engines run the same +,*,CASE ops; everything is exact integer
+    * math. x'/y' both read the PRE-update state (one SELECT level =
+    * simultaneous assignment). Returns (x', y', d') expression text —
+    * the SAME strings drive the Spark plan and the oracle CTE chain,
+    * so the two sides cannot drift.
+    */
+  private def hilbertNext(s: Int): (String, String, String) = {
+    val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+    val dn = s"(hd + ${s.toLong * s} * (3 * $rx + $ry * (1 - 2 * $rx)))"
+    val xn = s"(CASE WHEN $ry = 1 THEN hx WHEN $rx = 1 " +
+      s"THEN ${s - 1} - hy ELSE hy END)"
+    val yn = s"(CASE WHEN $ry = 1 THEN hy WHEN $rx = 1 " +
+      s"THEN ${s - 1} - hx ELSE hx END)"
+    (xn, yn, dn)
+  }
+
+  /** Hilbert-curve file-assignment statistics — [[zorderStats]] with
+    * the space-filling curve swapped: quantize both dimensions to
+    * `bits` bits, walk the unrolled xy2d loop (one codegen'd
+    * projection per level — `bits` chained SELECTs, all fused into
+    * ONE WholeStageCodegen span since nothing shuffles between them),
+    * assign each row to a file by the top `fileBits` of its Hilbert
+    * index. Why offer it next to Z-order: Hilbert's adjacency
+    * guarantee (consecutive indices are Manhattan-1 neighbors — Z has
+    * long diagonal jumps at quadrant seams, Hilbert never) gives
+    * strictly fewer split cells per query rectangle, i.e. tighter
+    * per-file min/max envelopes at the same file count — why
+    * Delta/Iceberg OPTIMIZE grew Hilbert modes after shipping
+    * Z-order. LayoutSpec pins the curve properties (bijection +
+    * Manhattan-1 adjacency) on the full 3-bit grid.
+    */
+  def hilbertStats(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 8, fileBits: Int = 6): DataFrame = {
+    require(2 * bits - fileBits >= 0 && bits <= 16)
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val ext = base.agg(min("x").as("mnx"), max("x").as("mxx"),
+      min("y").as("mny"), max("y").as("mxy"))
+    val n = 1L << bits
+    val q = base.crossJoin(broadcast(ext))
+      .withColumn("hx", expr(s"CAST(((x - mnx) * $n) DIV (mxx - mnx + 1) AS INT)"))
+      .withColumn("hy", expr(s"CAST(((y - mny) * $n) DIV (mxy - mny + 1) AS INT)"))
+      .withColumn("hd", lit(0L))
+    val walked = (0 until bits).foldLeft(q.select("x", "y", "hx", "hy", "hd")) {
+      (acc, i) =>
+        val (xn, yn, dn) = hilbertNext(1 << (bits - 1 - i))
+        acc.selectExpr("x", "y", s"$xn AS hx", s"$yn AS hy", s"$dn AS hd")
+    }
+    walked.select(col("x"), col("y"),
+        shiftrightunsigned(col("hd"), 2 * bits - fileBits).as("file_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+  }
+
+  /** The oracle twin of [[hilbertStats]]'s walk: the CTE chain text
+    * (h0..h`bits`) built from the SAME [[hilbertNext]] strings. */
+  private def hilbertCtesSql(bits: Int): String =
+    (0 until bits).map { i =>
+      val (xn, yn, dn) = hilbertNext(1 << (bits - 1 - i))
+      s"""h${i + 1} AS (SELECT x, y, $xn AS hx, $yn AS hy, $dn AS hd
+                        FROM h$i)"""
+    }.mkString(",\n")
+
   def zorderStats(df: DataFrame, xCol: String, yCol: String,
       bits: Int = 16, fileBits: Int = 6): DataFrame = {
     val base = df.select(col(xCol).cast("long").as("x"),
@@ -513,6 +590,34 @@ object LayoutOps extends OpModule {
                 min(d2) AS min_l_orderkey, max(d2) AS max_l_orderkey
               FROM q
               GROUP BY 1 ORDER BY file_id""")),
+
+    Op("layout_hilbert",
+      // Hilbert-curve layout beside layout_zorder — same two-job
+      // plan (broadcast extent + one codegen'd walk/groupBy; the 8
+      // chained level projections fuse into one WholeStageCodegen
+      // span), strictly better per-file envelopes (see
+      // [[hilbertStats]]); bit-exact integer SQL on both sides,
+      // generated from ONE hilbertNext source so the engine and the
+      // oracle cannot drift.
+      (s, d) => hilbertStats(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
+        .orderBy("file_id"),
+      Some(s"""WITH ext AS (
+                SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+                       min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+                FROM lineitem),
+              h0 AS (
+                SELECT l_partkey AS x, l_suppkey AS y,
+                  CAST(((l_partkey - mnx) * 256) // (mxx - mnx + 1)
+                    AS INTEGER) AS hx,
+                  CAST(((l_suppkey - mny) * 256) // (mxy - mny + 1)
+                    AS INTEGER) AS hy,
+                  CAST(0 AS BIGINT) AS hd
+                FROM lineitem, ext),
+              ${hilbertCtesSql(8)}
+              SELECT hd >> 10 AS file_id, count(*) AS n_rows,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y
+              FROM h8 GROUP BY 1 ORDER BY file_id""")),
 
     Op("layout_compact",
       // the small-file MAINTENANCE LOOP as a registered query (VERDICT

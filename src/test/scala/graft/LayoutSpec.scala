@@ -58,6 +58,25 @@ class LayoutSpec extends SparkSpec {
     assert(zRefN(Seq(5L, 9L), 16) == zRef(5L, 9L, 16))
   }
 
+  test("hilbertStats walks a true Hilbert curve: bijective and Manhattan-1 adjacent") {
+    // full 3-bit grid; quantization is the identity when the data
+    // covers [0, 2^bits) exactly, and fileBits = 2·bits makes
+    // file_id = the raw Hilbert index with one cell per group — so
+    // the op's own output exposes the whole curve for the pin.
+    val cells = for (x <- 0 until 8; y <- 0 until 8) yield (x.toLong, y.toLong)
+    val out = LayoutOps.hilbertStats(cells.toDF("x", "y"), "x", "y",
+        bits = 3, fileBits = 6)
+      .orderBy("file_id")
+      .select("file_id", "min_x", "min_y")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 64)
+    assert(out.map(_._1).toSeq == (0L until 64L), "indices must be 0..63 once each")
+    out.sliding(2).foreach { case Array((_, x0, y0), (_, x1, y1)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"consecutive Hilbert cells must be grid neighbors: ($x0,$y0)->($x1,$y1)")
+    }
+  }
+
   test("3-dim zorder bounds ALL THREE dimensions per file") {
     // 64 files at fileBits=6 over a 48-bit key = the top 2 bits of
     // each of the three dims — a 4×4×4 grid, so every file's range on
