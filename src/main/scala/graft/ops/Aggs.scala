@@ -879,7 +879,49 @@ object Aggs extends OpModule {
           .agg(min(col("cnt")).as("est_cnt"))
           .orderBy(col("true_cnt").desc, col("user_id").asc)
       },
-      None)
+      None),
+
+    Op("agg_ohlc",
+      // OHLC candle aggregation — the time-series rollup every
+      // monitoring/market system runs (open/high/low/close per series
+      // per bucket): min_by/max_by on a TOTAL within-day order key
+      // replaces the window-rank-then-filter idiom with ONE hash
+      // aggregate whose partial state is two (ord, value) pairs +
+      // two extrema per group per partition (the agg_minmax_by
+      // shape — at 100 TB the shuffle carries four scalars per
+      // candle, never the raw ticks sorted). The order key packs
+      // (within-day µs offset, event_id) into one BIGINT
+      // (offset·10⁶ + id — exact, no overflow: 8.64e16 ≪ 2⁶³) so the
+      // arg-extrema are tie-deterministic on both engines; values
+      // pass through unchanged — exact doubles, no arithmetic.
+      (s, d) => {
+        val tsUs = unix_micros(col("ts"))
+        val okey = (tsUs % lit(86400000000L)) * lit(1000000L) +
+          col("event_id")
+        Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast("date"),
+              to_date(lit("1970-01-01"))).as("eday"))
+          .agg(min_by(col("value"), okey).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), okey).as("close"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type", "eday")
+      },
+      Some("""SELECT event_type,
+                CAST(date_diff('day', DATE '1970-01-01',
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                  AS INTEGER) AS eday,
+                arg_min(value, (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+                  * 1000000 + event_id) AS open,
+                max(value) AS high,
+                min(value) AS low,
+                arg_max(value, (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+                  * 1000000 + event_id) AS close,
+                count(*) AS n_events
+              FROM events GROUP BY 1, 2
+              ORDER BY event_type, eday"""))
   )
 
   /** Shared SQL for `agg_regression` — moment-sum widths proven in

@@ -782,6 +782,50 @@ object LayoutOps extends OpModule {
                 CAST(n_rows AS BIGINT) AS n_rows,
                 CAST(ndv AS BIGINT) AS ndv,
                 CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share
-              FROM r WHERE rn = 1 ORDER BY col_name"""))
+              FROM r WHERE rn = 1 ORDER BY col_name""")),
+
+    Op("table_stats_merge",
+      // INCREMENTAL statistics maintenance — the law that lets a
+      // 100 TB table keep ANALYZE-fresh stats without rescanning:
+      // count/min/max/decimal-sum are mergeable semigroups, so
+      // per-increment partials (here: the table split into two
+      // deterministic halves, standing in for yesterday's stats table
+      // and today's ingest) re-aggregate to EXACTLY the direct
+      // full-scan stats. The oracle computes the DIRECT form — hash
+      // equality IS the merge-law proof, the same gate
+      // agg_hll_partial_merge pins for the sketch NDV (which is the
+      // one stat that needs a sketch to merge; exact distinct counts
+      // don't compose and are deliberately absent here). Partial sums
+      // stay UNROUNDED DECIMAL(38,10) until after the merge —
+      // rounding partials first would break associativity at the 6th
+      // decimal. Shape: two filtered scans + per-half map-combined
+      // aggregates + a |groups|-row merge; nothing wide moves.
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 10)
+        def partial(df: DataFrame): DataFrame = df
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_part"),
+            min(col("l_quantity")).as("mn"),
+            max(col("l_quantity")).as("mx"),
+            sum(col("l_extendedprice").cast(dec)).as("sp"))
+        val li = Tables.lineitem(s, d)
+        val a = partial(li.filter(col("l_orderkey") % 2 === 0))
+        val b = partial(li.filter(col("l_orderkey") % 2 === 1))
+        a.unionByName(b)
+          .groupBy("l_returnflag")
+          .agg(sum(col("n_part")).as("n_rows"),
+            min(col("mn")).as("min_qty"),
+            max(col("mx")).as("max_qty"),
+            round(sum(col("sp")), 6).cast("double").as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                count(*) AS n_rows,
+                min(l_quantity) AS min_qty,
+                max(l_quantity) AS max_qty,
+                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 6)
+                  AS DOUBLE) AS sum_price
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

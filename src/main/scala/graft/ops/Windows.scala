@@ -622,6 +622,55 @@ object Windows extends OpModule {
                 FROM isl GROUP BY user_id, island)
               SELECT user_id, count(*) AS n_islands,
                 max(streak_days) AS max_streak, min(start_day) AS first_day
-              FROM runs GROUP BY user_id ORDER BY user_id"""))
+              FROM runs GROUP BY user_id ORDER BY user_id""")),
+
+    Op("win_drawdown",
+      // running-peak drawdown — the risk/capacity metric for any
+      // monotone-hope series (revenue run-rate, throughput, account
+      // equity): dd_t = max(v_1..v_t) − v_t, and the series' MAX
+      // drawdown is the single number a risk report quotes (how far
+      // below its best level did this metric ever fall). Over each
+      // event type's daily-total series (the win_cusum/seasonal_dow
+      // grain): daily totals collapse map-side (dsum — 6dp-stable
+      // doubles), the running peak is ONE pass of a running-max frame
+      // (Spark evaluates ROWS UNBOUNDED..CURRENT frames
+      // incrementally, never rescanning the prefix), and dd is a
+      // subtraction of two already-identical doubles — IEEE-exact, no
+      // further rounding needed. max_dd rides a whole-partition
+      // window over the same tiny |days| relation. 100 TB: one
+      // shuffle keyed by series, |series|×|days| window rows, nothing
+      // else moves.
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast("date"),
+              to_date(lit("1970-01-01"))).as("eday"))
+          .agg(dsum(col("value")).as("v"))
+        val run = Window.partitionBy("event_type").orderBy("eday")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val whole = Window.partitionBy("event_type")
+        daily
+          .withColumn("peak", max(col("v")).over(run))
+          .withColumn("dd", col("peak") - col("v"))
+          .withColumn("max_dd", max(col("dd")).over(whole))
+          .orderBy("event_type", "eday")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                    AS INTEGER) AS eday,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE)
+                    AS v
+                FROM events GROUP BY 1, 2),
+              r AS (
+                SELECT event_type, eday, v,
+                  max(v) OVER (PARTITION BY event_type ORDER BY eday
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS peak
+                FROM daily)
+              SELECT event_type, eday, v, peak, peak - v AS dd,
+                max(peak - v) OVER (PARTITION BY event_type) AS max_dd
+              FROM r ORDER BY event_type, eday"""))
   )
 }
