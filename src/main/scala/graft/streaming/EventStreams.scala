@@ -516,6 +516,56 @@ object EventStreams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  case class AttributionOut(event_id: Long, user_id: Long,
+      channel: String, value: Double)
+
+  /** Streaming twin of the batch `stream_attribution` op: the
+    * last-touch carry is ONE string of state per user (the most
+    * recent click/view type), so a purchase attributes correctly even
+    * when its touch arrived in an EARLIER micro-batch — the case the
+    * batch window op only sees because it sorts the whole log, and
+    * the reason attribution must be stateful live. Within a batch
+    * rows fold in (ts_us, event_id) order; a purchase reads the
+    * carry BEFORE any same-row update (a purchase is not a touch), so
+    * the strictly-before frame semantics of the batch form hold
+    * exactly. Cross-batch ordering is the feed's delivery guarantee
+    * (the LocfProcessor/DebounceProcessor discipline). State: one
+    * short string per user, O(1) forever.
+    */
+  class AttributionProcessor
+      extends StatefulProcessor[Long, FoldEvent, AttributionOut] {
+    @transient private var touch: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      touch = getHandle.getValueState[String]("touch",
+        Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[FoldEvent],
+        timerValues: TimerValues): Iterator[AttributionOut] = {
+      var s = if (touch.exists()) touch.get() else ""
+      val out = scala.collection.mutable.ArrayBuffer.empty[AttributionOut]
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (e.event_type == "purchase")
+          out += AttributionOut(e.event_id, uid,
+            if (s.isEmpty) "none" else s, e.value)
+        if (e.event_type == "click" || e.event_type == "view")
+          s = e.event_type
+      }
+      touch.update(s)
+      out.iterator
+    }
+  }
+
+  def attributionStream(ds: Dataset[FoldEvent]): Dataset[AttributionOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    requireRocksDb(spark, ds.isStreaming)
+    ds.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   def debounceStream(ds: Dataset[FoldEvent],
       minGapUs: Long = 60000000L): Dataset[DebounceOut] = {
     val spark = ds.sparkSession

@@ -224,6 +224,56 @@ class EventStreamSpec extends SparkSpec {
       s"expected exactly the straddling match: ${got.mkString(",")}")
   }
 
+  test("streaming attribution twin ≡ the batch window op over the corpus") {
+    val expected = SparkEntry.queries("stream_attribution")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_conversions"), r.getAs[Double]("revenue")))).toMap
+    assert(expected.nonEmpty)
+    val streamed = runToMemory(
+      EventStreams.attributionStream(
+        EventStreams.toFoldEvents(streamEvents)).toDF(),
+      "t_attr", "append")
+      .collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Double]("value")))
+      .groupBy(_._1)
+      .map { case (ch, vs) =>
+        // replay the dsum discipline (exact decimal accumulation) so
+        // the comparison is order-independent like the batch op
+        val rev = vs.map(v => BigDecimal(v._2)).sum
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        ch -> ((vs.size.toLong, rev))
+      }
+    assert(streamed == expected, s"streamed=$streamed expected=$expected")
+  }
+
+  test("streaming attribution: a touch in an earlier micro-batch still gets credit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.FoldEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[FoldEvent]
+    val q = EventStreams.attributionStream(in.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_attr_plant").start()
+    def ev(id: Long, tSec: Long, tpe: String, v: Double = 1.0) =
+      FoldEvent(id, 9L, tSec * 1000000L, tpe, v)
+    try {
+      // batch 1: the touch; batch 2: purchase (cross-batch carry),
+      // then an untouched purchase from another user → 'none'
+      in.addData(ev(1, 0, "click"))
+      q.processAllAvailable()
+      in.addData(ev(2, 10, "purchase", 5.0),
+        FoldEvent(3, 8L, 12 * 1000000L, "purchase", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_attr_plant").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq == Seq((2L, "click", 5.0), (3L, "none", 2.0)),
+      s"got ${got.mkString(",")}")
+  }
+
   test("filter/route co-locates every key in exactly one partition (ordered delivery)") {
     val routed = EventStreams.filterRoute(batchEvents, nSinks = 4, nPartitions = 32)
     val byKey = routed
