@@ -921,8 +921,66 @@ object Aggs extends OpModule {
                   * 1000000 + event_id) AS close,
                 count(*) AS n_events
               FROM events GROUP BY 1, 2
-              ORDER BY event_type, eday"""))
+              ORDER BY event_type, eday""")),
+
+    Op("agg_gini",
+      // Gini concentration coefficient of customer revenue per nation
+      // — the inequality/concentration metric every marketplace-health
+      // dashboard carries (0 = revenue spread evenly, →1 = one whale):
+      // G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the revenue-sorted
+      // sequence. Revenue collapses to exact CENTS per customer
+      // first (DECIMAL-accumulated sum, round 2, ×100 — the 2dp-int
+      // discipline), the rank rides a per-nation window over the
+      // ALREADY-AGGREGATED |customers| relation (never raw orders —
+      // the agg_mode bounded-window rule), i·x and the sums stay
+      // exact DECIMAL, and the finish is one shared IEEE expression.
+      // Tie-deterministic: (x, custkey) is a total order. At 100 TB:
+      // one orders-shuffle, one |customers| window, |nations| output.
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 10)
+        val rev = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey", "c_custkey")
+          .agg((round(sum(col("o_totalprice").cast(dec)), 2) * 100)
+            .cast("long").as("x"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_nationkey")
+          .orderBy(col("x").asc, col("c_custkey").asc)
+        rev.withColumn("i", row_number().over(w))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("i") * col("x")).as("six"))
+          .selectExpr("c_nationkey", "n AS n_customers", GiniFinishSql)
+          .orderBy("c_nationkey")
+      },
+      Some(s"""WITH rev AS (
+                SELECT c_nationkey, c_custkey,
+                  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                    * 100 AS BIGINT) AS x
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              r AS (
+                SELECT c_nationkey, x,
+                  row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY x ASC, c_custkey ASC) AS i
+                FROM rev),
+              m AS (
+                SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(i * x) AS BIGINT) AS six
+                FROM r GROUP BY 1)
+              SELECT c_nationkey, n AS n_customers, $GiniFinishSql
+              FROM m ORDER BY c_nationkey"""))
   )
+
+  /** Shared Gini finish (the agg_stats_moments one-string rule). */
+  private val GiniFinishSql: String =
+    "round((2e0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1e0) * " +
+      "CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) " +
+      "AS gini"
 
   /** Shared SQL for `agg_regression` — moment-sum widths proven in
     * [[statsMomentsSql]] (widest term n·Σy² ≤ 4e33 at sf 1000). */

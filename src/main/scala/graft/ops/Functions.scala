@@ -400,6 +400,51 @@ object Functions extends OpModule {
                 right(text, 8) AS r8,
                 reverse(substring(text, 1, 12)) AS rev_head,
                 repeat(lang, 3) AS lang3
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    Op("fn_uuid3",
+      // deterministic name-based UUIDs (RFC 4122 version 3, the
+      // md5-based variant — v5 needs sha1, which DuckDB lacks, and
+      // content-addressed pipelines only need DETERMINISM): the
+      // stable entity-ID primitive — the same (namespace, name)
+      // yields the same UUID on every engine, run, and partitioning,
+      // which is what lets independently-computed datasets join on
+      // identity without a coordination service. digest =
+      // md5(ns ∥ ':' ∥ name); version nibble (hex digit 13) forced
+      // to '3'; variant nibble (digit 17) mapped (d & 3) | 8 via a
+      // 4-char lookup — pure string arithmetic, no UDF, all codegen.
+      // One projection over the scan, zero shuffle.
+      (s, d) => {
+        val name = concat(lit("cust:"), col("c_custkey").cast("string"))
+        Tables.customer(s, d)
+          .withColumn("graft_dg", md5(concat(lit("graft:"), name)))
+          .withColumn("graft_var", expr(
+            "substr('89ab', ((instr('0123456789abcdef', " +
+              "substr(graft_dg, 17, 1)) - 1) % 4) + 1, 1)"))
+          .select(col("c_custkey"),
+            concat(
+              substring(col("graft_dg"), 1, 8), lit("-"),
+              substring(col("graft_dg"), 9, 4), lit("-3"),
+              substring(col("graft_dg"), 14, 3), lit("-"),
+              col("graft_var"),
+              substring(col("graft_dg"), 18, 3), lit("-"),
+              substring(col("graft_dg"), 21, 12)).as("uuid"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH t AS (
+                SELECT c_custkey,
+                  md5('graft:' || 'cust:' || CAST(c_custkey AS VARCHAR))
+                    AS dg
+                FROM customer),
+              v AS (
+                SELECT c_custkey, dg,
+                  substr('89ab', ((strpos('0123456789abcdef',
+                    substr(dg, 17, 1)) - 1) % 4) + 1, 1) AS var
+                FROM t)
+              SELECT c_custkey,
+                substr(dg, 1, 8) || '-' || substr(dg, 9, 4) || '-3' ||
+                substr(dg, 14, 3) || '-' || var || substr(dg, 18, 3) ||
+                '-' || substr(dg, 21, 12) AS uuid
+              FROM v ORDER BY c_custkey"""))
   )
 }

@@ -693,6 +693,73 @@ object GraphOps extends OpModule {
               SELECT w.a, w.c, w.cn FROM w
               LEFT JOIN e ON w.a = e.s1 AND w.c = e.s2
               WHERE e.s1 IS NULL
-              ORDER BY cn DESC, a, c LIMIT 200"""))
+              ORDER BY cn DESC, a, c LIMIT 200""")),
+
+    Op("graph_assortativity",
+      // degree assortativity (Newman 2002) — THE one-number structure
+      // probe: r > 0 means hubs link to hubs (social nets), r < 0
+      // hubs link to leaves (tech/biological nets), and it decides
+      // whether hub-targeted interventions (cache placement, fraud
+      // seeds) cascade or stay local. Pearson correlation of
+      // (deg(u), deg(v)) over the DIRECTED edge list (both
+      // orientations — the standard undirected convention). The
+      // agg_stats_moments discipline end-to-end: exact integer moment
+      // sums (n, Σx, Σy, Σx², Σy², Σxy — map-side combinable, six
+      // numbers cross the shuffle) + ONE shared finish-expression
+      // string so both engines run the identical IEEE op sequence.
+      // Degrees are bounded by the volume-adaptive support threshold
+      // ([[partEdges]]), so the products stay far inside BIGINT at
+      // any scale.
+      (s, d) => {
+        val e = partEdges(s, d)
+        val ud = e.select(col("s1").as("src"), col("s2").as("dst"))
+          .unionByName(e.select(col("s2").as("src"), col("s1").as("dst")))
+        val deg = ud.groupBy("src").agg(count(lit(1)).as("deg"))
+        val dx = deg.select(col("src").as("u"), col("deg").as("x"))
+        val dy = deg.select(col("src").as("v"), col("deg").as("y"))
+        ud.join(dx, col("src") === col("u"))
+          .join(dy, col("dst") === col("v"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .selectExpr("n AS n_edges", AssortFinishSql)
+      },
+      Some(s"""WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              e0 AS (SELECT a.l_partkey AS s1, b.l_partkey AS s2,
+                       count(*) AS cc
+                     FROM p a JOIN p b
+                       ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+                     GROUP BY 1, 2),
+              st AS (SELECT greatest(CAST(2 AS BIGINT),
+                       (2 * CAST(sum(cc) AS BIGINT)) // count(*)) AS thr
+                     FROM e0),
+              e AS (SELECT s1, s2 FROM e0, st WHERE cc >= thr),
+              ud AS (SELECT s1 AS src, s2 AS dst FROM e
+                     UNION ALL SELECT s2, s1 FROM e),
+              deg AS (SELECT src, count(*) AS dg FROM ud GROUP BY 1),
+              m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x.dg) AS BIGINT) AS sx,
+                  CAST(sum(y.dg) AS BIGINT) AS sy,
+                  CAST(sum(x.dg * x.dg) AS BIGINT) AS sxx,
+                  CAST(sum(y.dg * y.dg) AS BIGINT) AS syy,
+                  CAST(sum(x.dg * y.dg) AS BIGINT) AS sxy
+                FROM ud JOIN deg x ON ud.src = x.src
+                        JOIN deg y ON ud.dst = y.src)
+              SELECT n AS n_edges, $AssortFinishSql FROM m"""))
   )
+
+  /** The ONE Pearson finish expression both engines evaluate over the
+    * exact moment sums (the agg_stats_moments shared-string rule):
+    * identical IEEE ×,−,÷,sqrt sequence ⇒ bit-identical doubles. */
+  private val AssortFinishSql: String =
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity"
 }
