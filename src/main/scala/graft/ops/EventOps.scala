@@ -61,6 +61,33 @@ object EventOps extends OpModule {
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)))
         ORDER BY event_type, eday"""
 
+  /** Shared Bollinger-band SQL (win_bollinger): exact frame moments
+    * over the `daily` relation (event_type, eday, x = cents BIGINT),
+    * IEEE finish — the [[rollingCorrSql]] discipline for a single
+    * series. 20-period frame (the textbook default). */
+  private def bollingerSql(daily: String): String =
+    s"""SELECT event_type, eday, x_cents,
+          CAST(n AS BIGINT) AS n_days, mean_c, sigma_c,
+          CAST(x_cents AS DOUBLE) > mean_c + 2e0 * sigma_c AS above,
+          CAST(x_cents AS DOUBLE) < mean_c - 2e0 * sigma_c AS below
+        FROM (
+          SELECT event_type, eday, x_cents, n,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+            sqrt(CAST(CAST(n AS DECIMAL(22,0))*sxx
+                      - CAST(sx AS DECIMAL(22,0))*sx AS DOUBLE))
+              / CAST(n AS DOUBLE) AS sigma_c
+          FROM (
+            SELECT event_type, eday, x AS x_cents,
+              CAST(count(*) OVER w AS DECIMAL(2,0)) AS n,
+              CAST(sum(CAST(x AS DECIMAL(13,0))) OVER w AS DECIMAL(15,0))
+                AS sx,
+              CAST(sum(CAST(x*x AS DECIMAL(19,0))) OVER w AS DECIMAL(21,0))
+                AS sxx
+            FROM ($daily)
+            WINDOW w AS (PARTITION BY event_type ORDER BY eday
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)))
+        ORDER BY event_type, eday"""
+
   override def ops: Seq[Op] = Seq(
 
     Op("stream_envelope",
@@ -711,6 +738,36 @@ object EventOps extends OpModule {
              CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
                   AS BIGINT) AS x,
              count(*) AS y
+           FROM events GROUP BY 1, 2"""))),
+
+    Op("win_bollinger",
+      // Bollinger volatility bands (Bollinger 1980s; the SPC control
+      // chart in trading clothes) — rolling 20-period mean ± 2σ per
+      // series, flagging excursions: win_rolling_corr's
+      // frame-moment discipline applied to a single series. Exact
+      // frame sums (n, Σx, Σx² over 2dp-int daily cents — DECIMAL
+      // widths sized so every product fits both engines' conventions:
+      // x ≤ 3e9 ⇒ Σx ≤ 6e10, Σx² ≤ 1.8e20, n·Σx² and Σx·Σx ≤ 3.6e21
+      // with the DuckDB left-operand-carries-result-width rule),
+      // IEEE finish from one shared string ⇒ bit-identical doubles
+      // including the band-excursion booleans. 100 TB: the log
+      // collapses to |type|×|day| map-side, the window runs
+      // single-pass frame sums on that tiny relation.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events_boll")
+        s.sql(bollingerSql(
+          """SELECT event_type,
+               datediff(CAST(ts AS DATE), DATE '1970-01-01') AS eday,
+               CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
+                    AS BIGINT) AS x
+             FROM graft_events_boll GROUP BY 1, 2"""))
+      },
+      Some(bollingerSql(
+        """SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01',
+               CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS eday,
+             CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
+                  AS BIGINT) AS x
            FROM events GROUP BY 1, 2"""))),
 
     Op("stream_retention_cohort",

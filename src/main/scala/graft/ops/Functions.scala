@@ -445,6 +445,26 @@ object Functions extends OpModule {
                 substr(dg, 1, 8) || '-' || substr(dg, 9, 4) || '-3' ||
                 substr(dg, 14, 3) || '-' || var || substr(dg, 18, 3) ||
                 '-' || substr(dg, 21, 12) AS uuid
-              FROM v ORDER BY c_custkey"""))
+              FROM v ORDER BY c_custkey""")),
+
+    Op("fn_base36",
+      // base-36 ID compaction — the short-ID scheme URL shorteners
+      // and human-facing order numbers use (a 12-digit key fits in 8
+      // alphanumerics): radix conversion is built into both engines
+      // (Spark `conv`, DuckDB `to_base`), normalized to lower case
+      // and also emitted left-padded to fixed width (the
+      // lexicographic-sort-equals-numeric-sort form a key-range
+      // partitioner wants). Pure codegen projection, zero shuffle,
+      // exact by definition.
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          lower(expr("conv(o_orderkey, 10, 36)")).as("id36"),
+          lpad(lower(expr("conv(o_orderkey, 10, 36)")), 9, "0")
+            .as("id36_key"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                lower(to_base(o_orderkey, 36)) AS id36,
+                lpad(lower(to_base(o_orderkey, 36)), 9, '0') AS id36_key
+              FROM orders ORDER BY o_orderkey"""))
   )
 }
