@@ -749,7 +749,72 @@ object GraphOps extends OpModule {
                   CAST(sum(x.dg * y.dg) AS BIGINT) AS sxy
                 FROM ud JOIN deg x ON ud.src = x.src
                         JOIN deg y ON ud.dst = y.src)
-              SELECT n AS n_edges, $AssortFinishSql FROM m"""))
+              SELECT n AS n_edges, $AssortFinishSql FROM m""")),
+
+    Op("graph_clustering_coeff",
+      // local clustering coefficient (Watts & Strogatz 1998) per node
+      // over the sparse part graph: c(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+      // — "how clique-like is this node's neighborhood", the
+      // community-structure probe that separates organic clusters
+      // (high c) from hub-and-spoke noise (c ≈ 0). Triangles
+      // enumerated once each by the canonical-orientation two-path
+      // join (the graph_triangle_count shape — every step an
+      // equi-join, Σdeg² bounded by the volume-adaptive threshold),
+      // corners attributed by ONE explode, degrees from one
+      // map-combined aggregate, coefficient = one IEEE division of
+      // exact ints rounded 6dp. Nodes with deg < 2 report 0 (no
+      // possible triangle), matching the standard convention.
+      (s, d) => {
+        val e = partEdges(s, d)
+        val ud = e.select(col("s1").as("src"), col("s2").as("dst"))
+          .unionByName(e.select(col("s2").as("src"), col("s1").as("dst")))
+        val deg = ud.groupBy("src").agg(count(lit(1)).as("deg"))
+        val tri = e.as("e1").join(e.as("e2"), col("e1.s2") === col("e2.s1"))
+          .join(e.as("e3"),
+            col("e3.s1") === col("e1.s1") && col("e3.s2") === col("e2.s2"))
+          .select(explode(array(col("e1.s1"), col("e1.s2"), col("e2.s2")))
+            .as("src"))
+          .groupBy("src").agg(count(lit(1)).as("n_tri"))
+        deg.join(tri, Seq("src"), "left")
+          .select(col("src").as("node"), col("deg"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            when(col("deg") >= 2,
+              round((lit(2.0) * coalesce(col("n_tri"), lit(0L))
+                .cast("double")) /
+                (col("deg") * (col("deg") - 1)).cast("double"), 6))
+              .otherwise(lit(0.0)).as("coeff"))
+          .orderBy("node")
+      },
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              e0 AS (SELECT a.l_partkey AS s1, b.l_partkey AS s2,
+                       count(*) AS cc
+                     FROM p a JOIN p b
+                       ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+                     GROUP BY 1, 2),
+              st AS (SELECT greatest(CAST(2 AS BIGINT),
+                       (2 * CAST(sum(cc) AS BIGINT)) // count(*)) AS thr
+                     FROM e0),
+              e AS (SELECT s1, s2 FROM e0, st WHERE cc >= thr),
+              ud AS (SELECT s1 AS src, s2 AS dst FROM e
+                     UNION ALL SELECT s2, s1 FROM e),
+              deg AS (SELECT src, count(*) AS dg FROM ud GROUP BY 1),
+              t AS (SELECT e1.s1 AS va, e1.s2 AS vb, e2.s2 AS vc
+                    FROM e e1 JOIN e e2 ON e1.s2 = e2.s1
+                    JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+              tri AS (SELECT src, count(*) AS n_tri FROM (
+                        SELECT va AS src FROM t
+                        UNION ALL SELECT vb FROM t
+                        UNION ALL SELECT vc FROM t) u
+                      GROUP BY src)
+              SELECT deg.src AS node, deg.dg AS deg,
+                coalesce(tri.n_tri, 0) AS n_tri,
+                CASE WHEN deg.dg >= 2 THEN
+                  round((2e0 * CAST(coalesce(tri.n_tri, 0) AS DOUBLE)) /
+                    CAST(deg.dg * (deg.dg - 1) AS DOUBLE), 6)
+                ELSE 0e0 END AS coeff
+              FROM deg LEFT JOIN tri ON deg.src = tri.src
+              ORDER BY node"""))
   )
 
   /** The ONE Pearson finish expression both engines evaluate over the

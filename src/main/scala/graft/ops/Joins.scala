@@ -865,5 +865,67 @@ object Joins extends OpModule {
                 AND f.fact_ts_us >= d.vfrom
                 AND (d.vto IS NULL OR f.fact_ts_us < d.vto)
               ORDER BY fact_id"""))
+  ,
+
+    Op("join_spatial_grid",
+      // grid-bucketed spatial join — points within distance d, the
+      // geospatial workhorse (store↔customer proximity, sensor
+      // coverage, geofencing) and the 2-D generalization of
+      // ToleranceJoinRule's 1-D bucket trick: a naive distance join
+      // is a cross product; bucketing both sides into d-sized grid
+      // cells and replicating the SMALLER side into its 3×3
+      // neighborhood turns it into a plain (cellx, celly) equi-join
+      // + exact confirm — every qualifying pair lands in exactly one
+      // (probe-cell, replica) combination, so the result multiset
+      // equals the naive join's, which is why the PLAIN distance
+      // join can oracle it (the tolerance-rule precedent: hash
+      // equality proves the rewrite). Coordinates are synthesized
+      // deterministically from the keys (LCG multipliers — the
+      // fn_url discipline); the confirm compares SQUARED distance in
+      // exact ints, no sqrt, no floats anywhere. 100 TB: replicate
+      // the small side 9×, shuffle both on the cell key, AQE handles
+      // dense-cell skew; the cross product never exists.
+      (s, d) => {
+        val cell = 500L
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          expr("(c_custkey * 48271) % 100000").as("x"),
+          expr("(c_custkey * 16807) % 100000").as("y"))
+        val supp = Tables.supplier(s, d).select(col("s_suppkey"),
+          expr("(s_suppkey * 69621) % 100000").as("sx"),
+          expr("(s_suppkey * 40692) % 100000").as("sy"))
+        val suppCells = supp
+          .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+          .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+          .select(col("s_suppkey"), col("sx"), col("sy"),
+            (expr(s"sx DIV $cell") + col("dx")).as("cx"),
+            (expr(s"sy DIV $cell") + col("dy")).as("cy"))
+        val custCells = cust
+          .withColumn("cx", expr(s"x DIV $cell"))
+          .withColumn("cy", expr(s"y DIV $cell"))
+        custCells.join(suppCells, Seq("cx", "cy"))
+          .filter((col("x") - col("sx")) * (col("x") - col("sx")) +
+            (col("y") - col("sy")) * (col("y") - col("sy")) <=
+            lit(cell * cell))
+          .select(col("c_custkey"), col("s_suppkey"),
+            ((col("x") - col("sx")) * (col("x") - col("sx")) +
+              (col("y") - col("sy")) * (col("y") - col("sy")))
+              .as("dist2"))
+          .orderBy("c_custkey", "s_suppkey")
+      },
+      Some("""WITH c AS (
+                SELECT c_custkey,
+                  (c_custkey * 48271) % 100000 AS x,
+                  (c_custkey * 16807) % 100000 AS y
+                FROM customer),
+              s AS (
+                SELECT s_suppkey,
+                  (s_suppkey * 69621) % 100000 AS sx,
+                  (s_suppkey * 40692) % 100000 AS sy
+                FROM supplier)
+              SELECT c_custkey, s_suppkey,
+                (x - sx) * (x - sx) + (y - sy) * (y - sy) AS dist2
+              FROM c JOIN s
+                ON (x - sx) * (x - sx) + (y - sy) * (y - sy) <= 250000
+              ORDER BY c_custkey, s_suppkey"""))
   )
 }

@@ -961,6 +961,58 @@ object PipelineOps extends OpModule {
                   * 1000000) AS BIGINT) AS budget_tokens
               FROM w, t ORDER BY source""")),
 
+    Op("llm_dedup_url",
+      // URL-canonicalization dedup — the FIRST dedup pass of every
+      // web-crawl pipeline, run before any content hashing because
+      // it's free: the same page is fetched under tracking-parameter
+      // and trailing-slash variants, and canonicalizing the URL
+      // collapses them without reading a byte of body. URLs are
+      // synthesized deterministically from doc_id (the fn_url/
+      // pii_scrub planted-fixture discipline: host = id mod 7, path
+      // = id div 9, every 3rd carries ?utm tracking, every 5th a
+      // trailing slash — so variant groups exist and the hash gate
+      // proves the canonicalizer collapses exactly them).
+      // Canonicalize = strip query (split_part at '?'), strip ONE
+      // trailing slash, lower — pure string ops, one codegen
+      // projection; then one map-combined aggregate keyed by the
+      // canonical form (keeper = min doc_id, the append-stable
+      // choice). At 100 TB this is the cheapest shuffle in the
+      // funnel: |distinct canonical| keys, run before everything.
+      (s, d) => {
+        val url = concat(lit("https://h"),
+          (col("doc_id") % 7).cast("string"), lit(".example.com/p/"),
+          expr("doc_id DIV 9").cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=x&ref="), col("doc_id").cast("string")))
+            .otherwise(lit("")))
+        docTable(s, d)
+          .withColumn("url", url)
+          .withColumn("canonical",
+            regexp_replace(expr("split_part(url, '?', 1)"), "/$", ""))
+          .groupBy("canonical")
+          .agg(count(lit(1)).as("n_variants"),
+            min(col("doc_id")).as("keeper"))
+          .orderBy("canonical")
+      },
+      Some("""WITH u AS (
+                SELECT doc_id,
+                  'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+                  '.example.com/p/' || CAST(doc_id // 9 AS VARCHAR) ||
+                  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+                  CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=x&ref=' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END AS url
+                FROM documents),
+              c AS (
+                SELECT doc_id,
+                  regexp_replace(split_part(url, '?', 1), '/$', '')
+                    AS canonical
+                FROM u)
+              SELECT canonical, count(*) AS n_variants,
+                min(doc_id) AS keeper
+              FROM c GROUP BY 1 ORDER BY canonical""")),
+
     Op("llm_pack_sequences",
       (s, d) => packSequences(docTable(s, d), cap = 200, nBuckets = 32)
         .orderBy("doc_id"),

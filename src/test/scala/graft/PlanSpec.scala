@@ -548,4 +548,18 @@ class PlanSpec extends SparkSpec {
     assert(tp.contains("Generate"),
       s"bucket explode missing at the second operating point:\n$tp")
   }
+
+  test("spatial grid join: cell equi-join, never a distance cross product") {
+    // join_spatial_grid IS the tolerance-bucket trick in 2-D: the
+    // oracle runs the naive distance join (hash gate proves values);
+    // this pins that the ENGINE side runs the 3x3-replicated cell
+    // equi-join — a nested-loop/cartesian here means the rewrite
+    // silently degenerated and would cross-product at scale
+    val sg = planOf("join_spatial_grid")
+    assert(!sg.contains("CartesianProduct") &&
+      !sg.contains("BroadcastNestedLoopJoin"),
+      s"spatial grid join degenerated to a product:\n$sg")
+    assert(sg.contains("Generate"),
+      s"3x3 neighborhood replication (explode) missing:\n$sg")
+  }
 }
