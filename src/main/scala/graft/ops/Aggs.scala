@@ -973,8 +973,69 @@ object Aggs extends OpModule {
                   CAST(sum(i * x) AS BIGINT) AS six
                 FROM r GROUP BY 1)
               SELECT c_nationkey, n AS n_customers, $GiniFinishSql
-              FROM m ORDER BY c_nationkey"""))
+              FROM m ORDER BY c_nationkey""")),
+
+    Op("agg_benford",
+      // Benford first-digit audit (Benford 1938; Nigrini's fraud-
+      // detection staple) — fabricated or systematically-rounded
+      // amounts drift from the log-uniform first-digit law, and the
+      // χ² against it is the first screen an audit pipeline runs
+      // over any money column. Exact cents → first digit by DECIMAL
+      // STRING (no log10 at query time — the nine reference
+      // probabilities are shared exponent-form literals), one
+      // map-combined 9-row aggregate, per-digit χ² terms from
+      // identical IEEE expressions, total via a 6dp-DECIMAL window
+      // sum (order-independent). |digits| = 9 rows cross the shuffle
+      // at any scale.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_benford")
+        s.sql(benfordSql("graft_orders_benford"))
+      },
+      Some(benfordSql("orders")))
   )
+
+  /** Shared Benford SQL (agg_benford). The nine reference
+    * probabilities log10(1+1/d) are EXPONENT-FORM LITERALS (bare
+    * decimals parse as DECIMAL in both engines — the bm25 rule), so
+    * no libm log runs at query time; identical literal text parses to
+    * the identical double. The χ² total rides a 6dp-DECIMAL window
+    * sum (the 9-term double sum would be association-ordered), CAST
+    * on the window sum itself (the llm_token_budget stringify rule).
+    */
+  private def benfordSql(src: String): String = {
+    val probs = Seq(
+      1 -> "3.0102999566398120e-1", 2 -> "1.7609125905568124e-1",
+      3 -> "1.2493873660829992e-1", 4 -> "9.6910013008056420e-2",
+      5 -> "7.9181246047624818e-2", 6 -> "6.6946789630613221e-2",
+      7 -> "5.7991946977686733e-2", 8 -> "5.1152522447381291e-2",
+      9 -> "4.5757490560675143e-2")
+    val bp = probs.map { case (dg, p) =>
+      s"SELECT $dg AS digit, $p AS bp" }.mkString("\n UNION ALL ")
+    s"""WITH c AS (
+          SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM $src WHERE o_totalprice > 0),
+        dg AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR(20)), 1, 1) AS INTEGER)
+            AS digit
+          FROM c),
+        o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+              FROM dg GROUP BY 1),
+        t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
+        bp AS ($bp),
+        m AS (
+          SELECT o.digit, o.n_obs, bp.bp, t.n,
+            ((CAST(o.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * bp.bp)
+             * (CAST(o.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * bp.bp))
+              / (CAST(t.n AS DOUBLE) * bp.bp) AS term
+          FROM o JOIN bp ON o.digit = bp.digit CROSS JOIN t)
+        SELECT digit, n_obs,
+          round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+          round(bp, 6) AS benford_p,
+          round(term, 6) AS chi2_term,
+          CAST(sum(CAST(round(term, 6) AS DECIMAL(18,6))) OVER ()
+            AS DOUBLE) AS chi2
+        FROM m ORDER BY digit"""
+  }
 
   /** Shared Gini finish (the agg_stats_moments one-string rule). */
   private val GiniFinishSql: String =

@@ -464,6 +464,55 @@ object Joins extends OpModule {
                      o_orderkey AS asof_orderkey, o_totalprice AS asof_price
               FROM ranked WHERE rn = 1 ORDER BY event_id""")),
 
+    Op("join_asof_tolerance",
+      // as-of with a STALENESS BOUND (pandas merge_asof's `tolerance`)
+      // — the production guard the plain as-of lacks: a feature
+      // assembled from a 30-day-old order is usually worse than no
+      // feature (the model learns "stale pipeline" instead of user
+      // behavior), so matches older than the bound are voided to
+      // NULL rather than silently served. Because the as-of match is
+      // the LATEST qualifying row, staleness of that one row implies
+      // staleness of all — the tolerance is a post-merge null-out,
+      // not a different join, so the native AsOfJoinExec runs
+      // unchanged (same one-exchange-per-side streaming merge) and
+      // the oracle is join_asof's ranked CTE plus one CASE. Exact
+      // day arithmetic on both engines; is_stale distinguishes
+      // "stale match voided" from "never matched".
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("ts_ntz", col("ts").cast("timestamp_ntz"))
+        val o = Tables.orders(s, d)
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        val fresh = datediff(col("ts_ntz").cast("date"),
+          col("o_orderdate").cast("date")) <= 30
+        graft.plans.AsOfJoin.asof(e, o,
+            "user_id", "o_custkey", "ts_ntz", "o_orderdate", "o_orderkey")
+          .select(col("event_id"), col("user_id"),
+            when(fresh, col("o_orderkey")).as("asof_orderkey"),
+            when(fresh, col("o_totalprice")).as("asof_price"),
+            (col("o_orderkey").isNotNull && !fresh).as("is_stale"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ranked AS (
+                SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+                       o.o_totalprice, o.o_orderdate,
+                       row_number() OVER (PARTITION BY e.event_id
+                         ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM events e LEFT JOIN orders o
+                  ON o.o_custkey = e.user_id
+                 AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+              SELECT event_id, user_id,
+                CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(ts AS DATE)) <= 30 THEN o_orderkey END
+                  AS asof_orderkey,
+                CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(ts AS DATE)) <= 30 THEN o_totalprice END
+                  AS asof_price,
+                (o_orderkey IS NOT NULL AND
+                 date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(ts AS DATE)) > 30) AS is_stale
+              FROM ranked WHERE rn = 1 ORDER BY event_id""")),
+
     Op("join_pit_features",
       // POINT-IN-TIME feature assembly — the feature-store primitive
       // (training-serving skew kills models; every feature must be

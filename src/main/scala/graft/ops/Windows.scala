@@ -19,6 +19,49 @@ import org.apache.spark.sql.functions._
   */
 object Windows extends OpModule {
 
+  /** Shared Mann–Kendall SQL (win_trend_mk): exact-integer S /
+    * tie-corrected variance over the `daily` relation (event_type,
+    * eday, x = cents BIGINT), ONE IEEE finish for z — the
+    * rollingCorrSql discipline. var18 = 18·Var(S), kept integer. */
+  private def mkTrendSql(daily: String): String =
+    s"""WITH d AS ($daily),
+        pairs AS (
+          SELECT a.event_type,
+            CASE WHEN b.x > a.x THEN 1
+                 WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+          FROM d a JOIN d b
+            ON a.event_type = b.event_type AND a.eday < b.eday),
+        sstat AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
+                  FROM pairs GROUP BY 1),
+        nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM d GROUP BY 1),
+        ties AS (
+          SELECT event_type,
+            CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+                FROM d GROUP BY 1, 2) g
+          GROUP BY 1),
+        m AS (
+          SELECT sstat.event_type, nn.n, sstat.s_stat,
+            nn.n * (nn.n - 1) * (2 * nn.n + 5)
+              - coalesce(ties.tie_term, 0) AS var18
+          FROM sstat JOIN nn ON sstat.event_type = nn.event_type
+          LEFT JOIN ties ON sstat.event_type = ties.event_type),
+        z AS (
+          SELECT event_type, n AS n_days, s_stat, var18,
+            round(CASE
+              WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1e0)
+                / sqrt(CAST(var18 AS DOUBLE) / 18e0)
+              WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1e0)
+                / sqrt(CAST(var18 AS DOUBLE) / 18e0)
+              ELSE 0e0 END, 6) AS z_stat
+          FROM m)
+        SELECT event_type, n_days, s_stat, var18, z_stat,
+          CASE WHEN z_stat > 196e-2 THEN 'up'
+               WHEN z_stat < -196e-2 THEN 'down'
+               ELSE 'none' END AS trend
+        FROM z ORDER BY event_type"""
+
   override def ops: Seq[Op] = Seq(
 
     Op("win_ranking",
@@ -623,6 +666,38 @@ object Windows extends OpModule {
               SELECT user_id, count(*) AS n_islands,
                 max(streak_days) AS max_streak, min(start_day) AS first_day
               FROM runs GROUP BY user_id ORDER BY user_id""")),
+
+    Op("win_trend_mk",
+      // Mann–Kendall trend test (Mann 1945 / Kendall 1975) — the
+      // NON-PARAMETRIC "is this metric actually trending" answer
+      // (win_period_growth reports the growth, this reports whether
+      // it's statistically real): S = Σ_{i<j} sign(x_j − x_i) over
+      // each type's daily series, tie-corrected variance, continuity-
+      // corrected z. Everything up to the finish is EXACT integers —
+      // signs, S, n(n−1)(2n+5), the tie term Σt(t−1)(2t+5) — so the
+      // only doubles come from ONE shared finish expression (z and
+      // the ±1.96 trend call). The pairwise self-join is O(|days|²)
+      // PER SERIES on the already-collapsed daily relation — the
+      // agg_mode bounded-window rule: quadratic in days, never in
+      // events (a year of dailies is 66k pairs; the raw log never
+      // self-joins).
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events_mk")
+        s.sql(mkTrendSql(
+          """SELECT event_type,
+               datediff(CAST(ts AS DATE), DATE '1970-01-01') AS eday,
+               CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
+                    AS BIGINT) AS x
+             FROM graft_events_mk GROUP BY 1, 2"""))
+      },
+      Some(mkTrendSql(
+        """SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01',
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS INTEGER) AS eday,
+             CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
+                  AS BIGINT) AS x
+           FROM events GROUP BY 1, 2"""))),
 
     Op("win_drawdown",
       // running-peak drawdown — the risk/capacity metric for any
