@@ -975,6 +975,57 @@ object Aggs extends OpModule {
               SELECT c_nationkey, n AS n_customers, $GiniFinishSql
               FROM m ORDER BY c_nationkey""")),
 
+    Op("agg_hhi",
+      // Herfindahl–Hirschman concentration index per nation — THE
+      // antitrust/market-power metric beside agg_gini's inequality
+      // curve (HHI answers "how few players hold the market", Gini
+      // "how unevenly is it spread"): HHI = Σ shareᵢ² over customer
+      // revenue shares. Shares divide exact cents (identical
+      // quotients both engines); the per-nation Σ of up-to-|customers|
+      // share² terms would be association-ordered as doubles, so each
+      // term is 8dp-DECIMAL-quantized and summed EXACTLY (the dsum
+      // discipline at term grain), then rounded once. Two
+      // map-combined aggregates + one broadcast-back join; |nations|
+      // rows out.
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 10)
+        val dec8 = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(18, 8)
+        val rev = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey", "c_custkey")
+          .agg((round(sum(col("o_totalprice").cast(dec)), 2) * 100)
+            .cast("long").as("x"))
+        val tot = rev.groupBy("c_nationkey").agg(sum(col("x")).as("sx"))
+        val q = col("x").cast("double") / col("sx").cast("double")
+        rev.join(broadcast(tot), "c_nationkey")
+          .withColumn("term", round(q * q, 8).cast(dec8))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("term")), 6).cast("double").as("hhi"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH rev AS (
+                SELECT c_nationkey, c_custkey,
+                  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                    * 100 AS BIGINT) AS x
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              tot AS (
+                SELECT c_nationkey, CAST(sum(x) AS BIGINT) AS sx
+                FROM rev GROUP BY 1),
+              t AS (
+                SELECT rev.c_nationkey,
+                  CAST(round((CAST(x AS DOUBLE) / CAST(sx AS DOUBLE))
+                    * (CAST(x AS DOUBLE) / CAST(sx AS DOUBLE)), 8)
+                    AS DECIMAL(18,8)) AS term
+                FROM rev JOIN tot ON rev.c_nationkey = tot.c_nationkey)
+              SELECT c_nationkey, count(*) AS n_customers,
+                CAST(round(sum(term), 6) AS DOUBLE) AS hhi
+              FROM t GROUP BY 1 ORDER BY c_nationkey""")),
+
     Op("agg_benford",
       // Benford first-digit audit (Benford 1938; Nigrini's fraud-
       // detection staple) — fabricated or systematically-rounded

@@ -1161,6 +1161,54 @@ object EventOps extends OpModule {
                 AND t2 = 'purchase'
               ORDER BY view_id""")),
 
+    Op("stream_order_audit",
+      // out-of-order delivery audit — the transport-quality metric an
+      // ordered-broadcast system (meepo's per-key ordering guarantee)
+      // monitors continuously: an INVERSION is an event whose event
+      // time precedes the latest event time already delivered for the
+      // same key (arrival order = log position = event_id). The
+      // running high-water mark is ROWS UNBOUNDED..1 PRECEDING max
+      // over the per-key arrival order (single-pass frame), the flag
+      // an exact timestamp comparison, and the rollup one map-combined
+      // aggregate per event type — plus the max lateness (µs behind
+      // the watermark) that sizes the withWatermark delay the
+      // streaming ops need: this query IS how that config number is
+      // derived from data. One user_id shuffle, |types| output rows.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("hwm_us", max(unix_micros(col("ts"))).over(w))
+          .withColumn("late_us",
+            greatest(col("hwm_us") - unix_micros(col("ts")), lit(0L)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late_us") > 0, 1L).otherwise(0L))
+              .as("n_inversions"),
+            round(sum(when(col("late_us") > 0, 1L).otherwise(0L))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+              .as("inversion_rate"),
+            max(col("late_us")).as("max_late_us"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (
+                SELECT event_type,
+                  greatest(coalesce(
+                    max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                      PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    - epoch_us(CAST(ts AS TIMESTAMP)), 0), 0) AS late_us
+                FROM events)
+              SELECT event_type,
+                count(*) AS n_events,
+                CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_inversions,
+                round(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                  AS inversion_rate,
+                CAST(max(late_us) AS BIGINT) AS max_late_us
+              FROM h GROUP BY 1 ORDER BY event_type""")),
+
     Op("stream_attribution",
       // last-touch conversion attribution — the revenue-accounting
       // query every event-broadcast consumer ends up running: each
