@@ -784,6 +784,31 @@ object PipelineOps extends OpModule {
   private val docTable: (org.apache.spark.sql.SparkSession, String) => DataFrame =
     (s, d) => Tables.documents(s, d)
 
+  /** Shared dataset-card SQL (llm_corpus_card): one multi-aggregate
+    * row fanned to (metric, value) rows. Spliced per engine: the
+    * exact-percentile function name and the whitespace-normalize
+    * expression (Spark regexp_replace is global, DuckDB needs 'g'). */
+  private def corpusCardSql(src: String, quantFn: String,
+      norm: String): String =
+    s"""WITH m AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+            CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+            CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+            CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+            round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+            round($quantFn(n_chars, 0.5), 6) AS p50_chars,
+            round(1e0 - CAST(count(DISTINCT md5(lower(trim($norm))))
+              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS exact_dup_rate
+          FROM $src)
+        SELECT 'exact_dup_rate' AS metric, exact_dup_rate AS value FROM m
+        UNION ALL SELECT 'mean_chars', mean_chars FROM m
+        UNION ALL SELECT 'n_docs', n_docs FROM m
+        UNION ALL SELECT 'n_langs', n_langs FROM m
+        UNION ALL SELECT 'n_sources', n_sources FROM m
+        UNION ALL SELECT 'p50_chars', p50_chars FROM m
+        UNION ALL SELECT 'total_chars', total_chars FROM m
+        ORDER BY metric"""
+
   def ops: Seq[Op] = Seq(
 
     Op("llm_pii_scrub",
@@ -1012,6 +1037,29 @@ object PipelineOps extends OpModule {
               SELECT canonical, count(*) AS n_variants,
                 min(doc_id) AS keeper
               FROM c GROUP BY 1 ORDER BY canonical""")),
+
+    Op("llm_corpus_card",
+      // the DATASET CARD numbers (Gebru et al. "Datasheets for
+      // Datasets" 2018) — the summary block every released training
+      // corpus must publish, as ONE query: corpus size, source/lang
+      // diversity, length distribution (median + mean chars), and
+      // the exact-duplicate rate (distinct normalized-content
+      // digests vs rows — the number that headlines every dedup
+      // paper's before/after table). Long format (metric, value) so
+      // a card renderer consumes it directly. ONE scan: a single
+      // multi-aggregate row fans out to metric rows via UNION ALL of
+      // 1-row selects (no second scan — each leg reads the
+      // aggregated CTE). Determinism: counts exact; total/mean via
+      // exact integer sums + one division; p50 rides the
+      // agg_percentile discipline; dup rate = one division of exact
+      // distinct counts. |metrics| = 7 rows out at any corpus size.
+      (s, d) => {
+        docTable(s, d).createOrReplaceTempView("graft_docs_card")
+        s.sql(corpusCardSql("graft_docs_card", "percentile",
+          "regexp_replace(text, '\\\\s+', ' ')"))
+      },
+      Some(corpusCardSql("documents", "quantile_cont",
+        "regexp_replace(text, '\\s+', ' ', 'g')"))),
 
     Op("llm_pack_sequences",
       (s, d) => packSequences(docTable(s, d), cap = 200, nBuckets = 32)

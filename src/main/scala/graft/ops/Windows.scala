@@ -62,6 +62,22 @@ object Windows extends OpModule {
                ELSE 'none' END AS trend
         FROM z ORDER BY event_type"""
 
+  /** Shared Theil–Sen SQL (win_trend_theilsen): pairwise slopes as
+    * identical doubles, median via the spliced exact-percentile pair
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, 6dp — the
+    * agg_percentile discipline). */
+  private def theilSenSql(daily: String, quantFn: String): String =
+    s"""WITH d AS ($daily),
+        sl AS (
+          SELECT a.event_type,
+            (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE))
+              / (CAST(b.eday AS DOUBLE) - CAST(a.eday AS DOUBLE)) AS slope
+          FROM d a JOIN d b
+            ON a.event_type = b.event_type AND a.eday < b.eday)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+          round($quantFn(slope, 0.5), 6) AS slope_cents_per_day
+        FROM sl GROUP BY 1 ORDER BY event_type"""
+
   override def ops: Seq[Op] = Seq(
 
     Op("win_ranking",
@@ -698,6 +714,38 @@ object Windows extends OpModule {
              CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
                   AS BIGINT) AS x
            FROM events GROUP BY 1, 2"""))),
+
+    Op("win_trend_theilsen",
+      // Theil–Sen slope estimator (Theil 1950 / Sen 1968) — the
+      // robust TREND MAGNITUDE that pairs with win_trend_mk's
+      // existence test (the two are run together in every
+      // environmental/SRE trend toolkit): median of all pairwise
+      // slopes, breakdown point 29% (one bad week can't bend it,
+      // unlike OLS). Slopes are identical doubles on both engines
+      // (int casts + one division); the median rides the
+      // agg_percentile exact-form discipline (6dp rounding absorbs
+      // interpolation ulps). The pair relation is O(|days|²) per
+      // series over the COLLAPSED daily relation — calendar-bounded
+      // (a decade ≈ 6.6M pairs/series), never event-bounded; past
+      // that, the published scale path is sampling pairs, the same
+      // substitution agg_approx_percentile documents.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events_tsen")
+        s.sql(theilSenSql(
+          """SELECT event_type,
+               datediff(CAST(ts AS DATE), DATE '1970-01-01') AS eday,
+               CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
+                    AS BIGINT) AS x
+             FROM graft_events_tsen GROUP BY 1, 2""", "percentile"))
+      },
+      Some(theilSenSql(
+        """SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01',
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS INTEGER) AS eday,
+             CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
+                  AS BIGINT) AS x
+           FROM events GROUP BY 1, 2""", "quantile_cont"))),
 
     Op("win_drawdown",
       // running-peak drawdown — the risk/capacity metric for any
