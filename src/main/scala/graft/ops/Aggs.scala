@@ -975,6 +975,65 @@ object Aggs extends OpModule {
               SELECT c_nationkey, n AS n_customers, $GiniFinishSql
               FROM m ORDER BY c_nationkey""")),
 
+    Op("agg_abc_class",
+      // ABC / Pareto classification — the inventory-management staple
+      // (A-items: the vital few holding 80% of revenue; B: next 15%;
+      // C: the trivial many): parts ranked by exact-cents revenue, a
+      // running cumulative share over the ALREADY-AGGREGATED |parts|
+      // relation (the agg_mode bounded-window rule), class boundaries
+      // on identical doubles, rollup to |classes| rows. Revenue cents
+      // are DECIMAL-accumulated; cumshare = one division per part of
+      // exact longs. Tie-deterministic: (rev desc, partkey) is total.
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 10)
+        val rev = Tables.lineitem(s, d)
+          .groupBy("l_partkey")
+          .agg((round(sum(col("l_extendedprice").cast(dec)), 2) * 100)
+            .cast("long").as("rev_c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rev_c").desc, col("l_partkey").asc)
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val tot = rev.agg(sum(col("rev_c")).as("tot_c"))
+        rev.crossJoin(broadcast(tot))
+          .withColumn("cum_c", sum(col("rev_c")).over(w))
+          .withColumn("cls",
+            when(col("cum_c").cast("double") / col("tot_c").cast("double")
+              <= 0.80, lit("A"))
+              .when(col("cum_c").cast("double") / col("tot_c").cast("double")
+                <= 0.95, lit("B"))
+              .otherwise(lit("C")))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rev_c")).as("rev_cents"))
+          .orderBy("cls")
+      },
+      Some("""WITH rev AS (
+                SELECT l_partkey,
+                  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2)
+                    * 100 AS BIGINT) AS rev_c
+                FROM lineitem GROUP BY 1),
+              t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM rev),
+              r AS (
+                SELECT rev_c, tot_c,
+                  CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_c
+                FROM rev, t),
+              c AS (
+                SELECT rev_c,
+                  CASE WHEN CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE)
+                         <= 0.80 THEN 'A'
+                       WHEN CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE)
+                         <= 0.95 THEN 'B'
+                       ELSE 'C' END AS cls
+                FROM r)
+              SELECT cls, count(*) AS n_parts,
+                CAST(sum(rev_c) AS BIGINT) AS rev_cents
+              FROM c GROUP BY 1 ORDER BY cls""")),
+
     Op("agg_hhi",
       // Herfindahl–Hirschman concentration index per nation — THE
       // antitrust/market-power metric beside agg_gini's inequality

@@ -1038,6 +1038,52 @@ object PipelineOps extends OpModule {
                 min(doc_id) AS keeper
               FROM c GROUP BY 1 ORDER BY canonical""")),
 
+    Op("llm_dedup_priority",
+      // source-priority duplicate resolution — WHICH copy survives
+      // dedup matters as much as dedup itself (keep the curated-
+      // source copy, drop the crawl mirror: the licensing/quality
+      // decision every multi-source corpus makes). Reposts are
+      // PLANTED deterministically (every doc adopts the text of its
+      // 11-block anchor via a self-join on doc_id − doc_id mod 11 —
+      // the pii_scrub planted-fixture discipline, so groups of ~11
+      // exist and the gate proves the resolution picks by priority,
+      // not by accident). Keeper = arg-min over ONE packed order key
+      // (priority·10⁷ + doc_id — the agg_ohlc packing trick), so the
+      // whole resolution is a single hash aggregate keyed by content
+      // digest: at 100 TB this is llm_dedup_exact's shuffle with two
+      // extra scalars of state per group.
+      (s, d) => {
+        val docs = docTable(s, d)
+        val anchors = docs.select(col("doc_id").as("a_id"),
+          col("text").as("a_text"))
+        val planted = docs
+          .withColumn("a_id", col("doc_id") - col("doc_id") % 11)
+          .join(anchors, "a_id")
+        val prio = when(col("source") === "src0", lit(0L))
+          .when(col("source") === "src1", lit(1L)).otherwise(lit(2L))
+        val okey = prio * lit(10000000L) + col("doc_id")
+        planted
+          .groupBy(md5(col("a_text")).as("content_md5"))
+          .agg(count(lit(1)).as("n_copies"),
+            min_by(col("doc_id"), okey).as("keeper_doc"),
+            min_by(col("source"), okey).as("keeper_source"))
+          .orderBy("content_md5")
+      },
+      Some("""WITH a AS (SELECT doc_id AS a_id, text AS a_text
+                         FROM documents),
+              p AS (
+                SELECT d.doc_id, d.source, a.a_text,
+                  (CASE WHEN d.source = 'src0' THEN 0
+                        WHEN d.source = 'src1' THEN 1 ELSE 2 END)
+                    * 10000000 + d.doc_id AS okey
+                FROM documents d
+                JOIN a ON a.a_id = d.doc_id - d.doc_id % 11)
+              SELECT md5(a_text) AS content_md5,
+                count(*) AS n_copies,
+                arg_min(doc_id, okey) AS keeper_doc,
+                arg_min(source, okey) AS keeper_source
+              FROM p GROUP BY 1 ORDER BY content_md5""")),
+
     Op("llm_corpus_card",
       // the DATASET CARD numbers (Gebru et al. "Datasheets for
       // Datasets" 2018) — the summary block every released training
