@@ -297,6 +297,57 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** graft_window_hashes(array<string>, w) → array<struct<h1:bigint,
+  * h2:bigint>>: two independent 64-bit rolling polynomial hashes of
+  * EVERY w-token window of the token array, element i = the window
+  * starting at position i+1 (1-based), empty when there are fewer
+  * than w tokens.
+  *
+  * Exists for the ExactSubstr posting join (`llm_dedup_substring`):
+  * materializing each window as its joined STRING costs ~w·avg_token
+  * bytes per position at build time and again through the posting
+  * shuffle (~136 B/row measured); the two-lane hash carries the same
+  * join semantics in 16 B/row and never allocates the window text.
+  * Window equality on the (h1, h2) pair is equivalent to equality of
+  * the joined string because (a) tokens are whitespace-split so
+  * `array_join(_, " ")` is injective on token sequences, and (b) the
+  * two lanes run byte-distinct functions end to end — different FNV
+  * offsets AND multipliers per token, different splitmix xor tweaks,
+  * different rolling multipliers — so a false pair match is a
+  * simultaneous collision of two independent 64-bit functions
+  * (~2⁻¹²⁸, the same residual the md5-keyed `llm_dedup_canonical`
+  * group key already accepts as exact). Rolling update is O(1) per
+  * position (subtract the leaving token's term via the precomputed
+  * R^(w-1), multiply, add the entering token), so the pass is O(n)
+  * per document regardless of w.
+  */
+case class WindowHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) if w > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_window_hashes requires array<string> and w > 0, got $other w=$w")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.windowHashes(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.windowHashes($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** graft_rpbands(array<double>, r, bands, seed) → array<long>:
   * banded random-hyperplane (sign-random-projection) LSH signature.
   * Bit t of r·bands total bits = sign of the projection of the vector
@@ -686,6 +737,61 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** See [[WindowHashes]]. Per-token base hashes are two byte-level
+    * lanes that differ in offset basis, multiplier, AND splitmix xor
+    * tweak (FNV is affine in its offset — two offsets with one
+    * multiplier would leave the lanes linearly related for equal-
+    * length tokens, collapsing the pair to 64 effective bits); the
+    * window combine is a rolling polynomial mod 2⁶⁴ with a distinct
+    * odd multiplier per lane.
+    */
+  def windowHashes(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val m = n - w + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val t1 = new Array[Long](n)
+    val t2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      val b = if (s == null) Array.emptyByteArray else s.getBytes
+      var h1 = 0xcbf29ce484222325L // FNV-1a offset basis
+      var h2 = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < b.length) {
+        val x = b(j) & 0xffL
+        h1 = (h1 ^ x) * 0x100000001b3L // FNV-1a prime
+        h2 = (h2 ^ x) * 0x9ddfea08eb382d69L
+        j += 1
+      }
+      t1(i) = mix(h1 ^ 0x5851f42d4c957f2dL)
+      t2(i) = mix(h2 ^ 0x14057b7ef767814fL)
+      i += 1
+    }
+    val R1 = 0xd6e8feb86659fd93L
+    val R2 = 0xc2b2ae3d27d4eb4fL
+    var rw1 = 1L
+    var rw2 = 1L
+    var k = 0
+    while (k < w - 1) { rw1 *= R1; rw2 *= R2; k += 1 }
+    val out = new Array[Any](m)
+    var a1 = 0L
+    var a2 = 0L
+    i = 0
+    while (i < w) { a1 = a1 * R1 + t1(i); a2 = a2 * R2 + t2(i); i += 1 }
+    out(0) = new GenericInternalRow(Array[Any](a1, a2))
+    var p = 1
+    while (p < m) {
+      a1 = (a1 - t1(p - 1) * rw1) * R1 + t1(p + w - 1)
+      a2 = (a2 - t2(p - 1) * rw2) * R2 + t2(p + w - 1)
+      out(p) = new GenericInternalRow(Array[Any](a1, a2))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** splitmix64 finalizer — the per-(bit, dim) Rademacher source */
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
@@ -902,6 +1008,13 @@ object VectorKernels {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
         case other => throw new IllegalArgumentException(
           s"graft_winnow_fps w must be a literal integer, got $other")
+      }), "built-in")
+    reg.createOrReplaceTempFunction("graft_window_hashes",
+      exprs => WindowHashes(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_window_hashes w must be a literal integer, got $other")
       }), "built-in")
     reg.createOrReplaceTempFunction("graft_char_ngrams",
       exprs => CharNgrams(exprs(0), exprs(1) match {

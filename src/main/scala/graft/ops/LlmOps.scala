@@ -3250,6 +3250,20 @@ object LlmOps extends OpModule {
       // convention): every clone shares its full remaining run with
       // its source, so max_run must reach the clone's length. Fully
       // oracled: DuckDB computes the identical windows/join/islands.
+      //
+      // r16: the posting rows carry the window as the graft_window_
+      // hashes 128-bit pair (16 B) instead of the joined 20-token
+      // STRING (~120 B measured) — the r15 verdict's named fix for
+      // the registry's heaviest constant factor. Window equality ⇔
+      // (h1, h2) equality up to a simultaneous collision of two
+      // independent 64-bit lanes (~2⁻¹²⁸ — the residual the md5
+      // group key in llm_dedup_canonical already accepts as exact;
+      // the oracle keeps joining the real strings, so the hash gate
+      // PROVES the equivalence on every run). NOTE the r15 two-stage
+      // variant (hash candidates → per-pair token-slice confirm) was
+      // measured WORSE (x64 warm 14.1 → 27.5 s: confirm joins ship
+      // doc-grain token arrays through two SMJs) — this is the
+      // single-join form, just with a 6× narrower shuffle row.
       (s, d) => {
         val w = 20
         val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -3259,21 +3273,22 @@ object LlmOps extends OpModule {
           concat_ws(" ", slice(toks, lit(2), size(toks))).as("text"))
         val all = docs.unionByName(clones)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-        val wins = all.select(col("doc_id"), posexplode(expr(
-          s"""CASE WHEN size(toks) >= $w
-                THEN transform(sequence(1, size(toks) - ${w - 1}),
-                       i -> array_join(slice(toks, i, $w), ' '))
-                ELSE array() END""")))
-          .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("win"))
+        val winHashes = org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.functions.WindowHashes(
+            org.apache.spark.sql.graftbridge.Bridge.expr(col("toks")), w))
+        val wins = all.select(col("doc_id"), posexplode(winHashes))
+          .select(col("doc_id"), (col("pos") + 1).as("p"),
+            col("col.h1").as("h1"), col("col.h2").as("h2"))
         val sized = Scale.sizedShuffle(docs)
         val a = Scale.shuffleSized(sized, wins.select(
-          col("doc_id").as("doc_a"), col("p").as("pa"), col("win")),
-          col("win"))
+          col("doc_id").as("doc_a"), col("p").as("pa"),
+          col("h1"), col("h2")), col("h1"))
         val b = Scale.shuffleSized(sized, wins.select(
           col("doc_id").as("doc_b"), col("p").as("pb"),
-          col("win").as("win_b")), col("win_b"))
+          col("h1").as("h1_b"), col("h2").as("h2_b")), col("h1_b"))
         val matched = a.join(b,
-            col("win") === col("win_b") && col("doc_a") < col("doc_b"))
+            col("h1") === col("h1_b") && col("h2") === col("h2_b") &&
+              col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
             (col("pa") - col("pb")).as("diag"))
         val wi = org.apache.spark.sql.expressions.Window
