@@ -93,10 +93,16 @@ object Aggs extends OpModule {
     */
   private[graft] def requireExactAggSafe(df: org.apache.spark.sql.DataFrame,
       op: String, substitute: String): org.apache.spark.sql.DataFrame = {
+    // ceiling overridable via session conf so the wiring (not just
+    // this helper) is testable: a spec can set a 1-byte ceiling and
+    // assert the REGISTERED op refuses with the substitute's name
+    val ceiling = df.sparkSession.conf
+      .get("graft.exactAgg.maxInputBytes", MaxExactAggInputBytes.toString)
+      .toLong
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    require(est <= MaxExactAggInputBytes,
+    require(est <= ceiling,
       s"$op buffers whole groups in aggregation state; estimated input " +
-        s"$est B exceeds ${MaxExactAggInputBytes} B — use $substitute " +
+        s"$est B exceeds ${ceiling} B — use $substitute " +
         "(bounded-state sketch) at this scale")
     df
   }
@@ -984,10 +990,17 @@ object Aggs extends OpModule {
       // on identical doubles, rollup to |classes| rows. Revenue cents
       // are DECIMAL-accumulated; cumshare = one division per part of
       // exact longs. Tie-deterministic: (rev desc, partkey) is total.
+      // The ranked cumshare is a GLOBAL window over |parts| — a
+      // single-partition sort, so the same requireExactAggSafe gate
+      // that bounds the equidepth/percentile exact forms bounds this
+      // one (catalog-bounded today; the sketch path at scale is
+      // agg_histogram_equidepth_approx cut points on rev_c + a
+      // map-side class assignment).
       (s, d) => {
         val dec = org.apache.spark.sql.types.DataTypes
           .createDecimalType(38, 10)
-        val rev = Tables.lineitem(s, d)
+        val rev = requireExactAggSafe(Tables.lineitem(s, d),
+            "agg_abc_class", "agg_histogram_equidepth_approx")
           .groupBy("l_partkey")
           .agg((round(sum(col("l_extendedprice").cast(dec)), 2) * 100)
             .cast("long").as("rev_c"))

@@ -2710,22 +2710,54 @@ object LlmOps extends OpModule {
       // content-hash (md5 of normalized text — stable across runs,
       // engines, and partitionings; byte-identical dups are adjacent
       // so a budget boundary never splits them apart arbitrarily),
-      // running token cumsum per lang (one window over the lang
-      // partition), keep while cum ≤ budget. At 100 TB the cumsum
-      // window shuffles once on lang — and a skewed giant lang
-      // partitions further by hash prefix with per-prefix subtotals
-      // (the two-level cumsum), which this declarative form hands to
-      // the optimizer unchanged.
+      // running token cumsum per lang, keep while cum ≤ budget.
+      // TWO-LEVEL cumsum, because a 90%-English 100 TB corpus makes
+      // `Window.partitionBy(lang)` a single ~90 TB task: each lang is
+      // split 4096 ways by the first 3 hex chars of the SAME ordering
+      // hash k (a string prefix, so (pfx, k, doc_id) order ≡ the
+      // global (k, doc_id) order per lang). Level 1 cumsums within
+      // (lang, pfx) — the largest per-task sort is corpus/4096.
+      // Level 2 computes per-prefix token totals straight off the
+      // base projection with a MAP-SIDE-COMBINED sum (each scan task
+      // emits ≤4096·|langs| partial rows, so its shuffle is bytes,
+      // not data), offsets them with an EXCLUSIVE running sum over
+      // the ≤4096 prefixes of each lang (a |langs|×4096-row bounded
+      // window — the agg_mode rule), and broadcasts the tiny offset
+      // relation back. cum_toks = offset + within-prefix cum,
+      // exactly the single-window value. The trade is a second scan
+      // of the text (re-md5'd for pfx) versus the old plan's
+      // single-task ~whole-corpus sort; a production run caches the
+      // ~50 B/row base projection to drop the rescan too.
       (s, d) => {
         val budget = 2000L
         val nt = size(tokens(col("text")))
         val base = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), nt.as("n_toks"),
             md5(normText(col("text"))).as("k"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy("k", "doc_id")
+          .withColumn("pfx", substring(col("k"), 1, 3))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "pfx").orderBy("k", "doc_id")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        base.withColumn("cum_toks", sum(col("n_toks").cast("long")).over(w))
+        val wOff = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("pfx")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val cumIn = base.withColumn("cum_in",
+          sum(col("n_toks").cast("long")).over(wIn))
+        val offsets = base.groupBy("lang", "pfx")
+          .agg(sum(col("n_toks").cast("long")).as("pfx_toks"))
+          .withColumn("off_toks",
+            coalesce(sum(col("pfx_toks")).over(wOff), lit(0L)))
+          .select(col("lang").as("o_lang"), col("pfx").as("o_pfx"),
+            col("off_toks"))
+        // null-SAFE key equality: (a) a null lang stays one group,
+        // exactly as the single window treated it; (b) no asymmetric
+        // IsNotNull pushdown into just one lane, so the two subtrees
+        // under the (lang, pfx) exchange stay canonically identical
+        // and AQE reuses ONE scan+window for both (ReusedExchange —
+        // the text is read and md5'd once)
+        cumIn.join(broadcast(offsets),
+            col("lang") <=> col("o_lang") && col("pfx") <=> col("o_pfx"))
+          .withColumn("cum_toks", col("off_toks") + col("cum_in"))
           .filter(col("cum_toks") <= budget)
           .select("doc_id", "lang", "n_toks", "cum_toks")
           .orderBy("lang", "cum_toks", "doc_id")

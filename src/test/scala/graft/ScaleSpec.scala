@@ -345,6 +345,20 @@ class ScaleSpec extends SparkSpec {
         nProbes = LlmOps.MaxBruteForceProbes + 1, topK = 10)
     }
     assert(e2.getMessage.contains("simSearchIvf"))
+    // agg_abc_class WIRING (not just the helper): under a 1-byte
+    // ceiling the REGISTERED op must refuse its global ranked window
+    // and name the sketch path. Conf override, restored afterwards.
+    spark.conf.set("graft.exactAgg.maxInputBytes", "1")
+    try {
+      val e3 = intercept[IllegalArgumentException] {
+        SparkEntry.queries("agg_abc_class")(spark, sf001)
+      }
+      assert(e3.getMessage.contains("agg_abc_class") &&
+        e3.getMessage.contains("agg_histogram_equidepth_approx"))
+    } finally spark.conf.unset("graft.exactAgg.maxInputBytes")
+    // and at catalog scale the guard passes: plan builds clean
+    assert(SparkEntry.queries("agg_abc_class")(spark, sf001).columns
+      .contains("cls"))
   }
 
   test("partition-sizing law: no-op at oracle scale, sized at soak scale") {
