@@ -1252,7 +1252,17 @@ object LlmOps extends OpModule {
         // identityHashCode, and never aliases another live session's
         // cached assignment
         val key = s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(emb.sparkSession)}|$k|c$nCentroids"
-        ivfCache.getOrElseUpdate(key, build(persist = true))
+        val hit = ivfCache.contains(key)
+        val idx = ivfCache.getOrElseUpdate(key, build(persist = true))
+        // stderr, not stdout (Bench's stdout is one parsed JSON line):
+        // the same memo discipline as the ivf_append base-index line —
+        // a bench capture can tell "memo missed → this run paid the
+        // centroid train + assignment" from "box slow" (VERDICT r16 #6:
+        // llm_simsearch's r15 warm-inversion cost a verdict cycle to
+        // exactly this question)
+        Console.err.println(s"graft: ivf index memo " +
+          s"${if (hit) "HIT" else "MISS (built this run)"} key=$k|c$nCentroids")
+        idx
       case None => build(persist = false)
     }
   }

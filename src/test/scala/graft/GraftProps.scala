@@ -146,4 +146,52 @@ object GraftProps extends Properties("graft") {
       got == want
     }
   }
+
+  property("window_hashes: (h1,h2) pair equality == w-token window equality") = {
+    // the llm_dedup_substring posting key (VectorExprs.WindowHashes):
+    // equality of the two-lane 128-bit rolling hash must coincide
+    // with equality of the underlying w-token window — ACROSS all
+    // window pairs of two documents, including the rolling
+    // recurrence's subtract-high-term path (every position past 0).
+    // Tiny alphabet + a dropped-prefix twin force genuine equal
+    // windows at every offset; any lane-combine bug (the affine-FNV
+    // collapse the kernel's comment warns about) shows up as a
+    // false positive here, a rolling-update bug as a false negative.
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    def wins(ts: List[String], w: Int): Vector[(Long, Long)] = {
+      val arr = new GenericArrayData(
+        ts.map(t => UTF8String.fromString(t): Any).toArray)
+      val out = graft.functions.VectorKernels.windowHashes(arr, w)
+      (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }.toVector
+    }
+    val genToks = for {
+      n <- Gen.choose(0, 24)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba", "aa", "x"))
+    } yield ts
+    val genCase = Gen.zip(genToks, genToks, Gen.choose(0, 8), Gen.choose(1, 5))
+    def holds(ta: List[String], tOther: List[String], k: Int, w: Int): Boolean = {
+      // twin shares every window of ta past position k (run overlap)
+      val tb = ta.drop(k) ++ tOther
+      val (ha, hb) = (wins(ta, w), wins(tb, w))
+      val (sa, sb) = (ta.sliding(w).filter(_.size == w).toVector,
+        tb.sliding(w).filter(_.size == w).toVector)
+      val shapeOk = ha.size == math.max(0, ta.size - w + 1) &&
+        hb.size == math.max(0, tb.size - w + 1) &&
+        ha.size == sa.size && hb.size == sb.size
+      val crossOk = (0 until ha.size).forall(i => (0 until hb.size)
+        .forall(j => (ha(i) == hb(j)) == (sa(i) == sb(j))))
+      val selfOk = (0 until ha.size).forall(i => (0 until ha.size)
+        .forall(j => (ha(i) == ha(j)) == (sa(i) == sa(j))))
+      shapeOk && crossOk && selfOk
+    }
+    // pure-JVM kernel, so unlike the Spark-job properties above the
+    // global 8-sample budget is nowhere near enough — batch 200
+    // cases per sample (1600 total, ~10⁵ window pairs)
+    Prop.forAllNoShrink(Gen.listOfN(200, genCase)) { cases =>
+      cases.forall { case (ta, tOther, k, w) => holds(ta, tOther, k, w) }
+    }
+  }
 }
