@@ -562,4 +562,30 @@ class PlanSpec extends SparkSpec {
     assert(sg.contains("Generate"),
       s"3x3 neighborhood replication (explode) missing:\n$sg")
   }
+
+  test("graph_reachability: stage floor pinned — sized BFS exchanges only, bounded count") {
+    // VERDICT r16 #4: the ~1.2-1.5 s local[32] floor is ~10 dependent
+    // micro-stages of LATENCY (4 sequential BFS levels), not data
+    // volume — folding levels would need the 2-hop closure the op
+    // deliberately avoids. Pin the shape instead so load-inflated
+    // captures stop reading as regressions: every BFS shuffle is the
+    // explicit frontier-sized repartition (REPARTITION_BY_NUM — the
+    // per-level distinct RIDES it, so EnsureRequirements inserts no
+    // second exchange on node), and the total shuffle-exchange count
+    // in the final adaptive plan stays at the r15-trimmed bound
+    // (4 levels + edge side + final min-hop + 2 in the cached edge
+    // derivation). BASELINE.md records the floor.
+    val rb = planOf("graph_reachability")
+    val rbFinal = rb.split("== Initial Plan ==")(0)
+    assert(!rbFinal.contains("Exchange hashpartitioning(node"),
+      s"per-level distinct stopped riding the sized repartition:\n$rb")
+    val nShuffle = "Exchange (hashpartitioning|SinglePartition|RoundRobinPartitioning)".r
+      .findAllIn(rbFinal).size
+    assert(nShuffle <= 8,
+      s"BFS shuffle-exchange count grew past the pinned bound ($nShuffle > 8):\n$rb")
+    // ≥ 3, not 4: AQE's exchange reuse collapses one level's
+    // identical repartition subplan into a ReusedExchange
+    assert("REPARTITION_BY_NUM".r.findAllIn(rbFinal).size >= 3,
+      s"frontier-sized repartitions missing (sizing law disengaged?):\n$rb")
+  }
 }
