@@ -563,6 +563,22 @@ class PlanSpec extends SparkSpec {
       s"3x3 neighborhood replication (explode) missing:\n$sg")
   }
 
+  test("join_tolerance_asof: both custom-planner tiers in ONE plan — rule bucket join + native as-of exec") {
+    // VERDICT r16 #8: the Rule[LogicalPlan] tier (ToleranceJoinRule's
+    // 3-bucket Generate + bucket equi-join) and the strategy/SparkPlan
+    // tier (AsOfJoinExec) must compose in a single query plan, with
+    // no nested-loop product anywhere (the naive tolerance stage
+    // would otherwise plan one)
+    val ta = planOf("join_tolerance_asof")
+    assert(ta.contains("AsOfJoin"),
+      s"native as-of exec missing from the composed plan:\n$ta")
+    assert(ta.contains("Generate"),
+      s"tolerance bucket explode missing (rule did not fire):\n$ta")
+    assert(!ta.contains("CartesianProduct") &&
+      !ta.contains("BroadcastNestedLoopJoin"),
+      s"composed plan degenerated to a product:\n$ta")
+  }
+
   test("graph_reachability: stage floor pinned — sized BFS exchanges only, bounded count") {
     // VERDICT r16 #4: the ~1.2-1.5 s local[32] floor is ~10 dependent
     // micro-stages of LATENCY (4 sequential BFS levels), not data
