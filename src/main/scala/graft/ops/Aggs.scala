@@ -993,14 +993,14 @@ object Aggs extends OpModule {
       // The ranked cumshare is a GLOBAL window over |parts| — a
       // single-partition sort, so the same requireExactAggSafe gate
       // that bounds the equidepth/percentile exact forms bounds this
-      // one (catalog-bounded today; the sketch path at scale is
-      // agg_histogram_equidepth_approx cut points on rev_c + a
-      // map-side class assignment).
+      // one (catalog-bounded today; the registered sketch path at
+      // scale is agg_abc_class_approx — bounded log-bucket revenue
+      // quantiles + a map-side class assignment).
       (s, d) => {
         val dec = org.apache.spark.sql.types.DataTypes
           .createDecimalType(38, 10)
         val rev = requireExactAggSafe(Tables.lineitem(s, d),
-            "agg_abc_class", "agg_histogram_equidepth_approx")
+            "agg_abc_class", "agg_abc_class_approx")
           .groupBy("l_partkey")
           .agg((round(sum(col("l_extendedprice").cast(dec)), 2) * 100)
             .cast("long").as("rev_c"))
@@ -1046,6 +1046,62 @@ object Aggs extends OpModule {
               SELECT cls, count(*) AS n_parts,
                 CAST(sum(rev_c) AS BIGINT) AS rev_cents
               FROM c GROUP BY 1 ORDER BY cls""")),
+
+    Op("agg_abc_class_approx",
+      // the 100 TB ABC classification (the scale-safe sibling
+      // agg_abc_class's gate names): the exact form's global ranked
+      // window is replaced by a BOUNDED-STATE revenue-weighted
+      // quantile sketch — sub-octave log buckets on rev_c built with
+      // PURE BIT ARITHMETIC (bucket = bitlen·16 + next-4-bits, the
+      // agg_histogram_log2 no-libm discipline; ≤ ~4.4% relative value
+      // granularity, ≤ 64·16 = 1024 buckets for any long), per-bucket
+      // (n, sum) map-side combined, a running desc cumsum over the
+      // ≤1024-row bucket relation (bounded window — the agg_mode
+      // rule, NOT a corpus window), threshold buckets kA/kB = the
+      // crossing buckets for 80%/95% of total revenue, broadcast as
+      // one row, and a map-side classify against them. The crossing
+      // bucket is assigned WHOLLY to the higher class, so
+      // share(A) ≥ 0.80 by construction and exceeds it by at most the
+      // crossing bucket's share — OperatorSpec pins this against the
+      // exact form at sf0.1. Not oracleable: the bucket-granularity
+      // boundary is engine-specific by design (the equidepth_approx
+      // precedent).
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DataTypes
+          .createDecimalType(38, 10)
+        val rev = Tables.lineitem(s, d)
+          .groupBy("l_partkey")
+          .agg((round(sum(col("l_extendedprice").cast(dec)), 2) * 100)
+            .cast("long").as("rev_c"))
+        val keyed = rev.withColumn("k", expr(
+          "CAST(length(bin(rev_c)) * 16 + " +
+            "(shiftright(rev_c, greatest(0, length(bin(rev_c)) - 5)) & 15)" +
+            " AS INT)"))
+        val hist = keyed.groupBy("k").agg(sum(col("rev_c")).as("s"))
+        val wDesc = org.apache.spark.sql.expressions.Window
+          .orderBy(col("k").desc)
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val tot = hist.agg(sum(col("s")).as("tot_c"))
+        val cuts = hist.crossJoin(broadcast(tot))
+          .withColumn("cum", sum(col("s")).over(wDesc))
+          .agg(
+            max(when(col("cum").cast("double") >=
+              col("tot_c").cast("double") * 0.80, col("k"))).as("kA"),
+            max(when(col("cum").cast("double") >=
+              col("tot_c").cast("double") * 0.95, col("k"))).as("kB"))
+        keyed.crossJoin(broadcast(cuts))
+          .withColumn("cls",
+            when(col("k") >= col("kA"), lit("A"))
+              .when(col("k") >= col("kB"), lit("B"))
+              .otherwise(lit("C")))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("rev_c")).as("rev_cents"))
+          .orderBy("cls")
+      },
+      None),
 
     Op("agg_hhi",
       // Herfindahl–Hirschman concentration index per nation — THE

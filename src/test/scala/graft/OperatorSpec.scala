@@ -169,6 +169,40 @@ class OperatorSpec extends SparkSpec {
       "approx equidepth must not plan a (global-sort) window")
   }
 
+  test("agg_abc_class_approx tracks the exact ABC classification") {
+    def byCls(name: String) = SparkEntry.queries(name)(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap.withDefaultValue((0L, 0L))
+    val approx = byCls("agg_abc_class_approx")
+    val exact = byCls("agg_abc_class")
+    // conservation: every part lands in exactly one class, all cents
+    // accounted for
+    assert(approx.values.map(_._1).sum == exact.values.map(_._1).sum)
+    assert(approx.values.map(_._2).sum == exact.values.map(_._2).sum)
+    val totR = exact.values.map(_._2).sum.toDouble
+    // the crossing bucket goes wholly to the higher class, so the A
+    // revenue share is >= 0.80 BY CONSTRUCTION and exceeds it by at
+    // most one sub-octave bucket's share
+    val shareA = approx("A")._2 / totR
+    assert(shareA >= 0.80 && shareA <= 0.88, s"A share $shareA")
+    val shareAB = (approx("A")._2 + approx("B")._2) / totR
+    assert(shareAB >= 0.95 && shareAB <= 0.99, s"A+B share $shareAB")
+    // per-class part counts near the exact split
+    Seq("A", "B", "C").foreach { c =>
+      val (na, _) = approx(c); val (ne, _) = exact(c)
+      assert(math.abs(na - ne) <= math.max(5L, (ne * 0.25).toLong),
+        s"class $c: approx $na vs exact $ne parts")
+    }
+    // scale plan shape: the only window is over the bounded bucket
+    // relation — the corpus-wide ranked window must be gone. The
+    // final classify joins broadcast thresholds.
+    val plan = SparkEntry.queries("agg_abc_class_approx")(spark, sf01)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(l_partkey") &&
+      !plan.contains("row_number"),
+      "approx ABC must not rank the parts relation")
+  }
+
   test("agg_mad_anomaly_approx flags nearly the same rows as the exact MAD") {
     val approx = SparkEntry.queries("agg_mad_anomaly_approx")(spark, sf01)
       .collect().map(_.getLong(0)).toSet

@@ -354,7 +354,7 @@ class ScaleSpec extends SparkSpec {
         SparkEntry.queries("agg_abc_class")(spark, sf001)
       }
       assert(e3.getMessage.contains("agg_abc_class") &&
-        e3.getMessage.contains("agg_histogram_equidepth_approx"))
+        e3.getMessage.contains("agg_abc_class_approx"))
     } finally spark.conf.unset("graft.exactAgg.maxInputBytes")
     // and at catalog scale the guard passes: plan builds clean
     assert(SparkEntry.queries("agg_abc_class")(spark, sf001).columns
