@@ -312,6 +312,58 @@ object EventOps extends OpModule {
               FROM r WHERE rn = 1 AND op <> 'D'
               ORDER BY user_id""")),
 
+    Op("cdc_build_scd2",
+      // changelog → SCD2 dimension HISTORY — the other direction from
+      // join_scd2 (which consumes an existing effective-dated
+      // dimension): replication lands a stream of I/U/D changes, and
+      // the warehouse wants the full type-2 table — one row per
+      // (key, version) with [valid_from, valid_to) intervals, the
+      // open version flagged current. Each non-delete change opens a
+      // version; the NEXT change of the same key (any op, deletes
+      // included) closes it — so valid_to is one lead() over the
+      // per-key change sequence ordered by (ts, position), computed
+      // BEFORE deletes are dropped (a delete contributes its
+      // timestamp as the predecessor's close, then emits no row).
+      // One shuffle on the pk; per-key window state is that key's
+      // history (the CDC-grain bound, same shape as cdc_apply_upsert).
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val env = e.select(col("event_id").as("position"),
+          col("user_id").as("pk"), col("ts").as("tts"),
+          when(col("event_type") === "signup", lit("I"))
+            .when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("value"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("pk").orderBy("tts", "position")
+        env.withColumn("next_us", unix_micros(lead(col("tts"), 1).over(w)))
+          .filter(col("op") =!= "D")
+          .select(col("pk").as("user_id"), col("position"), col("op"),
+            unix_micros(col("tts")).as("valid_from_us"),
+            col("next_us").as("valid_to_us"),
+            col("next_us").isNull.as("is_current"),
+            col("value"))
+          .orderBy("user_id", "valid_from_us", "position")
+      },
+      Some("""WITH env AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       ELSE 'U' END AS op,
+                  value
+                FROM events),
+              v AS (
+                SELECT *, epoch_us(lead(tts) OVER (PARTITION BY pk
+                  ORDER BY tts, position)) AS next_us
+                FROM env)
+              SELECT pk AS user_id, position, op,
+                epoch_us(tts) AS valid_from_us,
+                next_us AS valid_to_us,
+                next_us IS NULL AS is_current, value
+              FROM v WHERE op <> 'D'
+              ORDER BY user_id, valid_from_us, position""")),
+
     Op("cdc_table_diff",
       // the OTHER half of replication validation next to
       // table_checksum: when the digests disagree, this op names the
@@ -769,6 +821,94 @@ object EventOps extends OpModule {
              CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
                   AS BIGINT) AS x
            FROM events GROUP BY 1, 2"""))),
+
+    Op("stream_rfm",
+      // RFM segmentation (recency / frequency / monetary) over the
+      // purchase stream — the marketing-analytics staple beside the
+      // retention cohort: who buys recently, often, and big. Scores
+      // use FIXED published boundaries (a CASE ladder), not quantile
+      // ranks: the textbook quintile form is a global ntile — exactly
+      // the single-partition window the equidepth gate exists for —
+      // and fixed boundaries are what production scorecards deploy
+      // anyway (stable across refreshes; ranks reshuffle every run).
+      // Recency in exact epoch-day ints against the corpus max day
+      // (1-row broadcast scalar); monetary is dsum-deterministic.
+      // One map-combined groupBy on user, then pure map scoring —
+      // nothing wider than |buyers| crosses a shuffle at any scale.
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"),
+              to_date(lit("1970-01-01"))).as("eday"),
+            col("value"))
+        val agg = p.groupBy("user_id")
+          .agg(max(col("eday")).as("u_eday"),
+            count(lit(1)).as("n_purch"),
+            dsum(col("value")).as("monetary"))
+        val mx = p.agg(max(col("eday")).as("mx"))
+        agg.crossJoin(broadcast(mx))
+          .withColumn("rec_days", (col("mx") - col("u_eday")).cast("int"))
+          .withColumn("r_score",
+            when(col("rec_days") <= 1, 3).when(col("rec_days") <= 4, 2)
+              .otherwise(1))
+          .withColumn("f_score",
+            when(col("n_purch") >= 16, 3).when(col("n_purch") >= 10, 2)
+              .otherwise(1))
+          .withColumn("m_score",
+            when(col("monetary") >= 800.0, 3)
+              .when(col("monetary") >= 400.0, 2).otherwise(1))
+          .withColumn("rfm",
+            (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+              .cast("int"))
+          .withColumn("segment",
+            when(col("rfm") === 333, lit("champion"))
+              .when(col("r_score") === 3 && col("f_score") >= 2,
+                lit("loyal"))
+              .when(col("r_score") === 1 && col("f_score") >= 2,
+                lit("at_risk"))
+              .when(col("r_score") === 1, lit("lost"))
+              .otherwise(lit("regular")))
+          .select("user_id", "rec_days", "n_purch", "monetary",
+            "r_score", "f_score", "m_score", "rfm", "segment")
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (
+                SELECT user_id,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS eday,
+                  value
+                FROM events WHERE event_type = 'purchase'),
+              a AS (
+                SELECT user_id, max(eday) AS u_eday,
+                  count(*) AS n_purch,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE)
+                    AS monetary
+                FROM p GROUP BY user_id),
+              m AS (SELECT max(eday) AS mx FROM p),
+              sc AS (
+                SELECT a.user_id, CAST(m.mx - a.u_eday AS INTEGER)
+                    AS rec_days,
+                  a.n_purch, a.monetary,
+                  CASE WHEN m.mx - a.u_eday <= 1 THEN 3
+                       WHEN m.mx - a.u_eday <= 4 THEN 2 ELSE 1 END
+                    AS r_score,
+                  CASE WHEN a.n_purch >= 16 THEN 3
+                       WHEN a.n_purch >= 10 THEN 2 ELSE 1 END AS f_score,
+                  CASE WHEN a.monetary >= 800.0 THEN 3
+                       WHEN a.monetary >= 400.0 THEN 2 ELSE 1 END AS m_score
+                FROM a, m)
+              SELECT user_id, rec_days, n_purch, monetary,
+                r_score, f_score, m_score,
+                CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER)
+                  AS rfm,
+                CASE WHEN r_score * 100 + f_score * 10 + m_score = 333
+                       THEN 'champion'
+                     WHEN r_score = 3 AND f_score >= 2 THEN 'loyal'
+                     WHEN r_score = 1 AND f_score >= 2 THEN 'at_risk'
+                     WHEN r_score = 1 THEN 'lost'
+                     ELSE 'regular' END AS segment
+              FROM sc ORDER BY user_id""")),
 
     Op("stream_retention_cohort",
       // weekly retention cohorts — the OTHER product-analytics staple

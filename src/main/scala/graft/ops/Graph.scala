@@ -172,6 +172,21 @@ object GraphOps extends OpModule {
     }
   }
 
+  /** Session-scoped memo of the supplier-graph component labels —
+    * the [[kcoreCache]] pattern: CC is a multi-round iterative build
+    * whose label table is the reusable artifact. */
+  private val ccLabelCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Evict this session's memoized component-label tables. */
+  def evictCcLabelCache(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prefix =
+      s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}|cc|"
+    ccLabelCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      ccLabelCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Evict this session's memoized edge lists. */
   def evictTriCache(spark: org.apache.spark.sql.SparkSession): Unit = {
     val prefix =
@@ -643,6 +658,64 @@ object GraphOps extends OpModule {
                      JOIN a2 y ON u.dst = y.node
                      GROUP BY 1 HAVING count(*) >= 3)
               SELECT node, deg FROM a3 ORDER BY node""")),
+
+    Op("graph_cc",
+      // connected components over the supplier support graph — the
+      // graph-family registration of the CC machinery that powers
+      // llm_dedup_clusters (min-label propagation with the
+      // star-contraction fallback, Pipeline.connectedComponents):
+      // until now CC sat under the hash gate only via the dedup pair
+      // set; this keys it on a REAL co-occurrence graph. Every
+      // supplier is labeled — isolated suppliers become their own
+      // singleton component via the left join (the general contract;
+      // component = min member id, the canonical-label convention) —
+      // and component_size is a component-KEYED window over the
+      // catalog-bounded supplier relation (partitioned, never
+      // global). Labels memoized per (session, corpus) like the
+      // rank/edge/membership tables; the oracle is the recursive
+      // min-label closure.
+      (s, d) => {
+        val key =
+          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|cc|$d"
+        val lbl = key.intern.synchronized(ccLabelCache.getOrElseUpdate(key, {
+          val pairs = supportEdges(s, d)
+            .select(col("s1").as("doc_a"), col("s2").as("doc_b"))
+          val (labels, handle) =
+            PipelineOps.connectedComponentsWithHandle(pairs)
+          val r = labels.persist()
+          r.count()
+          handle.unpersist(blocking = false)
+          r
+        }))
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy("component")
+        Tables.supplier(s, d)
+          .select(col("s_suppkey").cast("long").as("node"))
+          .join(lbl, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("lbl"), col("node")).as("component"))
+          .withColumn("component_size", count(lit(1)).over(wc))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE
+              p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+              e AS (SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+                    FROM p a JOIN p b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_suppkey < b.l_suppkey
+                    GROUP BY 1, 2 HAVING count(*) >= 6),
+              ud AS (SELECT s1 AS src, s2 AS dst FROM e
+                     UNION ALL SELECT s2, s1 FROM e),
+              n AS (SELECT CAST(s_suppkey AS BIGINT) AS node FROM supplier),
+              reach(node, lbl) AS (
+                SELECT node, node FROM n
+                UNION
+                SELECT ud.src, r.lbl FROM ud JOIN reach r ON r.node = ud.dst),
+              c AS (SELECT node, min(lbl) AS component
+                    FROM reach GROUP BY node)
+              SELECT node, component,
+                count(*) OVER (PARTITION BY component) AS component_size
+              FROM c ORDER BY node""")),
 
     Op("graph_common_neighbors",
       // common-neighbor link prediction over the same sparse part

@@ -414,6 +414,75 @@ object Windows extends OpModule {
                 lt[1] + lt[2] AS forecast_next
               FROM r ORDER BY event_type""")),
 
+    Op("win_rsi",
+      // Wilder's Relative Strength Index (RSI, 1978) over each event
+      // type's daily-total series — the bounded [0,100] momentum
+      // oscillator that completes the finance-window family beside
+      // bollinger/drawdown/ohlc: smoothed average gain vs smoothed
+      // average loss of the day-over-day deltas, RSI = 100 −
+      // 100/(1+RS). Wilder smoothing IS an EWMA with α = 1/14
+      // (avg' = (13·avg + x)/14), here seeded at zero (the init-less
+      // fold variant; Wilder's 14-day SMA seed converges to the same
+      // recursion and a seed choice is a convention, not a
+      // correctness axis — both engines run the SAME one). A
+      // THREE-state recursive fold ([prev, avgGain, avgLoss] — the
+      // delta needs the previous value), so the win_holt pair trick
+      // extends to triples: elements mapped to [x, 0, 0], the first
+      // element is the textbook init (prev=x₀, avgs 0), deltas via
+      // greatest(±(x−prev), 0) inlined, constants in exponent form.
+      // avgLoss = 0 (monotone non-decreasing series) → RSI 100 by
+      // the standard convention, as a CASE both engines share.
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast("date"),
+              to_date(lit("1970-01-01"))).as("eday"))
+          .agg(dsum(col("value")).as("v"))
+        daily.groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("eday"), col("v"))))
+            .as("xs"))
+          .select(col("event_type"),
+            expr("transform(xs, x -> array(x.v, 0e0, 0e0))").as("vs"))
+          .select(col("event_type"), size(col("vs")).as("n_days"),
+            expr("""aggregate(slice(vs, 2, size(vs)),
+                    element_at(vs, 1),
+                    (acc, e) -> array(
+                      e[0],
+                      (acc[1] * 13e0 + greatest(e[0] - acc[0], 0e0)) / 14e0,
+                      (acc[2] * 13e0 + greatest(acc[0] - e[0], 0e0)) / 14e0))""")
+              .as("r"))
+          .select(col("event_type"), col("n_days"),
+            col("r")(1).as("avg_gain"), col("r")(2).as("avg_loss"),
+            expr("""CASE WHEN r[2] = 0e0 THEN 1e2
+                    ELSE 1e2 - 1e2 / (1e0 + r[1] / r[2]) END""").as("rsi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS eday,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE)
+                    AS v
+                FROM events GROUP BY 1, 2),
+              s AS (
+                SELECT event_type,
+                  list_transform(list(v ORDER BY eday),
+                    x -> [x, 0e0, 0e0]) AS vs
+                FROM daily GROUP BY event_type),
+              r AS (
+                SELECT event_type, len(vs) AS n_days,
+                  list_reduce(vs, (acc, e) -> [
+                    e[1],
+                    (acc[2] * 13e0 + greatest(e[1] - acc[1], 0e0)) / 14e0,
+                    (acc[3] * 13e0 + greatest(acc[1] - e[1], 0e0)) / 14e0])
+                    AS rr
+                FROM s)
+              SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+                rr[2] AS avg_gain, rr[3] AS avg_loss,
+                CASE WHEN rr[3] = 0e0 THEN 1e2
+                     ELSE 1e2 - 1e2 / (1e0 + rr[2] / rr[3]) END AS rsi
+              FROM r ORDER BY event_type""")),
+
     Op("win_survival_km",
       // Kaplan–Meier survival curve over user churn (churn event = a
       // user's LAST active day): S(t) = Π_{i≤t} (1 − d_i/n_i) with
