@@ -822,6 +822,65 @@ object EventOps extends OpModule {
                   AS BIGINT) AS x
            FROM events GROUP BY 1, 2"""))),
 
+    Op("stream_ab_lift",
+      // A/B experiment readout over the event stream — the
+      // experimentation primitive every event-analytics engine ships:
+      // users DETERMINISTICALLY assigned to arms by content hash
+      // (the trainSplit md5-bucket convention — re-runs, replicas and
+      // engines agree on every user's arm; a random() split would
+      // neither replay nor hash-match), then per-arm funnel stats:
+      // exposed users, converters (≥1 purchase), conversion rate,
+      // purchase count and dsum-deterministic revenue. Two
+      // map-combined aggregates (per-user collapse, then per-arm) —
+      // |users| then 2 rows cross the shuffles at any scale.
+      (s, d) => {
+        val arm = when(
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2 === 0, lit("A")).otherwise(lit("B"))
+        val perUser = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purch"),
+            dsum(when(col("event_type") === "purchase", col("value"))
+              .otherwise(lit(0.0))).as("revenue"))
+          .withColumn("arm", arm)
+        perUser.groupBy("arm")
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("n_purch") > 0, 1L).otherwise(0L))
+              .as("n_converted"),
+            sum(col("n_purch")).as("n_purchases"),
+            // re-accumulate the 6dp per-user doubles as DECIMAL: a
+            // plain double sum is partial-order-dependent (dsum rule)
+            dsum(col("revenue")).as("revenue"))
+          .withColumn("conversion",
+            round(col("n_converted").cast("double") /
+              col("n_users").cast("double"), 6))
+          .select("arm", "n_users", "n_converted", "conversion",
+            "n_purchases", "revenue")
+          .orderBy("arm")
+      },
+      Some("""WITH u AS (
+                SELECT user_id,
+                  CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS n_purch,
+                  CAST(round(sum(CAST(
+                    CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+                    AS DECIMAL(38,10))), 6) AS DOUBLE) AS revenue
+                FROM events GROUP BY 1, 2)
+              SELECT arm,
+                count(*) AS n_users,
+                CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_converted,
+                round(CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS conversion,
+                CAST(sum(n_purch) AS BIGINT) AS n_purchases,
+                CAST(round(sum(CAST(revenue AS DECIMAL(38,10))), 6)
+                  AS DOUBLE) AS revenue
+              FROM u GROUP BY arm ORDER BY arm""")),
+
     Op("stream_rfm",
       // RFM segmentation (recency / frequency / monetary) over the
       // purchase stream — the marketing-analytics staple beside the

@@ -2789,6 +2789,49 @@ object LlmOps extends OpModule {
               FROM c WHERE cum_toks <= 2000
               ORDER BY lang, cum_toks, doc_id""")),
 
+    Op("llm_blocklist_filter",
+      // C4's blocklist filter (Raffel et al. 2020, "Exploring the
+      // Limits of Transfer Learning..." §2.2 — the "List of Dirty,
+      // Naughty..." word filter): drop any document containing a
+      // blocklisted TOKEN — the bluntest and most universally
+      // deployed content filter, reported per-doc like the gopher
+      // battery (count + distinct hits + the keep verdict) so a
+      // filtering run can audit WHAT it dropped. Token-grain match
+      // via the shared tokens() kernel (substring matches would flag
+      // 'class' for 'ass' — the published filter's known footgun,
+      // avoided by construction here); the list itself is a stand-in
+      // vocabulary (this corpus is synthetic). One codegen
+      // projection, no shuffle — a map over the scan at any scale.
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val bl = array(Seq("slow", "crash", "error").map(lit): _*)
+        Tables.documents(s, d)
+          .withColumn("graft_toks", toks)
+          .select(col("doc_id"),
+            size(expr(
+              "filter(graft_toks, t -> t IN ('slow', 'crash', 'error'))"))
+              .as("n_flagged"),
+            size(array_intersect(array_distinct(col("graft_toks")), bl))
+              .as("n_distinct_flagged"))
+          .withColumn("keep", col("n_flagged") === 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM documents)
+              SELECT doc_id,
+                CAST(len(list_filter(toks,
+                  t -> t IN ('slow', 'crash', 'error'))) AS INTEGER)
+                  AS n_flagged,
+                CAST(len(list_intersect(list_distinct(toks),
+                  ['slow', 'crash', 'error'])) AS INTEGER)
+                  AS n_distinct_flagged,
+                len(list_filter(toks,
+                  t -> t IN ('slow', 'crash', 'error'))) = 0 AS keep
+              FROM t ORDER BY doc_id""")),
+
     Op("llm_quality_gopher",
       // the PUBLISHED quality-filter battery (Rae et al. 2021,
       // "Scaling Language Models: ... Gopher", Appendix A) — the

@@ -907,6 +907,84 @@ object PipelineOps extends OpModule {
                   ORDER BY skey, doc_id) AS INTEGER) AS pos
               FROM t ORDER BY doc_id""")),
 
+    Op("llm_domain_cap",
+      // per-domain document cap (the FineWeb/RefinedWeb anti-spam
+      // step beside the RATE-based domain_mix: a single domain may
+      // not contribute more than K documents, best-first): keep the
+      // top K=10 per source by length then doc_id — the quality-
+      // ranked truncation that stops one crawler-friendly site from
+      // dominating a mixture no matter what the rate says. Expressed
+      // as the declarative rank-filter (row_number per source ≤ K) so
+      // Catalyst plans WindowGroupLimit: each map task pre-truncates
+      // its partition to K rows PER KEY before the shuffle, so the
+      // exchange carries ≤ K·|domains| rows per task, never the
+      // corpus — the built-in equivalent of agg_topk_partial's
+      // bounded aggregator (PlanSpec pins the limit node).
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        docTable(s, d)
+          .select("doc_id", "source", "n_chars")
+          .withColumn("rank_in_source", row_number().over(w))
+          .filter(col("rank_in_source") <= 10)
+          .orderBy("source", "rank_in_source")
+      },
+      Some("""WITH r AS (
+                SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id ASC) AS rank_in_source
+                FROM documents)
+              SELECT doc_id, source, n_chars,
+                CAST(rank_in_source AS INTEGER) AS rank_in_source
+              FROM r WHERE rank_in_source <= 10
+              ORDER BY source, rank_in_source""")),
+
+    Op("llm_chat_format",
+      // SFT chat-template rendering — the prep step between a paired
+      // (prompt, response) corpus and the trainer: each pair becomes
+      // ONE training string with role tags plus its token count (the
+      // packing input llm_pack_sequences consumes). Pairing here is
+      // deterministic fixture wiring (even doc = prompt, its
+      // successor = response; unpaired tails drop) — the OPERATOR
+      // under test is the render: pure string assembly + the shared
+      // tokens() kernel, identical concat on both engines. One
+      // equi-join on the pair key, then a codegen map — at scale the
+      // join is the only exchange and rides whatever layout the pair
+      // table already has.
+      (s, d) => {
+        val docs = docTable(s, d).select("doc_id", "text")
+        val p = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("pair_id"), col("text").as("prompt"))
+        val r = docs.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") - 1).as("pair_id"),
+            col("text").as("response"))
+        p.join(r, Seq("pair_id"))
+          .select(col("pair_id"),
+            concat(lit("<|user|>\n"), col("prompt"),
+              lit("\n<|assistant|>\n"), col("response"),
+              lit("<|end|>")).as("rendered"))
+          .withColumn("n_toks", size(tokens(col("rendered"))))
+          .orderBy("pair_id")
+      },
+      Some("""WITH p AS (
+                SELECT doc_id AS pair_id, text AS prompt
+                FROM documents WHERE doc_id % 2 = 0),
+              r AS (
+                SELECT doc_id - 1 AS pair_id, text AS response
+                FROM documents WHERE doc_id % 2 = 1),
+              j AS (
+                SELECT p.pair_id,
+                  '<|user|>' || chr(10) || p.prompt || chr(10) ||
+                  '<|assistant|>' || chr(10) || r.response || '<|end|>'
+                    AS rendered
+                FROM p JOIN r ON p.pair_id = r.pair_id)
+              SELECT pair_id, rendered,
+                CAST(len(string_split(lower(trim(
+                  regexp_replace(rendered, '\s+', ' ', 'g'))), ' '))
+                  AS INTEGER) AS n_toks
+              FROM j ORDER BY pair_id""")),
+
     Op("llm_domain_mix",
       // rebalance the 20 uniform sources to a 20% / 10% / rest-even
       // target mixture; the scarcest-domain cap makes src0's rate

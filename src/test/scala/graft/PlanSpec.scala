@@ -329,6 +329,12 @@ class PlanSpec extends SparkSpec {
     val am = planOf("agg_mode")
     assert(am.contains("WindowGroupLimit"),
       s"mode rank filter did not push into WindowGroupLimit:\n$am")
+    // domain cap: the per-source top-K rank filter must also push
+    // into WindowGroupLimit (map tasks pre-truncate to K rows per
+    // key before the shuffle — the exchange carries K·|domains|)
+    val dc = planOf("llm_domain_cap")
+    assert(dc.contains("WindowGroupLimit"),
+      s"domain cap rank filter did not push into WindowGroupLimit:\n$dc")
     // co-occurrence lift: dims ride broadcasts, never a cartesian of
     // data relations (the 1-row corpus-size extent is the only BNLJ)
     val cl = planOf("llm_cooccur_lift")
