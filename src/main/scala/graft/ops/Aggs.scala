@@ -794,6 +794,26 @@ object Aggs extends OpModule {
       },
       Some(regressionSql("lineitem"))),
 
+    Op("agg_corr_matrix",
+      // exact pairwise Pearson correlation of the three lineitem
+      // measures, long form (x_name, y_name, corr) — the feature-
+      // screening matrix an EDA/feature-store pass computes. Built-in
+      // corr() would NOT hash-match (each engine merges float state
+      // in its own order — the regr_slope argument); instead the
+      // regressionSql discipline: both engines run the IDENTICAL
+      // shared SQL over 2dp-scaled integer moment sums (exact,
+      // order-independent, map-side-combinable), and every finish op
+      // (×, −, ÷, sqrt) is IEEE-exact, so the doubles are
+      // bit-identical with no rounding step. Correlation is scale-
+      // invariant, so cent-scaling leaves the statistic unchanged.
+      // 100 TB: ONE map-combined aggregate collapses the corpus to
+      // ten numbers; the matrix assembly is a 1-row fan-out.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_corr")
+        s.sql(corrMatrixSql("graft_li_corr"))
+      },
+      Some(corrMatrixSql("lineitem"))),
+
     Op("agg_percentile_disc",
       // discrete percentiles (PERCENTILE_DISC semantics: the smallest
       // actual value whose cume_dist reaches the fraction) — Spark has
@@ -1258,6 +1278,53 @@ object Aggs extends OpModule {
                 FROM $table)
               GROUP BY l_returnflag)))
         ORDER BY l_returnflag"""
+
+  /** Shared SQL for `agg_corr_matrix` — exact integer moment sums
+    * (the [[regressionSql]] widths) finished by IEEE-exact double
+    * ops; three variables, three pairs, one aggregate pass. */
+  private def corrMatrixSql(table: String): String =
+    s"""WITH b AS (
+          SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS x,
+            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+            CAST(round(l_discount * 100, 0) AS BIGINT) AS z
+          FROM $table),
+        m AS (
+          SELECT CAST(count(*) AS DECIMAL(11,0)) AS n,
+            CAST(sum(CAST(x AS DECIMAL(15,0))) AS DECIMAL(15,0)) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sy,
+            CAST(sum(CAST(z AS DECIMAL(12,0))) AS DECIMAL(12,0)) AS sz,
+            CAST(sum(CAST(x*x AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS sxx,
+            CAST(sum(CAST(y*y AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS syy,
+            CAST(sum(CAST(z*z AS DECIMAL(13,0))) AS DECIMAL(13,0)) AS szz,
+            CAST(sum(CAST(x*y AS DECIMAL(22,0))) AS DECIMAL(22,0)) AS sxy,
+            CAST(sum(CAST(x*z AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS sxz,
+            CAST(sum(CAST(y*z AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS syz
+          FROM b),
+        d AS (
+          SELECT CAST(n AS BIGINT) AS n_rows,
+            CAST(CAST(n AS DECIMAL(31,0))*sxx
+                 - CAST(sx AS DECIMAL(31,0))*sx AS DOUBLE) AS dxx,
+            CAST(CAST(n AS DECIMAL(37,0))*syy
+                 - CAST(sy AS DECIMAL(37,0))*sy AS DOUBLE) AS dyy,
+            CAST(CAST(n AS DECIMAL(25,0))*szz
+                 - CAST(sz AS DECIMAL(25,0))*sz AS DOUBLE) AS dzz,
+            CAST(CAST(n AS DECIMAL(34,0))*sxy
+                 - CAST(sx AS DECIMAL(34,0))*sy AS DOUBLE) AS nxy,
+            CAST(CAST(n AS DECIMAL(28,0))*sxz
+                 - CAST(sx AS DECIMAL(28,0))*sz AS DOUBLE) AS nxz,
+            CAST(CAST(n AS DECIMAL(31,0))*syz
+                 - CAST(sy AS DECIMAL(31,0))*sz AS DOUBLE) AS nyz
+          FROM m)
+        SELECT * FROM (
+          SELECT 'l_quantity' AS x_name, 'l_extendedprice' AS y_name,
+            n_rows, nxy / (sqrt(dxx) * sqrt(dyy)) AS corr FROM d
+          UNION ALL
+          SELECT 'l_quantity', 'l_discount', n_rows,
+            nxz / (sqrt(dxx) * sqrt(dzz)) FROM d
+          UNION ALL
+          SELECT 'l_extendedprice', 'l_discount', n_rows,
+            nyz / (sqrt(dyy) * sqrt(dzz)) FROM d)
+        ORDER BY x_name, y_name"""
 
   /** Shared SQL for `agg_percentile_disc` — conditional-min over
     * cume_dist, the engine-portable PERCENTILE_DISC rewrite. */

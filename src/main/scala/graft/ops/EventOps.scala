@@ -364,6 +364,99 @@ object EventOps extends OpModule {
               FROM v WHERE op <> 'D'
               ORDER BY user_id, valid_from_us, position""")),
 
+    Op("cdc_compact_versions",
+      // retention trim — the storage-side sibling of cdc_build_scd2:
+      // a replicated changelog grows without bound, and the
+      // compactor keeps only the last K=2 versions per key (the
+      // Kafka-compaction / Iceberg snapshot-expiry idea at row
+      // grain), newest first so version_back=1 is the live row.
+      // Expressed as the declarative rank-filter (row_number per pk
+      // over (ts, position) DESC ≤ K) so Catalyst plans
+      // WindowGroupLimit: map tasks pre-truncate to K rows per key
+      // BEFORE the pk shuffle — the exchange carries ≤ K·|keys| rows
+      // per task, never the changelog (PlanSpec pins the limit node).
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val env = e.select(col("event_id").as("position"),
+          col("user_id").as("pk"), col("ts").as("tts"),
+          when(col("event_type") === "signup", lit("I"))
+            .when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("value"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("pk")
+          .orderBy(col("tts").desc, col("position").desc)
+        env.withColumn("version_back", row_number().over(w))
+          .filter(col("version_back") <= 2)
+          .select(col("pk").as("user_id"),
+            col("version_back"), col("position"), col("op"),
+            unix_micros(col("tts")).as("ts_us"), col("value"))
+          .orderBy("user_id", "version_back")
+      },
+      Some("""WITH env AS (
+                SELECT event_id AS position, user_id AS pk,
+                  CAST(ts AS TIMESTAMP) AS tts,
+                  CASE WHEN event_type = 'signup' THEN 'I'
+                       WHEN event_type = 'error' THEN 'D'
+                       ELSE 'U' END AS op,
+                  value
+                FROM events),
+              r AS (
+                SELECT *, row_number() OVER (PARTITION BY pk
+                  ORDER BY tts DESC, position DESC) AS version_back
+                FROM env)
+              SELECT pk AS user_id,
+                CAST(version_back AS INTEGER) AS version_back,
+                position, op, epoch_us(tts) AS ts_us, value
+              FROM r WHERE version_back <= 2
+              ORDER BY user_id, version_back""")),
+
+    Op("stream_topk_trending",
+      // trending dashboard — daily top-3 event types with
+      // day-over-day momentum: per-(day, type) counts map-side
+      // combine (the only pass over the stream), then BOTH windows —
+      // the per-day rank and the per-type lag that the ratio needs —
+      // run on the bounded |days|·|types| daily relation (~150 rows
+      // here, calendar-bounded at any corpus size). dod is ONE IEEE
+      // division of exact longs, NULL on a type's first day; the
+      // trend must be computed BEFORE the top-3 cut (yesterday's
+      // count matters even if the type wasn't top-3 yesterday).
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("eday"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val byDay = org.apache.spark.sql.expressions.Window
+          .partitionBy("eday")
+          .orderBy(col("n").desc, col("event_type").asc)
+        val byType = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("eday")
+        daily
+          .withColumn("dod", round(col("n").cast("double") /
+            lag(col("n"), 1).over(byType).cast("double"), 6))
+          .withColumn("rank_in_day", row_number().over(byDay))
+          .filter(col("rank_in_day") <= 3)
+          .select(date_format(col("eday"), "yyyy-MM-dd").as("eday"),
+            col("event_type"), col("n"), col("rank_in_day"), col("dod"))
+          .orderBy("eday", "rank_in_day")
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS eday,
+                  event_type, count(*) AS n
+                FROM events GROUP BY 1, 2),
+              t AS (
+                SELECT eday, event_type, n,
+                  round(CAST(n AS DOUBLE) / CAST(lag(n) OVER (
+                    PARTITION BY event_type ORDER BY eday) AS DOUBLE), 6)
+                    AS dod,
+                  row_number() OVER (PARTITION BY eday
+                    ORDER BY n DESC, event_type ASC) AS rank_in_day
+                FROM daily)
+              SELECT strftime(eday, '%Y-%m-%d') AS eday, event_type,
+                CAST(n AS BIGINT) AS n,
+                CAST(rank_in_day AS INTEGER) AS rank_in_day, dod
+              FROM t WHERE rank_in_day <= 3
+              ORDER BY eday, rank_in_day""")),
+
     Op("cdc_table_diff",
       // the OTHER half of replication validation next to
       // table_checksum: when the digests disagree, this op names the

@@ -985,6 +985,171 @@ object PipelineOps extends OpModule {
                   AS INTEGER) AS n_toks
               FROM j ORDER BY pair_id""")),
 
+    Op("llm_shard_assign",
+      // deterministic output sharding — the WebDataset/tfrecord prep
+      // step: every doc lands in shard = content-hash % 64 (the
+      // trainSplit md5 convention — re-runs, replicas and engines
+      // agree on every doc's shard, and byte-identical dups land in
+      // the SAME shard, which keeps shard-local dedup honest), with
+      // a per-shard balance report (n_docs, bytes, load vs the even
+      // split). The assignment is a pure codegen projection riding
+      // the scan; the report is one map-combined aggregate + a 1-row
+      // broadcast for the load ratio — 64 rows cross the shuffle at
+      // any corpus size. Writing would be
+      // `.repartition(64, col("shard_id")).write` — the exchange the
+      // trainer's reader expects.
+      (s, d) => {
+        val docs = docTable(s, d)
+          .select(col("n_chars"),
+            (md5Bucket(normText(col("text"))) % 64).as("shard_id"))
+        val shards = docs.groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_bytes"))
+        val tot = shards.agg(sum(col("n_docs")).cast("long").as("tot"))
+        shards.join(broadcast(tot))
+          .withColumn("load",
+            round(col("n_docs").cast("double") * 64d /
+              col("tot").cast("double"), 6))
+          .select("shard_id", "n_docs", "n_bytes", "load")
+          .orderBy("shard_id")
+      },
+      Some("""WITH s AS (
+                SELECT CAST(('0x' || substr(md5(lower(trim(
+                    regexp_replace(text, '\s+', ' ', 'g')))), 1, 8))
+                    AS BIGINT) % 64 AS shard_id,
+                  n_chars
+                FROM documents),
+              g AS (
+                SELECT shard_id, count(*) AS n_docs,
+                  sum(n_chars) AS n_bytes
+                FROM s GROUP BY shard_id)
+              SELECT shard_id, n_docs, CAST(n_bytes AS BIGINT) AS n_bytes,
+                round(CAST(n_docs AS DOUBLE) * 64 /
+                  CAST((SELECT sum(n_docs) FROM g) AS DOUBLE), 6) AS load
+              FROM g ORDER BY shard_id""")),
+
+    Op("llm_sft_filter",
+      // instruction-pair quality gate — the SFT sibling of the gopher
+      // battery, run on the SAME deterministic pairing llm_chat_format
+      // renders: each rule a NAMED boolean verdict (response long
+      // enough, response/prompt length ratio inside [0.2, 20],
+      // response lexical diversity ≥ 0.3 — the degenerate-repetition
+      // screen), keep = conjunction, so a filtering run can report
+      // WHICH rule killed a pair. Ratios are single IEEE divisions of
+      // exact ints rounded 6dp; one equi-join on the pair key then a
+      // codegen map — the chat_format scale shape.
+      (s, d) => {
+        val docs = docTable(s, d).select("doc_id", "text")
+        val p = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("pair_id"),
+            size(tokens(col("text"))).as("p_toks"))
+        val r = docs.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") - 1).as("pair_id"),
+            size(tokens(col("text"))).as("r_toks"),
+            size(array_distinct(tokens(col("text"))))
+              .as("r_distinct"))
+        p.join(r, Seq("pair_id"))
+          .withColumn("len_ratio", round(col("r_toks").cast("double") /
+            col("p_toks").cast("double"), 6))
+          .withColumn("diversity",
+            round(col("r_distinct").cast("double") /
+              col("r_toks").cast("double"), 6))
+          .withColumn("ok_len", col("r_toks") >= 5)
+          .withColumn("ok_ratio",
+            col("len_ratio") >= 0.2 && col("len_ratio") <= 20.0)
+          .withColumn("ok_diverse", col("diversity") >= 0.3)
+          .withColumn("keep",
+            col("ok_len") && col("ok_ratio") && col("ok_diverse"))
+          .select("pair_id", "p_toks", "r_toks", "len_ratio",
+            "diversity", "ok_len", "ok_ratio", "ok_diverse", "keep")
+          .orderBy("pair_id")
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM documents),
+              p AS (
+                SELECT doc_id AS pair_id,
+                  CAST(len(toks) AS INTEGER) AS p_toks
+                FROM tok WHERE doc_id % 2 = 0),
+              r AS (
+                SELECT doc_id - 1 AS pair_id,
+                  CAST(len(toks) AS INTEGER) AS r_toks,
+                  CAST(len(list_distinct(toks)) AS INTEGER) AS r_distinct
+                FROM tok WHERE doc_id % 2 = 1),
+              j AS (
+                SELECT p.pair_id, p.p_toks, r.r_toks,
+                  round(CAST(r.r_toks AS DOUBLE) /
+                    CAST(p.p_toks AS DOUBLE), 6) AS len_ratio,
+                  round(CAST(r.r_distinct AS DOUBLE) /
+                    CAST(r.r_toks AS DOUBLE), 6) AS diversity
+                FROM p JOIN r ON p.pair_id = r.pair_id)
+              SELECT pair_id, p_toks, r_toks, len_ratio, diversity,
+                r_toks >= 5 AS ok_len,
+                len_ratio >= 2e-1 AND len_ratio <= 2e1 AS ok_ratio,
+                diversity >= 3e-1 AS ok_diverse,
+                (r_toks >= 5) AND (len_ratio >= 2e-1 AND len_ratio <= 2e1)
+                  AND (diversity >= 3e-1) AS keep
+              FROM j ORDER BY pair_id""")),
+
+    Op("llm_mixture_epochs",
+      // data-constrained epoch scheduling (Muennighoff et al. 2023,
+      // "Scaling Data-Constrained Language Models"): given a token
+      // budget of 2× the corpus and an even per-source allocation,
+      // each source serves min(4, ceil(share / available)) epochs —
+      // repeating data up to ~4 epochs is near-free, beyond that
+      // returns decay, so the schedule caps repetition and reports
+      // the shortfall (served < share when the cap binds). Everything
+      // is exact integer arithmetic off ONE map-combined per-source
+      // token count + a 1-row broadcast total — |sources| rows cross
+      // the shuffle at any corpus size (the domain_temperature shape).
+      (s, d) => {
+        val bySrc = docTable(s, d)
+          .select(col("source"), size(tokens(col("text"))).as("ntok"))
+          .groupBy("source")
+          .agg(sum(col("ntok")).as("available"))
+        val tot = bySrc.agg(
+          (sum(col("available")) * 2L).cast("long").as("budget"),
+          count(lit(1)).as("n_sources"))
+        bySrc.join(broadcast(tot))
+          // exact integer share: DIV truncates identically to
+          // DuckDB's // on these positive longs
+          .withColumn("share", expr("budget DIV n_sources"))
+          .withColumn("epochs",
+            least(lit(4L), ceil(col("share").cast("double") /
+              col("available").cast("double")).cast("long")))
+          .withColumn("served",
+            least(col("share"), col("epochs") * col("available")))
+          .select("source", "available", "share", "epochs", "served")
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+                SELECT source,
+                  len(string_split(lower(trim(
+                    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS ntok
+                FROM documents),
+              g AS (
+                SELECT source, CAST(sum(ntok) AS BIGINT) AS available
+                FROM tok GROUP BY source),
+              t AS (
+                SELECT CAST(sum(available) * 2 AS BIGINT) AS budget,
+                  count(*) AS n_sources
+                FROM g),
+              x AS (
+                SELECT g.source, g.available,
+                  CAST(t.budget // t.n_sources AS BIGINT) AS share
+                FROM g, t),
+              e AS (
+                SELECT source, available, share,
+                  CAST(least(4, CAST(ceil(CAST(share AS DOUBLE) /
+                    CAST(available AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                    AS epochs
+                FROM x)
+              SELECT source, available, share, epochs,
+                CAST(least(share, epochs * available) AS BIGINT) AS served
+              FROM e ORDER BY source""")),
+
     Op("llm_domain_mix",
       // rebalance the 20 uniform sources to a 20% / 10% / rest-even
       // target mixture; the scarcest-domain cap makes src0's rate

@@ -335,6 +335,12 @@ class PlanSpec extends SparkSpec {
     val dc = planOf("llm_domain_cap")
     assert(dc.contains("WindowGroupLimit"),
       s"domain cap rank filter did not push into WindowGroupLimit:\n$dc")
+    // version compaction: last-K-per-pk rank filter truncates
+    // map-side the same way (the exchange carries K·|keys|, never
+    // the changelog)
+    val cv = planOf("cdc_compact_versions")
+    assert(cv.contains("WindowGroupLimit"),
+      s"compact_versions rank filter did not push into WindowGroupLimit:\n$cv")
     // co-occurrence lift: dims ride broadcasts, never a cartesian of
     // data relations (the 1-row corpus-size extent is the only BNLJ)
     val cl = planOf("llm_cooccur_lift")
