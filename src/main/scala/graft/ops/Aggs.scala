@@ -814,6 +814,24 @@ object Aggs extends OpModule {
       },
       Some(corrMatrixSql("lineitem"))),
 
+    Op("agg_chi2_independence",
+      // chi-squared independence screen: is event_type independent of
+      // day-of-week? The drift/bias detector an event pipeline runs
+      // before trusting a segment cut. Cells collapse to the bounded
+      // 7×|types| contingency relation in ONE map-combined aggregate;
+      // marginals and the statistic are windows over that bounded
+      // relation (never the stream). dow = epoch-day % 7 — pure
+      // integer arithmetic, identical in both engines (dayofweek()
+      // origin conventions differ). Expected counts and per-cell
+      // terms are fixed IEEE sequences of exact ints; the chi2 total
+      // re-accumulates the 6dp per-cell terms in DECIMAL (dsum rule)
+      // so every row carries the same order-independent statistic.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_chi2")
+        s.sql(chi2Sql("graft_ev_chi2", "ts"))
+      },
+      Some(chi2Sql("events", "CAST(ts AS TIMESTAMP)"))),
+
     Op("agg_percentile_disc",
       // discrete percentiles (PERCENTILE_DISC semantics: the smallest
       // actual value whose cume_dist reaches the fraction) — Spark has
@@ -1278,6 +1296,38 @@ object Aggs extends OpModule {
                 FROM $table)
               GROUP BY l_returnflag)))
         ORDER BY l_returnflag"""
+
+  /** Shared SQL for `agg_chi2_independence`. The dow expression is
+    * spliced per engine (datediff argument conventions differ); both
+    * reduce to the same exact epoch-day % 7 integer. */
+  private def chi2Sql(table: String, tsExpr: String): String = {
+    val dow =
+      if (table.startsWith("graft_"))
+        s"datediff(CAST($tsExpr AS DATE), DATE '1970-01-01') % 7"
+      else s"(CAST($tsExpr AS DATE) - DATE '1970-01-01') % 7"
+    s"""WITH cells AS (
+          SELECT CAST($dow AS INTEGER) AS dow, event_type,
+            count(*) AS o
+          FROM $table GROUP BY 1, 2),
+        marg AS (
+          SELECT dow, event_type, o,
+            CAST(sum(o) OVER (PARTITION BY dow) AS DOUBLE) AS row_tot,
+            CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE)
+              AS col_tot,
+            CAST(sum(o) OVER () AS DOUBLE) AS n
+          FROM cells),
+        t AS (
+          SELECT dow, event_type, CAST(o AS BIGINT) AS o,
+            round(row_tot * col_tot / n, 6) AS expected,
+            round((CAST(o AS DOUBLE) - (row_tot * col_tot / n))
+                  * (CAST(o AS DOUBLE) - (row_tot * col_tot / n))
+                  / (row_tot * col_tot / n), 6) AS term
+          FROM marg)
+        SELECT dow, event_type, o, expected, term,
+          CAST(round(sum(CAST(term AS DECIMAL(38,10))) OVER (), 6)
+            AS DOUBLE) AS chi2
+        FROM t ORDER BY dow, event_type"""
+  }
 
   /** Shared SQL for `agg_corr_matrix` — exact integer moment sums
     * (the [[regressionSql]] widths) finished by IEEE-exact double

@@ -458,6 +458,61 @@ object LayoutOps extends OpModule {
               FROM lineitem
               ORDER BY col_name""")),
 
+    Op("layout_partition_advice",
+      // partition-key advisor — the planning step BEFORE layout_zorder
+      // / layout_compact: for each candidate partition column, the
+      // mean partition size that choice produces vs a target file
+      // size, with a named verdict (too_fine = mean partition under
+      // the target → small-files problem; too_coarse = mean over 4×
+      // target → files won't parallelize; ok between). Registered
+      // with a 16 KiB target so verdicts spread on the fixture corpus
+      // (production = 128 MiB — the verdict boundaries scale with the
+      // parameter, not the data). One multi-distinct aggregate
+      // collapses the corpus to one row (at 100 TB swap the exact
+      // count-distincts for approx_count_distinct — the
+      // agg_approx_hll path); all arithmetic exact integer DIV.
+      (s, d) => {
+        val target = 16384L
+        val one = Tables.documents(s, d).agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(col("n_chars")).cast("long").as("n_bytes"),
+          countDistinct(col("lang")).cast("long").as("ndv_lang"),
+          countDistinct(col("source")).cast("long").as("ndv_source"))
+        val verdict = (mean: Column) =>
+          when(mean < target, "too_fine")
+            .when(mean > target * 4, "too_coarse")
+            .otherwise("ok")
+        val row = (name: String, ndvCol: String) => {
+          // exact integer division (DIV ≡ DuckDB // on positive longs)
+          val mean = expr(s"n_bytes DIV $ndvCol")
+          struct(lit(name).as("candidate"), col(ndvCol).as("ndv"),
+            col("n_rows").as("n_rows"), col("n_bytes").as("n_bytes"),
+            mean.as("mean_part_bytes"), verdict(mean).as("verdict"))
+        }
+        one.select(explode(array(
+            row("lang", "ndv_lang"),
+            row("source", "ndv_source"))).as("r"))
+          .select("r.*").orderBy("candidate")
+      },
+      Some("""WITH m AS (
+                SELECT count(*) AS n_rows, sum(n_chars) AS n_bytes,
+                  count(DISTINCT lang) AS ndv_lang,
+                  count(DISTINCT source) AS ndv_source
+                FROM documents),
+              c AS (
+                SELECT 'lang' AS candidate, ndv_lang AS ndv, n_rows,
+                  n_bytes FROM m
+                UNION ALL
+                SELECT 'source', ndv_source, n_rows, n_bytes FROM m)
+              SELECT candidate, CAST(ndv AS BIGINT) AS ndv,
+                CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_bytes AS BIGINT) AS n_bytes,
+                CAST(n_bytes // ndv AS BIGINT) AS mean_part_bytes,
+                CASE WHEN n_bytes // ndv < 16384 THEN 'too_fine'
+                     WHEN n_bytes // ndv > 16384 * 4 THEN 'too_coarse'
+                     ELSE 'ok' END AS verdict
+              FROM c ORDER BY candidate""")),
+
     Op("table_histogram",
       (s, d) => histogram(Tables.lineitem(s, d), "l_extendedprice", 16)
         .orderBy("bin"),

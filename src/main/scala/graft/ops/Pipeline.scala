@@ -27,6 +27,55 @@ object PipelineOps extends OpModule {
   private def md5Bucket(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Per-source epoch schedule (llm_mixture_epochs / llm_epoch_expand):
+    * budget 2× corpus, even allocation, epochs = min(4,
+    * ceil(share/available)). Exact integer arithmetic throughout
+    * (DIV ≡ DuckDB // on positive longs); one map-combined per-source
+    * token count + a 1-row broadcast total. */
+  private def epochSchedule(docs: DataFrame): DataFrame = {
+    val bySrc = docs
+      .select(col("source"), size(tokens(col("text"))).as("ntok"))
+      .groupBy("source")
+      .agg(sum(col("ntok")).as("available"))
+    val tot = bySrc.agg(
+      (sum(col("available")) * 2L).cast("long").as("budget"),
+      count(lit(1)).as("n_sources"))
+    bySrc.join(broadcast(tot))
+      .withColumn("share", expr("budget DIV n_sources"))
+      .withColumn("epochs",
+        least(lit(4L), ceil(col("share").cast("double") /
+          col("available").cast("double")).cast("long")))
+      .withColumn("served",
+        least(col("share"), col("epochs") * col("available")))
+      .select("source", "available", "share", "epochs", "served")
+  }
+
+  /** DuckDB CTE chain mirroring [[epochSchedule]]; the final CTE `e`
+    * carries (source, available, share, epochs). */
+  private val epochScheduleCtes: String =
+    """tok AS (
+        SELECT source,
+          len(string_split(lower(trim(
+            regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS ntok
+        FROM documents),
+      g AS (
+        SELECT source, CAST(sum(ntok) AS BIGINT) AS available
+        FROM tok GROUP BY source),
+      t AS (
+        SELECT CAST(sum(available) * 2 AS BIGINT) AS budget,
+          count(*) AS n_sources
+        FROM g),
+      x AS (
+        SELECT g.source, g.available,
+          CAST(t.budget // t.n_sources AS BIGINT) AS share
+        FROM g, t),
+      e AS (
+        SELECT source, available, share,
+          CAST(least(4, CAST(ceil(CAST(share AS DOUBLE) /
+            CAST(available AS DOUBLE)) AS BIGINT)) AS BIGINT)
+            AS epochs
+        FROM x)"""
+
   // ---------------------------------------------------------------
   // PII scrubbing
   // ---------------------------------------------------------------
@@ -1104,51 +1153,36 @@ object PipelineOps extends OpModule {
       // is exact integer arithmetic off ONE map-combined per-source
       // token count + a 1-row broadcast total — |sources| rows cross
       // the shuffle at any corpus size (the domain_temperature shape).
-      (s, d) => {
-        val bySrc = docTable(s, d)
-          .select(col("source"), size(tokens(col("text"))).as("ntok"))
-          .groupBy("source")
-          .agg(sum(col("ntok")).as("available"))
-        val tot = bySrc.agg(
-          (sum(col("available")) * 2L).cast("long").as("budget"),
-          count(lit(1)).as("n_sources"))
-        bySrc.join(broadcast(tot))
-          // exact integer share: DIV truncates identically to
-          // DuckDB's // on these positive longs
-          .withColumn("share", expr("budget DIV n_sources"))
-          .withColumn("epochs",
-            least(lit(4L), ceil(col("share").cast("double") /
-              col("available").cast("double")).cast("long")))
-          .withColumn("served",
-            least(col("share"), col("epochs") * col("available")))
-          .select("source", "available", "share", "epochs", "served")
-          .orderBy("source")
-      },
-      Some("""WITH tok AS (
-                SELECT source,
-                  len(string_split(lower(trim(
-                    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS ntok
-                FROM documents),
-              g AS (
-                SELECT source, CAST(sum(ntok) AS BIGINT) AS available
-                FROM tok GROUP BY source),
-              t AS (
-                SELECT CAST(sum(available) * 2 AS BIGINT) AS budget,
-                  count(*) AS n_sources
-                FROM g),
-              x AS (
-                SELECT g.source, g.available,
-                  CAST(t.budget // t.n_sources AS BIGINT) AS share
-                FROM g, t),
-              e AS (
-                SELECT source, available, share,
-                  CAST(least(4, CAST(ceil(CAST(share AS DOUBLE) /
-                    CAST(available AS DOUBLE)) AS BIGINT)) AS BIGINT)
-                    AS epochs
-                FROM x)
+      (s, d) => epochSchedule(docTable(s, d)).orderBy("source"),
+      Some(s"""WITH $epochScheduleCtes
               SELECT source, available, share, epochs,
                 CAST(least(share, epochs * available) AS BIGINT) AS served
               FROM e ORDER BY source""")),
+
+    Op("llm_epoch_expand",
+      // materialize the epoch schedule at document grain — the
+      // repeated-data stream the trainer actually reads (Muennighoff
+      // repetition made explicit): each doc appears once per
+      // scheduled epoch of its source, tagged with the epoch number
+      // so downstream shuffles/packing can keep epochs separable.
+      // The schedule is |sources| rows and rides a broadcast; the
+      // expansion is explode(sequence(1, epochs)) — a codegen
+      // Generate bounded at 4× the corpus, no shuffle at all.
+      (s, d) => {
+        val sched = epochSchedule(docTable(s, d))
+          .select("source", "epochs")
+        docTable(s, d).select("doc_id", "source")
+          .join(broadcast(sched), Seq("source"))
+          .withColumn("epoch",
+            explode(sequence(lit(1L), col("epochs"))))
+          .select("doc_id", "source", "epoch")
+          .orderBy("doc_id", "epoch")
+      },
+      Some(s"""WITH $epochScheduleCtes
+              SELECT d.doc_id, d.source,
+                unnest(range(1, e.epochs + 1)) AS epoch
+              FROM documents d JOIN e ON d.source = e.source
+              ORDER BY doc_id, epoch""")),
 
     Op("llm_domain_mix",
       // rebalance the 20 uniform sources to a 20% / 10% / rest-even
