@@ -832,6 +832,25 @@ object Aggs extends OpModule {
       },
       Some(chi2Sql("events", "CAST(ts AS TIMESTAMP)"))),
 
+    Op("agg_ks_test",
+      // two-sample Kolmogorov–Smirnov distance between the purchase
+      // and click value distributions — the distribution-drift test
+      // beside the chi-squared independence screen (chi2 compares
+      // categories; KS compares SHAPES). Values quantize to the cents
+      // grid first, so the support relation is bounded by the VALUE
+      // RANGE (≤ ~10k cells), never the corpus — the global
+      // cumulative window runs over that bounded grid (the
+      // stream_topk_trending argument), not over events. ECDFs are
+      // exact-int cumsums finished by one IEEE division each;
+      // D = max|F1−F2| with the argmax cent reported (min cent on
+      // ties — total order). ONE map-combined aggregate collapses
+      // the stream to the grid; everything after is grid-sized.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_ks")
+        s.sql(ksSql("graft_ev_ks"))
+      },
+      Some(ksSql("events"))),
+
     Op("agg_percentile_disc",
       // discrete percentiles (PERCENTILE_DISC semantics: the smallest
       // actual value whose cume_dist reaches the fraction) — Spark has
@@ -1296,6 +1315,37 @@ object Aggs extends OpModule {
                 FROM $table)
               GROUP BY l_returnflag)))
         ORDER BY l_returnflag"""
+
+  /** Shared SQL for `agg_ks_test` — identical text on both engines
+    * (no engine-specific functions needed). */
+  private def ksSql(table: String): String =
+    s"""WITH v AS (
+          SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s1,
+            CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s2,
+            CAST(round(value * 100, 0) AS BIGINT) AS cent
+          FROM $table
+          WHERE event_type IN ('purchase', 'click')),
+        c AS (
+          SELECT cent, CAST(sum(s1) AS BIGINT) AS c1,
+            CAST(sum(s2) AS BIGINT) AS c2
+          FROM v GROUP BY cent),
+        t AS (
+          SELECT CAST(sum(c1) AS DOUBLE) AS n1,
+            CAST(sum(c2) AS DOUBLE) AS n2
+          FROM c),
+        f AS (
+          SELECT cent,
+            CAST(sum(c1) OVER (ORDER BY cent) AS DOUBLE) / t.n1 AS f1,
+            CAST(sum(c2) OVER (ORDER BY cent) AS DOUBLE) / t.n2 AS f2,
+            t.n1 AS n1, t.n2 AS n2
+          FROM c, t),
+        dd AS (
+          SELECT cent, n1, n2, round(abs(f1 - f2), 6) AS d FROM f),
+        mx AS (SELECT max(d) AS d_stat FROM dd)
+        SELECT CAST(dd.n1 AS BIGINT) AS n1, CAST(dd.n2 AS BIGINT) AS n2,
+          mx.d_stat AS d_stat, CAST(min(dd.cent) AS BIGINT) AS at_cent
+        FROM dd, mx WHERE dd.d = mx.d_stat
+        GROUP BY dd.n1, dd.n2, mx.d_stat"""
 
   /** Shared SQL for `agg_chi2_independence`. The dow expression is
     * spliced per engine (datediff argument conventions differ); both

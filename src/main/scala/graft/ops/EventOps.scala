@@ -88,6 +88,69 @@ object EventOps extends OpModule {
                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)))
         ORDER BY event_type, eday"""
 
+  /** Shared CUPED SQL (stream_ab_cuped). Engine-spliced pieces: the
+    * md5 arm bucket, the epoch-day expression, and integer division
+    * (Spark DIV / DuckDB //); everything downstream is the identical
+    * exact-int + fixed-IEEE-sequence text. */
+  private def cupedSql(table: String): String = {
+    val spark = table.startsWith("graft_")
+    val arm =
+      if (spark)
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"
+      else
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2"
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    val mid =
+      if (spark) "(min(d) + max(d) + 1) DIV 2"
+      else "(min(d) + max(d) + 1) // 2"
+    s"""WITH e AS (
+          SELECT user_id, $arm AS armb, $day AS d,
+            CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT)
+                 ELSE 0 END AS cents
+          FROM $table),
+        m AS (SELECT CAST($mid AS BIGINT) AS mid FROM e),
+        u AS (
+          SELECT user_id, armb,
+            CAST(sum(CASE WHEN d < m.mid THEN cents ELSE 0 END)
+              AS BIGINT) AS pre,
+            CAST(sum(CASE WHEN d >= m.mid THEN cents ELSE 0 END)
+              AS BIGINT) AS post
+          FROM e, m GROUP BY user_id, armb, m.mid),
+        g AS (
+          SELECT CAST(count(*) AS DECIMAL(11,0)) AS n,
+            CAST(sum(CAST(pre AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS sx,
+            CAST(sum(CAST(post AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS sy,
+            CAST(sum(CAST(pre*pre AS DECIMAL(21,0))) AS DECIMAL(21,0))
+              AS sxx,
+            CAST(sum(CAST(pre*post AS DECIMAL(21,0))) AS DECIMAL(21,0))
+              AS sxy
+          FROM u),
+        th AS (
+          SELECT CAST(n AS DOUBLE) AS n_d, CAST(sx AS DOUBLE) AS sx_d,
+            CAST(CAST(n AS DECIMAL(33,0))*sxy
+                 - CAST(sx AS DECIMAL(33,0))*sy AS DOUBLE) /
+            CAST(CAST(n AS DECIMAL(33,0))*sxx
+                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE) AS theta
+          FROM g),
+        a AS (
+          SELECT armb, CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(CAST(pre AS DECIMAL(16,0))) AS DOUBLE) AS apre,
+            CAST(sum(CAST(post AS DECIMAL(16,0))) AS DOUBLE) AS apost
+          FROM u GROUP BY armb)
+        SELECT CASE WHEN armb = 0 THEN 'A' ELSE 'B' END AS arm,
+          n_users,
+          round(apost / CAST(n_users AS DOUBLE) / 1e2, 6) AS mean_post,
+          round(apre / CAST(n_users AS DOUBLE) / 1e2, 6) AS mean_pre,
+          round(theta, 6) AS theta,
+          round((apost / CAST(n_users AS DOUBLE)
+                 - theta * (apre / CAST(n_users AS DOUBLE) - sx_d / n_d))
+                / 1e2, 6) AS adj_mean
+        FROM a, th ORDER BY arm"""
+  }
+
   override def ops: Seq[Op] = Seq(
 
     Op("stream_envelope",
@@ -973,6 +1036,27 @@ object EventOps extends OpModule {
                 CAST(round(sum(CAST(revenue AS DECIMAL(38,10))), 6)
                   AS DOUBLE) AS revenue
               FROM u GROUP BY arm ORDER BY arm""")),
+
+    Op("stream_ab_cuped",
+      // CUPED variance reduction for the A/B readout (Deng et al.
+      // 2013, WSDM — "Improving the Sensitivity of Online Controlled
+      // Experiments"): the published estimator every experimentation
+      // platform ships beside the raw lift. Pre-period revenue (days
+      // before the corpus midpoint — the split derives from the data,
+      // so driver regenerations move it correctly) is the covariate;
+      // θ = cov(pre, post)/var(pre) POOLED across arms (the standard
+      // form — θ from the pooled sample is assignment-independent),
+      // adjusted mean = mean(post) − θ·(mean(pre) − grand mean(pre)).
+      // Shape: per-user collapse (one shuffle), pooled moments = ONE
+      // map-combined aggregate to five numbers (the regressionSql
+      // discipline: cents-scaled exact ints in DECIMAL, finish ops a
+      // fixed IEEE sequence), per-arm sums map-combined — 2 rows out
+      // at any scale. Same md5 arm assignment as stream_ab_lift.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_cuped")
+        s.sql(cupedSql("graft_ev_cuped"))
+      },
+      Some(cupedSql("events"))),
 
     Op("stream_rfm",
       // RFM segmentation (recency / frequency / monetary) over the
