@@ -1058,6 +1058,61 @@ object EventOps extends OpModule {
       },
       Some(cupedSql("events"))),
 
+    Op("stream_ab_srm",
+      // sample-ratio-mismatch guard — the validity check that must
+      // pass BEFORE any A/B readout is trusted (a skewed split means
+      // broken assignment, not a treatment effect; the classic
+      // silent-killer of experiment platforms): distinct users per
+      // arm vs the expected 50/50, one-df chi-squared, flagged at the
+      // 95% critical value 3.841. Counts are exact longs off ONE
+      // per-user collapse; the statistic is a fixed IEEE sequence on
+      // a 1-row relation. Same md5 arm assignment as stream_ab_lift,
+      // so a broken upstream split surfaces HERE first.
+      (s, d) => {
+        val arm = when(
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2 === 0, lit("A")).otherwise(lit("B"))
+        val users = Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .withColumn("arm", arm)
+        val counts = users.agg(
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+        counts.select(col("n_a"), col("n_b"),
+            (((col("n_a") + col("n_b")).cast("double")) / 2.0).as("e"))
+          .select(col("n_a"), col("n_b"),
+            round((col("n_a").cast("double") - col("e")) *
+              (col("n_a").cast("double") - col("e")) / col("e") +
+              (col("n_b").cast("double") - col("e")) *
+              (col("n_b").cast("double") - col("e")) / col("e"), 6)
+              .as("chi2"))
+          .withColumn("srm", col("chi2") > 3.841)
+      },
+      Some("""WITH u AS (
+                SELECT DISTINCT user_id,
+                  CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+                FROM events),
+              c AS (
+                SELECT
+                  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_a,
+                  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_b
+                FROM u),
+              e AS (
+                SELECT n_a, n_b,
+                  CAST(n_a + n_b AS DOUBLE) / 2e0 AS e
+                FROM c)
+              SELECT n_a, n_b,
+                round((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+                    + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e,
+                  6) AS chi2,
+                round((CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e
+                    + (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e,
+                  6) > 3841e-3 AS srm
+              FROM e""")),
+
     Op("stream_rfm",
       // RFM segmentation (recency / frequency / monetary) over the
       // purchase stream — the marketing-analytics staple beside the

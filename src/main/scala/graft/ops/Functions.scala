@@ -465,6 +465,45 @@ object Functions extends OpModule {
       Some("""SELECT o_orderkey,
                 lower(to_base(o_orderkey, 36)) AS id36,
                 lpad(lower(to_base(o_orderkey, 36)), 9, '0') AS id36_key
-              FROM orders ORDER BY o_orderkey"""))
+              FROM orders ORDER BY o_orderkey""")),
+
+    Op("fn_target_encode",
+      // leave-one-out target encoding — the category→numeric feature
+      // transform a tabular-ML pipeline ships (replace a categorical
+      // key with the mean target of its OTHER members, so a row never
+      // sees its own label — the leakage guard): enc_i =
+      // (Σ_type cents − cents_i) / (n_type − 1). Per-type sums are
+      // exact cents longs from ONE map-combined aggregate over a
+      // |types|-sized relation that rides a broadcast back onto the
+      // stream; the encode itself is a codegen map — one small
+      // shuffle total at any scale. The subtraction is exact-int, the
+      // division the single IEEE op (round 6dp).
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val byType = ev.groupBy("event_type")
+          .agg(sum(col("cents")).as("type_sum"),
+            count(lit(1)).as("type_n"))
+        ev.join(broadcast(byType), Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            round((col("type_sum") - col("cents")).cast("double") /
+              (col("type_n") - 1L).cast("double") / lit(100.0), 6)
+              .as("enc"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (
+                SELECT event_id, event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events),
+              g AS (
+                SELECT event_type, CAST(sum(cents) AS BIGINT) AS type_sum,
+                  count(*) AS type_n
+                FROM ev GROUP BY event_type)
+              SELECT ev.event_id, ev.event_type,
+                round(CAST(g.type_sum - ev.cents AS DOUBLE) /
+                  CAST(g.type_n - 1 AS DOUBLE) / 1e2, 6) AS enc
+              FROM ev JOIN g ON ev.event_type = g.event_type
+              ORDER BY event_id"""))
   )
 }

@@ -78,6 +78,37 @@ object Windows extends OpModule {
           round($quantFn(slope, 0.5), 6) AS slope_cents_per_day
         FROM sl GROUP BY 1 ORDER BY event_type"""
 
+  /** Shared SQL for `win_vwap` — exact integer cumulants (cents ×
+    * centi-unit products summed in DECIMAL), one IEEE division per
+    * day row; only the epoch-day expression is engine-spliced. */
+  private def vwapSql(table: String): String = {
+    val day =
+      if (table.startsWith("graft_"))
+        "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')"
+      else
+        "(CAST(l_shipdate AS DATE) - DATE '1970-01-01')"
+    s"""WITH r AS (
+          SELECT l_returnflag, CAST($day AS INTEGER) AS eday,
+            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p,
+            CAST(round(l_quantity * 100, 0) AS BIGINT) AS q
+          FROM $table),
+        daily AS (
+          SELECT l_returnflag, eday,
+            CAST(sum(CAST(p*q AS DECIMAL(15,0))) AS DECIMAL(20,0)) AS pv,
+            CAST(sum(CAST(q AS DECIMAL(12,0))) AS DECIMAL(12,0)) AS v
+          FROM r GROUP BY l_returnflag, eday),
+        c AS (
+          SELECT l_returnflag, eday,
+            CAST(sum(pv) OVER w AS DOUBLE) AS cpv,
+            CAST(sum(v) OVER w AS DOUBLE) AS cv
+          FROM daily
+          WINDOW w AS (PARTITION BY l_returnflag ORDER BY eday
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT l_returnflag, eday,
+          round(cpv / cv / 1e2, 6) AS vwap
+        FROM c ORDER BY l_returnflag, eday"""
+  }
+
   override def ops: Seq[Op] = Seq(
 
     Op("win_ranking",
@@ -815,6 +846,22 @@ object Windows extends OpModule {
              CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
                   AS BIGINT) AS x
            FROM events GROUP BY 1, 2""", "quantile_cont"))),
+
+    Op("win_vwap",
+      // running VWAP — the volume-weighted benchmark price the
+      // execution-quality report quotes, completing the finance
+      // window family (bollinger/drawdown/ohlc/rsi): per
+      // (returnflag, ship-day), cumulative Σ(price·qty)/Σ(qty) over
+      // the day sequence. Both cumulants are EXACT integers (cents ×
+      // centi-units products summed in DECIMAL — map-side-combined at
+      // the daily grain BEFORE any window), the running ratio is ONE
+      // IEEE division per day row, and the windows run over the
+      // bounded |flags|·|days| daily relation, never lineitem.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_vwap")
+        s.sql(vwapSql("graft_li_vwap"))
+      },
+      Some(vwapSql("lineitem"))),
 
     Op("win_drawdown",
       // running-peak drawdown — the risk/capacity metric for any
