@@ -832,6 +832,24 @@ object Aggs extends OpModule {
       },
       Some(chi2Sql("events", "CAST(ts AS TIMESTAMP)"))),
 
+    Op("agg_auc_rank",
+      // exact ROC AUC via the rank-sum identity (Mann–Whitney U):
+      // AUC = P(score_pos > score_neg) + ½P(tie) — the standard
+      // classifier-quality number, computed WITHOUT materializing
+      // ranks over the corpus: scores quantize to the cents grid
+      // (the agg_ks_test argument — support bounded by value range,
+      // never corpus size), per-cell (n_pos, n_neg) collapse in ONE
+      // map-combined aggregate, and 2U = Σ_cells p·(2·cum_neg_below
+      // + q) is exact integer arithmetic over the bounded grid
+      // (ties contribute exactly half by construction, no averaging
+      // of fractional ranks). One IEEE division finishes. "Label" =
+      // purchase vs click, "score" = event value.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_auc")
+        s.sql(aucSql("graft_ev_auc"))
+      },
+      Some(aucSql("events"))),
+
     Op("agg_ks_test",
       // two-sample Kolmogorov–Smirnov distance between the purchase
       // and click value distributions — the distribution-drift test
@@ -1315,6 +1333,35 @@ object Aggs extends OpModule {
                 FROM $table)
               GROUP BY l_returnflag)))
         ORDER BY l_returnflag"""
+
+  /** Shared SQL for `agg_auc_rank` — exact-int Mann–Whitney 2U over
+    * the bounded cents grid; identical text on both engines. */
+  private def aucSql(table: String): String =
+    s"""WITH v AS (
+          SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+            CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS q,
+            CAST(round(value * 100, 0) AS BIGINT) AS cent
+          FROM $table
+          WHERE event_type IN ('purchase', 'click')),
+        c AS (
+          SELECT cent, CAST(sum(p) AS BIGINT) AS p,
+            CAST(sum(q) AS BIGINT) AS q
+          FROM v GROUP BY cent),
+        w AS (
+          SELECT cent, p, q,
+            CAST(coalesce(sum(q) OVER (ORDER BY cent
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS qb
+          FROM c),
+        u AS (
+          SELECT CAST(sum(p * (2 * qb + q)) AS BIGINT) AS u2,
+            CAST(sum(p) AS BIGINT) AS np,
+            CAST(sum(q) AS BIGINT) AS nq
+          FROM w)
+        SELECT np AS n_pos, nq AS n_neg,
+          round(CAST(u2 AS DOUBLE) / CAST(2 * np * nq AS DOUBLE), 6)
+            AS auc
+        FROM u"""
 
   /** Shared SQL for `agg_ks_test` — identical text on both engines
     * (no engine-specific functions needed). */
