@@ -1058,6 +1058,84 @@ object EventOps extends OpModule {
       },
       Some(cupedSql("events"))),
 
+    Op("stream_cohort_ltv",
+      // cumulative cohort LTV — the revenue-side completion of
+      // stream_retention_cohort (that op counts who came back; this
+      // one accumulates what each signup-week cohort has SPENT by
+      // age): cohort = user's first-seen week, age = event week −
+      // cohort week, ltv = running Σ(purchase cents)/cohort size.
+      // Shape: per-user first-day collapse (one user-keyed shuffle),
+      // events re-join their cohort on the SAME user key (co-
+      // partitioned — no broadcast of a corpus-sized user table),
+      // then (cohort, age) cells collapse map-side and the running
+      // sum windows over the bounded |cohorts|·|weeks| relation.
+      // Cents exact longs end-to-end; two IEEE divisions finish.
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("user_id"),
+          datediff(col("ts").cast("date"),
+            to_date(lit("1970-01-01"))).as("eday"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long"))
+            .otherwise(0L).as("cents"))
+        val firstSeen = e.groupBy("user_id")
+          .agg(expr("min(eday) DIV 7").as("cohort_week"))
+        val sized = firstSeen.groupBy("cohort_week")
+          .agg(countDistinct(col("user_id")).as("cohort_size"))
+        val cells = e.join(firstSeen, Seq("user_id"))
+          .withColumn("age_week",
+            expr("eday DIV 7") - col("cohort_week"))
+          .groupBy("cohort_week", "age_week")
+          .agg(sum(col("cents")).as("cell_cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cohort_week").orderBy("age_week")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        cells.withColumn("cum_cents", sum(col("cell_cents")).over(w))
+          .join(broadcast(sized), Seq("cohort_week"))
+          .select(col("cohort_week").cast("long").as("cohort_week"),
+            col("age_week").cast("long").as("age_week"),
+            col("cohort_size"),
+            round(col("cum_cents").cast("double") /
+              col("cohort_size").cast("double") / lit(100.0), 6)
+              .as("ltv"))
+          .orderBy("cohort_week", "age_week")
+      },
+      Some("""WITH e AS (
+                SELECT user_id,
+                  (CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                   - DATE '1970-01-01') AS eday,
+                  CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END AS cents
+                FROM events),
+              fs AS (
+                SELECT user_id, min(eday) // 7 AS cohort_week
+                FROM e GROUP BY user_id),
+              sz AS (
+                SELECT cohort_week,
+                  count(DISTINCT user_id) AS cohort_size
+                FROM fs GROUP BY cohort_week),
+              cells AS (
+                SELECT fs.cohort_week,
+                  (e.eday // 7) - fs.cohort_week AS age_week,
+                  CAST(sum(e.cents) AS BIGINT) AS cell_cents
+                FROM e JOIN fs ON e.user_id = fs.user_id
+                GROUP BY 1, 2),
+              c AS (
+                SELECT cohort_week, age_week,
+                  CAST(sum(cell_cents) OVER (PARTITION BY cohort_week
+                    ORDER BY age_week
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents
+                FROM cells)
+              SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+                CAST(c.age_week AS BIGINT) AS age_week,
+                CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+                round(CAST(c.cum_cents AS DOUBLE) /
+                  CAST(sz.cohort_size AS DOUBLE) / 1e2, 6) AS ltv
+              FROM c JOIN sz ON c.cohort_week = sz.cohort_week
+              ORDER BY cohort_week, age_week""")),
+
     Op("stream_ab_srm",
       // sample-ratio-mismatch guard — the validity check that must
       // pass BEFORE any A/B readout is trusted (a skewed split means
