@@ -1450,21 +1450,44 @@ object LlmOps extends OpModule {
     * never through a corpus×corpus product.
     */
   def simSearchIvfExact(emb: DataFrame, nProbes: Int, topK: Int,
-      nCentroids: Int = 8, cacheKey: Option[String] = None): DataFrame = {
+      nCentroids: Int = 8, cacheKey: Option[String] = None,
+      excludeSameLabel: Boolean = false): DataFrame = {
     graft.functions.VectorKernels.register(emb.sparkSession)
     val nProbe = math.max(1, nCentroids / 2)
     val idx = ivfIndex(emb, nCentroids, cacheKey)
     val assign = idx.assign
     val probes = emb.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("p_id"), col("embedding").cast("array<double>").as("p_emb"))
+      .select(Seq(col("vec_id").as("p_id"),
+        col("embedding").cast("array<double>").as("p_emb")) ++
+        (if (excludeSameLabel) Seq(col("label").as("p_label"))
+         else Nil): _*)
     val ranked = rankCentroids(probes, idx)
     // clamp1 on the scorer too (ADVICE r2): a degenerate zero-norm
     // vector must score deterministically low in both phases, never
     // NaN-high; on well-formed data the clamp is a no-op after round-6
     val scoreOf = round(clamp1(cosineCols(col("p_emb"), col("e"))), 6)
-    def scoreBuckets(buckets: DataFrame): DataFrame =
-      buckets.join(assign.select("vec_id", "e", "cid"), "cid")
-        .select(col("p_id"), col("p_emb"), col("vec_id"), scoreOf.as("cosine"))
+    // hard-negative mode: drop same-label candidates BEFORE any
+    // ranking, so the phase-1 kth bound and the bucket rescue both
+    // see the restricted candidate set — the rescue geometry only
+    // ever widens when candidates drop, so exactness is preserved.
+    // Probe labels ride a probe-sized broadcast (rankCentroids
+    // projects them away); candidate labels a vec_id-keyed equi-join
+    // co-partitioned with the assignment — never a corpus broadcast.
+    val probeLabels =
+      if (excludeSameLabel) Some(broadcast(probes.select("p_id", "p_label")))
+      else None
+    def scoreBuckets(buckets: DataFrame): DataFrame = {
+      val scored = buckets.join(assign.select("vec_id", "e", "cid"), "cid")
+      val kept = probeLabels match {
+        case Some(pl) =>
+          scored.join(pl, "p_id")
+            .join(emb.select(col("vec_id"), col("label")), "vec_id")
+            .filter(col("label") =!= col("p_label"))
+        case None => scored
+      }
+      kept.select(col("p_id"), col("p_emb"), col("vec_id"),
+        scoreOf.as("cosine"))
+    }
     val wR = org.apache.spark.sql.expressions.Window
       .partitionBy("p_id").orderBy(col("cosine").desc, col("vec_id").asc)
     val phase1 = scoreBuckets(ranked.filter(col("c_rn") <= nProbe))
@@ -1964,6 +1987,45 @@ object LlmOps extends OpModule {
                          x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))),
                     6) AS cosine
                 FROM probes, embeddings),
+              ranked AS (
+                SELECT p_id, vec_id, cosine,
+                  row_number() OVER (PARTITION BY p_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored)
+              SELECT p_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine
+              FROM ranked WHERE rank <= 10
+              ORDER BY p_id, rank""")),
+
+    Op("llm_hard_negatives",
+      // hard-negative mining — the contrastive-training prep step
+      // (dense-retriever / embedding-model training wants, per query,
+      // the nearest vectors that are NOT its class — the examples the
+      // model most confuses): exact top-k over the different-label
+      // candidate set via the SAME adaptive-IVF rescue path as
+      // llm_simsearch (one extra label equi-join + filter applied
+      // BEFORE ranking — dropping candidates only widens the rescue,
+      // so exactness is preserved; same session index memo). Oracle =
+      // brute force with the label exclusion, provably the same
+      // exact top-k.
+      (s, d) => simSearchIvfExact(Tables.embeddings(s, d), nProbes = 5,
+          topK = 10, cacheKey = Some(d), excludeSameLabel = true)
+        .orderBy("p_id", "rank"),
+      Some("""WITH probes AS (
+                SELECT vec_id AS p_id, embedding AS p_emb, label AS p_label
+                FROM embeddings WHERE vec_id < 5),
+              scored AS (
+                SELECT p_id, vec_id,
+                  round(
+                    list_reduce(list_transform(range(1, 65),
+                      i -> p_emb[i]::DOUBLE * embedding[i]::DOUBLE),
+                      (a, b) -> a + b)
+                    / (sqrt(list_reduce(list_transform(p_emb,
+                         x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))
+                     * sqrt(list_reduce(list_transform(embedding,
+                         x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))),
+                    6) AS cosine
+                FROM probes, embeddings
+                WHERE embeddings.label <> probes.p_label),
               ranked AS (
                 SELECT p_id, vec_id, cosine,
                   row_number() OVER (PARTITION BY p_id
