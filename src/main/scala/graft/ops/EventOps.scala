@@ -151,6 +151,39 @@ object EventOps extends OpModule {
         FROM a, th ORDER BY arm"""
   }
 
+  /** Shared power-analysis SQL (stream_ab_power): exact DECIMAL
+    * moments of per-user purchase cents, IEEE finish, shared z
+    * literals in exponent form. */
+  private def powerSql(table: String): String =
+    s"""WITH u AS (
+          SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS cents
+          FROM $table GROUP BY user_id),
+        g AS (
+          SELECT CAST(count(*) AS DECIMAL(11,0)) AS n,
+            CAST(sum(CAST(cents AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS sx,
+            CAST(sum(CAST(cents*cents AS DECIMAL(21,0)))
+              AS DECIMAL(21,0)) AS sxx
+          FROM u),
+        d AS (
+          SELECT CAST(n AS DOUBLE) AS n_d,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS mean_rev,
+            CAST(CAST(n AS DECIMAL(33,0))*sxx
+                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
+              / 1e4 AS var_rev
+          FROM g)
+        SELECT CAST(n_d AS BIGINT) AS n_users,
+          round(mean_rev, 6) AS mean_rev,
+          round(sqrt(var_rev), 6) AS sd_rev,
+          round(mean_rev * 5e-2, 6) AS mde_abs,
+          CAST(ceil(2e0 * ((196e-2 + 84e-2) * (196e-2 + 84e-2))
+                * var_rev / ((mean_rev * 5e-2) * (mean_rev * 5e-2)))
+            AS BIGINT) AS n_per_arm
+        FROM d"""
+
   override def ops: Seq[Op] = Seq(
 
     Op("stream_envelope",
@@ -1057,6 +1090,22 @@ object EventOps extends OpModule {
         s.sql(cupedSql("graft_ev_cuped"))
       },
       Some(cupedSql("events"))),
+
+    Op("stream_ab_power",
+      // pre-experiment power analysis — the fourth leg of the A/B
+      // battery (lift / CUPED / SRM / power): how many users per arm
+      // does a 5%-relative MDE on per-user revenue need at α=0.05,
+      // 80% power? n/arm = 2·(z_{α/2}+z_β)²·σ²/δ² with the standard
+      // 1.96 / 0.84 critical values as shared literals. σ² is the
+      // exact sample variance from cents-scaled DECIMAL moments (the
+      // regressionSql discipline), δ = 5% of the mean — every finish
+      // op a fixed IEEE sequence, ceil to an exact long. ONE per-user
+      // collapse + ONE map-combined moment aggregate; 1 row out.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_power")
+        s.sql(powerSql("graft_ev_power"))
+      },
+      Some(powerSql("events"))),
 
     Op("stream_cohort_ltv",
       // cumulative cohort LTV — the revenue-side completion of
