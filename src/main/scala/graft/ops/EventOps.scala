@@ -507,6 +507,67 @@ object EventOps extends OpModule {
               FROM r WHERE version_back <= 2
               ORDER BY user_id, version_back""")),
 
+    Op("cdc_conflict_lww",
+      // multi-master conflict resolution — last-writer-wins merge of
+      // two replicas' changelogs (the LWW-register CRDT rule every
+      // active-active replication system ships): winner per key =
+      // max (ts, position, replica) — replica id as the final total-
+      // order tiebreak, so concurrent writes resolve identically on
+      // every node. Replica B is the SAME log drifted
+      // deterministically (every 7th position's change lands 1 s
+      // later with a re-scaled value — both engines construct the
+      // identical replica from one table, the cdc_table_diff
+      // discipline). The rank-filter plans WindowGroupLimit: map
+      // tasks pre-truncate to 1 row per key per task before the pk
+      // shuffle (the cdc_compact_versions bound).
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val base = e.select(col("event_id").as("position"),
+          col("user_id").as("pk"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        val a = base.withColumn("replica", lit("a"))
+        val b = base
+          .withColumn("ts_us",
+            when(col("position") % 7 === 0, col("ts_us") + 1000000L)
+              .otherwise(col("ts_us")))
+          .withColumn("value",
+            when(col("position") % 7 === 0,
+              round(col("value") * 2, 6)).otherwise(col("value")))
+          .withColumn("replica", lit("b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("pk")
+          .orderBy(col("ts_us").desc, col("position").desc,
+            col("replica").desc)
+        a.unionByName(b)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("pk").as("user_id"), col("replica"),
+            col("position"), col("ts_us"), col("value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH base AS (
+                SELECT event_id AS position, user_id AS pk,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+                FROM events),
+              m AS (
+                SELECT position, pk, ts_us, value, 'a' AS replica
+                FROM base
+                UNION ALL
+                SELECT position, pk,
+                  CASE WHEN position % 7 = 0 THEN ts_us + 1000000
+                       ELSE ts_us END,
+                  CASE WHEN position % 7 = 0 THEN round(value * 2, 6)
+                       ELSE value END,
+                  'b' AS replica
+                FROM base),
+              r AS (
+                SELECT *, row_number() OVER (PARTITION BY pk
+                  ORDER BY ts_us DESC, position DESC, replica DESC) AS rn
+                FROM m)
+              SELECT pk AS user_id, replica, position, ts_us, value
+              FROM r WHERE rn = 1
+              ORDER BY user_id""")),
+
     Op("stream_topk_trending",
       // trending dashboard — daily top-3 event types with
       // day-over-day momentum: per-(day, type) counts map-side

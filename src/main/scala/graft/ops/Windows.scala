@@ -78,6 +78,34 @@ object Windows extends OpModule {
           round($quantFn(slope, 0.5), 6) AS slope_cents_per_day
         FROM sl GROUP BY 1 ORDER BY event_type"""
 
+  /** Shared SQL for `win_skyline` — sort-based skyline on the exact
+    * (brand, price-cents, size) grid; identical text on both
+    * engines. ROWS ≡ RANGE on the prev-min frame because the `g`
+    * relation has exactly one row per (brand, price). */
+  private def skylineSql(table: String): String =
+    s"""WITH p AS (
+          SELECT p_brand,
+            CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+            p_size, count(*) AS n_parts
+          FROM $table GROUP BY 1, 2, 3),
+        g AS (
+          SELECT p_brand, price_c, min(p_size) AS min_size
+          FROM p GROUP BY 1, 2),
+        c AS (
+          SELECT p_brand, price_c, min_size,
+            min(min_size) OVER (PARTITION BY p_brand
+              ORDER BY price_c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS prev_min
+          FROM g)
+        SELECT p.p_brand, p.price_c, p.p_size,
+          CAST(p.n_parts AS BIGINT) AS n_parts
+        FROM p JOIN c
+          ON p.p_brand = c.p_brand AND p.price_c = c.price_c
+        WHERE p.p_size = c.min_size
+          AND (c.prev_min IS NULL OR c.prev_min > p.p_size)
+        ORDER BY p.p_brand, p.price_c DESC, p.p_size"""
+
   /** Shared SQL for `win_vwap` — exact integer cumulants (cents ×
     * centi-unit products summed in DECIMAL), one IEEE division per
     * day row; only the epoch-day expression is engine-spliced. */
@@ -846,6 +874,24 @@ object Windows extends OpModule {
              CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
                   AS BIGINT) AS x
            FROM events GROUP BY 1, 2""", "quantile_cont"))),
+
+    Op("win_skyline",
+      // SKYLINE / Pareto frontier (Börzsönyi et al. 2001, "The
+      // Skyline Operator") — an operator Spark has no built-in for,
+      // expressed as the sort-based rewrite: per brand, the parts no
+      // other part dominates (≥ price AND ≤ size, strict somewhere).
+      // Shape: collapse to the (brand, price, size) grid map-side
+      // (bounded by the price×size VALUE GRID, not the corpus — the
+      // ks_test argument), per-(brand, price) min size, then ONE
+      // lagged running-min over strictly-higher prices per brand; a
+      // point survives iff it is its price's min size AND beats every
+      // higher price's best size. All exact ints; no corpus-sized
+      // window anywhere.
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("graft_part_sky")
+        s.sql(skylineSql("graft_part_sky"))
+      },
+      Some(skylineSql("part"))),
 
     Op("win_vwap",
       // running VWAP — the volume-weighted benchmark price the
