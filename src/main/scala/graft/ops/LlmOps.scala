@@ -1996,6 +1996,82 @@ object LlmOps extends OpModule {
               FROM ranked WHERE rank <= 10
               ORDER BY p_id, rank""")),
 
+    Op("llm_vocab_growth",
+      // Heaps-law vocabulary-growth curve — the corpus profile that
+      // sizes a tokenizer vocabulary and predicts OOV rates before
+      // training one (V(n) ≈ K·n^β; the curve's flattening tells you
+      // when more data stops buying new types): distinct vocabulary
+      // and token totals after 10/25/50/100% of the corpus (prefix by
+      // doc_id — the ingest order). The trick that keeps it ONE pass:
+      // a term's contribution to every prefix is determined by its
+      // FIRST occurrence (min doc_id per term — one map-combined
+      // aggregate over the posting relation), so each cut is a
+      // conditional count over the vocabulary relation, never a
+      // re-scan; token totals are 4 conditional sums in the same
+      // single doc-grain aggregate. All exact ints.
+      (s, d) => {
+        val docs = tokenizedDocs(s, d)
+        val terms = docs.select(col("doc_id"),
+            explode(array_distinct(col("toks"))).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+        val dstats = docs.select(col("doc_id"),
+          size(array_remove(col("toks"), "")).as("ntok"))
+        val m = dstats.agg((max(col("doc_id")) + 1L).as("maxd"))
+        val cuts = Seq(10, 25, 50, 100)
+        def cutOf(k: Int) = expr(s"maxd * $k DIV 100")
+        val dCols = cuts.flatMap { k =>
+          Seq(count(when(col("doc_id") < cutOf(k), 1)).as(s"nd_$k"),
+            sum(when(col("doc_id") < cutOf(k), col("ntok"))
+              .otherwise(0L)).cast("long").as(s"nt_$k"))
+        }
+        val dAgg = dstats.join(broadcast(m)).agg(dCols.head, dCols.tail: _*)
+        val tCols = cuts.map { k =>
+          count(when(col("first_doc") < cutOf(k), 1)).as(s"v_$k")
+        }
+        val tAgg = terms.join(broadcast(m)).agg(tCols.head, tCols.tail: _*)
+        dAgg.join(broadcast(tAgg))
+          .select(explode(array(cuts.map { k =>
+            struct(lit(k).as("pct"), col(s"nd_$k").as("n_docs"),
+              col(s"nt_$k").as("n_tokens"), col(s"v_$k").as("vocab"))
+          }: _*)).as("r"))
+          .select("r.*").orderBy("pct")
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM documents),
+              td AS (
+                SELECT doc_id,
+                  len(list_filter(toks, t -> t <> '')) AS ntok
+                FROM tok),
+              terms AS (
+                SELECT u.t AS term, min(u.doc_id) AS first_doc
+                FROM (SELECT doc_id, unnest(list_distinct(toks)) AS t
+                      FROM tok) u
+                WHERE u.t <> '' GROUP BY 1),
+              m AS (SELECT max(doc_id) + 1 AS maxd FROM tok),
+              c AS (
+                SELECT pct, (m.maxd * pct) // 100 AS cut
+                FROM (SELECT unnest([10, 25, 50, 100]) AS pct), m),
+              d1 AS (
+                SELECT c.pct,
+                  count(CASE WHEN td.doc_id < c.cut THEN 1 END) AS n_docs,
+                  CAST(coalesce(sum(CASE WHEN td.doc_id < c.cut
+                    THEN td.ntok ELSE 0 END), 0) AS BIGINT) AS n_tokens
+                FROM c, td GROUP BY c.pct),
+              d2 AS (
+                SELECT c.pct,
+                  count(CASE WHEN terms.first_doc < c.cut THEN 1 END)
+                    AS vocab
+                FROM c, terms GROUP BY c.pct)
+              SELECT CAST(d1.pct AS INTEGER) AS pct,
+                CAST(d1.n_docs AS BIGINT) AS n_docs, d1.n_tokens,
+                CAST(d2.vocab AS BIGINT) AS vocab
+              FROM d1 JOIN d2 ON d1.pct = d2.pct
+              ORDER BY pct""")),
+
     Op("llm_hard_negatives",
       // hard-negative mining — the contrastive-training prep step
       // (dense-retriever / embedding-model training wants, per query,
