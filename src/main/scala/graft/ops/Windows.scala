@@ -875,6 +875,74 @@ object Windows extends OpModule {
                   AS BIGINT) AS x
            FROM events GROUP BY 1, 2""", "quantile_cont"))),
 
+    Op("win_macd",
+      // MACD (Appel) — the last member of the momentum battery
+      // (bollinger/drawdown/ohlc/rsi/vwap): EMA12 − EMA26 with an
+      // EMA9 signal line and histogram, over each type's daily-total
+      // series. One 3-state recursive fold (the win_rsi triple
+      // extended to two EMAs + the signal of their difference — the
+      // signal update inlines the NEW fast/slow values since a fold
+      // lambda can't reference its own outputs), seeds e12=e26=x₀,
+      // sig=0, EMA constants in exponent form ((n−1)·e + 2x)/(n+1).
+      // Identical lambda text on both engines over dsum-stabilized
+      // daily doubles ⇒ bit-identical floats.
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            datediff(col("ts").cast("date"),
+              to_date(lit("1970-01-01"))).as("eday"))
+          .agg(dsum(col("value")).as("v"))
+        daily.groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("eday"), col("v"))))
+            .as("xs"))
+          .select(col("event_type"),
+            expr("transform(xs, x -> array(x.v, x.v, 0e0))").as("vs"))
+          .select(col("event_type"), size(col("vs")).as("n_days"),
+            expr("""aggregate(slice(vs, 2, size(vs)),
+                    element_at(vs, 1),
+                    (acc, e) -> array(
+                      (acc[0] * 11e0 + 2e0 * e[0]) / 13e0,
+                      (acc[1] * 25e0 + 2e0 * e[0]) / 27e0,
+                      (acc[2] * 8e0 + 2e0 *
+                        ((acc[0] * 11e0 + 2e0 * e[0]) / 13e0
+                         - (acc[1] * 25e0 + 2e0 * e[0]) / 27e0)) / 1e1))""")
+              .as("r"))
+          .select(col("event_type"), col("n_days"),
+            round(col("r")(0) - col("r")(1), 6).as("macd"),
+            round(col("r")(2), 6).as("signal"),
+            round(col("r")(0) - col("r")(1) - col("r")(2), 6)
+              .as("histogram"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(date_trunc('day', ts) AS DATE)) AS INTEGER) AS eday,
+                  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 6) AS DOUBLE)
+                    AS v
+                FROM events GROUP BY 1, 2),
+              s AS (
+                SELECT event_type,
+                  list_transform(list(v ORDER BY eday),
+                    x -> [x, x, 0e0]) AS vs
+                FROM daily GROUP BY event_type),
+              r AS (
+                SELECT event_type, len(vs) AS n_days,
+                  list_reduce(vs, (acc, e) -> [
+                    (acc[1] * 11e0 + 2e0 * e[1]) / 13e0,
+                    (acc[2] * 25e0 + 2e0 * e[1]) / 27e0,
+                    (acc[3] * 8e0 + 2e0 *
+                      ((acc[1] * 11e0 + 2e0 * e[1]) / 13e0
+                       - (acc[2] * 25e0 + 2e0 * e[1]) / 27e0)) / 1e1])
+                    AS f
+                FROM s)
+              SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+                round(f[1] - f[2], 6) AS macd,
+                round(f[3], 6) AS signal,
+                round(f[1] - f[2] - f[3], 6) AS histogram
+              FROM r ORDER BY event_type"""))
+          ,
+
     Op("win_skyline",
       // SKYLINE / Pareto frontier (Börzsönyi et al. 2001, "The
       // Skyline Operator") — an operator Spark has no built-in for,
