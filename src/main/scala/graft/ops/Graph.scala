@@ -51,6 +51,50 @@ object GraphOps extends OpModule {
     * iters = 0 returns the persisted uniform pr_0 — the handle is
     * never null.
     */
+  /** HITS mutual recursion (Kleinberg 1999) over a directed edge
+    * list, max-normalized per round. Returns the supplier authority
+    * vector computed from the FINAL hub vector (so the returned
+    * plan's lineage touches only the final persisted frame — the
+    * rewrap-before-unpersist rule) plus the handles the caller must
+    * unpersist once the result is materialized. */
+  private[graft] def hitsWithHandle(edges: DataFrame,
+      iters: Int): (DataFrame, Seq[DataFrame]) = {
+    val e = edges.persist()
+    def rewrap(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge.rewrapInternal(df)
+    var hubs = e.select(col("src")).distinct()
+      .select(col("src"), lit(1.0).as("hub"))
+    var persisted: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val aRaw = e.join(hubs, "src")
+        .groupBy("dst").agg(sum(col("hub")).as("a"))
+      val amax = aRaw.agg(max(col("a")).as("amax"))
+      val auth = aRaw.crossJoin(broadcast(amax))
+        .select(col("dst"), (col("a") / col("amax")).as("auth"))
+      val hRaw = e.join(auth, "dst")
+        .groupBy("src").agg(sum(col("auth")).as("h"))
+      val hmax = hRaw.agg(max(col("h")).as("hmax"))
+      val upd = hRaw.crossJoin(broadcast(hmax))
+        .select(col("src"), (col("h") / col("hmax")).as("hub"))
+        .persist()
+      upd.count()
+      val flat = rewrap(upd)
+      if (persisted != null) persisted.unpersist(blocking = false)
+      persisted = upd
+      hubs = flat
+      it += 1
+    }
+    // final authorities from the final (persisted) hub vector
+    val aRaw = e.join(hubs, "src")
+      .groupBy("dst").agg(sum(col("hub")).as("a"))
+    val amax = aRaw.agg(max(col("a")).as("amax"))
+    val out = aRaw.crossJoin(broadcast(amax))
+      .select(col("dst").as("supplier"),
+        round(col("a") / col("amax"), 6).as("auth"))
+    (out, Seq(e, persisted).filter(_ != null))
+  }
+
   private[graft] def pageRankWithHandle(edges: DataFrame, iters: Int = 5,
       damping: Double = 0.85, tol: Double = 0.0): (DataFrame, DataFrame) = {
     val e = edges.persist()
@@ -329,6 +373,42 @@ object GraphOps extends OpModule {
             round(col("pr"), 6).as("pr"))
           .orderBy(col("pr").desc, col("node").asc)
           .limit(20)
+      },
+      None),
+
+    Op("graph_hits",
+      // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+      // customer→supplier trade graph — the other classic link-
+      // analysis ranking beside PageRank, and the natural one for a
+      // bipartite buy-graph: hub(c) = how broadly a customer buys
+      // from authoritative suppliers, auth(s) = how much hub demand
+      // a supplier attracts. Mutual recursion, max-normalized each
+      // round (scale-free scores; max is order-independent where
+      // float sums are not). Registered rows-only like
+      // graph_pagerank: per-node double sums cross engines'
+      // association orders, so no portable SQL hash exists —
+      // GraphSpec pins the kernel against a hand-computed reference
+      // on a crafted graph plus normalization/ordering invariants
+      // here. Per round: two frontier-sized equi-join + map-combined
+      // aggregates (src-keyed, dst-keyed), 1-row max broadcasts;
+      // the pageRankWithHandle persist/rewrap discipline bounds the
+      // plan depth. Session-memoized per (session, corpus).
+      (s, d) => {
+        val key =
+          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|hits|$d"
+        val scores = key.intern.synchronized(prCache.getOrElseUpdate(key, {
+          val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+          val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+            .distinct()
+          val (df, handles) = hitsWithHandle(edges, iters = 5)
+          val r = df.persist()
+          r.count()
+          handles.foreach(_.unpersist(blocking = false))
+          r
+        }))
+        scores.orderBy(col("auth").desc, col("supplier").asc).limit(20)
       },
       None),
 

@@ -107,4 +107,62 @@ class GraphSpec extends SparkSpec {
     assert(again.map(_.toString).toSeq == top.map(_.toString).toSeq)
     ops.GraphOps.evictPrCache(spark)
   }
+
+  /** In-memory HITS reference — identical formulation (max-normalized
+    * per round), only the summation strategy differs. */
+  private def referenceHits(edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Double] = {
+    val srcs = edges.map(_._1).distinct
+    var hub = srcs.map(_ -> 1.0).toMap
+    var auth: Map[Long, Double] = Map.empty
+    for (_ <- 1 to iters) {
+      val aRaw = edges.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => hub(u) }.sum).toMap
+      val amax = aRaw.values.max
+      auth = aRaw.view.mapValues(_ / amax).toMap
+      val hRaw = edges.groupBy(_._1).view
+        .mapValues(_.map { case (_, v) => auth(v) }.sum).toMap
+      val hmax = hRaw.values.max
+      hub = hRaw.view.mapValues(_ / hmax).toMap
+    }
+    // final authorities from the final hub vector (the kernel's
+    // returned surface)
+    val aRaw = edges.groupBy(_._2).view
+      .mapValues(_.map { case (u, _) => hub(u) }.sum).toMap
+    val amax = aRaw.values.max
+    aRaw.view.mapValues(_ / amax).toMap
+  }
+
+  test("HITS kernel ≡ in-memory reference on a crafted bipartite graph; top authority normalized to 1") {
+    // suppliers 10,11,12: 10 bought by every customer, 11 by two,
+    // 12 by one — authority must rank 10 > 11 > 12 with auth(10)=1
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (1L, 11L), (2L, 11L), (3L, 12L))
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    val (out, handles) = ops.GraphOps.hitsWithHandle(df, iters = 5)
+    val got = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = referenceHits(edges, iters = 5)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (n, a) =>
+      // kernel rounds to 6dp at the output surface
+      assert(math.abs(got(n) - a) < 1e-6 + 1e-9,
+        s"node $n: got ${got(n)} want $a")
+    }
+    assert(got(10L) == 1.0)
+    assert(got(10L) > got(11L) && got(11L) > got(12L))
+    handles.foreach(_.unpersist(blocking = false))
+  }
+
+  test("graph_hits query: top-20 authorities, descending, memo-stable repeat") {
+    val df = SparkEntry.queries("graph_hits")(spark, sf001)
+    val top = df.collect()
+    assert(top.length > 0 && top.length <= 20)
+    val as = top.map(_.getDouble(1))
+    assert(as.sameElements(as.sortBy(-(_: Double))))
+    assert(as.head == 1.0 && as.forall(a => a >= 0.0 && a <= 1.0))
+    val again = SparkEntry.queries("graph_hits")(spark, sf001).collect()
+    assert(again.map(_.toString).toSeq == top.map(_.toString).toSeq)
+    ops.GraphOps.evictPrCache(spark)
+  }
 }
