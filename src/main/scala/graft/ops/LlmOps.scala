@@ -1996,6 +1996,108 @@ object LlmOps extends OpModule {
               FROM ranked WHERE rank <= 10
               ORDER BY p_id, rank""")),
 
+    Op("llm_ann_ndcg",
+      // retrieval-quality evaluation — NDCG@10 of the exact top-10
+      // against label ground truth (the metric a similarity-search
+      // deployment tracks; label agreement as binary relevance, the
+      // embeddings fixture's documented use). Libm-free by
+      // construction: the 1/log2(rank+1) discounts and their ideal
+      // cumulative sums are INLINE DECIMAL LITERALS (exponent form —
+      // both engines parse the same decimal to the same double), DCG
+      // is a rank-ordered LEFT FOLD over the collected 10-row list
+      // (never a group-sum of doubles — association order), IDCG a
+      // single literal lookup at n_rel. Search cost amortizes on the
+      // session IVF memo shared with llm_simsearch; the eval adds two
+      // label joins and a 10-row-per-probe fold.
+      (s, d) => {
+        val discA = "array(1e0, 6309297535714575e-16, 5e-1, " +
+          "43067655807339306e-17, 38685280723454163e-17, " +
+          "3562071871080222e-16, 3333333333333333e-16, " +
+          "31546487678572877e-17, 3010299956639812e-16, " +
+          "2890648263178879e-16)"
+        val cumA = "array(1e0, 16309297535714575e-16, " +
+          "21309297535714578e-16, 25616063116448506e-16, " +
+          "29484591188793923e-16, 33046663059874146e-16, " +
+          "3637999639320748e-15, 3953464516106477e-15, " +
+          "4254494511770458e-15, 4543559338088346e-15)"
+        val emb = Tables.embeddings(s, d)
+        val top = simSearchIvfExact(emb, nProbes = 5, topK = 10,
+          cacheKey = Some(d))
+        val plab = emb.select(col("vec_id").as("p_id"),
+          col("label").as("p_label"))
+        val rel = top
+          .join(broadcast(plab), "p_id")
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+          .select(col("p_id"), col("rank"),
+            (col("label") === col("p_label")).cast("int").as("rel"))
+          .withColumn("term",
+            expr(s"CASE WHEN rel = 1 THEN element_at($discA, rank) " +
+              "ELSE 0e0 END"))
+        rel.groupBy("p_id")
+          .agg(sum(col("rel")).cast("long").as("n_rel"),
+            array_sort(collect_list(struct(col("rank"), col("term"))))
+              .as("xs"))
+          .select(col("p_id"), col("n_rel"),
+            expr("""aggregate(
+                      slice(transform(xs, x -> x.term), 2, size(xs) - 1),
+                      element_at(transform(xs, x -> x.term), 1),
+                      (a, x) -> a + x)""").as("dcg"))
+          .withColumn("ndcg",
+            when(col("n_rel") === 0L, lit(0.0))
+              .otherwise(round(col("dcg") /
+                expr(s"element_at($cumA, CAST(n_rel AS INT))"), 6)))
+          .select("p_id", "n_rel", "ndcg")
+          .orderBy("p_id")
+      },
+      Some("""WITH probes AS (
+                SELECT vec_id AS p_id, embedding AS p_emb, label AS p_label
+                FROM embeddings WHERE vec_id < 5),
+              scored AS (
+                SELECT p_id, p_label, vec_id,
+                  round(
+                    list_reduce(list_transform(range(1, 65),
+                      i -> p_emb[i]::DOUBLE * embedding[i]::DOUBLE),
+                      (a, b) -> a + b)
+                    / (sqrt(list_reduce(list_transform(p_emb,
+                         x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))
+                     * sqrt(list_reduce(list_transform(embedding,
+                         x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))),
+                    6) AS cosine
+                FROM probes, embeddings),
+              ranked AS (
+                SELECT p_id, p_label, vec_id, cosine,
+                  row_number() OVER (PARTITION BY p_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored),
+              rel AS (
+                SELECT r.p_id, r.rank,
+                  CASE WHEN e.label = r.p_label THEN 1 ELSE 0 END AS rel,
+                  CASE WHEN e.label = r.p_label THEN
+                    ([1e0, 6309297535714575e-16, 5e-1,
+                      43067655807339306e-17, 38685280723454163e-17,
+                      3562071871080222e-16, 3333333333333333e-16,
+                      31546487678572877e-17, 3010299956639812e-16,
+                      2890648263178879e-16])[r.rank]
+                  ELSE 0e0 END AS term
+                FROM ranked r JOIN embeddings e ON r.vec_id = e.vec_id
+                WHERE r.rank <= 10),
+              f AS (
+                SELECT p_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+                  list_reduce(list(term ORDER BY rank),
+                    (a, b) -> a + b) AS dcg
+                FROM rel GROUP BY p_id)
+              SELECT p_id, n_rel,
+                CASE WHEN n_rel = 0 THEN 0e0
+                     ELSE round(dcg /
+                       ([1e0, 16309297535714575e-16,
+                         21309297535714578e-16, 25616063116448506e-16,
+                         29484591188793923e-16, 33046663059874146e-16,
+                         3637999639320748e-15, 3953464516106477e-15,
+                         4254494511770458e-15, 4543559338088346e-15])
+                         [CAST(n_rel AS INTEGER)], 6)
+                END AS ndcg
+              FROM f ORDER BY p_id""")),
+
     Op("llm_vocab_growth",
       // Heaps-law vocabulary-growth curve — the corpus profile that
       // sizes a tokenizer vocabulary and predicts OOV rates before
