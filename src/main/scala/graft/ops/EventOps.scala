@@ -151,6 +151,38 @@ object EventOps extends OpModule {
         FROM a, th ORDER BY arm"""
   }
 
+  /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
+    * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
+  private def burnRateSql(table: String, spark: Boolean): String = {
+    val hour =
+      if (spark) "unix_micros(ts) DIV 3600000000"
+      else "epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000"
+    s"""WITH hourly AS (
+          SELECT CAST($hour AS BIGINT) AS h,
+            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errs,
+            count(*) AS total
+          FROM $table GROUP BY 1),
+        w AS (
+          SELECT h, errs, total,
+            CAST(sum(errs) OVER w6 AS BIGINT) AS e6,
+            CAST(sum(total) OVER w6 AS BIGINT) AS t6
+          FROM hourly
+          WINDOW w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING
+                        AND CURRENT ROW))
+        SELECT h, errs, total,
+          round(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 1e-2, 6)
+            AS burn_1h,
+          round(CAST(e6 AS DOUBLE) / CAST(t6 AS DOUBLE) / 1e-2, 6)
+            AS burn_6h,
+          round(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 1e-2, 6)
+            >= 6e0
+            AND
+          round(CAST(e6 AS DOUBLE) / CAST(t6 AS DOUBLE) / 1e-2, 6) >= 6e0
+            AS page
+        FROM w ORDER BY h"""
+  }
+
   /** Shared power-analysis SQL (stream_ab_power): exact DECIMAL
     * moments of per-user purchase cents, IEEE finish, shared z
     * literals in exponent form. */
@@ -1245,6 +1277,22 @@ object EventOps extends OpModule {
                   CAST(sz.cohort_size AS DOUBLE) / 1e2, 6) AS ltv
               FROM c JOIN sz ON c.cohort_week = sz.cohort_week
               ORDER BY cohort_week, age_week""")),
+
+    Op("stream_burn_rate",
+      // SLO error-budget burn-rate alerting (the Google SRE workbook
+      // multi-window rule): per hour, the error ratio in the trailing
+      // 1 h and 6 h windows expressed as burn MULTIPLES of a 1% error
+      // budget; a page fires only when BOTH windows burn ≥ 6× — the
+      // long window keeps a transient spike from paging, the short
+      // window ends the page promptly once the bleed stops. Counts
+      // collapse to the bounded hourly relation in ONE map-combined
+      // pass; both trailing windows run over that calendar-bounded
+      // relation; each rate is exact longs + one IEEE division.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_burn")
+        s.sql(burnRateSql("graft_ev_burn", spark = true))
+      },
+      Some(burnRateSql("events", spark = false))),
 
     Op("stream_ab_srm",
       // sample-ratio-mismatch guard — the validity check that must

@@ -1082,6 +1082,75 @@ object Joins extends OpModule {
               FROM names a JOIN names b
                 ON a.blk = b.blk AND a.p_name < b.p_name
               WHERE levenshtein(a.p_name, b.p_name) <= 2
-              ORDER BY name_a, name_b"""))
+              ORDER BY name_a, name_b""")),
+
+    Op("join_er_clusters",
+      // the END of the entity-resolution pipeline join_er_blocking
+      // starts: match pairs → transitive closure → one cluster per
+      // real-world entity with a canonical survivor (min name — the
+      // master-data "golden record" convention) and the row mass it
+      // absorbs. Closure via the SAME CC machinery as
+      // llm_dedup_clusters/graph_cc (min-label propagation +
+      // star-contraction fallback) on xxhash64 name ids — the
+      // internal id space is engine-private, so the EXPORTED label is
+      // min(name) per component, which the DuckDB recursive closure
+      // reproduces exactly; isolated names are their own singleton.
+      // Vocabulary-grain throughout (the er_blocking argument): at
+      // 100 TB the name relation is orders smaller than the table
+      // and pairs are blocked, never all-pairs.
+      (s, d) => {
+        val names = Tables.part(s, d)
+          .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+          .withColumn("blk", expr("split_part(p_name, ' ', 2)"))
+        val a = names.select(col("p_name").as("name_a"), col("blk"))
+        val b = names.select(col("p_name").as("name_b"), col("blk"))
+        val pairs = a.join(b, Seq("blk"))
+          .filter(col("name_a") < col("name_b") &&
+            levenshtein(col("name_a"), col("name_b")) <= 2)
+          .select(xxhash64(col("name_a")).as("doc_a"),
+            xxhash64(col("name_b")).as("doc_b"))
+        val labels = PipelineOps.connectedComponents(pairs)
+        val lab = names
+          .withColumn("nid", xxhash64(col("p_name")))
+          .join(labels, col("nid") === col("node"), "left")
+          .select(col("p_name"), col("n_rows"),
+            coalesce(col("lbl"), col("nid")).as("comp"))
+        val byComp = lab.groupBy("comp")
+          .agg(min(col("p_name")).as("cluster"),
+            count(lit(1)).as("cluster_size"),
+            sum(col("n_rows")).as("total_rows"))
+        lab.join(byComp, Seq("comp"))
+          .select(col("p_name"), col("cluster"),
+            col("cluster_size"), col("total_rows"))
+          .orderBy("p_name")
+      },
+      Some("""WITH RECURSIVE names AS (
+                SELECT p_name, count(*) AS n_rows,
+                  split_part(p_name, ' ', 2) AS blk
+                FROM part GROUP BY 1),
+              e AS (
+                SELECT a.p_name AS na, b.p_name AS nb
+                FROM names a JOIN names b
+                  ON a.blk = b.blk AND a.p_name < b.p_name
+                WHERE levenshtein(a.p_name, b.p_name) <= 2),
+              ud AS (SELECT na AS src, nb AS dst FROM e
+                     UNION ALL SELECT nb, na FROM e),
+              reach(node, lbl) AS (
+                SELECT p_name, p_name FROM names
+                UNION
+                SELECT ud.src, r.lbl FROM ud JOIN reach r
+                  ON r.node = ud.dst),
+              c AS (SELECT node, min(lbl) AS cluster
+                    FROM reach GROUP BY node),
+              g AS (
+                SELECT c.cluster, count(*) AS cluster_size,
+                  CAST(sum(n.n_rows) AS BIGINT) AS total_rows
+                FROM c JOIN names n ON c.node = n.p_name
+                GROUP BY 1)
+              SELECT c.node AS p_name, c.cluster,
+                CAST(g.cluster_size AS BIGINT) AS cluster_size,
+                g.total_rows
+              FROM c JOIN g ON c.cluster = g.cluster
+              ORDER BY p_name"""))
   )
 }
