@@ -151,6 +151,55 @@ object EventOps extends OpModule {
         FROM a, th ORDER BY arm"""
   }
 
+  /** Shared Welch t-test SQL (stream_ab_ttest). Engine-spliced md5
+    * arm bucket; moments and finish identical text. Variance uses
+    * the exact-int identity v = (n·sxx − sx²)/(n·(n−1)) in cents²,
+    * rescaled by 1e4 to currency units. */
+  private def ttestSql(table: String, spark: Boolean): String = {
+    val arm =
+      if (spark)
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"
+      else
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2"
+    s"""WITH u AS (
+          SELECT user_id, $arm AS armb,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS cents
+          FROM $table GROUP BY user_id),
+        g AS (
+          SELECT armb,
+            CAST(count(*) AS DECIMAL(11,0)) AS n,
+            CAST(sum(CAST(cents AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS sx,
+            CAST(sum(CAST(cents*cents AS DECIMAL(21,0)))
+              AS DECIMAL(21,0)) AS sxx
+          FROM u GROUP BY armb),
+        d AS (
+          SELECT armb, CAST(n AS DOUBLE) AS n_d,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS mean_rev,
+            CAST(CAST(n AS DECIMAL(33,0))*sxx
+                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
+              / 1e4 AS var_rev
+          FROM g),
+        p AS (
+          SELECT
+            CAST(a.n_d AS BIGINT) AS n_a, CAST(b.n_d AS BIGINT) AS n_b,
+            round(a.mean_rev, 6) AS mean_a, round(b.mean_rev, 6) AS mean_b,
+            (a.mean_rev - b.mean_rev)
+              / sqrt(a.var_rev / a.n_d + b.var_rev / b.n_d) AS t,
+            ((a.var_rev / a.n_d + b.var_rev / b.n_d)
+             * (a.var_rev / a.n_d + b.var_rev / b.n_d))
+              / ((a.var_rev / a.n_d) * (a.var_rev / a.n_d) / (a.n_d - 1e0)
+               + (b.var_rev / b.n_d) * (b.var_rev / b.n_d) / (b.n_d - 1e0))
+              AS df
+          FROM d a, d b WHERE a.armb = 0 AND b.armb = 1)
+        SELECT n_a, n_b, mean_a, mean_b,
+          round(t, 6) AS t_stat, round(df, 6) AS df,
+          abs(round(t, 6)) >= 196e-2 AS significant
+        FROM p"""
+  }
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -1277,6 +1326,26 @@ object EventOps extends OpModule {
                   CAST(sz.cohort_size AS DOUBLE) / 1e2, 6) AS ltv
               FROM c JOIN sz ON c.cohort_week = sz.cohort_week
               ORDER BY cohort_week, age_week""")),
+
+    Op("stream_ab_ttest",
+      // Welch's unequal-variance t-test on per-user revenue between
+      // arms — the significance readout over stream_ab_lift's means
+      // (Welch 1947; the default two-sample test of every modern
+      // experimentation platform — pooled-variance Student's t is
+      // wrong under variance heterogeneity, which revenue always
+      // has). t = (m_A − m_B)/sqrt(v_A/n_A + v_B/n_B), df by
+      // Welch–Satterthwaite; the flag |t| ≥ 1.96 is the z
+      // approximation (df in the thousands here — the normal and t
+      // quantiles agree to 3 decimals; an exact t quantile needs the
+      // incomplete beta, i.e. libm). Per-arm moments are cents-exact
+      // DECIMAL sums (regressionSql discipline) map-side combined
+      // after ONE per-user collapse; the finish is a fixed IEEE
+      // sequence on a 2-row relation. 1 row out.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_ttest")
+        s.sql(ttestSql("graft_ev_ttest", spark = true))
+      },
+      Some(ttestSql("events", spark = false))),
 
     Op("stream_burn_rate",
       // SLO error-budget burn-rate alerting (the Google SRE workbook
