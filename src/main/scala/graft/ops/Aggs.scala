@@ -1336,7 +1336,7 @@ object Aggs extends OpModule {
 
   /** Shared SQL for `agg_auc_rank` — exact-int Mann–Whitney 2U over
     * the bounded cents grid; identical text on both engines. */
-  private def aucSql(table: String): String =
+  private[graft] def aucSql(table: String): String =
     s"""WITH v AS (
           SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS q,
@@ -1365,7 +1365,7 @@ object Aggs extends OpModule {
 
   /** Shared SQL for `agg_ks_test` — identical text on both engines
     * (no engine-specific functions needed). */
-  private def ksSql(table: String): String =
+  private[graft] def ksSql(table: String): String =
     s"""WITH v AS (
           SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s1,
             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s2,

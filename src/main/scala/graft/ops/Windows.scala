@@ -82,7 +82,7 @@ object Windows extends OpModule {
     * (brand, price-cents, size) grid; identical text on both
     * engines. ROWS ≡ RANGE on the prev-min frame because the `g`
     * relation has exactly one row per (brand, price). */
-  private def skylineSql(table: String): String =
+  private[graft] def skylineSql(table: String): String =
     s"""WITH p AS (
           SELECT p_brand,
             CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,

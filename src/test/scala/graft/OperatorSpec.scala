@@ -495,4 +495,54 @@ class OperatorSpec extends SparkSpec {
       assert(!ppl.isNaN && !ppl.isInfinite && ppl >= 1.0)
     } finally { df.unpersist(); () }
   }
+
+  test("agg_auc_rank semantics: planted perfect separation → 1, identical distributions → 0.5") {
+    import spark.implicits._
+    // perfect separation: every purchase value above every click value
+    val sep = (1 to 50).map(i => (i.toLong, "purchase", 100.0 + i)) ++
+      (1 to 50).map(i => (i.toLong + 100, "click", 1.0 + i))
+    sep.toDF("event_id", "event_type", "value")
+      .createOrReplaceTempView("graft_auc_sep")
+    val a1 = spark.sql(ops.Aggs.aucSql("graft_auc_sep")).head()
+    assert(a1.getAs[Double]("auc") == 1.0, s"separated AUC: $a1")
+    // identical value multisets → AUC exactly 0.5 (ties count half)
+    val same = (1 to 50).map(i => (i.toLong, "purchase", (i % 7).toDouble)) ++
+      (1 to 50).map(i => (i.toLong + 100, "click", (i % 7).toDouble))
+    same.toDF("event_id", "event_type", "value")
+      .createOrReplaceTempView("graft_auc_same")
+    val a2 = spark.sql(ops.Aggs.aucSql("graft_auc_same")).head()
+    assert(a2.getAs[Double]("auc") == 0.5, s"identical AUC: $a2")
+  }
+
+  test("agg_ks_test semantics: identical distributions → D = 0; disjoint supports → D = 1") {
+    import spark.implicits._
+    val same = (1 to 40).map(i => (i.toLong, "purchase", (i % 5).toDouble)) ++
+      (1 to 40).map(i => (i.toLong + 100, "click", (i % 5).toDouble))
+    same.toDF("event_id", "event_type", "value")
+      .createOrReplaceTempView("graft_ks_same")
+    val k1 = spark.sql(ops.Aggs.ksSql("graft_ks_same")).head()
+    assert(k1.getAs[Double]("d_stat") == 0.0, s"identical KS: $k1")
+    val disj = (1 to 40).map(i => (i.toLong, "purchase", 100.0 + i)) ++
+      (1 to 40).map(i => (i.toLong + 100, "click", 1.0 + i))
+    disj.toDF("event_id", "event_type", "value")
+      .createOrReplaceTempView("graft_ks_disj")
+    val k2 = spark.sql(ops.Aggs.ksSql("graft_ks_disj")).head()
+    assert(k2.getAs[Double]("d_stat") == 1.0, s"disjoint KS: $k2")
+  }
+
+  test("win_skyline semantics: dominated points drop, frontier + price-tie co-optima survive") {
+    import spark.implicits._
+    // one brand: (price, size) points — frontier is (50, 2) and
+    // (40, 1); (30, 3) is dominated by both, (40, 5) by (50, 2) on
+    // price AND size, (50, 2) duplicated price with larger size 7 is
+    // dominated within its price group
+    val parts = Seq(
+      ("B1", 50.0, 2), ("B1", 50.0, 7), ("B1", 40.0, 1),
+      ("B1", 40.0, 5), ("B1", 30.0, 3))
+      .toDF("p_brand", "p_retailprice", "p_size")
+    parts.createOrReplaceTempView("graft_sky_planted")
+    val rows = spark.sql(ops.Windows.skylineSql("graft_sky_planted"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(rows == Set((5000L, 2), (4000L, 1)), s"frontier: $rows")
+  }
 }

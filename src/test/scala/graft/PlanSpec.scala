@@ -341,6 +341,11 @@ class PlanSpec extends SparkSpec {
     val cv = planOf("cdc_compact_versions")
     assert(cv.contains("WindowGroupLimit"),
       s"compact_versions rank filter did not push into WindowGroupLimit:\n$cv")
+    // LWW conflict merge: winner-per-key rank filter truncates
+    // map-side the same way (1 row/key crosses the pk shuffle)
+    val lw = planOf("cdc_conflict_lww")
+    assert(lw.contains("WindowGroupLimit"),
+      s"conflict_lww rank filter did not push into WindowGroupLimit:\n$lw")
     // co-occurrence lift: dims ride broadcasts, never a cartesian of
     // data relations (the 1-row corpus-size extent is the only BNLJ)
     val cl = planOf("llm_cooccur_lift")
