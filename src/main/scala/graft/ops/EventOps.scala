@@ -151,6 +151,35 @@ object EventOps extends OpModule {
         FROM a, th ORDER BY arm"""
   }
 
+  /** Shared incident-extraction SQL (stream_outage_mttr):
+    * gaps-and-islands over breach hours; engine-spliced epoch hour. */
+  private def mttrSql(table: String, spark: Boolean): String = {
+    val hour =
+      if (spark) "unix_micros(ts) DIV 3600000000"
+      else "epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000"
+    s"""WITH hourly AS (
+          SELECT CAST($hour AS BIGINT) AS h,
+            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errs,
+            count(*) AS total
+          FROM $table GROUP BY 1),
+        r AS (
+          SELECT h, errs, total,
+            round(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE), 6)
+              AS rate
+          FROM hourly),
+        breach AS (
+          SELECT h, rate,
+            h - row_number() OVER (ORDER BY h) AS grp
+          FROM r WHERE rate > 25e-2)
+        SELECT CAST(min(h) AS BIGINT) AS start_h,
+          CAST(max(h) AS BIGINT) AS end_h,
+          CAST(max(h) - min(h) + 1 AS BIGINT) AS duration_h,
+          max(rate) AS peak_rate
+        FROM breach GROUP BY grp
+        ORDER BY start_h"""
+  }
+
   /** Shared Welch t-test SQL (stream_ab_ttest). Engine-spliced md5
     * arm bucket; moments and finish identical text. Variance uses
     * the exact-int identity v = (n·sxx − sx²)/(n·(n−1)) in cents²,
@@ -1326,6 +1355,24 @@ object EventOps extends OpModule {
                   CAST(sz.cohort_size AS DOUBLE) / 1e2, 6) AS ltv
               FROM c JOIN sz ON c.cohort_week = sz.cohort_week
               ORDER BY cohort_week, age_week""")),
+
+    Op("stream_outage_mttr",
+      // incident extraction — the reliability ledger burn_rate's
+      // pages feed: consecutive hours whose error rate clears the
+      // 25% threshold coalesce into ONE incident (the gaps-and-
+      // islands move: h − row_number over breach hours is constant
+      // within an unbroken run), each reported with start/end,
+      // duration and peak rate — the rows MTTR/MTBF summaries
+      // average. Hourly counts collapse map-side; islands form on
+      // the bounded breach-hour relation; rates are exact longs +
+      // one IEEE division. The 25% line sits above the uniform
+      // fixture's 20% base rate, so incidents are the NOISE TAIL —
+      // present at every SF, sparse by construction.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_mttr")
+        s.sql(mttrSql("graft_ev_mttr", spark = true))
+      },
+      Some(mttrSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between

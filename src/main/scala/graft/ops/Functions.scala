@@ -23,6 +23,29 @@ import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructField
   */
 object Functions extends OpModule {
 
+  /** Shared Luhn SQL (fn_luhn): 12 unrolled substring terms, doubled
+    * digits fold via the 2d−9 identity; only the string-type name is
+    * engine-spliced. */
+  private def luhnSql(table: String, spark: Boolean): String = {
+    val str = if (spark) "STRING" else "VARCHAR"
+    val terms = (1 to 12).map { i =>
+      val d = s"CAST(substr(k12, $i, 1) AS INTEGER)"
+      // payload length 12 ⇒ doubling (odd positions from the RIGHT)
+      // lands on even positions from the left
+      if (i % 2 == 0) s"(CASE WHEN $d >= 5 THEN 2 * $d - 9 ELSE 2 * $d END)"
+      else d
+    }.mkString(" + ")
+    s"""WITH b AS (
+          SELECT o_orderkey,
+            lpad(CAST(o_orderkey AS $str), 12, '0') AS k12
+          FROM $table),
+        t AS (SELECT o_orderkey, k12, $terms AS luhn_sum FROM b)
+        SELECT o_orderkey, k12 AS payload,
+          CAST((10 - luhn_sum % 10) % 10 AS INTEGER) AS check_digit,
+          k12 || CAST((10 - luhn_sum % 10) % 10 AS $str) AS full_id
+        FROM t ORDER BY o_orderkey"""
+  }
+
   override def ops: Seq[Op] = Seq(
 
     Op("fn_string",
@@ -466,6 +489,23 @@ object Functions extends OpModule {
                 lower(to_base(o_orderkey, 36)) AS id36,
                 lpad(lower(to_base(o_orderkey, 36)), 9, '0') AS id36_key
               FROM orders ORDER BY o_orderkey""")),
+
+    Op("fn_luhn",
+      // Luhn check digits (ISO/IEC 7812 — card numbers, IMEIs,
+      // national IDs) — the data-quality battery's checksum member:
+      // compute the check digit for each order key rendered as a
+      // 12-digit payload, plus the full checked ID a downstream
+      // validator would verify. The doubling walk unrolls to 12
+      // fixed substring terms (identical integer CASE text on both
+      // engines — no loop, no UDF, pure codegen projection, zero
+      // shuffle); doubling hits even left-positions because the
+      // payload length is fixed at 12 (right-position parity ≡ left
+      // parity flipped).
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_luhn")
+        s.sql(luhnSql("graft_ord_luhn", spark = true))
+      },
+      Some(luhnSql("orders", spark = false))),
 
     Op("fn_target_encode",
       // leave-one-out target encoding — the category→numeric feature

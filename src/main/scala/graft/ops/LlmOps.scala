@@ -1996,6 +1996,76 @@ object LlmOps extends OpModule {
               FROM ranked WHERE rank <= 10
               ORDER BY p_id, rank""")),
 
+    Op("llm_ngram_coverage",
+      // train→test n-gram coverage — the generalization-gap profiler
+      // beside llm_decontaminate (that op flags CONTAMINATED docs;
+      // this measures, per language, what fraction of the test
+      // split's distinct 4-grams the train split covers — high
+      // coverage means the held-out split barely tests anything new,
+      // low coverage warns the split is out-of-domain): both sides
+      // reduce to DISTINCT n-gram vocabularies (posting-grain — the
+      // exchange carries each distinct 4-gram once, never token
+      // streams), coverage = one LEFT JOIN + exact-int division.
+      // Split assignment is the shared trainSplit md5 bucket, so
+      // coverage composes exactly with llm_train_split/decontaminate.
+      (s, d) => {
+        val sp = trainSplit(Tables.documents(s, d))
+          .select(col("doc_id"), col("split"))
+        val docs = tokenizedDocs(s, d)
+          .select(col("doc_id"), col("lang"),
+            array_remove(col("toks"), "").as("toks"))
+          .filter(size(col("toks")) >= 4)
+          .join(sp, "doc_id")
+        val ng = docs.select(col("lang"), col("split"),
+          explode(array_distinct(expr(
+            """transform(sequence(1, size(toks) - 3),
+               i -> array_join(slice(toks, i, 4), ' '))"""))).as("ng"))
+        val testNg = ng.filter(col("split") === "test")
+          .select("lang", "ng").distinct()
+        val trainNg = ng.filter(col("split") === "train")
+          .select(col("ng").as("tng")).distinct()
+        testNg.join(trainNg, col("ng") === col("tng"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_test_ngrams"),
+            count(col("tng")).as("n_covered"))
+          .withColumn("coverage",
+            round(col("n_covered").cast("double") /
+              col("n_test_ngrams").cast("double"), 6))
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (
+                SELECT doc_id, lang,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
+                FROM documents),
+              sp AS (
+                SELECT doc_id, lang, txt,
+                  CASE WHEN CAST(('0x' || substr(md5(txt), 1, 8)) AS BIGINT)
+                         % 100 < 90 THEN 'train'
+                       WHEN CAST(('0x' || substr(md5(txt), 1, 8)) AS BIGINT)
+                         % 100 < 95 THEN 'validation'
+                       ELSE 'test' END AS split
+                FROM s),
+              tk AS (
+                SELECT doc_id, lang, split, string_split(txt, ' ') AS toks
+                FROM sp WHERE len(string_split(txt, ' ')) >= 4),
+              ng AS (
+                SELECT lang, split,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+3], ' ')))) AS ng
+                FROM tk),
+              te AS (SELECT DISTINCT lang, ng FROM ng
+                     WHERE split = 'test'),
+              tr AS (SELECT DISTINCT ng AS tng FROM ng
+                     WHERE split = 'train')
+              SELECT te.lang,
+                count(*) AS n_test_ngrams,
+                count(tr.tng) AS n_covered,
+                round(CAST(count(tr.tng) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE), 6) AS coverage
+              FROM te LEFT JOIN tr ON te.ng = tr.tng
+              GROUP BY te.lang ORDER BY te.lang""")),
+
     Op("llm_ann_ndcg",
       // retrieval-quality evaluation — NDCG@10 of the exact top-10
       // against label ground truth (the metric a similarity-search

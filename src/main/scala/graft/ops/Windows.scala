@@ -106,6 +106,32 @@ object Windows extends OpModule {
           AND (c.prev_min IS NULL OR c.prev_min > p.p_size)
         ORDER BY p.p_brand, p.price_c DESC, p.p_size"""
 
+  /** Shared SQL for `win_peak_detect` — exact-int lag/lead extrema
+    * over the daily cents relation; engine-spliced epoch day. */
+  private def peakSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH daily AS (
+          SELECT event_type, CAST($day AS INTEGER) AS eday,
+            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+              AS x
+          FROM $table GROUP BY 1, 2),
+        n AS (
+          SELECT event_type, eday, x,
+            lag(x) OVER w AS prev_x, lead(x) OVER w AS next_x
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY eday))
+        SELECT event_type, eday, x,
+          CAST(x - prev_x AS BIGINT) AS d_prev,
+          CAST(next_x - x AS BIGINT) AS d_next,
+          x > prev_x AND x >= next_x AS is_peak,
+          x < prev_x AND x <= next_x AS is_valley
+        FROM n
+        WHERE prev_x IS NOT NULL AND next_x IS NOT NULL
+        ORDER BY event_type, eday"""
+  }
+
   /** Shared SQL for `win_vwap` — exact integer cumulants (cents ×
     * centi-unit products summed in DECIMAL), one IEEE division per
     * day row; only the epoch-day expression is engine-spliced. */
@@ -874,6 +900,23 @@ object Windows extends OpModule {
              CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
                   AS BIGINT) AS x
            FROM events GROUP BY 1, 2""", "quantile_cont"))),
+
+    Op("win_peak_detect",
+      // local-extrema detection over each type's daily-cents series —
+      // the find_peaks primitive under anomaly triage and
+      // seasonality eyeballing: a day is a PEAK iff strictly above
+      // the previous day and at-or-above the next (the asymmetric
+      // tie rule makes a flat-topped run emit exactly its first
+      // summit — deterministic, no double-counting), valley dual.
+      // Interior days only (lag/lead both present). Daily totals are
+      // exact cents longs (map-side combined); the lag/lead pair
+      // runs once over the bounded |types|·|days| relation; deltas
+      // are exact-int subtractions — no floats anywhere.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_peaks")
+        s.sql(peakSql("graft_ev_peaks", spark = true))
+      },
+      Some(peakSql("events", spark = false))),
 
     Op("win_macd",
       // MACD (Appel) — the last member of the momentum battery
