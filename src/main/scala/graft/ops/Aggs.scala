@@ -832,6 +832,23 @@ object Aggs extends OpModule {
       },
       Some(chi2Sql("events", "CAST(ts AS TIMESTAMP)"))),
 
+    Op("agg_cpk",
+      // process-capability indices (Cp / Cpk — the SPC statistic a
+      // quality dashboard quotes beside the Bollinger control bands):
+      // per event type, how many 3σ half-widths fit between the mean
+      // and the FIXED spec limits [10, 90] (shared literals — spec
+      // limits are a product requirement, not a data quantile).
+      // Cp = (USL−LSL)/6σ ignores centering, Cpk = min(USL−μ,
+      // μ−LSL)/3σ punishes it — the pair is the standard report.
+      // σ is the exact sample deviation from cents DECIMAL moments
+      // (regressionSql discipline), the finish a fixed IEEE sequence;
+      // ONE map-combined aggregate, |types| rows out.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_cpk")
+        s.sql(cpkSql("graft_ev_cpk"))
+      },
+      Some(cpkSql("events"))),
+
     Op("agg_auc_rank",
       // exact ROC AUC via the rank-sum identity (Mann–Whitney U):
       // AUC = P(score_pos > score_neg) + ½P(tie) — the standard
@@ -1333,6 +1350,35 @@ object Aggs extends OpModule {
                 FROM $table)
               GROUP BY l_returnflag)))
         ORDER BY l_returnflag"""
+
+  /** Shared SQL for `agg_cpk` — exact cents moments, IEEE finish,
+    * spec limits [10, 90] as shared literals (1000/9000 cents). */
+  private def cpkSql(table: String): String =
+    s"""WITH b AS (
+          SELECT event_type,
+            CAST(round(value * 100, 0) AS BIGINT) AS c
+          FROM $table),
+        g AS (
+          SELECT event_type,
+            CAST(count(*) AS DECIMAL(11,0)) AS n,
+            CAST(sum(CAST(c AS DECIMAL(16,0))) AS DECIMAL(16,0)) AS sx,
+            CAST(sum(CAST(c*c AS DECIMAL(21,0))) AS DECIMAL(21,0)) AS sxx
+          FROM b GROUP BY event_type),
+        d AS (
+          SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu_c,
+            sqrt(CAST(CAST(n AS DECIMAL(33,0))*sxx
+                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)))
+              AS sd_c
+          FROM g)
+        SELECT event_type, n_rows,
+          round(mu_c / 1e2, 6) AS mean_v,
+          round(sd_c / 1e2, 6) AS sd_v,
+          round((9000e0 - 1000e0) / (6e0 * sd_c), 6) AS cp,
+          round(least(9000e0 - mu_c, mu_c - 1000e0) / (3e0 * sd_c), 6)
+            AS cpk
+        FROM d ORDER BY event_type"""
 
   /** Shared SQL for `agg_auc_rank` — exact-int Mann–Whitney 2U over
     * the bounded cents grid; identical text on both engines. */

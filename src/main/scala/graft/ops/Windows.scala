@@ -106,6 +106,55 @@ object Windows extends OpModule {
           AND (c.prev_min IS NULL OR c.prev_min > p.p_size)
         ORDER BY p.p_brand, p.price_c DESC, p.p_size"""
 
+  /** Shared SQL for `win_runs_test` — exact-int runs counting over
+    * the zero-free delta-sign sequence; engine-spliced epoch day.
+    * n2 = n₊+n₋, p2 = 2·n₊·n₋ kept integer; z IEEE-finished. */
+  private def runsSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH daily AS (
+          SELECT event_type, CAST($day AS INTEGER) AS eday,
+            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+              AS x
+          FROM $table GROUP BY 1, 2),
+        del AS (
+          SELECT event_type, eday,
+            CASE WHEN x > lag(x) OVER w THEN 1
+                 WHEN x < lag(x) OVER w THEN -1 ELSE 0 END AS sg
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY eday)),
+        nz AS (
+          SELECT event_type, eday, sg,
+            lag(sg) OVER (PARTITION BY event_type ORDER BY eday)
+              AS prev_sg
+          FROM del WHERE sg <> 0),
+        agg AS (
+          SELECT event_type,
+            CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pos,
+            CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_neg,
+            CAST(1 + sum(CASE WHEN prev_sg IS NOT NULL
+                 AND sg <> prev_sg THEN 1 ELSE 0 END) AS BIGINT)
+              AS runs
+          FROM nz GROUP BY event_type),
+        m AS (
+          SELECT event_type, n_pos, n_neg, runs,
+            CAST(n_pos + n_neg AS DOUBLE) AS n2,
+            CAST(2 * n_pos * n_neg AS DOUBLE) AS p2
+          FROM agg)
+        SELECT event_type, n_pos, n_neg, runs,
+          round(1e0 + p2 / n2, 6) AS expected_runs,
+          round((CAST(runs AS DOUBLE) - (1e0 + p2 / n2))
+            / sqrt(p2 * (p2 - n2) / (n2 * n2 * (n2 - 1e0))), 6)
+            AS z_stat,
+          abs(round((CAST(runs AS DOUBLE) - (1e0 + p2 / n2))
+            / sqrt(p2 * (p2 - n2) / (n2 * n2 * (n2 - 1e0))), 6))
+            < 196e-2 AS random
+        FROM m ORDER BY event_type"""
+  }
+
   /** Shared SQL for `win_peak_detect` — exact-int lag/lead extrema
     * over the daily cents relation; engine-spliced epoch day. */
   private def peakSql(table: String, spark: Boolean): String = {
@@ -900,6 +949,22 @@ object Windows extends OpModule {
              CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
                   AS BIGINT) AS x
            FROM events GROUP BY 1, 2""", "quantile_cont"))),
+
+    Op("win_runs_test",
+      // Wald–Wolfowitz runs test on the day-over-day delta signs of
+      // each type's daily series — the randomness screen beside the
+      // Mann–Kendall trend test (MK asks "is there drift?", runs
+      // asks "is the sequence even random?" — too FEW runs means
+      // clustering/momentum, too many means oscillation): R = 1 +
+      // sign changes over the zero-free sign sequence, E[R] and
+      // Var[R] from the exact n₊/n₋ counting identities, one IEEE
+      // finish for z. Daily totals exact cents; both lag passes run
+      // over the bounded |types|·|days| relation.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_runs")
+        s.sql(runsSql("graft_ev_runs", spark = true))
+      },
+      Some(runsSql("events", spark = false))),
 
     Op("win_peak_detect",
       // local-extrema detection over each type's daily-cents series —
