@@ -106,6 +106,67 @@ object Windows extends OpModule {
           AND (c.prev_min IS NULL OR c.prev_min > p.p_size)
         ORDER BY p.p_brand, p.price_c DESC, p.p_size"""
 
+  /** Shared SQL for `win_we_rules` — per-series exact moments, then
+    * conditional frame counts; engine-spliced epoch day. */
+  private def weRulesSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH daily AS (
+          SELECT event_type, CAST($day AS INTEGER) AS eday,
+            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+              AS x
+          FROM $table GROUP BY 1, 2),
+        st AS (
+          SELECT event_type,
+            CAST(count(*) AS DECIMAL(11,0)) AS n,
+            CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sx,
+            CAST(sum(CAST(x*x AS DECIMAL(25,0))) AS DECIMAL(25,0)) AS sxx
+          FROM daily GROUP BY event_type),
+        c AS (
+          SELECT event_type,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+            sqrt(CAST(CAST(n AS DECIMAL(37,0))*sxx
+                 - CAST(sx AS DECIMAL(37,0))*sx AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))) AS sd
+          FROM st),
+        s AS (
+          SELECT d.event_type, d.eday, d.x,
+            (CAST(d.x AS DOUBLE) - c.mu) / c.sd AS su
+          FROM daily d JOIN c ON d.event_type = c.event_type),
+        f AS (
+          SELECT event_type, eday, x, su,
+            CAST(sum(CASE WHEN su > 2e0 THEN 1 ELSE 0 END)
+              OVER w3 AS INTEGER) AS hi2,
+            CAST(sum(CASE WHEN su < -2e0 THEN 1 ELSE 0 END)
+              OVER w3 AS INTEGER) AS lo2,
+            CAST(sum(CASE WHEN su > 1e0 THEN 1 ELSE 0 END)
+              OVER w5 AS INTEGER) AS hi1,
+            CAST(sum(CASE WHEN su < -1e0 THEN 1 ELSE 0 END)
+              OVER w5 AS INTEGER) AS lo1,
+            CAST(sum(CASE WHEN su > 0e0 THEN 1 ELSE 0 END)
+              OVER w8 AS INTEGER) AS hi0,
+            CAST(sum(CASE WHEN su < 0e0 THEN 1 ELSE 0 END)
+              OVER w8 AS INTEGER) AS lo0,
+            CAST(count(*) OVER w8 AS INTEGER) AS n8
+          FROM s
+          WINDOW w3 AS (PARTITION BY event_type ORDER BY eday
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 w5 AS (PARTITION BY event_type ORDER BY eday
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                 w8 AS (PARTITION BY event_type ORDER BY eday
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        SELECT event_type, eday, x, round(su, 6) AS sigma_units,
+          abs(su) > 3e0 AS rule1,
+          hi2 >= 2 OR lo2 >= 2 AS rule2,
+          hi1 >= 4 OR lo1 >= 4 AS rule3,
+          n8 = 8 AND (hi0 = 8 OR lo0 = 8) AS rule4,
+          (abs(su) > 3e0) OR (hi2 >= 2 OR lo2 >= 2)
+            OR (hi1 >= 4 OR lo1 >= 4)
+            OR (n8 = 8 AND (hi0 = 8 OR lo0 = 8)) AS alert
+        FROM f ORDER BY event_type, eday"""
+  }
+
   /** Shared SQL for `win_runs_test` — exact-int runs counting over
     * the zero-free delta-sign sequence; engine-spliced epoch day.
     * n2 = n₊+n₋, p2 = 2·n₊·n₋ kept integer; z IEEE-finished. */
@@ -949,6 +1010,24 @@ object Windows extends OpModule {
              CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
                   AS BIGINT) AS x
            FROM events GROUP BY 1, 2""", "quantile_cont"))),
+
+    Op("win_we_rules",
+      // Western Electric control-chart rules (WE Handbook 1956) —
+      // the alarm battery a real SPC chart runs beyond the single
+      // 3σ band (win_bollinger) and the capability summary
+      // (agg_cpk): rule 1 = one point beyond 3σ; rule 2 = 2 of 3
+      // consecutive beyond 2σ on the SAME side; rule 3 = 4 of 5
+      // beyond 1σ same side; rule 4 = 8 consecutive on one side of
+      // center. Center/σ are per-series constants from exact cents
+      // DECIMAL moments (1-row-per-type broadcast back); each rule
+      // is a conditional COUNT over a fixed ROWS frame on the
+      // bounded |types|·|days| relation — integer comparisons of
+      // identical doubles, deterministic on both engines.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_we")
+        s.sql(weRulesSql("graft_ev_we", spark = true))
+      },
+      Some(weRulesSql("events", spark = false))),
 
     Op("win_runs_test",
       // Wald–Wolfowitz runs test on the day-over-day delta signs of
