@@ -151,6 +151,44 @@ object EventOps extends OpModule {
         FROM a, th ORDER BY arm"""
   }
 
+  /** Shared bounce-rate SQL (stream_bounce_rate): the win_session
+    * sessionization with an event_id tiebreak, collapsed to a daily
+    * rate; engine-spliced epoch-us and integer division. */
+  private def bounceSql(table: String, spark: Boolean): String = {
+    val us =
+      if (spark) "unix_micros(ts)"
+      else "epoch_us(CAST(ts AS TIMESTAMP))"
+    val dayDiv = if (spark) "DIV" else "//"
+    s"""WITH e AS (
+          SELECT user_id, $us AS tus, event_id FROM $table),
+        flagged AS (
+          SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w >= 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        sess AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY tus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged),
+        g AS (
+          SELECT user_id, sid, min(tus) AS start_us,
+            count(*) AS n_events
+          FROM sess GROUP BY user_id, sid),
+        d AS (
+          SELECT CAST(start_us $dayDiv 86400000000 AS BIGINT) AS eday,
+            count(*) AS n_sessions,
+            CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bounced
+          FROM g GROUP BY 1)
+        SELECT eday, CAST(n_sessions AS BIGINT) AS n_sessions,
+          n_bounced,
+          round(CAST(n_bounced AS DOUBLE) / CAST(n_sessions AS DOUBLE),
+            6) AS bounce_rate
+        FROM d ORDER BY eday"""
+  }
+
   /** Shared incident-extraction SQL (stream_outage_mttr):
     * gaps-and-islands over breach hours; engine-spliced epoch hour. */
   private def mttrSql(table: String, spark: Boolean): String = {
@@ -1355,6 +1393,20 @@ object EventOps extends OpModule {
                   CAST(sz.cohort_size AS DOUBLE) / 1e2, 6) AS ltv
               FROM c JOIN sz ON c.cohort_week = sz.cohort_week
               ORDER BY cohort_week, age_week""")),
+
+    Op("stream_bounce_rate",
+      // daily bounce rate — the web-analytics KPI over the SAME 30 m
+      // sessionization win_session materializes: a session that
+      // contains exactly one event bounced, and the day (of session
+      // start) aggregates the rate. Sessionize (one user-keyed
+      // shuffle, lag + running-sum with an event_id tiebreak so tied
+      // timestamps order totally), collapse to sessions, then a
+      // bounded per-day aggregate — exact longs + one IEEE division.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_bounce")
+        s.sql(bounceSql("graft_ev_bounce", spark = true))
+      },
+      Some(bounceSql("events", spark = false))),
 
     Op("stream_outage_mttr",
       // incident extraction — the reliability ledger burn_rate's
