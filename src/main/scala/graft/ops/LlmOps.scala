@@ -1996,6 +1996,117 @@ object LlmOps extends OpModule {
               FROM ranked WHERE rank <= 10
               ORDER BY p_id, rank""")),
 
+    Op("llm_keyness_chi2",
+      // chi-squared keyness — distinctive-term extraction per source
+      // (the corpus-linguistics method behind "what makes this
+      // domain's language different", complementing llm_tfidf's
+      // per-DOC weighting and llm_cooccur_lift's pair statistics):
+      // 2×2 contingency per (source, term) on DOCUMENT frequencies,
+      // keyness chi2 = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), top-5
+      // OVERUSED terms per source (positive keyness only, df floor
+      // 3). Counts are exact longs; the statistic multiplies their
+      // DOUBLE casts in one fixed sequence (products would overflow
+      // longs at corpus scale — identical IEEE text on both
+      // engines). Postings carry each DISTINCT (source, term) once;
+      // the top-5 rank-filter plans WindowGroupLimit.
+      (s, d) => {
+        val docs = tokenizedDocs(s, d)
+          .join(Tables.documents(s, d).select("doc_id", "source"),
+            "doc_id")
+        val post = docs.select(col("doc_id"), col("source"),
+            explode(array_distinct(array_remove(col("toks"), "")))
+              .as("term"))
+        val st = post.groupBy("source", "term")
+          .agg(count(lit(1)).as("a"))
+        val tt = post.groupBy("term")
+          .agg(count(lit(1)).as("df_tot"))
+        val srcDocs = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_src"))
+        val nTot = docs.agg(count(lit(1)).cast("long").as("n_tot"))
+        val cells = st.join(tt, "term")
+          .join(broadcast(srcDocs), "source")
+          .join(broadcast(nTot))
+          .select(col("source"), col("term"), col("a"),
+            (col("df_tot") - col("a")).as("b"),
+            (col("n_src") - col("a")).as("c"),
+            (col("n_tot") - col("n_src") - col("df_tot") + col("a"))
+              .as("d0"), col("n_tot"))
+        val D = (n: String) => col(n).cast("double")
+        val chi2 = round(
+          D("n_tot") * (D("a") * D("d0") - D("b") * D("c")) *
+            (D("a") * D("d0") - D("b") * D("c")) /
+            ((D("a") + D("b")) * (D("c") + D("d0")) *
+             (D("a") + D("c")) * (D("b") + D("d0"))), 6)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source")
+          .orderBy(col("chi2").desc, col("term").asc)
+        cells
+          .filter(col("a") >= 3L)
+          .withColumn("chi2", chi2)
+          // overused only: within-source rate above rest-rate
+          .filter(D("a") * (D("b") + D("d0")) >
+            D("b") * (D("a") + D("c")))
+          .withColumn("rank_in_source", row_number().over(w))
+          .filter(col("rank_in_source") <= 5)
+          .select(col("source"), col("rank_in_source"), col("term"),
+            col("a").cast("long").as("df_in_source"), col("chi2"))
+          .orderBy("source", "rank_in_source")
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, source,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')
+                    AS toks
+                FROM documents),
+              post AS (
+                SELECT doc_id, source,
+                  unnest(list_distinct(list_filter(toks, t -> t <> '')))
+                    AS term
+                FROM tok),
+              st AS (
+                SELECT source, term, count(*) AS a
+                FROM post GROUP BY 1, 2),
+              tt AS (
+                SELECT term, count(*) AS df_tot FROM post GROUP BY 1),
+              sd AS (
+                SELECT source, count(*) AS n_src FROM tok GROUP BY 1),
+              nt AS (SELECT count(*) AS n_tot FROM tok),
+              cells AS (
+                SELECT st.source, st.term, st.a,
+                  tt.df_tot - st.a AS b,
+                  sd.n_src - st.a AS c,
+                  nt.n_tot - sd.n_src - tt.df_tot + st.a AS d0,
+                  nt.n_tot AS n_tot
+                FROM st JOIN tt ON st.term = tt.term
+                JOIN sd ON st.source = sd.source, nt),
+              k AS (
+                SELECT source, term, a,
+                  round(CAST(n_tot AS DOUBLE)
+                    * (CAST(a AS DOUBLE) * CAST(d0 AS DOUBLE)
+                       - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                    * (CAST(a AS DOUBLE) * CAST(d0 AS DOUBLE)
+                       - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+                    / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                     * (CAST(c AS DOUBLE) + CAST(d0 AS DOUBLE))
+                     * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                     * (CAST(b AS DOUBLE) + CAST(d0 AS DOUBLE))), 6)
+                    AS chi2
+                FROM cells
+                WHERE a >= 3
+                  AND CAST(a AS DOUBLE)
+                    * (CAST(b AS DOUBLE) + CAST(d0 AS DOUBLE))
+                    > CAST(b AS DOUBLE)
+                    * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))),
+              r AS (
+                SELECT source, term, a, chi2,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY chi2 DESC, term ASC) AS rank_in_source
+                FROM k)
+              SELECT source, CAST(rank_in_source AS INTEGER)
+                  AS rank_in_source,
+                term, CAST(a AS BIGINT) AS df_in_source, chi2
+              FROM r WHERE rank_in_source <= 5
+              ORDER BY source, rank_in_source""")),
+
     Op("llm_ngram_coverage",
       // train→test n-gram coverage — the generalization-gap profiler
       // beside llm_decontaminate (that op flags CONTAMINATED docs;
