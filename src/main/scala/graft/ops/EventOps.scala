@@ -151,6 +151,45 @@ object EventOps extends OpModule {
         FROM a, th ORDER BY arm"""
   }
 
+  /** Shared growth-accounting SQL (stream_growth_accounting):
+    * lag/lead classification over per-user activity days;
+    * engine-spliced epoch day. */
+  private def growthSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH act AS (
+          SELECT DISTINCT user_id, CAST($day AS INTEGER) AS eday
+          FROM $table),
+        seq AS (
+          SELECT user_id, eday,
+            lag(eday) OVER w AS prev_d, lead(eday) OVER w AS next_d
+          FROM act
+          WINDOW w AS (PARTITION BY user_id ORDER BY eday)),
+        byday AS (
+          SELECT eday,
+            count(*) AS dau,
+            CAST(sum(CASE WHEN prev_d IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new,
+            CAST(sum(CASE WHEN prev_d = eday - 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained,
+            CAST(sum(CASE WHEN prev_d IS NOT NULL
+                 AND prev_d < eday - 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+          FROM seq GROUP BY eday),
+        churn AS (
+          SELECT eday + 1 AS eday,
+            CAST(sum(CASE WHEN next_d IS NULL OR next_d > eday + 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+          FROM seq GROUP BY eday + 1)
+        SELECT CAST(b.eday AS INTEGER) AS eday,
+          CAST(b.dau AS BIGINT) AS dau,
+          b.n_new, b.n_retained, b.n_resurrected,
+          CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+        FROM byday b LEFT JOIN churn c ON b.eday = c.eday
+        ORDER BY eday"""
+  }
+
   /** Shared bounce-rate SQL (stream_bounce_rate): the win_session
     * sessionization with an event_id tiebreak, collapsed to a daily
     * rate; engine-spliced epoch-us and integer division. */
@@ -1393,6 +1432,26 @@ object EventOps extends OpModule {
                   CAST(sz.cohort_size AS DOUBLE) / 1e2, 6) AS ltv
               FROM c JOIN sz ON c.cohort_week = sz.cohort_week
               ORDER BY cohort_week, age_week""")),
+
+    Op("stream_growth_accounting",
+      // DAU growth accounting — the decomposition every growth team
+      // reports (new + retained + resurrected = today's actives;
+      // churned = yesterday's actives who didn't return): classify
+      // each (user, active-day) row by the user's PREVIOUS active
+      // day (none → new; d−1 → retained; earlier → resurrected) and
+      // charge churn to d+1 when the NEXT active day skips it — one
+      // lag + one lead over the per-user activity sequence, so the
+      // identity dau(d) = new + retained + resurrected and
+      // churned(d) = dau(d−1) − retained(d) hold exactly by
+      // construction. Distinct (user, day) collapse map-side; the
+      // windows run per user (bounded by a user's active days); the
+      // day report is calendar-bounded. Reported for active days
+      // (the fixture has activity every day).
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_growth")
+        s.sql(growthSql("graft_ev_growth", spark = true))
+      },
+      Some(growthSql("events", spark = false))),
 
     Op("stream_bounce_rate",
       // daily bounce rate — the web-analytics KPI over the SAME 30 m
