@@ -832,6 +832,25 @@ object Aggs extends OpModule {
       },
       Some(chi2Sql("events", "CAST(ts AS TIMESTAMP)"))),
 
+    Op("agg_gains_curve",
+      // cumulative gains / lift table — the campaign-targeting chart
+      // beside agg_auc_rank (AUC summarizes ranking quality in one
+      // number; the gains table says WHAT YOU CAPTURE at each
+      // targeting depth): at 10 fixed thresholds spanning the score
+      // range top-down, the population fraction targeted, the
+      // positive fraction captured, and lift = capture/population.
+      // NO ranking window anywhere — the thresholds are exact-int
+      // range cuts (min + k·(max−min) DIV 10 cents, 1-row broadcast)
+      // and all 10 curve points come from ONE map-combined
+      // conditional aggregate (the llm_vocab_growth first-occurrence
+      // trick applied to a score axis); fractions are exact longs +
+      // one IEEE division each.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_gains")
+        s.sql(gainsSql("graft_ev_gains"))
+      },
+      Some(gainsSql("events"))),
+
     Op("agg_cpk",
       // process-capability indices (Cp / Cpk — the SPC statistic a
       // quality dashboard quotes beside the Bollinger control bands):
@@ -1350,6 +1369,51 @@ object Aggs extends OpModule {
                 FROM $table)
               GROUP BY l_returnflag)))
         ORDER BY l_returnflag"""
+
+  /** Shared SQL for `agg_gains_curve` — 10 range-cut thresholds,
+    * one conditional aggregate pass, UNION ALL fan-out; the integer
+    * division is engine-spliced. */
+  private def gainsSql(table: String): String = {
+    val div = if (table.startsWith("graft_")) "DIV" else "//"
+    def thr(k: Int) = s"(mx - (((mx - mn) * $k) $div 10))"
+    val aggCols = (1 to 10).flatMap { k =>
+      Seq(
+        s"""CAST(sum(CASE WHEN cent >= ${thr(k)} THEN 1 ELSE 0 END)
+            AS BIGINT) AS pop_$k""",
+        s"""CAST(sum(CASE WHEN p = 1 AND cent >= ${thr(k)}
+            THEN 1 ELSE 0 END) AS BIGINT) AS pos_$k""")
+    }.mkString(",\n            ")
+    val rows = (1 to 10).map { k =>
+      s"""SELECT $k AS depth, CAST(${thr(k)} AS BIGINT) AS thr_cents,
+            pop_$k AS n_targeted, pos_$k AS n_captured,
+            round(CAST(pop_$k AS DOUBLE) / CAST(n_pop AS DOUBLE), 6)
+              AS pop_pct,
+            round(CAST(pos_$k AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+              AS capture_pct,
+            round((CAST(pos_$k AS DOUBLE) / CAST(n_pos AS DOUBLE))
+              / (CAST(pop_$k AS DOUBLE) / CAST(n_pop AS DOUBLE)), 6)
+              AS lift
+          FROM g"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH b AS (
+          SELECT CAST(round(value * 100, 0) AS BIGINT) AS cent,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+          FROM $table
+          WHERE event_type IN ('purchase', 'click')),
+        m AS (
+          SELECT CAST(min(cent) AS BIGINT) AS mn,
+            CAST(max(cent) AS BIGINT) AS mx,
+            count(*) AS n_pop,
+            CAST(sum(p) AS BIGINT) AS n_pos
+          FROM b),
+        g AS (
+          SELECT m.mn, m.mx, m.n_pop, m.n_pos,
+            $aggCols
+          FROM b, m GROUP BY m.mn, m.mx, m.n_pop, m.n_pos)
+        SELECT * FROM (
+          $rows)
+        ORDER BY depth"""
+  }
 
   /** Shared SQL for `agg_cpk` — exact cents moments, IEEE finish,
     * spec limits [10, 90] as shared literals (1000/9000 cents). */
