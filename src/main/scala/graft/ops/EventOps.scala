@@ -151,6 +151,39 @@ object EventOps extends OpModule {
         FROM a, th ORDER BY arm"""
   }
 
+  /** Shared 3-step path SQL (stream_path_triples): two leads per
+    * user sequence, bounded triple relation, global top-10;
+    * engine-spliced epoch-us only for the ordering column. */
+  private def pathTriplesSql(table: String, spark: Boolean): String = {
+    val us =
+      if (spark) "unix_micros(ts)"
+      else "epoch_us(CAST(ts AS TIMESTAMP))"
+    s"""WITH e AS (
+          SELECT user_id, $us AS tus, event_id, event_type
+          FROM $table),
+        seq AS (
+          SELECT event_type AS t1,
+            lead(event_type, 1) OVER w AS t2,
+            lead(event_type, 2) OVER w AS t3
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        trip AS (
+          SELECT t1, t2, t3, count(*) AS n
+          FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+          GROUP BY 1, 2, 3),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM trip),
+        r AS (
+          SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
+            row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS rnk
+          FROM trip)
+        SELECT CAST(r.rnk AS INTEGER) AS rnk,
+          r.t1 || '>' || r.t2 || '>' || r.t3 AS path, r.n,
+          round(CAST(r.n AS DOUBLE) / CAST(tot.n_tot AS DOUBLE), 6)
+            AS share
+        FROM r, tot WHERE r.rnk <= 10
+        ORDER BY rnk"""
+  }
+
   /** Shared growth-accounting SQL (stream_growth_accounting):
     * lag/lead classification over per-user activity days;
     * engine-spliced epoch day. */
@@ -1432,6 +1465,22 @@ object EventOps extends OpModule {
                   CAST(sz.cohort_size AS DOUBLE) / 1e2, 6) AS ltv
               FROM c JOIN sz ON c.cohort_week = sz.cohort_week
               ORDER BY cohort_week, age_week""")),
+
+    Op("stream_path_triples",
+      // top 3-step user journeys — the Sankey/flow report one order
+      // above stream_markov_transition's pair matrix (a 2-step
+      // matrix can't distinguish view→click→purchase from
+      // view→click→error; the triple ranking can): two leads over
+      // each user's (ts, event_id)-ordered sequence give every event
+      // its 2-successor path with no self-join, the triple counts
+      // collapse map-side to the ≤|types|³ relation, and the top-10
+      // rank runs on that bounded relation. share = one IEEE
+      // division of exact longs.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_paths")
+        s.sql(pathTriplesSql("graft_ev_paths", spark = true))
+      },
+      Some(pathTriplesSql("events", spark = false))),
 
     Op("stream_growth_accounting",
       // DAU growth accounting — the decomposition every growth team
