@@ -151,6 +151,36 @@ object EventOps extends OpModule {
         FROM a, th ORDER BY arm"""
   }
 
+  /** Shared MERGE SQL (cdc_merge_into): deterministic source drift
+    * (the cdc_table_diff construction), one full outer join,
+    * identical text on both engines. */
+  private def mergeIntoSql(table: String): String =
+    s"""WITH tgt AS (
+          SELECT o_orderkey AS k, o_orderstatus AS st,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+          FROM $table),
+        src AS (
+          SELECT CASE WHEN k % 103 = 0 THEN k + 4398046511104
+                      ELSE k END AS k,
+            CASE WHEN k % 101 = 0 THEN 'X' ELSE st END AS st,
+            price_c
+          FROM tgt WHERE k % 97 <> 0),
+        m AS (
+          SELECT coalesce(s.k, t.k) AS k,
+            s.k IS NOT NULL AS in_src, t.k IS NOT NULL AS in_tgt,
+            s.st AS s_st, t.st AS t_st,
+            coalesce(s.price_c, t.price_c) AS price_c
+          FROM src s FULL OUTER JOIN tgt t ON s.k = t.k)
+        SELECT k AS o_orderkey,
+          CASE WHEN in_src AND in_tgt AND s_st <> t_st THEN 'update'
+               WHEN in_src AND in_tgt THEN 'keep'
+               ELSE 'insert' END AS action,
+          CASE WHEN in_src THEN s_st ELSE t_st END AS o_orderstatus,
+          price_c
+        FROM m
+        WHERE in_src
+        ORDER BY k"""
+
   /** Shared 3-step path SQL (stream_path_triples): two leads per
     * user sequence, bounded triple relation, global top-10;
     * engine-spliced epoch-us only for the ordering column. */
@@ -726,6 +756,26 @@ object EventOps extends OpModule {
                 position, op, epoch_us(tts) AS ts_us, value
               FROM r WHERE version_back <= 2
               ORDER BY user_id, version_back""")),
+
+    Op("cdc_merge_into",
+      // SQL MERGE semantics as a batch operator — the warehouse
+      // upsert primitive (WHEN MATCHED AND CHANGED → update, WHEN
+      // NOT MATCHED → insert, WHEN NOT MATCHED BY SOURCE → delete)
+      // that cdc_apply_upsert's log-replay form feeds in practice;
+      // this is the set-based form a lakehouse writer executes. The
+      // source is the target drifted deterministically (the
+      // cdc_table_diff construction — every 97th key dropped, every
+      // 101st status rewritten, every 103rd re-keyed under the
+      // high-bit tag, so both engines build the identical source
+      // from one table). ONE full outer join on the key (co-
+      // partitioned or co-bucketed at scale), action decided by a
+      // codegen CASE; deleted rows leave the output, and every
+      // surviving row carries its action for downstream audit.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_merge")
+        s.sql(mergeIntoSql("graft_ord_merge"))
+      },
+      Some(mergeIntoSql("orders"))),
 
     Op("cdc_conflict_lww",
       // multi-master conflict resolution — last-writer-wins merge of
