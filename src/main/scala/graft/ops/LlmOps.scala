@@ -50,6 +50,57 @@ object LlmOps extends OpModule {
     * the identical IEEE op sequence; constants in exponent form
     * (22e-1 = k1+1, 12e-1 = k1, 25e-2 = 1−b, 75e-2 = b) because bare
     * decimals parse as DECIMAL, not DOUBLE, in both engines. */
+  /** Shared MLM-mask SQL (llm_mask_tokens): content-keyed per-token
+    * coin, HOF masking, per-doc stats; the md5-bucket idiom and the
+    * list functions are engine-spliced. */
+  private def maskSql(table: String, spark: Boolean): String = {
+    // per-(doc, position) hash bucket 0..99 — the trainSplit idiom
+    def coin(posVar: String): String =
+      if (spark)
+        s"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST($posVar AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+      else
+        s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST($posVar AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    if (spark)
+      s"""WITH t AS (
+            SELECT doc_id,
+              split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')
+                AS toks
+            FROM $table),
+          m AS (
+            SELECT doc_id, size(toks) AS n_toks,
+              transform(sequence(1, size(toks)),
+                i -> CASE WHEN ${coin("i")} < 15
+                     THEN '<mask>' ELSE element_at(toks, i) END)
+                AS masked
+            FROM t)
+          SELECT doc_id, n_toks,
+            CAST(size(filter(masked, x -> x = '<mask>')) AS INT)
+              AS n_masked,
+            round(CAST(size(filter(masked, x -> x = '<mask>'))
+                AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS pct_masked,
+            array_join(masked, ' ') AS masked_text
+          FROM m ORDER BY doc_id"""
+    else
+      s"""WITH t AS (
+            SELECT doc_id,
+              string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+                AS toks
+            FROM $table),
+          m AS (
+            SELECT doc_id, len(toks) AS n_toks,
+              list_transform(generate_series(1, len(toks)),
+                i -> CASE WHEN ${coin("i")} < 15
+                     THEN '<mask>' ELSE toks[i] END) AS masked
+            FROM t)
+          SELECT doc_id, CAST(n_toks AS INTEGER) AS n_toks,
+            CAST(len(list_filter(masked, x -> x = '<mask>'))
+              AS INTEGER) AS n_masked,
+            round(CAST(len(list_filter(masked, x -> x = '<mask>'))
+                AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS pct_masked,
+            array_to_string(masked, ' ') AS masked_text
+          FROM m ORDER BY doc_id"""
+  }
+
   private val bm25ScoreExpr: String =
     "(((CAST(tf * (nd - df) AS DOUBLE) / CAST(df AS DOUBLE)) * 22e-1) / " +
       "(CAST(tf AS DOUBLE) + 12e-1 * (25e-2 + 75e-2 * " +
@@ -1995,6 +2046,23 @@ object LlmOps extends OpModule {
               SELECT p_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine
               FROM ranked WHERE rank <= 10
               ORDER BY p_id, rank""")),
+
+    Op("llm_mask_tokens",
+      // MLM masking prep (BERT, Devlin et al. 2019 §3.1) — the
+      // transform between a clean corpus and a masked-LM trainer:
+      // each token masks independently at 15%, but the coin is the
+      // CONTENT-KEYED hash of (doc_id, position) — the trainSplit
+      // determinism rule applied at token grain, so re-runs,
+      // replicas and both engines mask the identical positions (a
+      // random() mask would neither replay nor hash-match). One
+      // codegen HOF projection over the token array (transform +
+      // array_join — no explode, no shuffle); per-doc stats ride
+      // the same pass.
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("graft_docs_mask")
+        s.sql(maskSql("graft_docs_mask", spark = true))
+      },
+      Some(maskSql("documents", spark = false))),
 
     Op("llm_keyness_chi2",
       // chi-squared keyness — distinctive-term extraction per source
