@@ -151,6 +151,29 @@ object EventOps extends OpModule {
         FROM a, th ORDER BY arm"""
   }
 
+  /** Shared staleness SQL (stream_feature_staleness): per-user max,
+    * watermark broadcast, day-grid histogram + cumulative coverage;
+    * engine-spliced epoch day. */
+  private def stalenessSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH u AS (
+          SELECT user_id, CAST(max($day) AS BIGINT) AS last_d
+          FROM $table GROUP BY user_id),
+        w AS (SELECT CAST(max(last_d) AS BIGINT) AS wm FROM u),
+        h AS (
+          SELECT CAST(w.wm - u.last_d AS BIGINT) AS staleness_days,
+            count(*) AS n_users
+          FROM u, w GROUP BY 1),
+        t AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_tot FROM h)
+        SELECT h.staleness_days, CAST(h.n_users AS BIGINT) AS n_users,
+          round(CAST(sum(h.n_users) OVER (ORDER BY h.staleness_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) / CAST(t.n_tot AS DOUBLE), 6) AS cum_coverage
+        FROM h, t ORDER BY staleness_days"""
+  }
+
   /** Shared MERGE SQL (cdc_merge_into): deterministic source drift
     * (the cdc_table_diff construction), one full outer join,
     * identical text on both engines. */
@@ -1515,6 +1538,23 @@ object EventOps extends OpModule {
                   CAST(sz.cohort_size AS DOUBLE) / 1e2, 6) AS ltv
               FROM c JOIN sz ON c.cohort_week = sz.cohort_week
               ORDER BY cohort_week, age_week""")),
+
+    Op("stream_feature_staleness",
+      // feature-store freshness report — the SLA surface behind
+      // join_pit_features (that op SERVES point-in-time features;
+      // this one answers "how stale is what we'd serve RIGHT NOW"):
+      // staleness = corpus watermark minus each user's latest
+      // activity, reported as a per-day histogram with cumulative
+      // coverage ("95% of users have features fresher than N days" —
+      // the number an SLA quotes). One per-user max (map-combined),
+      // a 1-row watermark broadcast, then a histogram on the bounded
+      // day grid; the cumulative rides the grid relation. Exact
+      // integer days; one IEEE division per row.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_stale")
+        s.sql(stalenessSql("graft_ev_stale", spark = true))
+      },
+      Some(stalenessSql("events", spark = false))),
 
     Op("stream_path_triples",
       // top 3-step user journeys — the Sankey/flow report one order

@@ -106,6 +106,49 @@ object Windows extends OpModule {
           AND (c.prev_min IS NULL OR c.prev_min > p.p_size)
         ORDER BY p.p_brand, p.price_c DESC, p.p_size"""
 
+  /** Shared SQL for `win_seasonal_strength` — exact daily cents,
+    * per-dow means, DECIMAL-reaccumulated residual moments;
+    * engine-spliced epoch day. */
+  private def seasonalStrengthSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH daily AS (
+          SELECT event_type, CAST($day AS INTEGER) AS eday,
+            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+              AS x
+          FROM $table GROUP BY 1, 2),
+        dw AS (
+          SELECT event_type, eday % 7 AS dow, x FROM daily),
+        dm AS (
+          SELECT event_type, dow,
+            CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS mu_dow
+          FROM dw GROUP BY 1, 2),
+        r AS (
+          SELECT dw.event_type, CAST(dw.x AS DOUBLE) - dm.mu_dow AS rr,
+            dw.x
+          FROM dw JOIN dm
+            ON dw.event_type = dm.event_type AND dw.dow = dm.dow),
+        m AS (
+          SELECT event_type,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(x*x AS DECIMAL(25,0))) AS DOUBLE) AS sxx,
+            CAST(round(sum(CAST(rr AS DECIMAL(38,10))), 6) AS DOUBLE)
+              AS sr,
+            CAST(round(sum(CAST(rr*rr AS DECIMAL(38,10))), 6)
+              AS DOUBLE) AS srr
+          FROM r GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+          round((sxx - sx * sx / n) / (n - 1e0) / 1e4, 6) AS var_total,
+          round((srr - sr * sr / n) / (n - 1e0) / 1e4, 6) AS var_resid,
+          round(greatest(0e0,
+            1e0 - ((srr - sr * sr / n) / (n - 1e0))
+              / ((sxx - sx * sx / n) / (n - 1e0))), 6) AS strength
+        FROM m ORDER BY event_type"""
+  }
+
   /** Shared SQL for `win_we_rules` — per-series exact moments, then
     * conditional frame counts; engine-spliced epoch day. */
   private def weRulesSql(table: String, spark: Boolean): String = {
@@ -1010,6 +1053,23 @@ object Windows extends OpModule {
              CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
                   AS BIGINT) AS x
            FROM events GROUP BY 1, 2""", "quantile_cont"))),
+
+    Op("win_seasonal_strength",
+      // seasonal-strength statistic (the STL-lite F_s of Hyndman's
+      // feature set, on the day-of-week cycle): 1 − var(residual)/
+      // var(total) after removing per-dow means — the single number
+      // that says whether win_seasonal_dow's profile actually
+      // explains the series (≈0 none, →1 fully seasonal). Totals are
+      // exact cents; dow means are one IEEE division each; residual
+      // moments re-accumulate the identical doubles through DECIMAL
+      // (dsum rule) so the ratio is order-independent; clamped at 0.
+      // Everything after the daily collapse runs on the bounded
+      // |types|·|days| relation.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_seas")
+        s.sql(seasonalStrengthSql("graft_ev_seas", spark = true))
+      },
+      Some(seasonalStrengthSql("events", spark = false))),
 
     Op("win_we_rules",
       // Western Electric control-chart rules (WE Handbook 1956) —

@@ -346,6 +346,10 @@ class PlanSpec extends SparkSpec {
     val lw = planOf("cdc_conflict_lww")
     assert(lw.contains("WindowGroupLimit"),
       s"conflict_lww rank filter did not push into WindowGroupLimit:\n$lw")
+    // keyness: the per-source top-5 also truncates map-side
+    val kn = planOf("llm_keyness_chi2")
+    assert(kn.contains("WindowGroupLimit"),
+      s"keyness rank filter did not push into WindowGroupLimit:\n$kn")
     // co-occurrence lift: dims ride broadcasts, never a cartesian of
     // data relations (the 1-row corpus-size extent is the only BNLJ)
     val cl = planOf("llm_cooccur_lift")
