@@ -1034,6 +1034,63 @@ object PipelineOps extends OpModule {
                   AS INTEGER) AS n_toks
               FROM j ORDER BY pair_id""")),
 
+    Op("llm_source_overlap",
+      // source-pair content overlap — the crawl-dedup planning view
+      // (which feeds mirror each other, and how much of a new feed
+      // is already covered): Jaccard of the two sources' distinct
+      // OPENING-PREFIX sets (md5 of the first 8 normalized tokens —
+      // whole-document hashes never collide across this fixture's
+      // sources, while shared boilerplate openings are exactly the
+      // real-world mirror signal) for every source pair that shares
+      // at least one prefix. Candidates come from a prefix-hash
+      // EQUI-join (a prefix shared by k sources yields its C(k,2)
+      // pairs — never a source×source product over documents), set
+      // sizes ride a |sources|-row broadcast, |∪| = |A|+|B|−|∩|
+      // arithmetically. Exact ints + one IEEE division.
+      (s, d) => {
+        val hs = docTable(s, d)
+          .select(col("source"),
+            md5(array_join(slice(split(normText(col("text")), " "),
+              1, 8), " ")).as("h"))
+          .distinct()
+        val sz = hs.groupBy("source").agg(count(lit(1)).as("n"))
+        val pairs = hs.select(col("source").as("sa"), col("h"))
+          .join(hs.select(col("source").as("sb"), col("h")), Seq("h"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("n_shared"))
+        pairs
+          .join(broadcast(sz.select(col("source").as("sa"),
+            col("n").as("na"))), Seq("sa"))
+          .join(broadcast(sz.select(col("source").as("sb"),
+            col("n").as("nb"))), Seq("sb"))
+          .select(col("sa"), col("sb"), col("n_shared"),
+            round(col("n_shared").cast("double") /
+              (col("na") + col("nb") - col("n_shared")).cast("double"),
+              6).as("jaccard"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH hs AS (
+                SELECT DISTINCT source,
+                  md5(array_to_string((string_split(lower(trim(
+                    regexp_replace(text, '\s+', ' ', 'g'))), ' '))[1:8],
+                    ' ')) AS h
+                FROM documents),
+              sz AS (
+                SELECT source, count(*) AS n FROM hs GROUP BY source),
+              p AS (
+                SELECT a.source AS sa, b.source AS sb,
+                  count(*) AS n_shared
+                FROM hs a JOIN hs b
+                  ON a.h = b.h AND a.source < b.source
+                GROUP BY 1, 2)
+              SELECT p.sa, p.sb, CAST(p.n_shared AS BIGINT) AS n_shared,
+                round(CAST(p.n_shared AS DOUBLE) /
+                  CAST(za.n + zb.n - p.n_shared AS DOUBLE), 6)
+                  AS jaccard
+              FROM p JOIN sz za ON p.sa = za.source
+              JOIN sz zb ON p.sb = zb.source
+              ORDER BY sa, sb""")),
+
     Op("llm_shard_assign",
       // deterministic output sharding — the WebDataset/tfrecord prep
       // step: every doc lands in shard = content-hash % 64 (the

@@ -106,6 +106,54 @@ object Windows extends OpModule {
           AND (c.prev_min IS NULL OR c.prev_min > p.p_size)
         ORDER BY p.p_brand, p.price_c DESC, p.p_size"""
 
+  /** Shared SQL for `win_acf` — 7 leads in one window pass, per-lag
+    * DECIMAL-reaccumulated products, exact-moment denominator;
+    * engine-spliced epoch day. */
+  private def acfSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    val leads = (1 to 7)
+      .map(k => s"lead(x, $k) OVER w AS x$k").mkString(", ")
+    val nums = (1 to 7).map { k =>
+      s"""SELECT l.event_type AS et, $k AS lag,
+            CAST(round(sum(CAST((CAST(l.x AS DOUBLE) - m.mu)
+                * (CAST(l.x$k AS DOUBLE) - m.mu) AS DECIMAL(38,10))),
+              6) AS DOUBLE) AS num
+          FROM l JOIN m ON l.event_type = m.event_type
+          WHERE l.x$k IS NOT NULL
+          GROUP BY l.event_type"""
+          // GROUP BY the column only — grouping by the positional
+          // CONSTANT ($k AS lag) makes DuckDB bind every literal $k
+          // in the select list to the grouping key, including
+          // round()'s precision argument (lag-6 branch: "ROUND with
+          // non-constant precision")
+    }.mkString("\n          UNION ALL\n          ")
+    s"""WITH daily AS (
+          SELECT event_type, CAST($day AS INTEGER) AS eday,
+            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+              AS x
+          FROM $table GROUP BY 1, 2),
+        mom AS (
+          SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(x*x AS DECIMAL(25,0))) AS DOUBLE) AS sxx
+          FROM daily GROUP BY event_type),
+        m AS (
+          SELECT event_type, sx / n AS mu, sxx - sx * sx / n AS den
+          FROM mom),
+        l AS (
+          SELECT event_type, eday, x, $leads
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY eday)),
+        nums AS (
+          $nums)
+        SELECT nums.et AS event_type, CAST(nums.lag AS INTEGER) AS lag,
+          round(nums.num / m.den, 6) AS acf
+        FROM nums JOIN m ON nums.et = m.event_type
+        ORDER BY event_type, lag"""
+  }
+
   /** Shared SQL for `win_seasonal_strength` — exact daily cents,
     * per-dow means, DECIMAL-reaccumulated residual moments;
     * engine-spliced epoch day. */
@@ -1053,6 +1101,24 @@ object Windows extends OpModule {
              CAST(round(sum(CAST(value * 100 AS DECIMAL(38,10))), 0)
                   AS BIGINT) AS x
            FROM events GROUP BY 1, 2""", "quantile_cont"))),
+
+    Op("win_acf",
+      // autocorrelation function at lags 1..7 — the canonical
+      // time-series profiler (a spike at lag 7 IS weekly
+      // seasonality; slow decay is trend — the diagnostic read
+      // before picking win_holt/seasonal models): r_k =
+      // Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², per event type's daily
+      // cents series. μ is one IEEE division of exact sums; the
+      // lagged products pair via lead() (no self-join), are
+      // identical doubles on both engines, and re-accumulate
+      // through DECIMAL (dsum rule); one division per (type, lag).
+      // The whole computation after the daily collapse lives on the
+      // bounded |types|·|days| relation × 7 lags.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_acf")
+        s.sql(acfSql("graft_ev_acf", spark = true))
+      },
+      Some(acfSql("events", spark = false))),
 
     Op("win_seasonal_strength",
       // seasonal-strength statistic (the STL-lite F_s of Hyndman's
