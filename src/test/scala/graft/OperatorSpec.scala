@@ -530,6 +530,56 @@ class OperatorSpec extends SparkSpec {
     assert(k2.getAs[Double]("d_stat") == 1.0, s"disjoint KS: $k2")
   }
 
+  test("stream_growth_accounting: the accounting identities hold on the fixture") {
+    val df = SparkEntry.queries("stream_growth_accounting")(spark, sf001)
+      .cache()
+    try {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      // dau = new + retained + resurrected, every day
+      rows.foreach { r =>
+        assert(r.getAs[Long]("dau") == r.getAs[Long]("n_new") +
+          r.getAs[Long]("n_retained") + r.getAs[Long]("n_resurrected"),
+          s"identity broke: $r")
+      }
+      // churned(d) = dau(d-1) - retained(d) for consecutive days
+      val byDay = rows.map(r => r.getAs[Int]("eday") -> r).toMap
+      rows.foreach { r =>
+        byDay.get(r.getAs[Int]("eday") - 1).foreach { prev =>
+          assert(r.getAs[Long]("n_churned") ==
+            prev.getAs[Long]("dau") - r.getAs[Long]("n_retained"),
+            s"churn identity broke at ${r.getAs[Int]("eday")}")
+        }
+      }
+    } finally { df.unpersist(); () }
+  }
+
+  test("win_acf: every coefficient in [-1, 1]; 5 types x 7 lags") {
+    val rows = SparkEntry.queries("win_acf")(spark, sf001).collect()
+    assert(rows.length == 35, s"expected 35 rows, got ${rows.length}")
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"acf out of range: $r")
+    }
+  }
+
+  test("cdc_merge_into: action counts match the planted drift rates") {
+    val df = SparkEntry.queries("cdc_merge_into")(spark, sf001).cache()
+    try {
+      val byAction = df.groupBy("action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // inserts = re-keyed every-103rd rows (surviving the 97 drop);
+      // updates = every-101st (surviving 97 and not re-keyed);
+      // nothing else may appear, and keeps dominate
+      assert(byAction.keySet == Set("insert", "update", "keep"), byAction.toString)
+      assert(byAction("insert") > 0 && byAction("update") > 0)
+      assert(byAction("keep") > byAction("insert") + byAction("update"))
+      // deletes really deleted: no row for a dropped key
+      assert(df.filter(col("o_orderkey") % 97 === 0 &&
+        col("o_orderkey") < 4398046511104L).count() == 0)
+    } finally { df.unpersist(); () }
+  }
+
   test("win_skyline semantics: dominated points drop, frontier + price-tie co-optima survive") {
     import spark.implicits._
     // one brand: (price, size) points — frontier is (50, 2) and
