@@ -343,6 +343,91 @@ object EventOps extends OpModule {
         ORDER BY start_h"""
   }
 
+  /** Shared peak-concurrency SQL (stream_peak_concurrency): the
+    * sweep-line over session [start,end] intervals, decomposed so no
+    * window ever sees more than one HOUR of one day's edges — the
+    * llm_token_budget two-level-cumsum discipline applied to a
+    * sweep: within-(day,hour) running sums + a 24-row per-day hourly
+    * offset window + a carried-in base from sessions that straddle
+    * the day boundary (exploded once per spanned day, bounded by the
+    * session's day span). Engine-spliced epoch-us, integer division
+    * and the sequence/generate_series explode. All-integer. */
+  private def concurrencySql(table: String, spark: Boolean): String = {
+    val us =
+      if (spark) "unix_micros(ts)"
+      else "epoch_us(CAST(ts AS TIMESTAMP))"
+    val div = if (spark) "DIV" else "//"
+    val spanDays =
+      if (spark)
+        """SELECT sd.d AS d FROM sess
+             LATERAL VIEW explode(sequence(s_us DIV 86400000000 + 1,
+               e_us DIV 86400000000)) sd AS d
+           WHERE e_us DIV 86400000000 > s_us DIV 86400000000"""
+      else
+        """SELECT sd.d AS d FROM sess
+             CROSS JOIN unnest(generate_series(s_us // 86400000000 + 1,
+               e_us // 86400000000)) AS sd(d)
+           WHERE e_us // 86400000000 > s_us // 86400000000"""
+    s"""WITH e AS (
+          SELECT user_id, $us AS tus, event_id FROM $table),
+        flagged AS (
+          SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w >= 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        sess0 AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id
+            ORDER BY tus, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged),
+        sess AS (
+          SELECT user_id, sid, min(tus) AS s_us, max(tus) AS e_us
+          FROM sess0 GROUP BY user_id, sid),
+        base AS (
+          SELECT CAST(d AS BIGINT) AS d,
+            CAST(count(*) AS BIGINT) AS base_n
+          FROM ($spanDays) GROUP BY d),
+        edges AS (
+          SELECT CAST(s_us $div 86400000000 AS BIGINT) AS d,
+            CAST((s_us % 86400000000) $div 3600000000 AS BIGINT) AS h,
+            s_us AS t, 1 AS delta, user_id, sid FROM sess
+          UNION ALL
+          SELECT CAST(e_us $div 86400000000 AS BIGINT),
+            CAST((e_us % 86400000000) $div 3600000000 AS BIGINT),
+            e_us, -1, user_id, sid FROM sess),
+        c AS (
+          SELECT d, h, delta,
+            sum(delta) OVER (PARTITION BY d, h
+              ORDER BY t, delta, user_id, sid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cwithin
+          FROM edges),
+        htot AS (
+          SELECT d, h, CAST(sum(delta) AS BIGINT) AS hsum
+          FROM edges GROUP BY d, h),
+        hoff AS (
+          SELECT d, h, CAST(coalesce(sum(hsum) OVER (PARTITION BY d
+            ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS hprev
+          FROM htot),
+        peaks AS (
+          SELECT c.d, max(c.cwithin + o.hprev) AS peak_delta,
+            CAST(sum(CASE WHEN c.delta = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_started
+          FROM c JOIN hoff o ON c.d = o.d AND c.h = o.h
+          GROUP BY c.d)
+        SELECT CAST(coalesce(p.d, b.d) AS BIGINT) AS eday,
+          CAST(coalesce(b.base_n, 0) AS BIGINT) AS carried_in,
+          CAST(coalesce(p.n_started, 0) AS BIGINT) AS n_started,
+          CAST(greatest(coalesce(b.base_n, 0),
+            coalesce(b.base_n, 0) + coalesce(p.peak_delta, 0))
+            AS BIGINT) AS peak_concurrency
+        FROM peaks p FULL OUTER JOIN base b ON p.d = b.d
+        ORDER BY eday"""
+  }
+
   /** Shared Welch t-test SQL (stream_ab_ttest). Engine-spliced md5
     * arm bucket; moments and finish identical text. Variance uses
     * the exact-int identity v = (n·sxx − sx²)/(n·(n−1)) in cents²,
@@ -1623,6 +1708,27 @@ object EventOps extends OpModule {
         s.sql(mttrSql("graft_ev_mttr", spark = true))
       },
       Some(mttrSql("events", spark = false))),
+
+    Op("stream_peak_concurrency",
+      // peak concurrent sessions per day — the capacity-planning
+      // number every serving team sizes fleets by (licenses, pool
+      // sizes, connection limits): sweep-line over the SAME 30 m
+      // sessions win_session materializes, +1 at session start, −1
+      // at session end (ends before starts at a tied microsecond —
+      // the conservative back-to-back convention), daily peak = max
+      // prefix sum + the sessions already open at the day boundary.
+      // The sweep itself is the single-partition hazard class the
+      // exact-percentile trio guards against, so it runs TWO-LEVEL
+      // (the llm_token_budget discipline): running sums partition by
+      // (day, HOUR), a 24-row-per-day window turns hourly totals
+      // into offsets, and straddling sessions explode once per
+      // spanned day into a per-day base — no window ever holds more
+      // than one hour of edges at any corpus size. All-integer.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_conc")
+        s.sql(concurrencySql("graft_ev_conc", spark = true))
+      },
+      Some(concurrencySql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between
