@@ -428,6 +428,40 @@ object EventOps extends OpModule {
         ORDER BY eday"""
   }
 
+  /** Shared stickiness SQL (stream_stickiness): DAU/WAU via a
+    * bounded ×7 forward explode of the per-user activity-day
+    * relation (each user-day supports exactly the 7 window days it
+    * can appear in — rolling COUNT(DISTINCT) without a distinct
+    * window frame, which neither engine has). Engine-spliced epoch
+    * day and sequence/generate_series. */
+  private def stickinessSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    val explode =
+      if (spark)
+        """SELECT DISTINCT act.user_id, wd.d AS d FROM act
+             LATERAL VIEW explode(sequence(a, a + 6)) wd AS d"""
+      else
+        """SELECT DISTINCT act.user_id, wd.d AS d FROM act
+             CROSS JOIN unnest(generate_series(a, a + 6)) AS wd(d)"""
+    s"""WITH act AS (
+          SELECT DISTINCT user_id, CAST($day AS BIGINT) AS a
+          FROM $table),
+        win AS ($explode),
+        wau AS (
+          SELECT d, CAST(count(*) AS BIGINT) AS wau
+          FROM win GROUP BY d),
+        dau AS (
+          SELECT a AS d, CAST(count(*) AS BIGINT) AS dau
+          FROM act GROUP BY a)
+        SELECT CAST(dau.d AS BIGINT) AS eday, dau.dau, wau.wau,
+          round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+            AS stickiness
+        FROM dau JOIN wau ON dau.d = wau.d
+        ORDER BY eday"""
+  }
+
   /** Shared Welch t-test SQL (stream_ab_ttest). Engine-spliced md5
     * arm bucket; moments and finish identical text. Variance uses
     * the exact-int identity v = (n·sxx − sx²)/(n·(n−1)) in cents²,
@@ -1729,6 +1763,25 @@ object EventOps extends OpModule {
         s.sql(concurrencySql("graft_ev_conc", spark = true))
       },
       Some(concurrencySql("events", spark = false))),
+
+    Op("stream_stickiness",
+      // DAU/WAU stickiness — the engagement ratio every consumer
+      // product reports ("what share of this week's users showed up
+      // today"): WAU(d) = distinct users active in [d−6, d]. Neither
+      // engine has COUNT(DISTINCT) over a sliding frame; the
+      // scale-correct form is the bounded ×7 FORWARD explode — each
+      // distinct (user, day) row supports exactly the 7 window days
+      // it can be counted in, so the rolling distinct becomes a
+      // plain distinct + count on (user, window-day). Activity
+      // collapses to user-day map-side first (the explode runs on
+      // the collapsed relation, never the event stream); one
+      // distinct shuffle; counts map-combine; report is
+      // calendar-bounded. Exact longs + one IEEE division.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_stick")
+        s.sql(stickinessSql("graft_ev_stick", spark = true))
+      },
+      Some(stickinessSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between

@@ -154,6 +154,46 @@ object Windows extends OpModule {
         ORDER BY event_type, lag"""
   }
 
+  /** Shared SQL for `win_forecast_backtest` — naive vs seasonal-naive
+    * one-step backtest on the daily cents series; integer error sums,
+    * calendar-gap-safe lags (a lag is scored only when the lagged ROW
+    * is exactly 1/7 calendar days back); engine-spliced epoch day. */
+  private def forecastBacktestSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH daily AS (
+          SELECT event_type, CAST($day AS INTEGER) AS eday,
+            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+              AS x
+          FROM $table GROUP BY 1, 2),
+        l AS (
+          SELECT event_type, eday, x,
+            lag(eday, 1) OVER w AS d1, lag(x, 1) OVER w AS x1,
+            lag(eday, 7) OVER w AS d7, lag(x, 7) OVER w AS x7
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY eday)),
+        scored AS (
+          SELECT event_type, x,
+            abs(x - x1) AS en, abs(x - x7) AS es, x + x7 AS den_s
+          FROM l WHERE d1 = eday - 1 AND d7 = eday - 7)
+        SELECT event_type,
+          CAST(count(*) AS BIGINT) AS n_scored,
+          round(CAST(sum(en) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS mae_naive,
+          round(CAST(sum(es) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS mae_snaive,
+          round(CAST(sum(es) AS DOUBLE)
+            / CAST(sum(x) AS DOUBLE), 6) AS wape_snaive,
+          round(CAST(2 * sum(es) AS DOUBLE)
+            / CAST(sum(den_s) AS DOUBLE), 6) AS smape_snaive,
+          CASE WHEN sum(en) = 0 THEN NULL
+            ELSE round(CAST(sum(es) AS DOUBLE)
+              / CAST(sum(en) AS DOUBLE), 6) END AS mase
+        FROM scored GROUP BY event_type
+        ORDER BY event_type"""
+  }
+
   /** Shared SQL for `win_seasonal_strength` — exact daily cents,
     * per-dow means, DECIMAL-reaccumulated residual moments;
     * engine-spliced epoch day. */
@@ -1119,6 +1159,26 @@ object Windows extends OpModule {
         s.sql(acfSql("graft_ev_acf", spark = true))
       },
       Some(acfSql("events", spark = false))),
+
+    Op("win_forecast_backtest",
+      // forecast backtest — the accuracy scoreboard that closes the
+      // forecasting battery (win_holt_forecast predicts, win_acf /
+      // win_seasonal_strength diagnose; THIS op says whether a model
+      // beats the benchmarks every forecasting paper requires you to
+      // beat): one-step naive (ŷ=y_{t−1}) vs seasonal-naive
+      // (ŷ=y_{t−7}) on each type's daily cents series, scored only
+      // where the lagged ROW is exactly 1/7 calendar days back (a
+      // row-lag across a calendar gap silently forecasts from the
+      // wrong day). MAE/WAPE/sMAPE from exact BIGINT error sums +
+      // IEEE finishes; MASE = Σ|e_snaive|/Σ|e_naive| — both sums
+      // integers, so the headline ratio is exact-int arithmetic with
+      // one division. Daily collapse map-side; windows per type over
+      // the bounded |types|·|days| relation.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_fb")
+        s.sql(forecastBacktestSql("graft_ev_fb", spark = true))
+      },
+      Some(forecastBacktestSql("events", spark = false))),
 
     Op("win_seasonal_strength",
       // seasonal-strength statistic (the STL-lite F_s of Hyndman's
