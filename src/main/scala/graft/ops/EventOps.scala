@@ -462,6 +462,43 @@ object EventOps extends OpModule {
         ORDER BY eday"""
   }
 
+  /** Shared inter-arrival SQL (stream_interarrival): per-(user, type)
+    * consecutive gaps in µs, DECIMAL(19,0)-squared moment sums (a
+    * month-scale gap squares to ~7e24 — past BIGINT, inside
+    * the DECIMAL(38,0) product), exact-moment variance identity, fixed
+    * IEEE finish. Engine-spliced epoch-us. */
+  private def interarrivalSql(table: String, spark: Boolean): String = {
+    val us =
+      if (spark) "unix_micros(ts)"
+      else "epoch_us(CAST(ts AS TIMESTAMP))"
+    s"""WITH e AS (
+          SELECT user_id, event_type, $us AS tus, event_id
+          FROM $table),
+        d AS (
+          SELECT event_type, tus - lag(tus) OVER w AS delta
+          FROM e
+          WINDOW w AS (PARTITION BY user_id, event_type
+            ORDER BY tus, event_id)),
+        dd AS (SELECT event_type, delta FROM d WHERE delta IS NOT NULL),
+        m AS (
+          SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+            CAST(count(*) AS BIGINT) AS n_gaps,
+            CAST(sum(CAST(delta AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(delta AS DECIMAL(19,0))
+              * CAST(delta AS DECIMAL(19,0))) AS DOUBLE) AS sxx
+          FROM dd GROUP BY event_type)
+        SELECT event_type, n_gaps,
+          round(sx / n / 1000000, 6) AS mean_s,
+          round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 1000000, 6)
+            AS sd_s,
+          round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / (sx / n), 6)
+            AS cv,
+          round((sqrt((n * sxx - sx * sx) / (n * (n - 1))) - sx / n)
+            / (sqrt((n * sxx - sx * sx) / (n * (n - 1))) + sx / n), 6)
+            AS burstiness
+        FROM m ORDER BY event_type"""
+  }
+
   /** Shared Welch t-test SQL (stream_ab_ttest). Engine-spliced md5
     * arm bucket; moments and finish identical text. Variance uses
     * the exact-int identity v = (n·sxx − sx²)/(n·(n−1)) in cents²,
@@ -1782,6 +1819,23 @@ object EventOps extends OpModule {
         s.sql(stickinessSql("graft_ev_stick", spark = true))
       },
       Some(stickinessSql("events", spark = false))),
+
+    Op("stream_interarrival",
+      // inter-arrival burstiness — the traffic-shape profiler behind
+      // every queueing/capacity model (Poisson arrivals have CV=1,
+      // B=0; human sessions are bursty, schedulers/bots are regular —
+      // Goh & Barabási's B = (σ−μ)/(σ+μ) is the standard one-number
+      // read): per-(user, type) consecutive gaps via ONE lag over the
+      // user-keyed sequence (bounded per user — never a global
+      // order), then one map-combined moment aggregate per type.
+      // Moments are exact DECIMAL integer sums (the regressionSql
+      // discipline; gaps square past BIGINT), variance by the
+      // exact-moment identity, CV and B as fixed IEEE sequences.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_iat")
+        s.sql(interarrivalSql("graft_ev_iat", spark = true))
+      },
+      Some(interarrivalSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between

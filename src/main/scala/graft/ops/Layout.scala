@@ -426,7 +426,85 @@ object LayoutOps extends OpModule {
     }
   }
 
+  /** Shared PSI SQL (table_drift_psi): population-stability index
+    * between the early and late halves of orders over log2 price
+    * buckets. Periods split on the data's day midpoint (1-row
+    * broadcast — regenerations move it correctly); buckets are the
+    * histogramLog2Sql bit-length idiom (exact integer, no libm);
+    * Laplace-smoothed proportions keep empty cells finite; per-bucket
+    * contributions round at 10dp then re-accumulate through DECIMAL
+    * (the dsum rule) so the headline PSI is order-independent. The
+    * corpus collapses to (period, bucket) map-side; everything after
+    * runs on the value-grid-bounded (≤ ~30-row) bucket relation, so
+    * the OVER () total is a bounded-relation window, not a global
+    * sort. Engine-spliced epoch day and integer division. */
+  private def driftPsiSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    val div = if (spark) "DIV" else "//"
+    s"""WITH o AS (
+          SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+            CAST($day AS BIGINT) AS d
+          FROM $table),
+        mid AS (
+          SELECT CAST((min(d) + max(d)) $div 2 AS BIGINT) AS m FROM o),
+        b AS (
+          SELECT CASE WHEN o.d < mid.m THEN 0 ELSE 1 END AS period,
+            CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END
+              AS bucket
+          FROM o CROSS JOIN mid),
+        c AS (
+          SELECT period, bucket, count(*) AS n
+          FROM b GROUP BY period, bucket),
+        k AS (SELECT CAST(count(DISTINCT bucket) AS BIGINT) AS nb FROM c),
+        t AS (
+          SELECT period, CAST(sum(n) AS BIGINT) AS tot
+          FROM c GROUP BY period),
+        p AS (
+          SELECT bucket,
+            CAST(sum(CASE WHEN period = 0 THEN n ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(sum(CASE WHEN period = 1 THEN n ELSE 0 END) AS BIGINT)
+              AS n_b
+          FROM c GROUP BY bucket),
+        r AS (
+          SELECT p.bucket, p.n_a, p.n_b,
+            CAST(p.n_a + 1 AS DOUBLE) / CAST(ta.tot + k.nb AS DOUBLE)
+              AS pa,
+            CAST(p.n_b + 1 AS DOUBLE) / CAST(tb.tot + k.nb AS DOUBLE)
+              AS pb
+          FROM p CROSS JOIN k
+          CROSS JOIN (SELECT tot FROM t WHERE period = 0) ta
+          CROSS JOIN (SELECT tot FROM t WHERE period = 1) tb),
+        contrib AS (
+          SELECT bucket, n_a, n_b,
+            round((pa - pb) * ln(pa / pb), 10) AS c10
+          FROM r)
+        SELECT CAST(bucket AS INTEGER) AS bucket, n_a, n_b,
+          round(c10, 6) AS contrib,
+          CAST(round(sum(CAST(c10 AS DECIMAL(38,10))) OVER (), 6)
+            AS DOUBLE) AS psi_total
+        FROM contrib ORDER BY bucket"""
+  }
+
   def ops: Seq[Op] = Seq(
+
+    Op("table_drift_psi",
+      // population-stability index — the distribution-drift monitor
+      // every ML feature store and risk scorecard runs (Siddiqi's
+      // credit-scoring rule of thumb: <0.1 stable, 0.1–0.25 moderate,
+      // >0.25 shifted): PSI = Σ (p_a − p_b)·ln(p_a/p_b) between the
+      // early and late halves of orders over log2 price buckets. The
+      // chi2/KS screens test independence/shape once; PSI is the
+      // MONITORING form — bucketed, smoothed, decomposable per bucket
+      // so the report shows WHICH band moved. Long-form output: one
+      // row per bucket with its contribution plus the headline total.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_psi")
+        s.sql(driftPsiSql("graft_ord_psi", spark = true))
+      },
+      Some(driftPsiSql("orders", spark = false))),
 
     Op("table_profile",
       (s, d) => tableProfile(Tables.lineitem(s, d), Seq(
