@@ -461,6 +461,15 @@ object LlmOps extends OpModule {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Shared Kneser–Ney finish (llm_bigram_kn): one expression string
+    * over exact-integer columns (c2, c1, npost, npre, tbig) — the
+    * bm25 shared-text rule is what keeps the double bit-identical on
+    * both engines. D = 0.75 as an exponent-form literal. */
+  private val knFinishSql: String =
+    "round(greatest(CAST(c2 AS DOUBLE) - 75e-2, 0e0) / CAST(c1 AS DOUBLE)" +
+      " + (75e-2 * CAST(npost AS DOUBLE) / CAST(c1 AS DOUBLE))" +
+      " * (CAST(npre AS DOUBLE) / CAST(tbig AS DOUBLE)), 6) AS p_kn"
+
   /** Shared bigram-LM document-scoring chain (llm_lm_score /
     * llm_ccnet_buckets): self-trained conditional model p = c2/c1
     * (exact-integer division, no smoothing — every doc bigram is in
@@ -3650,6 +3659,74 @@ object LlmOps extends OpModule {
                 FROM scored)
               SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score
               FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
+
+    Op("llm_bigram_kn",
+      // interpolated Kneser–Ney bigram probabilities (Kneser & Ney
+      // 1995; Chen & Goodman 1999's winner) — the smoothing that
+      // separates a toy bigram model (llm_bigram_lm's raw c2/c1)
+      // from one usable for scoring: absolute discount D=0.75 frees
+      // mass per history, redistributed by CONTINUATION counts ("how
+      // many distinct histories precede w2"), which fixes the
+      // "Francisco" pathology (frequent only after "San" ⇒ low
+      // continuation probability despite high raw count).
+      //   p_KN(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+      //               + D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+      // Every operand is an exact integer off the SAME vocab-keyed
+      // count relation (sum/count windows per w1; one map-combined
+      // count per w2; 1-row type total broadcast); the finish is ONE
+      // shared expression string evaluated on identical longs ⇒
+      // bit-identical doubles on both engines. Shuffles carry vocab²
+      // counts (map-side combined), never tokens; top-20 is
+      // TakeOrdered, not a global sort.
+      (s, d) => {
+        graft.functions.VectorKernels.register(s)
+        val cnt = tokenizedDocs(s, d)
+          .select(explode(call_function("graft_shingles",
+            col("toks"), lit(2))).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("c2"))
+          .select(col("bigram"), col("c2"),
+            substring_index(col("bigram"), " ", 1).as("w1"),
+            substring_index(col("bigram"), " ", -1).as("w2"))
+        val byW1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w1"))
+        val byW2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w2"))
+        val t = cnt.select(col("bigram"), col("c2"),
+          sum(col("c2")).over(byW1).as("c1"),
+          count(lit(1)).over(byW1).as("npost"),
+          count(lit(1)).over(byW2).as("npre"))
+        val tot = cnt.agg(count(lit(1)).cast("long").as("tbig"))
+        t.crossJoin(broadcast(tot))
+          .selectExpr("bigram", "CAST(c2 AS BIGINT) AS c2", knFinishSql)
+          .orderBy(col("c2").desc, col("bigram")).limit(20)
+      },
+      Some(s"""WITH tk AS (
+                 SELECT string_split(
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                   ' ') AS t
+                 FROM documents),
+               bg AS (
+                 SELECT unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])) AS bigram
+                 FROM tk WHERE len(t) >= 2),
+               cnt AS (
+                 SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+               spl AS (
+                 SELECT bigram, c2, split_part(bigram, ' ', 1) AS w1,
+                   split_part(bigram, ' ', 2) AS w2
+                 FROM cnt),
+               c1t AS (
+                 SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS npost
+                 FROM spl GROUP BY w1),
+               pre AS (
+                 SELECT w2, CAST(count(*) AS BIGINT) AS npre
+                 FROM spl GROUP BY w2),
+               tt AS (SELECT CAST(count(*) AS BIGINT) AS tbig FROM cnt)
+               SELECT s.bigram, CAST(s.c2 AS BIGINT) AS c2, $knFinishSql
+               FROM spl s JOIN c1t c ON s.w1 = c.w1
+                 JOIN pre p ON s.w2 = p.w2 CROSS JOIN tt
+               ORDER BY c2 DESC, bigram LIMIT 20""")),
 
     Op("llm_bigram_lm",
       // corpus n-gram language model — bigram conditional probability
