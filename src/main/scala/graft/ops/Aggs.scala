@@ -905,6 +905,37 @@ object Aggs extends OpModule {
       },
       Some(ksSql("events"))),
 
+    Op("agg_iqr_outliers",
+      // Tukey-fence outlier screen (Tukey 1977's boxplot rule — the
+      // OTHER robust outlier detector beside agg_mad_anomaly: MAD
+      // flags against a robust center, IQR fences flag against the
+      // quartile spread; both survive the contamination that wrecks
+      // z-scores): values beyond Q1−1.5·IQR / Q3+1.5·IQR per return
+      // flag. Quartiles are DISCRETE cuts read off exact cumulative
+      // counts over the (flag, cents) VALUE GRID — support-bounded
+      // (the ks_test argument), so no corpus-sized window and no
+      // requireExactAggSafe guard is needed; the 1.5 multiplier runs
+      // in doubled cents so the half-cent stays exact-integer.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_iqr")
+        s.sql(iqrOutliersSql("graft_li_iqr"))
+      },
+      Some(iqrOutliersSql("lineitem"))),
+
+    Op("agg_winsorized_mean",
+      // winsorized mean (Winsor/Tukey robust location) — the revenue
+      // reporting standard when whales distort averages: clamp to
+      // [P5, P95] and average, beside the raw mean so the gap itself
+      // is the tail-weight readout. Same value-grid discipline as
+      // agg_iqr_outliers (cuts off exact cumulative counts, no
+      // corpus window); clamped cents sum in DECIMAL (exact,
+      // order-independent), two IEEE divisions finish.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_wins")
+        s.sql(winsorizedMeanSql("graft_li_wins"))
+      },
+      Some(winsorizedMeanSql("lineitem"))),
+
     Op("agg_percentile_disc",
       // discrete percentiles (PERCENTILE_DISC semantics: the smallest
       // actual value whose cume_dist reaches the fraction) — Spark has
@@ -1585,6 +1616,76 @@ object Aggs extends OpModule {
 
   /** Shared SQL for `agg_percentile_disc` — conditional-min over
     * cume_dist, the engine-portable PERCENTILE_DISC rewrite. */
+  /** Shared grid-quantile CTE prefix (agg_iqr_outliers /
+    * agg_winsorized_mean): lineitem prices collapse to the (flag,
+    * cents, n) VALUE GRID map-side (the ks_test support-bounded
+    * argument — the cumulative window runs over the grid, never the
+    * corpus), discrete quantiles read off exact cumulative counts.
+    * Ends in `cum(rf, cents, n, cn, tot)`. */
+  private def gridCumSql(table: String): String =
+    s"""WITH c AS (
+          SELECT l_returnflag AS rf,
+            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+          FROM $table),
+        g AS (
+          SELECT rf, cents, CAST(count(*) AS BIGINT) AS n
+          FROM c GROUP BY rf, cents),
+        cum AS (
+          SELECT rf, cents, n,
+            sum(n) OVER (PARTITION BY rf ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+            sum(n) OVER (PARTITION BY rf) AS tot
+          FROM g)"""
+
+  /** Shared SQL for `agg_iqr_outliers` — Tukey fences in doubled
+    * cents (2·cents vs 2·Q1 − 3·IQR keeps the half-cent exact in
+    * integers), outlier counts off the same grid. */
+  private def iqrOutliersSql(table: String): String =
+    s"""${gridCumSql(table)},
+        q AS (
+          SELECT rf,
+            min(CASE WHEN cn * 4 >= tot THEN cents END) AS q1,
+            min(CASE WHEN cn * 4 >= 3 * tot THEN cents END) AS q3
+          FROM cum GROUP BY rf)
+        SELECT cum.rf AS l_returnflag,
+          CAST(min(q.q1) AS BIGINT) AS q1_c,
+          CAST(min(q.q3) AS BIGINT) AS q3_c,
+          CAST(min(q.q3 - q.q1) AS BIGINT) AS iqr_c,
+          CAST(sum(CASE WHEN 2 * cum.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                     OR 2 * cum.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                   THEN cum.n ELSE 0 END) AS BIGINT) AS n_outliers,
+          round(CAST(sum(CASE WHEN
+                     2 * cum.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                     OR 2 * cum.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                   THEN cum.n ELSE 0 END) AS DOUBLE)
+            / CAST(min(cum.tot) AS DOUBLE), 6) AS outlier_rate
+        FROM cum JOIN q ON cum.rf = q.rf
+        GROUP BY cum.rf ORDER BY cum.rf"""
+
+  /** Shared SQL for `agg_winsorized_mean` — P5/P95 clamp off the same
+    * grid, DECIMAL-summed clamped cents, raw mean beside it. */
+  private def winsorizedMeanSql(table: String): String =
+    s"""${gridCumSql(table)},
+        q AS (
+          SELECT rf,
+            min(CASE WHEN cn * 20 >= tot THEN cents END) AS p05,
+            min(CASE WHEN cn * 20 >= 19 * tot THEN cents END) AS p95
+          FROM cum GROUP BY rf)
+        SELECT cum.rf AS l_returnflag,
+          CAST(min(q.p05) AS BIGINT) AS p05_c,
+          CAST(min(q.p95) AS BIGINT) AS p95_c,
+          round(CAST(sum(CAST(cum.n * cum.cents AS DECIMAL(38,0)))
+              AS DOUBLE) / CAST(min(cum.tot) AS DOUBLE) / 100, 6)
+            AS mean_raw,
+          round(CAST(sum(CAST(cum.n *
+              CASE WHEN cum.cents < q.p05 THEN q.p05
+                   WHEN cum.cents > q.p95 THEN q.p95
+                   ELSE cum.cents END AS DECIMAL(38,0)))
+              AS DOUBLE) / CAST(min(cum.tot) AS DOUBLE) / 100, 6)
+            AS mean_winsorized
+        FROM cum JOIN q ON cum.rf = q.rf
+        GROUP BY cum.rf ORDER BY cum.rf"""
+
   private def percentileDiscSql(table: String): String =
     s"""WITH r AS (
           SELECT event_type, value,
