@@ -548,6 +548,98 @@ object EventOps extends OpModule {
         FROM p"""
   }
 
+  /** Shared delta-method ratio-metric SQL (stream_ab_ratio_delta):
+    * per-user (revenue, clicks) pairs, per-arm exact DECIMAL moments
+    * (ttestSql widths), delta-method variance of R = Σx/Σy, fixed
+    * IEEE finish on a 1-row relation. Engine-spliced md5 arm. */
+  private def ratioDeltaSql(table: String, spark: Boolean): String = {
+    val arm =
+      if (spark)
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"
+      else
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2"
+    s"""WITH u AS (
+          SELECT user_id, $arm AS armb,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS x,
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+          FROM $table GROUP BY user_id),
+        g AS (
+          SELECT armb,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(x AS DECIMAL(16,0))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(y AS DECIMAL(16,0))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(x*x AS DECIMAL(21,0))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(x*y AS DECIMAL(21,0))) AS DOUBLE) AS sxy,
+            CAST(sum(CAST(y*y AS DECIMAL(21,0))) AS DOUBLE) AS syy
+          FROM u GROUP BY armb),
+        d AS (
+          SELECT armb, n, sx / sy AS r,
+            ((n*sxx - sx*sx)/(n*(n-1e0))
+             - 2e0*(sx/sy)*((n*sxy - sx*sy)/(n*(n-1e0)))
+             + (sx/sy)*(sx/sy)*((n*syy - sy*sy)/(n*(n-1e0))))
+            / (n * (sy/n) * (sy/n)) AS vr
+          FROM g),
+        p AS (
+          SELECT a.r / 1e2 AS r_a, b.r / 1e2 AS r_b,
+            (a.r - b.r) / 1e2 AS rdiff,
+            (a.r - b.r) / sqrt(a.vr + b.vr) AS z
+          FROM d a, d b WHERE a.armb = 0 AND b.armb = 1)
+        SELECT round(r_a, 6) AS rev_per_click_a,
+          round(r_b, 6) AS rev_per_click_b,
+          round(rdiff, 6) AS rdiff, round(z, 6) AS z_stat,
+          abs(round(z, 6)) >= 196e-2 AS significant
+        FROM p"""
+  }
+
+  /** Shared mix-drift SQL (stream_mix_drift): daily event-type mix
+    * entropy + Jensen–Shannon divergence vs the previous day; all
+    * math on the bounded |days|·|types| relation, ln terms summed
+    * within one 6dp round (entropySql precedent). Engine-spliced
+    * epoch day. */
+  private def mixDriftSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH daily AS (
+          SELECT CAST($day AS BIGINT) AS d, event_type,
+            CAST(count(*) AS BIGINT) AS n
+          FROM $table GROUP BY 1, 2),
+        tot AS (
+          SELECT d, CAST(sum(n) AS BIGINT) AS t FROM daily GROUP BY d),
+        p AS (
+          SELECT daily.d, event_type,
+            CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+          FROM daily JOIN tot ON daily.d = tot.d),
+        ent AS (
+          SELECT d, round(-sum(p * ln(p)), 6) AS entropy
+          FROM p GROUP BY d),
+        j AS (
+          SELECT coalesce(a.d, b.d + 1) AS d,
+            coalesce(a.p, 0e0) AS pa, coalesce(b.p, 0e0) AS pb
+          FROM p a FULL JOIN p b
+            ON a.event_type = b.event_type AND a.d = b.d + 1),
+        jsd AS (
+          SELECT d, round(sum(
+              CASE WHEN pa > 0e0
+                THEN 5e-1 * pa * ln(pa / ((pa + pb) / 2e0))
+                ELSE 0e0 END
+            + CASE WHEN pb > 0e0
+                THEN 5e-1 * pb * ln(pb / ((pa + pb) / 2e0))
+                ELSE 0e0 END), 6) AS jsd_prev
+          FROM j
+          WHERE d > (SELECT min(d) FROM tot)
+            AND d <= (SELECT max(d) FROM tot)
+          GROUP BY d)
+        SELECT ent.d AS eday, tot.t AS n_events, ent.entropy,
+          jsd.jsd_prev
+        FROM ent JOIN tot ON ent.d = tot.d
+          LEFT JOIN jsd ON ent.d = jsd.d
+        ORDER BY eday"""
+  }
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -1836,6 +1928,41 @@ object EventOps extends OpModule {
         s.sql(interarrivalSql("graft_ev_iat", spark = true))
       },
       Some(interarrivalSql("events", spark = false))),
+
+    Op("stream_ab_ratio_delta",
+      // delta-method test for RATIO metrics (Deng et al., KDD 2018's
+      // "ratio metrics" problem) — the fifth leg of the A/B battery:
+      // revenue-per-click compares Σx/Σy between arms, and the naive
+      // per-user t-test is WRONG because the ratio of sums is not a
+      // mean of per-user ratios; the delta method propagates per-user
+      // (x, y) covariance through the ratio: var(R) ≈ (σx² − 2Rσxy +
+      // R²σy²)/(n·μy²). Per-user collapse (one shuffle), per-arm
+      // moments = ONE map-combined aggregate to six exact DECIMAL
+      // numbers (ttestSql widths), fixed IEEE finish on a 1-row
+      // relation; same md5 arms as the rest of the battery.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_ratio")
+        s.sql(ratioDeltaSql("graft_ev_ratio", spark = true))
+      },
+      Some(ratioDeltaSql("events", spark = false))),
+
+    Op("stream_mix_drift",
+      // daily event-mix entropy + Jensen–Shannon drift — the
+      // composition monitor beside table_drift_psi (PSI watches ONE
+      // numeric column's banding; this watches the categorical MIX
+      // day over day): entropy says how concentrated today's traffic
+      // is, JSD vs yesterday says how far the mix moved (symmetric,
+      // bounded ≤ ln 2 — KL's asymmetry and infinities make it the
+      // wrong monitor when types appear/vanish, which JSD handles by
+      // construction). Daily (type, count) cells collapse map-side;
+      // entropy/JSD run on the bounded |days|·|types| relation; the
+      // day-over-day pairing is a FULL join on (type, d = d−1) so
+      // births and deaths both contribute.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_mix")
+        s.sql(mixDriftSql("graft_ev_mix", spark = true))
+      },
+      Some(mixDriftSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between
