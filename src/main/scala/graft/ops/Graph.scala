@@ -848,6 +848,68 @@ object GraphOps extends OpModule {
               WHERE e.s1 IS NULL
               ORDER BY cn DESC, a, c LIMIT 200""")),
 
+    Op("graph_adamic_adar",
+      // Adamic–Adar link prediction — the degree-weighted refinement
+      // of graph_common_neighbors (Adamic & Adar 2003; Liben-Nowell &
+      // Kleinberg's best non-path baseline): a shared neighbor counts
+      // 1/ln(deg(z)), so a rare mutual contact is strong evidence and
+      // a hub says almost nothing — exactly the correction raw CN
+      // lacks. Same co-located wedge self-join (both sides keyed on
+      // the shared neighbor), with each wedge carrying its center's
+      // degree from ONE |nodes|-sized aggregate joined back on the
+      // SAME src key before the wedge (no extra exchange shape).
+      // deg(z) ≥ 2 for every wedge center by construction, so
+      // 1/ln(deg) is always finite. Per-pair term sums stay under
+      // the 6dp round (≤ wedge-count tiny doubles — the entropySql
+      // argument); top-200 by total order (score, pair). The df-cap
+      // in [[partEdges]] bounds Σdeg² before the quadratic step.
+      (s, d) => {
+        val e = partEdges(s, d)
+        val ud = e.select(col("s1").as("src"), col("s2").as("dst"))
+          .unionByName(e.select(col("s2").as("src"), col("s1").as("dst")))
+        val n = Scale.frontierPartitions(Tables.part(s, d))
+        val deg = ud.groupBy("src").agg(count(lit(1)).as("deg"))
+        val udw = ud.join(deg.filter(col("deg") >= 2), "src")
+          .withColumn("w", expr("1e0 / ln(CAST(deg AS DOUBLE))"))
+        val udp = udw.repartition(n, col("src"))
+        val w = udp.as("x").join(udp.as("y"),
+            col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+          .groupBy(col("x.dst").as("a"), col("y.dst").as("c"))
+          .agg(round(sum(col("x.w")), 6).as("aa"),
+            count(lit(1)).as("cn"))
+        w.join(e, w("a") === e("s1") && w("c") === e("s2"), "left_anti")
+          .orderBy(col("aa").desc, col("a"), col("c"))
+          .limit(200)
+      },
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              e0 AS (SELECT a.l_partkey AS s1, b.l_partkey AS s2,
+                       count(*) AS cc
+                     FROM p a JOIN p b
+                       ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+                     GROUP BY 1, 2),
+              st AS (SELECT greatest(CAST(2 AS BIGINT),
+                       (2 * CAST(sum(cc) AS BIGINT)) // count(*)) AS thr
+                     FROM e0),
+              e AS (SELECT s1, s2 FROM e0, st WHERE cc >= thr),
+              ud AS (SELECT s1 AS src, s2 AS dst FROM e
+                     UNION ALL SELECT s2, s1 FROM e),
+              deg AS (SELECT src, count(*) AS deg FROM ud GROUP BY src),
+              udw AS (SELECT ud.src, ud.dst,
+                        1e0 / ln(CAST(deg AS DOUBLE)) AS w
+                      FROM ud JOIN deg ON ud.src = deg.src
+                      WHERE deg >= 2),
+              wg AS (SELECT x.dst AS a, y.dst AS c,
+                       round(sum(x.w), 6) AS aa, count(*) AS cn
+                    FROM udw x JOIN udw y
+                      ON x.src = y.src AND x.dst < y.dst
+                    GROUP BY 1, 2)
+              SELECT wg.a, wg.c, wg.aa, CAST(wg.cn AS BIGINT) AS cn
+              FROM wg
+              LEFT JOIN e ON wg.a = e.s1 AND wg.c = e.s2
+              WHERE e.s1 IS NULL
+              ORDER BY aa DESC, a, c LIMIT 200""")),
+
     Op("graph_assortativity",
       // degree assortativity (Newman 2002) — THE one-number structure
       // probe: r > 0 means hubs link to hubs (social nets), r < 0
