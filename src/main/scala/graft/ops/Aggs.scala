@@ -905,6 +905,23 @@ object Aggs extends OpModule {
       },
       Some(ksSql("events"))),
 
+    Op("agg_hill_tail",
+      // Hill tail-index estimator (Hill 1975) — the heavy-tail
+      // family's missing member (gini = inequality, hhi =
+      // concentration, benford = digit law; Hill's α says HOW heavy
+      // the upper tail is: α < 2 ⇒ infinite variance, whale-driven
+      // revenue; α > 3 ⇒ effectively thin): α = k / Σ ln(x_i/x_cut)
+      // over the top 5% per order priority. The cut is a DISCRETE
+      // quantile off exact cumulative counts over the (priority,
+      // cents) VALUE GRID (the agg_iqr_outliers discipline — no
+      // corpus window, no guard); per-cell n·ln terms round at 10dp
+      // and re-accumulate through DECIMAL; one IEEE division.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_hill")
+        s.sql(hillTailSql("graft_ord_hill"))
+      },
+      Some(hillTailSql("orders"))),
+
     Op("agg_iqr_outliers",
       // Tukey-fence outlier screen (Tukey 1977's boxplot rule — the
       // OTHER robust outlier detector beside agg_mad_anomaly: MAD
@@ -1685,6 +1702,42 @@ object Aggs extends OpModule {
             AS mean_winsorized
         FROM cum JOIN q ON cum.rf = q.rf
         GROUP BY cum.rf ORDER BY cum.rf"""
+
+  /** Shared SQL for `agg_hill_tail` — Hill tail-index estimator on
+    * the per-priority price grid: discrete P95 cut off exact
+    * cumulative counts, per-cell n·ln(x/cut) terms rounded 10dp and
+    * DECIMAL-reaccumulated (acf dsum rule — the tail can hold many
+    * cells), α = k/Σ. */
+  private def hillTailSql(table: String): String =
+    s"""WITH c AS (
+          SELECT o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM $table),
+        g AS (
+          SELECT pri, cents, CAST(count(*) AS BIGINT) AS n
+          FROM c GROUP BY pri, cents),
+        cum AS (
+          SELECT pri, cents, n,
+            sum(n) OVER (PARTITION BY pri ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+            sum(n) OVER (PARTITION BY pri) AS tot
+          FROM g),
+        q AS (
+          SELECT pri,
+            min(CASE WHEN cn * 20 >= 19 * tot THEN cents END) AS cut
+          FROM cum GROUP BY pri),
+        tail AS (
+          SELECT cum.pri, cum.cents, cum.n, q.cut
+          FROM cum JOIN q ON cum.pri = q.pri
+          WHERE cum.cents >= q.cut)
+        SELECT pri AS o_orderpriority,
+          CAST(min(cut) AS BIGINT) AS cut_c,
+          CAST(sum(n) AS BIGINT) AS k_tail,
+          round(CAST(sum(n) AS DOUBLE)
+            / CAST(sum(CAST(round(CAST(n AS DOUBLE)
+                * ln(CAST(cents AS DOUBLE) / CAST(cut AS DOUBLE)), 10)
+              AS DECIMAL(38,10))) AS DOUBLE), 6) AS hill_alpha
+        FROM tail GROUP BY pri ORDER BY pri"""
 
   private def percentileDiscSql(table: String): String =
     s"""WITH r AS (

@@ -640,6 +640,72 @@ object EventOps extends OpModule {
         ORDER BY eday"""
   }
 
+  /** Shared new-vs-returning SQL (stream_new_vs_returning): per-user
+    * first-day collapse, events re-join on the SAME user key
+    * (co-partitioned), per-day class split; exact cents, one IEEE
+    * share. Engine-spliced epoch day. */
+  private def newVsReturningSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH e AS (
+          SELECT user_id, CAST($day AS BIGINT) AS d,
+            CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT)
+              ELSE 0 END AS cents
+          FROM $table),
+        ud AS (
+          SELECT user_id, d, CAST(sum(cents) AS BIGINT) AS cents
+          FROM e GROUP BY user_id, d),
+        f AS (
+          SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id),
+        c AS (
+          SELECT ud.d, ud.cents,
+            CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END AS is_new
+          FROM ud JOIN f ON ud.user_id = f.user_id)
+        SELECT CAST(d AS BIGINT) AS eday,
+          CAST(sum(is_new) AS BIGINT) AS dau_new,
+          CAST(sum(1 - is_new) AS BIGINT) AS dau_returning,
+          CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+            AS BIGINT) AS rev_new_c,
+          CAST(sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END)
+            AS BIGINT) AS rev_returning_c,
+          CASE WHEN sum(cents) = 0 THEN NULL
+            ELSE round(CAST(sum(CASE WHEN is_new = 1 THEN cents
+                 ELSE 0 END) AS DOUBLE)
+              / CAST(sum(cents) AS DOUBLE), 6) END AS new_rev_share
+        FROM c GROUP BY d ORDER BY eday"""
+  }
+
+  /** Shared traffic-heatmap SQL (stream_heatmap_dow_hour): pure
+    * integer dow/hour cells (epoch arithmetic — no engine week/tz
+    * conventions), bounded 7×24 relation. Engine-spliced epoch-us
+    * and integer division. */
+  private def heatmapSql(table: String, spark: Boolean): String = {
+    val us =
+      if (spark) "unix_micros(ts)"
+      else "epoch_us(CAST(ts AS TIMESTAMP))"
+    val div = if (spark) "DIV" else "//"
+    s"""WITH e AS (
+          SELECT ($us $div 86400000000 + 4) % 7 AS dow,
+            ($us % 86400000000) $div 3600000000 AS hour
+          FROM $table),
+        cell AS (
+          SELECT dow, hour, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY dow, hour),
+        t AS (
+          SELECT dow, CAST(sum(n) AS BIGINT) AS tot,
+            CAST(max(n) AS BIGINT) AS mx
+          FROM cell GROUP BY dow)
+        SELECT CAST(cell.dow AS INTEGER) AS dow,
+          CAST(cell.hour AS INTEGER) AS hour, cell.n,
+          round(CAST(cell.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+            AS share_of_dow,
+          cell.n = t.mx AS is_peak
+        FROM cell JOIN t ON cell.dow = t.dow
+        ORDER BY dow, hour"""
+  }
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -1963,6 +2029,39 @@ object EventOps extends OpModule {
         s.sql(mixDriftSql("graft_ev_mix", spark = true))
       },
       Some(mixDriftSql("events", spark = false))),
+
+    Op("stream_new_vs_returning",
+      // new-vs-returning revenue split — the acquisition-vs-retention
+      // ledger beside stream_growth_accounting (that op counts WHO
+      // moved between states; this one says what each state is WORTH
+      // today — the number that decides whether growth is bought or
+      // earned): a user's first active day marks them new exactly
+      // once, every later day returning. Per-(user, day) collapse
+      // map-side, first-day = one more user-keyed aggregate, the
+      // classify join re-uses the SAME user key (co-partitioned, no
+      // second shuffle shape), then a bounded per-day split. Exact
+      // cents, one IEEE share with a zero-revenue guard.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_nvr")
+        s.sql(newVsReturningSql("graft_ev_nvr", spark = true))
+      },
+      Some(newVsReturningSql("events", spark = false))),
+
+    Op("stream_heatmap_dow_hour",
+      // day-of-week × hour traffic heatmap — the load-shape view
+      // capacity planning reads next to stream_peak_concurrency
+      // (peak says how high; the heatmap says WHEN, and is the
+      // input to autoscaling schedules and maintenance windows):
+      // counts per (dow, hour) cell with each cell's share of its
+      // day and a peak-hour flag. Dow/hour are PURE epoch integer
+      // arithmetic ((eday+4) mod 7 — the house convention, no engine
+      // week/timezone hazard); the corpus collapses to ≤168 cells in
+      // ONE map-combined aggregate; everything after is bounded.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_heat")
+        s.sql(heatmapSql("graft_ev_heat", spark = true))
+      },
+      Some(heatmapSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between

@@ -3660,6 +3660,59 @@ object LlmOps extends OpModule {
               SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score
               FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
 
+    Op("llm_unigram_entropy",
+      // per-language unigram entropy + type/token ratio — the
+      // information-density read beside llm_vocab_growth (growth says
+      // how the vocabulary SCALES; entropy says how it is USED: low
+      // H = boilerplate-heavy/repetitive corpus, H near ln(vocab) =
+      // flat, diverse). Counts collapse to the (lang, term) vocab
+      // relation map-side; per-lang totals are a |langs|-row
+      // broadcast joined back (NOT a per-lang whole-partition window
+      // — one partition per language over a 100 TB vocabulary is the
+      // llm_token_budget hazard); each p·ln p term rounds at 10dp
+      // and re-accumulates through DECIMAL (the acf dsum rule —
+      // vocab-sized double sums are NOT under the 6dp round's
+      // protection, unlike agg_entropy's ≤|langs| terms).
+      (s, d) => {
+        graft.functions.VectorKernels.register(s)
+        val cnt = tokenizedDocs(s, d)
+          .select(col("lang"), explode(col("toks")).as("term"))
+          .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy("lang")
+          .agg(sum(col("n")).as("t"), count(lit(1)).as("vocab"))
+        cnt.join(broadcast(tot), "lang")
+          .groupBy("lang")
+          .agg(
+            max(col("t")).cast("long").as("n_tokens"),
+            max(col("vocab")).cast("long").as("vocab"),
+            expr("CAST(round(-sum(CAST(round((CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)), 10) AS DECIMAL(38,10))), 6) AS DOUBLE)")
+              .as("entropy"))
+          .withColumn("ttr",
+            expr("round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"))
+          .orderBy("lang")
+      },
+      Some("""WITH tk AS (
+                SELECT lang, string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                  ' ') AS t
+                FROM documents),
+              tok AS (SELECT lang, unnest(t) AS term FROM tk),
+              cnt AS (
+                SELECT lang, term, count(*) AS n
+                FROM tok GROUP BY lang, term),
+              tt AS (
+                SELECT lang, CAST(sum(n) AS BIGINT) AS t,
+                  CAST(count(*) AS BIGINT) AS vocab
+                FROM cnt GROUP BY lang)
+              SELECT cnt.lang,
+                CAST(max(tt.t) AS BIGINT) AS n_tokens,
+                CAST(max(tt.vocab) AS BIGINT) AS vocab,
+                CAST(round(-sum(CAST(round((CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)), 10) AS DECIMAL(38,10))), 6) AS DOUBLE) AS entropy,
+                round(CAST(max(tt.vocab) AS DOUBLE)
+                  / CAST(max(tt.t) AS DOUBLE), 6) AS ttr
+              FROM cnt JOIN tt ON cnt.lang = tt.lang
+              GROUP BY cnt.lang ORDER BY cnt.lang""")),
+
     Op("llm_bigram_kn",
       // interpolated Kneser–Ney bigram probabilities (Kneser & Ney
       // 1995; Chen & Goodman 1999's winner) — the smoothing that
