@@ -706,6 +706,77 @@ object EventOps extends OpModule {
         ORDER BY dow, hour"""
   }
 
+  /** Shared tombstone-GC SQL (cdc_tombstone_gc): per-pk lead over
+    * the envelope's event order classifies every delete as live
+    * tombstone vs resurrected; GC-safety against the corpus
+    * watermark minus a 7-day retention. Engine-spliced epoch-us and
+    * integer division. */
+  private def tombstoneGcSql(table: String, spark: Boolean): String = {
+    val us =
+      if (spark) "unix_micros(ts)"
+      else "epoch_us(CAST(ts AS TIMESTAMP))"
+    val div = if (spark) "DIV" else "//"
+    s"""WITH e AS (
+          SELECT user_id AS pk, $us AS tus, event_id AS pos,
+            CASE WHEN event_type = 'signup' THEN 'I'
+                 WHEN event_type = 'error' THEN 'D'
+                 ELSE 'U' END AS op
+          FROM $table),
+        w AS (SELECT max(tus) AS wm FROM e),
+        r AS (
+          SELECT pk, tus, op,
+            lead(tus) OVER (PARTITION BY pk ORDER BY tus, pos)
+              AS next_t
+          FROM e),
+        cls AS (
+          SELECT CAST(tus $div 86400000000 AS BIGINT) AS eday,
+            CASE WHEN next_t IS NULL THEN 1 ELSE 0 END AS is_tomb,
+            CASE WHEN next_t IS NULL
+              AND w.wm - tus >= 604800000000 THEN 1 ELSE 0 END AS gc
+          FROM r CROSS JOIN w WHERE op = 'D')
+        SELECT eday, CAST(count(*) AS BIGINT) AS n_deletes,
+          CAST(sum(is_tomb) AS BIGINT) AS n_tombstones,
+          CAST(sum(gc) AS BIGINT) AS n_gc_safe,
+          CAST(sum(1 - is_tomb) AS BIGINT) AS n_resurrected
+        FROM cls GROUP BY eday ORDER BY eday"""
+  }
+
+  /** Shared user-concentration SQL (stream_user_lorenz): Lorenz
+    * curve points on the per-user ACTIVITY-COUNT grid (support
+    * bounded by max per-user activity, never user cardinality);
+    * exact cumulative users/events/cents, IEEE shares. */
+  private def userLorenzSql(table: String): String =
+    s"""WITH u AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS cents
+          FROM $table GROUP BY user_id),
+        g AS (
+          SELECT n, CAST(count(*) AS BIGINT) AS users,
+            CAST(sum(n) AS BIGINT) AS events,
+            CAST(sum(cents) AS BIGINT) AS cents
+          FROM u GROUP BY n),
+        cum AS (
+          SELECT n, users, events, cents,
+            sum(users) OVER wd AS cu,
+            sum(events) OVER wd AS ce,
+            sum(cents) OVER wd AS cc,
+            sum(users) OVER () AS tu,
+            sum(events) OVER () AS te,
+            sum(cents) OVER () AS tc
+          FROM g
+          WINDOW wd AS (ORDER BY n DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT CAST(n AS BIGINT) AS activity, users,
+          round(CAST(cu AS DOUBLE) / CAST(tu AS DOUBLE), 6)
+            AS cum_user_share,
+          round(CAST(ce AS DOUBLE) / CAST(te AS DOUBLE), 6)
+            AS cum_event_share,
+          round(CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+            AS cum_rev_share
+        FROM cum ORDER BY activity DESC"""
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -2062,6 +2133,39 @@ object EventOps extends OpModule {
         s.sql(heatmapSql("graft_ev_heat", spark = true))
       },
       Some(heatmapSql("events", spark = false))),
+
+    Op("cdc_tombstone_gc",
+      // tombstone garbage-collection audit — the compaction-planning
+      // question every log-compacted store answers before purging
+      // (Kafka compaction, lakehouse VACUUM): a delete whose pk never
+      // reappears is a LIVE tombstone that must be retained until
+      // consumers past the retention horizon have seen it; a delete
+      // followed by any later write was resurrected and its tombstone
+      // is dead weight immediately. One lead() per pk over the same
+      // envelope order cdc_envelope_full replays (user-keyed window,
+      // bounded per pk), GC-safety = age vs the corpus watermark
+      // minus 7 days (1-row broadcast), per-day report. All-integer.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_tomb")
+        s.sql(tombstoneGcSql("graft_ev_tomb", spark = true))
+      },
+      Some(tombstoneGcSql("events", spark = false))),
+
+    Op("stream_user_lorenz",
+      // user-concentration Lorenz curve — "what share of traffic and
+      // revenue comes from the most active users", the capacity/abuse
+      // planning read beside agg_gini (gini is the one-number
+      // inequality; this is the CURVE, cut at every activity level):
+      // users collapse to per-user (count, cents) once, then to the
+      // ACTIVITY-COUNT grid — support bounded by max per-user
+      // activity, never user cardinality, so the cumulative windows
+      // run over the bounded grid (the ks_test argument, applied to
+      // a user dimension). Exact longs/cents + IEEE shares.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_lorenz")
+        s.sql(userLorenzSql("graft_ev_lorenz"))
+      },
+      Some(userLorenzSql("events"))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between

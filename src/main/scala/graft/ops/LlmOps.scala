@@ -3660,6 +3660,56 @@ object LlmOps extends OpModule {
               SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score
               FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
 
+    Op("llm_context_fit",
+      // context-window fit report — the one-aggregate readout that
+      // decides a trainer's sequence-length config before
+      // llm_pack_sequences runs (what fraction of documents fit, and
+      // what share of TOKENS a hard truncation at each window would
+      // discard — doc-fit and token-loss disagree exactly when long
+      // docs carry the mass): conditional sums over per-doc
+      // whitespace token counts at three windows (16/64/256 —
+      // parameters sized to the fixture's 10–99-token docs; a
+      // production corpus swaps in 2k/8k/32k, the plan is identical).
+      // ONE map-combined aggregate collapses the corpus to a single
+      // row; all exact ints + one IEEE share per window.
+      (s, d) => {
+        val n = size(split(col("text"), " "))
+        def fit(w: Int) = Seq(
+          sum(when(n <= w, 1L).otherwise(0L)).as(s"docs_fit_$w"),
+          sum(greatest(n.cast("long") - w, lit(0L))).as(s"tok_lost_$w"))
+        val aggs = count(lit(1)).as("n_docs") +:
+          sum(n.cast("long")).as("n_tokens") +:
+          (fit(16) ++ fit(64) ++ fit(256))
+        Tables.documents(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr(("n_docs" +: "n_tokens" +:
+            Seq(16, 64, 256).flatMap(w => Seq(
+              s"docs_fit_$w",
+              s"tok_lost_$w",
+              s"round(CAST(tok_lost_$w AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS loss_share_$w"))): _*)
+      },
+      Some("""WITH n AS (
+                SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                FROM documents),
+              a AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN n <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS docs_fit_16,
+                  CAST(sum(greatest(n - 16, 0)) AS BIGINT) AS tok_lost_16,
+                  CAST(sum(CASE WHEN n <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS docs_fit_64,
+                  CAST(sum(greatest(n - 64, 0)) AS BIGINT) AS tok_lost_64,
+                  CAST(sum(CASE WHEN n <= 256 THEN 1 ELSE 0 END) AS BIGINT) AS docs_fit_256,
+                  CAST(sum(greatest(n - 256, 0)) AS BIGINT) AS tok_lost_256
+                FROM n)
+              SELECT n_docs, n_tokens,
+                docs_fit_16, tok_lost_16,
+                round(CAST(tok_lost_16 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS loss_share_16,
+                docs_fit_64, tok_lost_64,
+                round(CAST(tok_lost_64 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS loss_share_64,
+                docs_fit_256, tok_lost_256,
+                round(CAST(tok_lost_256 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS loss_share_256
+              FROM a""")),
+
     Op("llm_unigram_entropy",
       // per-language unigram entropy + type/token ratio — the
       // information-density read beside llm_vocab_growth (growth says
