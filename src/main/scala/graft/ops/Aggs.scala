@@ -905,6 +905,22 @@ object Aggs extends OpModule {
       },
       Some(ksSql("events"))),
 
+    Op("agg_cvar",
+      // VaR95 + expected shortfall (CVaR) — the coherent tail-risk
+      // pair (Artzner et al. 1999: VaR is the threshold, ES the
+      // average loss BEYOND it — subadditive where VaR alone is not)
+      // and the natural level-companion to agg_hill_tail's shape
+      // index: same per-priority VALUE-GRID discipline (discrete P95
+      // off exact cumulative counts — no corpus window, no guard),
+      // tail mass/revenue as exact DECIMAL sums, three IEEE
+      // divisions finish. Includes ties at the cut (the discrete
+      // ≥-cut convention, deterministic on both engines).
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_cvar")
+        s.sql(cvarSql("graft_ord_cvar"))
+      },
+      Some(cvarSql("orders"))),
+
     Op("agg_hill_tail",
       // Hill tail-index estimator (Hill 1975) — the heavy-tail
       // family's missing member (gini = inequality, hhi =
@@ -1738,6 +1754,48 @@ object Aggs extends OpModule {
                 * ln(CAST(cents AS DOUBLE) / CAST(cut AS DOUBLE)), 10)
               AS DECIMAL(38,10))) AS DOUBLE), 6) AS hill_alpha
         FROM tail GROUP BY pri ORDER BY pri"""
+
+  /** Shared SQL for `agg_cvar` — discrete VaR95 cut off the same
+    * per-priority price grid as hillTailSql, expected shortfall and
+    * tail revenue share from exact DECIMAL tail sums. */
+  private def cvarSql(table: String): String =
+    s"""WITH c AS (
+          SELECT o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM $table),
+        g AS (
+          SELECT pri, cents, CAST(count(*) AS BIGINT) AS n
+          FROM c GROUP BY pri, cents),
+        cum AS (
+          SELECT pri, cents, n,
+            sum(n) OVER (PARTITION BY pri ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+            sum(n) OVER (PARTITION BY pri) AS tot
+          FROM g),
+        q AS (
+          SELECT pri,
+            min(CASE WHEN cn * 20 >= 19 * tot THEN cents END) AS cut
+          FROM cum GROUP BY pri),
+        s AS (
+          SELECT cum.pri, q.cut,
+            CAST(sum(CASE WHEN cum.cents >= q.cut THEN cum.n
+              ELSE 0 END) AS BIGINT) AS k_tail,
+            CAST(sum(CASE WHEN cum.cents >= q.cut
+              THEN CAST(cum.n * cum.cents AS DECIMAL(38,0))
+              ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+              AS tail_cents,
+            CAST(sum(CAST(cum.n * cum.cents AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS all_cents
+          FROM cum JOIN q ON cum.pri = q.pri
+          GROUP BY cum.pri, q.cut)
+        SELECT pri AS o_orderpriority,
+          round(CAST(cut AS DOUBLE) / 100, 6) AS var95,
+          k_tail,
+          round(CAST(tail_cents AS DOUBLE)
+            / CAST(k_tail AS DOUBLE) / 100, 6) AS es95,
+          round(CAST(tail_cents AS DOUBLE)
+            / CAST(all_cents AS DOUBLE), 6) AS tail_rev_share
+        FROM s ORDER BY pri"""
 
   private def percentileDiscSql(table: String): String =
     s"""WITH r AS (

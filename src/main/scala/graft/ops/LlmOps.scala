@@ -3660,6 +3660,45 @@ object LlmOps extends OpModule {
               SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score
               FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
 
+    Op("llm_tokenizer_fertility",
+      // tokenizer fertility per language — the multilingual-equity
+      // metric every tokenizer paper reports (subword tokens per
+      // whitespace word; a vocabulary tuned to one language fragments
+      // the others, inflating their compute cost and shrinking their
+      // effective context — fertility is the number that shows it):
+      // whitespace vs BPE-ish regex segmentation (llm_token_count's
+      // expressions, aggregated per lang instead of per doc), plus
+      // chars per subword token. ONE map-combined aggregate to
+      // |langs| rows; exact int sums, IEEE ratios.
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          sum(size(split(col("text"), " ")).cast("long"))
+            .as("ws_tokens"),
+          sum(size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
+            .as("bpe_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .selectExpr("lang", "ws_tokens", "bpe_tokens",
+          "round(CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE), 6) AS fertility",
+          "round(CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6) AS chars_per_token")
+        .orderBy("lang"),
+      Some("""SELECT lang,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                  AS ws_tokens,
+                CAST(sum(len(regexp_extract_all(text,
+                  '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+                  AS bpe_tokens,
+                round(CAST(sum(len(regexp_extract_all(text,
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+                  / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6)
+                  AS fertility,
+                round(CAST(sum(n_chars) AS DOUBLE)
+                  / CAST(sum(len(regexp_extract_all(text,
+                    '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE), 6)
+                  AS chars_per_token
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
     Op("llm_context_fit",
       // context-window fit report — the one-aggregate readout that
       // decides a trainer's sequence-length config before
