@@ -777,6 +777,37 @@ object EventOps extends OpModule {
             AS cum_rev_share
         FROM cum ORDER BY activity DESC"""
 
+  /** Shared streaks SQL (stream_streaks): per-user consecutive-day
+    * islands (gaps-and-islands at the (user, day) grain), collapsed
+    * to each user's longest streak, reported as a bounded histogram.
+    * Engine-spliced epoch day. */
+  private def streaksSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH act AS (
+          SELECT DISTINCT user_id, CAST($day AS BIGINT) AS d
+          FROM $table),
+        grp AS (
+          SELECT user_id, d,
+            d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+              AS g
+          FROM act),
+        streak AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS len
+          FROM grp GROUP BY user_id, g),
+        best AS (
+          SELECT user_id, CAST(max(len) AS BIGINT) AS best
+          FROM streak GROUP BY user_id),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS tu FROM best)
+        SELECT best AS streak_days,
+          CAST(count(*) AS BIGINT) AS n_users,
+          round(CAST(count(*) AS DOUBLE) / CAST(min(t.tu) AS DOUBLE), 6)
+            AS user_share
+        FROM best CROSS JOIN t
+        GROUP BY best ORDER BY streak_days"""
+  }
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -2166,6 +2197,24 @@ object EventOps extends OpModule {
         s.sql(userLorenzSql("graft_ev_lorenz"))
       },
       Some(userLorenzSql("events"))),
+
+    Op("stream_streaks",
+      // activity-streak distribution — the engagement-mechanics
+      // number behind every "N-day streak" product surface (and the
+      // habit-formation read growth teams track beside
+      // stream_stickiness: stickiness is a ratio of presence, streaks
+      // measure CONSECUTIVENESS): win_gaps_islands' rewrite applied
+      // at the (user, day) grain — d − row_number() is constant
+      // within an unbroken run — collapsed to each user's longest
+      // streak and reported as a calendar-bounded histogram with
+      // user shares. Distinct (user, day) collapses map-side;
+      // windows run per user (bounded by a user's active days); the
+      // histogram is ≤|days| rows. All-integer + one IEEE share.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_streak")
+        s.sql(streaksSql("graft_ev_streak", spark = true))
+      },
+      Some(streaksSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between

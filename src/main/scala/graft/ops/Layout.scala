@@ -488,7 +488,59 @@ object LayoutOps extends OpModule {
         FROM contrib ORDER BY bucket"""
   }
 
+  /** Shared reconciliation SQL (table_reconcile_orders): header total
+    * vs recomputed line sum per order, mismatch magnitudes banded on
+    * the log2 cents grid (bit-length idiom — exact integers, no
+    * float binning at band edges). */
+  private def reconcileSql(ordTable: String, liTable: String): String =
+    s"""WITH li AS (
+          SELECT l_orderkey,
+            CAST(sum(CAST(round(l_extendedprice
+              * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+              AS line_cents
+          FROM $liTable GROUP BY l_orderkey),
+        o AS (
+          SELECT o_orderkey,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS hdr_cents
+          FROM $ordTable),
+        j AS (
+          SELECT o.o_orderkey, o.hdr_cents,
+            coalesce(li.line_cents, 0) AS line_cents,
+            abs(o.hdr_cents - coalesce(li.line_cents, 0)) AS diff_c
+          FROM o LEFT JOIN li ON o.o_orderkey = li.l_orderkey),
+        b AS (
+          SELECT CASE WHEN diff_c = 0 THEN 0
+                 ELSE length(bin(diff_c)) END AS band,
+            diff_c, hdr_cents
+          FROM j)
+        SELECT CAST(band AS INTEGER) AS band,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(diff_c) AS BIGINT) AS total_diff_c,
+          CAST(max(diff_c) AS BIGINT) AS max_diff_c,
+          round(CAST(sum(diff_c) AS DOUBLE)
+            / CAST(sum(hdr_cents) AS DOUBLE), 6) AS diff_share
+        FROM b GROUP BY band ORDER BY band"""
+
   def ops: Seq[Op] = Seq(
+
+    Op("table_reconcile_orders",
+      // header-vs-detail reconciliation — the warehouse closing-audit
+      // every finance pipeline runs nightly (does the order header's
+      // total equal the sum of its lines?): recompute each order's
+      // line total in exact cents, LEFT join headers (headers with no
+      // lines surface instead of vanishing), band the absolute
+      // mismatch on the log2 cents grid (bit-length idiom — integer
+      // band edges, no float binning hazard). One map-combined line
+      // collapse + one key-co-partitioned join + a bounded band
+      // report. Band 0 is the reconciled mass; the report's SHAPE is
+      // the finding (systematic tax/discount drift vs scattered
+      // corruption land in different bands).
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_rec")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_rec")
+        s.sql(reconcileSql("graft_ord_rec", "graft_li_rec"))
+      },
+      Some(reconcileSql("orders", "lineitem"))),
 
     Op("table_drift_psi",
       // population-stability index — the distribution-drift monitor
