@@ -808,6 +808,85 @@ object EventOps extends OpModule {
         GROUP BY best ORDER BY streak_days"""
   }
 
+  /** Shared A/A calibration SQL (stream_ab_aa_calibration): 16
+    * salted null splits, Welch t per split from exact DECIMAL
+    * moments (ttestSql widths), false-positive rate at |t| ≥ 1.96.
+    * Engine-spliced md5 bucket. */
+  private def aaCalibrationSql(table: String, spark: Boolean): String = {
+    val armK =
+      if (spark)
+        "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':', CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
+      else
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 2"
+    val ks =
+      if (spark) "LATERAL VIEW explode(sequence(0, 15)) kt AS k"
+      else "CROSS JOIN unnest(generate_series(0, 15)) AS kt(k)"
+    s"""WITH u AS (
+          SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS cents
+          FROM $table GROUP BY user_id),
+        uk AS (
+          SELECT user_id, cents, kt.k AS k, $armK AS armb
+          FROM u $ks),
+        g AS (
+          SELECT k, armb,
+            CAST(count(*) AS DECIMAL(11,0)) AS n,
+            CAST(sum(CAST(cents AS DECIMAL(16,0))) AS DECIMAL(16,0))
+              AS sx,
+            CAST(sum(CAST(cents*cents AS DECIMAL(21,0)))
+              AS DECIMAL(21,0)) AS sxx
+          FROM uk GROUP BY k, armb),
+        d AS (
+          SELECT k, armb, CAST(n AS DOUBLE) AS n_d,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+            CAST(CAST(n AS DECIMAL(33,0))*sxx
+                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
+              AS var_c
+          FROM g),
+        t AS (
+          SELECT a.k,
+            round(abs((a.mean_c - b.mean_c)
+              / sqrt(a.var_c / a.n_d + b.var_c / b.n_d)), 6) AS abs_t
+          FROM d a JOIN d b ON a.k = b.k
+          WHERE a.armb = 0 AND b.armb = 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_splits,
+          CAST(sum(CASE WHEN abs_t >= 196e-2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+          round(CAST(sum(CASE WHEN abs_t >= 196e-2 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fp_rate,
+          round(max(abs_t), 6) AS max_abs_t
+        FROM t"""
+  }
+
+  /** Shared Apdex SQL (stream_apdex): satisfied/tolerating/
+    * frustrated on the value column against fixed thresholds,
+    * per-day score. Engine-spliced epoch day. */
+  private def apdexSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH e AS (
+          SELECT CAST($day AS BIGINT) AS d,
+            CAST(round(value * 100, 0) AS BIGINT) AS v
+          FROM $table WHERE event_type = 'view'),
+        c AS (
+          SELECT d, count(*) AS total,
+            CAST(sum(CASE WHEN v <= 2500 THEN 1 ELSE 0 END)
+              AS BIGINT) AS sat,
+            CAST(sum(CASE WHEN v > 2500 AND v <= 10000 THEN 1
+              ELSE 0 END) AS BIGINT) AS tol
+          FROM e GROUP BY d)
+        SELECT d AS eday, CAST(total AS BIGINT) AS n_samples,
+          sat AS n_satisfied, tol AS n_tolerating,
+          CAST(total - sat - tol AS BIGINT) AS n_frustrated,
+          round((CAST(sat AS DOUBLE) + CAST(tol AS DOUBLE) / 2e0)
+            / CAST(total AS DOUBLE), 6) AS apdex
+        FROM c ORDER BY eday"""
+  }
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -2215,6 +2294,39 @@ object EventOps extends OpModule {
         s.sql(streaksSql("graft_ev_streak", spark = true))
       },
       Some(streaksSql("events", spark = false))),
+
+    Op("stream_ab_aa_calibration",
+      // A/A calibration — the self-test an experimentation platform
+      // runs BEFORE anyone trusts its p-values (Kohavi's standard
+      // prescription: assign users to 16 deliberately-null salted
+      // splits; if the stack is calibrated, ~5% read significant at
+      // 1.96 — a higher rate means broken variance estimation or
+      // correlated units, and every real readout is suspect): the
+      // per-user revenue collapse happens ONCE, the ×16 split
+      // explode runs on the collapsed |users| relation (bounded
+      // map-side Generate, never the event stream), each split's
+      // Welch t comes from the same exact DECIMAL moment pipeline as
+      // stream_ab_ttest, and the report is one row.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_aa")
+        s.sql(aaCalibrationSql("graft_ev_aa", spark = true))
+      },
+      Some(aaCalibrationSql("events", spark = false))),
+
+    Op("stream_apdex",
+      // Apdex score (Application Performance Index — the industry
+      // user-satisfaction SLA number): satisfied ≤ T, tolerating ≤
+      // 4T, frustrated beyond, score = (sat + tol/2)/n per day, on
+      // view-event values as the latency proxy with the fixed
+      // T=25.00 threshold pair (thresholds are a product contract,
+      // not a data quantile — shared literals). ONE map-combined
+      // conditional aggregate to the bounded day relation;
+      // exact longs + one IEEE finish.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_apdex")
+        s.sql(apdexSql("graft_ev_apdex", spark = true))
+      },
+      Some(apdexSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between
