@@ -521,7 +521,50 @@ object LayoutOps extends OpModule {
             / CAST(sum(hdr_cents) AS DOUBLE), 6) AS diff_share
         FROM b GROUP BY band ORDER BY band"""
 
+  /** Shared join-preflight SQL (table_join_preflight): per-key
+    * counts, Σc² pair mass in DECIMAL, top-10 hot keys with the
+    * summary columns alongside. */
+  private def joinPreflightSql(table: String): String =
+    s"""WITH k AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS c
+          FROM $table GROUP BY user_id),
+        t AS (
+          SELECT CAST(sum(c) AS BIGINT) AS rows_in,
+            CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS pairs,
+            CAST(max(c) AS BIGINT) AS max_fanout
+          FROM k)
+        SELECT k.user_id AS hot_key, k.c AS key_rows,
+          t.rows_in, t.n_keys,
+          CAST(t.pairs AS BIGINT) AS total_pairs,
+          t.max_fanout,
+          round(CAST(t.pairs AS DOUBLE) / CAST(t.rows_in AS DOUBLE), 6)
+            AS amplification,
+          round(CAST(CAST(k.c AS DECIMAL(19,0))
+              * CAST(k.c AS DECIMAL(19,0)) AS DOUBLE)
+            / CAST(t.pairs AS DOUBLE), 6) AS key_pair_share
+        FROM k CROSS JOIN t
+        ORDER BY key_rows DESC, hot_key LIMIT 10"""
+
   def ops: Seq[Op] = Seq(
+
+    Op("table_join_preflight",
+      // join-explosion preflight — the check a planner (or a careful
+      // engineer) runs BEFORE a self-join or m:n join on a candidate
+      // key (the blown-up shuffle it prevents is exactly the class
+      // every skew guard in this engine defends against): per-key
+      // counts, total pair mass Σc² (what a user-keyed self-join
+      // would emit), the amplification factor, and the top-10 hot
+      // keys with each key's share of the pair mass — the salting /
+      // df-cap decision inputs, produced for the cost of ONE
+      // map-combined count aggregate. c² sums run in DECIMAL (a
+      // 100 TB hot key squares past BIGINT).
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_preflight")
+        s.sql(joinPreflightSql("graft_ev_preflight"))
+      },
+      Some(joinPreflightSql("events"))),
 
     Op("table_reconcile_orders",
       // header-vs-detail reconciliation — the warehouse closing-audit
