@@ -625,4 +625,35 @@ class PlanSpec extends SparkSpec {
     assert("REPARTITION_BY_NUM".r.findAllIn(rbFinal).size >= 3,
       s"frontier-sized repartitions missing (sizing law disengaged?):\n$rb")
   }
+
+  test("peak concurrency: the sweep's running sum partitions by (day, hour) — never a whole-day window") {
+    // the two-level cumsum discipline (llm_token_budget) applied to a
+    // sweep-line: if a refactor collapses the within-hour running sum
+    // back to a per-day (or global) ordered window, one task sorts a
+    // whole day of a 100 TB stream. Pin the windowspec's partition
+    // keys: the ordered running sum must carry BOTH d and h.
+    val pc = planOf("stream_peak_concurrency")
+    assert(
+      """windowspecdefinition\(d#\d+L, h#\d+L, t#\d+L ASC""".r
+        .findFirstIn(pc).isDefined,
+      s"sweep running sum no longer partitions by (d, h):\n$pc")
+    assert(!pc.contains("CartesianProduct"), pc)
+  }
+
+  test("stickiness + A/A calibration: bounded Generate on the COLLAPSED relation, no cartesian") {
+    // both ops explode a small constant factor (x7 window days, x16
+    // salted splits) — the explode must be a Generate over the
+    // already-collapsed per-user relation, and nothing may plan as a
+    // cartesian product
+    val st = planOf("stream_stickiness")
+    assert(st.contains("Generate explode(sequence("),
+      s"stickiness lost its sequence-explode form:\n$st")
+    assert(!st.contains("CartesianProduct"), st)
+    // the constant sequence(0, 15) folds to an array literal, so the
+    // plan shows a plain explode Generate (still map-side, bounded)
+    val aa = planOf("stream_ab_aa_calibration")
+    assert(aa.contains("Generate explode("),
+      s"A/A calibration lost its explode-Generate form:\n$aa")
+    assert(!aa.contains("CartesianProduct"), aa)
+  }
 }
