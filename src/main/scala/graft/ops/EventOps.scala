@@ -887,6 +887,39 @@ object EventOps extends OpModule {
         FROM c ORDER BY eday"""
   }
 
+  /** Shared exposure-drift SQL (stream_ab_exposure_drift): daily
+    * distinct exposures per arm, per-day one-df chi-squared vs
+    * 50/50. Engine-spliced md5 arm and epoch day. */
+  private def exposureDriftSql(table: String, spark: Boolean): String = {
+    val arm =
+      if (spark)
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"
+      else
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2"
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH u AS (
+          SELECT DISTINCT CAST($day AS BIGINT) AS d, user_id,
+            $arm AS armb
+          FROM $table),
+        c AS (
+          SELECT d,
+            CAST(sum(CASE WHEN armb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(sum(CASE WHEN armb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_b
+          FROM u GROUP BY d)
+        SELECT d AS eday, n_a, n_b,
+          round(CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 6)
+            AS share_a,
+          round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+            / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+          CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+            / CAST(n_a + n_b AS DOUBLE) >= 3841e-3 AS srm_breach
+        FROM c ORDER BY eday"""
+  }
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -2327,6 +2360,22 @@ object EventOps extends OpModule {
         s.sql(apdexSql("graft_ev_apdex", spark = true))
       },
       Some(apdexSql("events", spark = false))),
+
+    Op("stream_ab_exposure_drift",
+      // exposure-drift / ramp monitor — stream_ab_srm run PER DAY
+      // instead of once at readout (the production difference:
+      // a split that passes the end-of-experiment SRM can still have
+      // broken days — a bad deploy, a one-sided cache — and the daily
+      // series localizes WHEN assignment broke, which the pooled test
+      // cannot): distinct (day, user, arm) exposures collapse
+      // map-side, one-df chi-squared vs 50/50 per day on the bounded
+      // day relation, breach at the 95% critical value. Same md5
+      // arms as the whole A/B battery. Exact longs + fixed IEEE.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_expo")
+        s.sql(exposureDriftSql("graft_ev_expo", spark = true))
+      },
+      Some(exposureDriftSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between

@@ -848,6 +848,68 @@ object GraphOps extends OpModule {
               WHERE e.s1 IS NULL
               ORDER BY cn DESC, a, c LIMIT 200""")),
 
+    Op("graph_local_bridges",
+      // edge embeddedness + local bridges (Granovetter's weak ties,
+      // Easley–Kleinberg ch. 3) — the structural read that says which
+      // EDGES carry information between communities: embeddedness of
+      // edge (a,b) = |N(a)∩N(b)|; an edge with embeddedness 0 is a
+      // LOCAL BRIDGE (its endpoints share no neighbor — removing it
+      // lengthens every a↔b path past 2). Exactly the wedge relation
+      // graph_common_neighbors builds, consumed the OPPOSITE way:
+      // wedge pair counts SEMI-join the edge list (predictions were
+      // the ANTI side), a LEFT join back fills embeddedness 0, and
+      // the report is the bounded embeddedness histogram — weak-tie
+      // mass vs strongly-embedded core at one glance. Same df-capped
+      // Σdeg² bound before the quadratic step.
+      (s, d) => {
+        val e = partEdges(s, d)
+        val ud = e.select(col("s1").as("src"), col("s2").as("dst"))
+          .unionByName(e.select(col("s2").as("src"), col("s1").as("dst")))
+        val n = Scale.frontierPartitions(Tables.part(s, d))
+        val udp = ud.repartition(n, col("src"))
+        val w = udp.as("x").join(udp.as("y"),
+            col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+          .groupBy(col("x.dst").as("a"), col("y.dst").as("c"))
+          .agg(count(lit(1)).as("cn"))
+        val emb = e.join(w, e("s1") === w("a") && e("s2") === w("c"),
+            "left")
+          .select(coalesce(col("cn"), lit(0L)).as("emb"))
+        val tot = emb.agg(count(lit(1)).cast("long").as("n_edges"))
+        emb.groupBy("emb").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("CAST(emb AS BIGINT) AS embeddedness",
+            "CAST(n AS BIGINT) AS n_edges",
+            "round(CAST(n AS DOUBLE) / CAST(n_edges AS DOUBLE), 6) AS edge_share")
+          .orderBy("embeddedness")
+      },
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+              e0 AS (SELECT a.l_partkey AS s1, b.l_partkey AS s2,
+                       count(*) AS cc
+                     FROM p a JOIN p b
+                       ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+                     GROUP BY 1, 2),
+              st AS (SELECT greatest(CAST(2 AS BIGINT),
+                       (2 * CAST(sum(cc) AS BIGINT)) // count(*)) AS thr
+                     FROM e0),
+              e AS (SELECT s1, s2 FROM e0, st WHERE cc >= thr),
+              ud AS (SELECT s1 AS src, s2 AS dst FROM e
+                     UNION ALL SELECT s2, s1 FROM e),
+              w AS (SELECT x.dst AS a, y.dst AS c, count(*) AS cn
+                    FROM ud x JOIN ud y
+                      ON x.src = y.src AND x.dst < y.dst
+                    GROUP BY 1, 2),
+              emb AS (
+                SELECT coalesce(w.cn, 0) AS emb
+                FROM e LEFT JOIN w ON e.s1 = w.a AND e.s2 = w.c),
+              t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM emb)
+              SELECT CAST(emb AS BIGINT) AS embeddedness,
+                CAST(count(*) AS BIGINT) AS n_edges,
+                round(CAST(count(*) AS DOUBLE)
+                  / CAST(min(t.n_edges) AS DOUBLE), 6) AS edge_share
+              FROM emb CROSS JOIN t
+              GROUP BY emb ORDER BY embeddedness""")),
+
     Op("graph_adamic_adar",
       // Adamic–Adar link prediction — the degree-weighted refinement
       // of graph_common_neighbors (Adamic & Adar 2003; Liben-Nowell &
