@@ -920,6 +920,29 @@ object EventOps extends OpModule {
         FROM c ORDER BY eday"""
   }
 
+  /** Shared overdispersion SQL (agg_overdispersion for events): per-
+    * (user, type) counts, exact integer moments, variance/mean index
+    * with the Poisson verdict. */
+  private def overdispersionSql(table: String): String =
+    s"""WITH u AS (
+          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+          FROM $table GROUP BY user_id, event_type),
+        m AS (
+          SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+            CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(CAST(c AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxx
+          FROM u GROUP BY event_type)
+        SELECT event_type, n_users,
+          round(sx / n, 6) AS mean_c,
+          round((n * sxx - sx * sx) / (n * (n - 1e0)), 6) AS var_c,
+          round(((n * sxx - sx * sx) / (n * (n - 1e0))) / (sx / n), 6)
+            AS dispersion,
+          ((n * sxx - sx * sx) / (n * (n - 1e0))) / (sx / n) > 15e-1
+            AS overdispersed
+        FROM m ORDER BY event_type"""
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -2376,6 +2399,23 @@ object EventOps extends OpModule {
         s.sql(exposureDriftSql("graft_ev_expo", spark = true))
       },
       Some(exposureDriftSql("events", spark = false))),
+
+    Op("agg_overdispersion",
+      // variance-to-mean dispersion index (the Poisson-fit check) —
+      // the modeling gate BEFORE anyone fits count models or sizes
+      // anomaly thresholds on per-user activity (Poisson ⇒ index 1;
+      // real user counts are negative-binomial-ish, index ≫ 1, and a
+      // z-threshold calibrated on a Poisson assumption pages
+      // constantly): per-(user, type) counts map-side, exact DECIMAL
+      // integer moments per type (ONE map-combined aggregate), the
+      // index and its verdict as fixed IEEE sequences. Complements
+      // stream_interarrival (burstiness in TIME; dispersion in
+      // COUNTS).
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_disp")
+        s.sql(overdispersionSql("graft_ev_disp"))
+      },
+      Some(overdispersionSql("events"))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between

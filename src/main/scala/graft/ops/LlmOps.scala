@@ -461,6 +461,32 @@ object LlmOps extends OpModule {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Shared Zipf-fit finish (llm_zipf_slope): log-log OLS over the
+    * ranked top-100 relation `ranked(c, r)`; ln terms rounded 10dp
+    * and DECIMAL-reaccumulated (acf dsum rule), fixed IEEE finish.
+    * `prefix` must be a WITH-chain ending in `ranked`. */
+  private def zipfFinishSql(prefix: String): String =
+    s"""$prefix,
+        a AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(round(ln(CAST(r AS DOUBLE)), 10)
+              AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)), 10)
+              AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(round(ln(CAST(r AS DOUBLE))
+              * ln(CAST(c AS DOUBLE)), 10) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sxy,
+            CAST(sum(CAST(round(ln(CAST(r AS DOUBLE))
+              * ln(CAST(r AS DOUBLE)), 10) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sxx
+          FROM ranked)
+        SELECT CAST(n AS BIGINT) AS n_terms,
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+            AS zipf_slope,
+          round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+            / n, 6) AS intercept
+        FROM a"""
+
   /** Shared Kneser–Ney finish (llm_bigram_kn): one expression string
     * over exact-integer columns (c2, c1, npost, npre, tbig) — the
     * bm25 shared-text rule is what keeps the double bit-identical on
@@ -3748,6 +3774,44 @@ object LlmOps extends OpModule {
                 docs_fit_256, tok_lost_256,
                 round(CAST(tok_lost_256 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS loss_share_256
               FROM a""")),
+
+    Op("llm_zipf_slope",
+      // Zipf rank-frequency fit — the corpus-health one-liner
+      // (natural language sits near slope −1; a much flatter slope
+      // means templated/synthetic text, much steeper means a
+      // degenerate vocabulary — the fastest smell test on a new
+      // crawl feed, beside llm_unigram_entropy's usage read): OLS of
+      // ln(freq) on ln(rank) over the top-100 terms. The rank window
+      // runs on the ALREADY-CUT 100-row relation (TakeOrdered makes
+      // the cut — no global sort materializes the vocabulary); ln
+      // terms round at 10dp and re-accumulate through DECIMAL (acf
+      // dsum rule), finish is one shared fixed IEEE sequence.
+      (s, d) => {
+        graft.functions.VectorKernels.register(s)
+        val cnt = tokenizedDocs(s, d)
+          .select(explode(col("toks")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("c"))
+        cnt.orderBy(col("c").desc, col("term")).limit(100)
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("c").desc, col("term"))))
+          .createOrReplaceTempView("graft_zipf_top")
+        s.sql(zipfFinishSql(
+          "WITH ranked AS (SELECT c, r FROM graft_zipf_top)"))
+      },
+      Some(zipfFinishSql("""WITH tk AS (
+                SELECT string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                  ' ') AS t
+                FROM documents),
+              tok AS (SELECT unnest(t) AS term FROM tk),
+              cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+              top AS (SELECT term, c FROM cnt
+                      ORDER BY c DESC, term LIMIT 100),
+              ranked AS (
+                SELECT c, row_number() OVER (ORDER BY c DESC, term)
+                  AS r
+                FROM top)"""))),
 
     Op("llm_unigram_entropy",
       // per-language unigram entropy + type/token ratio — the
