@@ -943,6 +943,63 @@ object EventOps extends OpModule {
             AS overdispersed
         FROM m ORDER BY event_type"""
 
+  /** Shared Poisson-bootstrap SQL (stream_bootstrap_ci): 32
+    * content-keyed Poisson(1) replicates of the per-user revenue
+    * mean; weights from an md5-uniform CASE ladder with shared
+    * cumulative-CDF literals; replicate means are exact-int weighted
+    * sums + one IEEE division; CI = rank cut on the 32-row relation.
+    * Engine-spliced md5 uniform and the replicate explode. */
+  private def bootstrapCiSql(table: String, spark: Boolean): String = {
+    val u01 =
+      if (spark)
+        "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':', CAST(k AS STRING))), 1, 8), 16, 10) AS DOUBLE) / 4294967296e0"
+      else
+        "CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296e0"
+    val ks =
+      if (spark) "LATERAL VIEW explode(sequence(0, 31)) kt AS k"
+      else "CROSS JOIN unnest(generate_series(0, 31)) AS kt(k)"
+    s"""WITH u AS (
+          SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS cents
+          FROM $table GROUP BY user_id),
+        uk AS (
+          SELECT user_id, cents, kt.k AS k, $u01 AS u01
+          FROM u $ks),
+        wt AS (
+          SELECT k, cents,
+            CASE WHEN u01 < 3678794412e-10 THEN 0
+                 WHEN u01 < 7357588823e-10 THEN 1
+                 WHEN u01 < 9196986029e-10 THEN 2
+                 WHEN u01 < 9810118431e-10 THEN 3
+                 WHEN u01 < 9963401532e-10 THEN 4
+                 WHEN u01 < 9994058151e-10 THEN 5
+                 WHEN u01 < 9999167589e-10 THEN 6
+                 ELSE 7 END AS w
+          FROM uk),
+        rep AS (
+          SELECT k,
+            round(CAST(sum(CAST(w AS DECIMAL(16,0))
+                * CAST(cents AS DECIMAL(16,0))) AS DOUBLE)
+              / CAST(sum(w) AS DOUBLE) / 100, 6) AS m
+          FROM wt GROUP BY k),
+        r AS (
+          SELECT m, row_number() OVER (ORDER BY m, k) AS rn
+          FROM rep),
+        pt AS (
+          SELECT round(CAST(sum(CAST(cents AS DECIMAL(18,0)))
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100, 6) AS est
+          FROM u)
+        SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+          min(pt.est) AS point_est,
+          round(CAST(sum(CAST(m AS DECIMAL(38,10))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS boot_mean,
+          min(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+          min(CASE WHEN rn = 31 THEN m END) AS ci_hi
+        FROM r CROSS JOIN pt"""
+  }
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -2416,6 +2473,27 @@ object EventOps extends OpModule {
         s.sql(overdispersionSql("graft_ev_disp"))
       },
       Some(overdispersionSql("events"))),
+
+    Op("stream_bootstrap_ci",
+      // Poisson bootstrap CI (Chamandy et al., Google 2012 —
+      // "Estimating Uncertainty for Massive Data Streams"): THE
+      // at-scale bootstrap. Classical multinomial resampling needs N
+      // draws per replicate over a shared counter — impossible
+      // distributed; Poisson(1) weights per (unit, replicate) are
+      // independent, so 32 replicates ride ONE bounded ×32 explode
+      // of the collapsed per-user relation, map-side. Determinism by
+      // the house no-RNG rule: the weight is the inverse-CDF of an
+      // md5-uniform (content-keyed — same user, same replicate, same
+      // weight on every run and engine; the dsir Gumbel precedent),
+      // with the cumulative Poisson(1) CDF as shared decimal
+      // literals. Replicate means are exact-int weighted sums + one
+      // IEEE division; the 95% CI is a rank cut on the 32-row
+      // replicate relation. 1 row out at any scale.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_boot")
+        s.sql(bootstrapCiSql("graft_ev_boot", spark = true))
+      },
+      Some(bootstrapCiSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between
