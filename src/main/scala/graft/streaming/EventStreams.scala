@@ -1047,6 +1047,32 @@ object EventStreams {
     * level 1 of the streaming anomaly monitor. Update mode: each
     * micro-batch re-emits the grown counts for the hours it touched.
     */
+  /** Streaming twin of the batch `stream_apdex` op: one event-time
+    * windowed aggregation per day (the canonical streaming-agg shape
+    * — conditional counts are map-side combinable, state is one row
+    * per open day window), then the IDENTICAL integer-count → IEEE
+    * finish the batch SQL runs, so twin ≡ batch is a row identity.
+    * Day windows align to epoch days (window('1 day'), UTC session),
+    * matching the batch epoch-day arithmetic. */
+  def apdexDaily(events: DataFrame): DataFrame = {
+    val v = round(col("value") * 100, 0).cast("long")
+    events
+      .filter(col("event_type") === "view")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(v <= 2500, 1L).otherwise(0L)).as("sat"),
+        sum(when(v > 2500 && v <= 10000, 1L).otherwise(0L)).as("tol"))
+      .select(
+        expr("CAST(unix_micros(window.start) DIV 86400000000 AS BIGINT)")
+          .as("eday"),
+        col("total").as("n_samples"),
+        col("sat").as("n_satisfied"),
+        col("tol").as("n_tolerating"),
+        (col("total") - col("sat") - col("tol")).as("n_frustrated"),
+        expr("round((CAST(sat AS DOUBLE) + CAST(tol AS DOUBLE) / 2e0) / CAST(total AS DOUBLE), 6)")
+          .as("apdex"))
+  }
+
   def hourlyCountsStream(ds: Dataset[(String, Long)]): Dataset[HourlyRow] = {
     val spark = ds.sparkSession
     import spark.implicits._

@@ -180,6 +180,22 @@ class EventStreamSpec extends SparkSpec {
     assert(kept == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("streaming Apdex twin ≡ the batch per-day op over the corpus") {
+    // identical integer counts + the identical finish expression on
+    // both paths ⇒ a row-for-row identity, not an approximation
+    val expected = SparkEntry.queries("stream_apdex")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(expected.nonEmpty)
+    val streamed = runToMemory(
+      EventStreams.apdexDaily(streamEvents), "t_apdex", "complete")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(streamed == expected)
+  }
+
   test("streaming CEP pattern twin ≡ the batch lead-chain op over the corpus") {
     val expected = SparkEntry.queries("stream_pattern_seq")(
         spark, "/root/testdata/sf0.001")
