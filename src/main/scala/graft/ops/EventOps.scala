@@ -1000,6 +1000,68 @@ object EventOps extends OpModule {
         FROM r CROSS JOIN pt"""
   }
 
+  /** Shared bootstrap-diff SQL (stream_ab_bootstrap_diff): the
+    * Poisson-bootstrap machinery applied to the ARM-MEAN DIFFERENCE
+    * per replicate; same md5 arms as the battery, same content-keyed
+    * weights as stream_bootstrap_ci. */
+  private def bootstrapDiffSql(table: String, spark: Boolean): String = {
+    val arm =
+      if (spark)
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"
+      else
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2"
+    val u01 =
+      if (spark)
+        "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':', CAST(k AS STRING))), 1, 8), 16, 10) AS DOUBLE) / 4294967296e0"
+      else
+        "CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296e0"
+    val ks =
+      if (spark) "LATERAL VIEW explode(sequence(0, 31)) kt AS k"
+      else "CROSS JOIN unnest(generate_series(0, 31)) AS kt(k)"
+    s"""WITH u AS (
+          SELECT user_id, $arm AS armb,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS cents
+          FROM $table GROUP BY user_id),
+        uk AS (
+          SELECT user_id, armb, cents, kt.k AS k, $u01 AS u01
+          FROM u $ks),
+        wt AS (
+          SELECT k, armb, cents,
+            CASE WHEN u01 < 3678794412e-10 THEN 0
+                 WHEN u01 < 7357588823e-10 THEN 1
+                 WHEN u01 < 9196986029e-10 THEN 2
+                 WHEN u01 < 9810118431e-10 THEN 3
+                 WHEN u01 < 9963401532e-10 THEN 4
+                 WHEN u01 < 9994058151e-10 THEN 5
+                 WHEN u01 < 9999167589e-10 THEN 6
+                 ELSE 7 END AS w
+          FROM uk),
+        rep AS (
+          SELECT k, armb,
+            round(CAST(sum(CAST(w AS DECIMAL(16,0))
+                * CAST(cents AS DECIMAL(16,0))) AS DOUBLE)
+              / CAST(sum(w) AS DOUBLE) / 100, 6) AS m
+          FROM wt GROUP BY k, armb),
+        dk AS (
+          SELECT a.k, round(a.m - b.m, 6) AS diff
+          FROM rep a JOIN rep b ON a.k = b.k
+          WHERE a.armb = 0 AND b.armb = 1),
+        r AS (
+          SELECT diff, row_number() OVER (ORDER BY diff, k) AS rn
+          FROM dk)
+        SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+          round(CAST(sum(CAST(diff AS DECIMAL(38,10))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS boot_diff,
+          min(CASE WHEN rn = 2 THEN diff END) AS ci_lo,
+          min(CASE WHEN rn = 31 THEN diff END) AS ci_hi,
+          min(CASE WHEN rn = 2 THEN diff END) > 0e0
+            OR min(CASE WHEN rn = 31 THEN diff END) < 0e0
+            AS significant
+        FROM r"""
+  }
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -2494,6 +2556,24 @@ object EventOps extends OpModule {
         s.sql(bootstrapCiSql("graft_ev_boot", spark = true))
       },
       Some(bootstrapCiSql("events", spark = false))),
+
+    Op("stream_ab_bootstrap_diff",
+      // bootstrap CI of the treatment effect — the NONPARAMETRIC leg
+      // that completes the inference triangle (stream_ab_ttest
+      // assumes normal-enough means, stream_ab_ratio_delta a
+      // first-order Taylor expansion; the bootstrap assumes only
+      // exchangeability — when revenue is whale-heavy the three
+      // disagree and the bootstrap is the referee): per replicate,
+      // the difference of Poisson-weighted arm means (same md5 arms
+      // as the battery, same content-keyed Poisson(1) weights as
+      // stream_bootstrap_ci — ONE bounded ×32 map-side explode of
+      // the per-user collapse), 95% CI a rank cut on the 32-row
+      // replicate relation; significant ⟺ the CI excludes 0.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_bdiff")
+        s.sql(bootstrapDiffSql("graft_ev_bdiff", spark = true))
+      },
+      Some(bootstrapDiffSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between
