@@ -196,6 +196,37 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("streaming Apdex: a day straddling a micro-batch boundary merges into one row") {
+    // two batches contribute to the SAME day window — the merged
+    // state must produce one row with the combined counts, i.e. the
+    // window aggregation really is stateful across batches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.FoldEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[FoldEvent]
+    val events = in.toDS().toDF()
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val q = EventStreams.apdexDaily(events)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("t_apdex_plant").start()
+    def ev(id: Long, tSec: Long, v: Double) =
+      FoldEvent(id, 7L, tSec * 1000000L, "view", v)
+    try {
+      in.addData(ev(1, 1000, 10.0), ev(2, 2000, 50.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 3000, 200.0), ev(4, 90000, 20.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_apdex_plant").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == Set(
+      (0L, 3L, 1L, 1L, 1L, 0.5),   // sat=10.00, tol=50.00, fru=200.00
+      (1L, 1L, 1L, 0L, 0L, 1.0)),
+      s"day-window state did not merge across batches: $got")
+  }
+
   test("streaming CEP pattern twin ≡ the batch lead-chain op over the corpus") {
     val expected = SparkEntry.queries("stream_pattern_seq")(
         spark, "/root/testdata/sf0.001")
