@@ -905,6 +905,24 @@ object Aggs extends OpModule {
       },
       Some(ksSql("events"))),
 
+    Op("agg_theil_decomp",
+      // Theil-T inequality with the within/between decomposition
+      // (Theil 1967) — the reason to use Theil over agg_gini: Gini
+      // does NOT decompose (group Ginis don't sum to the total), so
+      // "is revenue inequality driven by differences BETWEEN
+      // priorities or WITHIN them" is unanswerable with Gini and is
+      // exactly what T = Σ s_g·T_g + Σ s_g·ln(μ_g/μ) answers. Cells
+      // collapse to the per-priority VALUE GRID map-side; per-cell
+      // n·(x/μ_g)·ln(x/μ_g) terms round at 10dp and re-accumulate
+      // through DECIMAL (the grid can hold many cells — acf rule);
+      // the group relation carries 5 rows, so the OVER () totals are
+      // bounded-relation windows.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_theil")
+        s.sql(theilSql("graft_ord_theil"))
+      },
+      Some(theilSql("orders"))),
+
     Op("agg_cvar",
       // VaR95 + expected shortfall (CVaR) — the coherent tail-risk
       // pair (Artzner et al. 1999: VaR is the threshold, ES the
@@ -1796,6 +1814,59 @@ object Aggs extends OpModule {
           round(CAST(tail_cents AS DOUBLE)
             / CAST(all_cents AS DOUBLE), 6) AS tail_rev_share
         FROM s ORDER BY pri"""
+
+  /** Shared SQL for `agg_theil_decomp` — Theil-T inequality with the
+    * within/between decomposition; per-cell n·(x/μ)·ln(x/μ) terms on
+    * the per-priority value grid, 10dp-rounded + DECIMAL-reaccumulated
+    * (acf dsum rule), group relation windows for the totals. */
+  private def theilSql(table: String): String =
+    s"""WITH c AS (
+          SELECT o_orderpriority AS pri,
+            CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM $table),
+        g AS (
+          SELECT pri, cents, CAST(count(*) AS BIGINT) AS n
+          FROM c GROUP BY pri, cents),
+        gt AS (
+          SELECT pri, CAST(sum(n) AS BIGINT) AS ng,
+            CAST(sum(CAST(n * cents AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sg
+          FROM g GROUP BY pri),
+        tot AS (
+          SELECT CAST(sum(ng) AS BIGINT) AS nt,
+            CAST(sum(sg) AS DECIMAL(38,0)) AS st
+          FROM gt),
+        mu AS (
+          SELECT gt.pri, gt.ng, tot.nt,
+            CAST(gt.sg AS DOUBLE) / CAST(gt.ng AS DOUBLE) AS mu_g,
+            CAST(tot.st AS DOUBLE) / CAST(tot.nt AS DOUBLE) AS mu_t,
+            CAST(gt.sg AS DOUBLE) / CAST(tot.st AS DOUBLE) AS s_g
+          FROM gt CROSS JOIN tot),
+        tg AS (
+          SELECT g.pri,
+            CAST(round(sum(CAST(round(CAST(g.n AS DOUBLE)
+                * (CAST(g.cents AS DOUBLE) / mu.mu_g)
+                * ln(CAST(g.cents AS DOUBLE) / mu.mu_g), 10)
+              AS DECIMAL(38,10))), 10) AS DOUBLE)
+              / CAST(min(mu.ng) AS DOUBLE) AS t_g
+          FROM g JOIN mu ON g.pri = mu.pri
+          GROUP BY g.pri),
+        r AS (
+          SELECT mu.pri, mu.ng, round(mu.mu_g / 100, 6) AS mean_price,
+            round(mu.s_g, 6) AS income_share,
+            round(tg.t_g, 6) AS theil_g,
+            round(mu.s_g * tg.t_g, 10) AS contrib_within,
+            round(mu.s_g * ln(mu.mu_g / mu.mu_t), 10) AS contrib_between
+          FROM mu JOIN tg ON mu.pri = tg.pri)
+        SELECT pri AS o_orderpriority, ng AS n_orders, mean_price,
+          income_share, theil_g,
+          round(contrib_within, 6) AS contrib_within,
+          round(contrib_between, 6) AS contrib_between,
+          CAST(round(sum(CAST(contrib_within AS DECIMAL(38,10)))
+            OVER (), 6) AS DOUBLE) AS t_within,
+          CAST(round(sum(CAST(contrib_between AS DECIMAL(38,10)))
+            OVER (), 6) AS DOUBLE) AS t_between
+        FROM r ORDER BY pri"""
 
   private def percentileDiscSql(table: String): String =
     s"""WITH r AS (

@@ -1062,6 +1062,74 @@ object EventOps extends OpModule {
         FROM r"""
   }
 
+  /** Shared group-sequential SQL (stream_ab_sequential): five
+    * evenly-spaced looks over the date range, per-look Welch z from
+    * exact DECIMAL moments (ttestSql widths), O'Brien–Fleming
+    * two-sided α=0.05 boundaries as shared literals. Engine-spliced
+    * md5 arm, epoch day, division and the look explode. */
+  private def sequentialSql(table: String, spark: Boolean): String = {
+    val arm =
+      if (spark)
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"
+      else
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2"
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    val div = if (spark) "DIV" else "//"
+    val looks =
+      if (spark) "LATERAL VIEW explode(sequence(1, 5)) lt AS look"
+      else "CROSS JOIN unnest(generate_series(1, 5)) AS lt(look)"
+    s"""WITH ud AS (
+          SELECT user_id, $arm AS armb, CAST($day AS BIGINT) AS d,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS cents
+          FROM $table GROUP BY 1, 2, 3),
+        rng AS (
+          SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+        cut AS (
+          SELECT lt.look AS look,
+            rng.d0 + ((rng.d1 - rng.d0 + 1) * lt.look) $div 5 - 1
+              AS cut_d
+          FROM rng $looks),
+        ul AS (
+          SELECT cut.look, cut.cut_d, ud.user_id, ud.armb,
+            CAST(sum(ud.cents) AS BIGINT) AS cents
+          FROM ud JOIN cut ON ud.d <= cut.cut_d
+          GROUP BY cut.look, cut.cut_d, ud.user_id, ud.armb),
+        g AS (
+          SELECT look, cut_d, armb,
+            CAST(count(*) AS DECIMAL(11,0)) AS n,
+            CAST(sum(CAST(cents AS DECIMAL(16,0))) AS DECIMAL(16,0))
+              AS sx,
+            CAST(sum(CAST(cents*cents AS DECIMAL(21,0)))
+              AS DECIMAL(21,0)) AS sxx
+          FROM ul GROUP BY look, cut_d, armb),
+        dd AS (
+          SELECT look, cut_d, armb, CAST(n AS DOUBLE) AS n_d,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+            CAST(CAST(n AS DECIMAL(33,0))*sxx
+                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
+              AS var_c
+          FROM g),
+        z AS (
+          SELECT a.look, a.cut_d,
+            CAST(a.n_d AS BIGINT) AS n_a, CAST(b.n_d AS BIGINT) AS n_b,
+            round(abs((a.mean_c - b.mean_c)
+              / sqrt(a.var_c / a.n_d + b.var_c / b.n_d)), 6) AS abs_z,
+            CASE a.look WHEN 1 THEN 48769e-4 WHEN 2 THEN 33569e-4
+                 WHEN 3 THEN 26803e-4 WHEN 4 THEN 22898e-4
+                 ELSE 20310e-4 END AS obf_bound
+          FROM dd a JOIN dd b ON a.look = b.look
+          WHERE a.armb = 0 AND b.armb = 1)
+        SELECT CAST(look AS INTEGER) AS look,
+          CAST(cut_d AS BIGINT) AS cut_day, n_a, n_b, abs_z,
+          obf_bound, abs_z >= obf_bound AS stop_now
+        FROM z ORDER BY look"""
+  }
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -2574,6 +2642,26 @@ object EventOps extends OpModule {
         s.sql(bootstrapDiffSql("graft_ev_bdiff", spark = true))
       },
       Some(bootstrapDiffSql("events", spark = false))),
+
+    Op("stream_ab_sequential",
+      // group-sequential monitoring (O'Brien & Fleming 1979; Pocock
+      // 1977) — the feature that makes PEEKING safe: five
+      // evenly-spaced looks over the experiment window, each with a
+      // Welch z against the OBF spending boundary (very conservative
+      // early — 4.88 at look 1 — relaxing to ≈1.96-adjacent at the
+      // final look, so overall α stays 0.05 however often you look;
+      // naive daily peeking at 1.96 inflates false positives ~5×,
+      // which is why every mature platform ships exactly this).
+      // Look cuts derive from the data's date range (regenerations
+      // move them correctly); per-(look, user) revenue rides ONE
+      // bounded ×5 join of the user-day collapse against the 5-row
+      // cut table; per-look moments are the ttestSql exact DECIMAL
+      // pipeline; boundaries are shared exponent-form literals.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_seq")
+        s.sql(sequentialSql("graft_ev_seq", spark = true))
+      },
+      Some(sequentialSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between
