@@ -23,6 +23,49 @@ import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructField
   */
 object Functions extends OpModule {
 
+  /** Shared quantile-normalization SQL (fn_quantile_normalize): map
+    * the click-value distribution onto the purchase-value
+    * distribution by ECDF matching on the cents VALUE GRID; the
+    * inverse-CDF lookup is ONE forward-frame conditional min over
+    * the merged bounded grid (no as-of machinery needed at grid
+    * size). ECDF doubles are identical IEEE divisions on both
+    * engines; ties at equal F sort target-after-source so the ≥
+    * semantics hold exactly. */
+  private def quantileNormalizeSql(table: String): String =
+    s"""WITH c AS (
+          SELECT event_type,
+            CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM $table
+          WHERE event_type IN ('click', 'purchase')),
+        g AS (
+          SELECT event_type, cents, CAST(count(*) AS BIGINT) AS n
+          FROM c GROUP BY event_type, cents),
+        f AS (
+          SELECT event_type, cents,
+            CAST(sum(n) OVER (PARTITION BY event_type ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+            / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+              AS ecdf
+          FROM g),
+        u AS (
+          SELECT ecdf, cents,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS is_tgt
+          FROM f),
+        m AS (
+          SELECT ecdf, cents, is_tgt,
+            min(CASE WHEN is_tgt = 1 THEN cents END)
+              OVER (ORDER BY ecdf, is_tgt, cents
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS mapped
+          FROM u)
+        SELECT cents AS click_cents, round(ecdf, 6) AS ecdf,
+          CAST(coalesce(mapped, -1) AS BIGINT) AS purchase_cents
+        FROM m WHERE is_tgt = 0
+        ORDER BY click_cents"""
+
+
   /** Shared Luhn SQL (fn_luhn): 12 unrolled substring terms, doubled
     * digits fold via the 2d−9 identity; only the string-type name is
     * engine-spliced. */
@@ -47,6 +90,27 @@ object Functions extends OpModule {
   }
 
   override def ops: Seq[Op] = Seq(
+
+    Op("fn_quantile_normalize",
+      // quantile normalization — the distribution-matching transform
+      // of ML preprocessing and batch-effect correction (map feature
+      // A's distribution onto feature B's so rank structure is
+      // preserved and scale/shape artifacts vanish — the genomics
+      // standard, equally standard for calibrating heterogeneous
+      // score columns before fn_target_encode-style features):
+      // mapped(v) = inverse-ECDF_target(ECDF_source(v)), computed
+      // EXACTLY on the cents value grid — both ECDFs are cumulative
+      // windows over the bounded grid (ks_test argument), and the
+      // inverse lookup is one forward-frame conditional min over the
+      // merged grid instead of any as-of join machinery. At 100 TB
+      // the corpus collapses map-side to the two grids before any
+      // window runs.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_qnorm")
+        s.sql(quantileNormalizeSql("graft_ev_qnorm"))
+      },
+      Some(quantileNormalizeSql("events"))),
+
 
     Op("fn_string",
       (s, d) => Tables.documents(s, d)
