@@ -1130,6 +1130,58 @@ object EventOps extends OpModule {
         FROM z ORDER BY look"""
   }
 
+  /** Shared retention-halflife SQL (stream_retention_halflife):
+    * day-0 cohort retention by age, ln-linear OLS (zipfFinish
+    * discipline — 10dp-rounded terms, DECIMAL reaccumulation), half
+    * life from the slope with a ln(2) literal. Engine-spliced epoch
+    * day. */
+  private def retentionHalflifeSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH act AS (
+          SELECT DISTINCT user_id, CAST($day AS BIGINT) AS d
+          FROM $table),
+        d0 AS (SELECT min(d) AS d0 FROM act),
+        cohort AS (
+          SELECT act.user_id FROM act CROSS JOIN d0
+          GROUP BY act.user_id, d0.d0
+          HAVING min(act.d) = min(d0.d0)),
+        cs AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM cohort),
+        ret AS (
+          SELECT act.d - d0.d0 AS age,
+            CAST(count(*) AS BIGINT) AS retained
+          FROM act JOIN cohort ON act.user_id = cohort.user_id
+          CROSS JOIN d0
+          WHERE act.d > d0.d0
+          GROUP BY act.d - d0.d0),
+        pts AS (
+          SELECT CAST(age AS DOUBLE) AS x,
+            ln(CAST(retained AS DOUBLE) / CAST(cs.n0 AS DOUBLE)) AS y
+          FROM ret CROSS JOIN cs WHERE retained > 0),
+        a AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(CAST(round(x, 10) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sx,
+            CAST(sum(CAST(round(y, 10) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sy,
+            CAST(sum(CAST(round(x * y, 10) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sxy,
+            CAST(sum(CAST(round(x * x, 10) AS DECIMAL(38,10)))
+              AS DOUBLE) AS sxx
+          FROM pts),
+        fit AS (
+          SELECT CAST(n AS BIGINT) AS n_ages,
+            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+          FROM a)
+        SELECT cs.n0 AS cohort_size, fit.n_ages,
+          round(fit.slope, 6) AS decay_slope,
+          CASE WHEN fit.slope < 0e0
+            THEN round(693147180559945e-15 / (0e0 - fit.slope), 6)
+            END AS half_life_days
+        FROM fit CROSS JOIN cs"""
+  }
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -2662,6 +2714,23 @@ object EventOps extends OpModule {
         s.sql(sequentialSql("graft_ev_seq", spark = true))
       },
       Some(sequentialSql("events", spark = false))),
+
+    Op("stream_retention_halflife",
+      // retention half-life — the one-number summary of
+      // stream_retention_cohort's matrix (every retention curve is
+      // ≈ exponential after day 1, so the fitted decay's half-life
+      // IS the comparable metric across products/cohorts — "how many
+      // days until half the cohort is gone"): day-0 cohort retention
+      // rate by age, ln-linear OLS over the bounded age relation
+      // (the llm_zipf_slope discipline — 10dp terms, DECIMAL
+      // reaccumulation), half-life = ln 2 / (−slope) with ln 2 as a
+      // shared decimal literal. Cohort membership = one user-keyed
+      // aggregate; everything after the age collapse is bounded.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_hl")
+        s.sql(retentionHalflifeSql("graft_ev_hl", spark = true))
+      },
+      Some(retentionHalflifeSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between

@@ -55,9 +55,14 @@ object Functions extends OpModule {
           FROM f),
         m AS (
           SELECT ecdf, cents, is_tgt,
+            -- "min target at-or-after me in ascending order" computed
+            -- as a RUNNING min over the DESCENDING order: Spark
+            -- evaluates [unbounded preceding, current] incrementally,
+            -- while a [current, unbounded following] frame re-scans
+            -- the tail per row (O(n²) — measured 7 s on a 20k grid)
             min(CASE WHEN is_tgt = 1 THEN cents END)
-              OVER (ORDER BY ecdf, is_tgt, cents
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              OVER (ORDER BY ecdf DESC, is_tgt DESC, cents DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS mapped
           FROM u)
         SELECT cents AS click_cents, round(ecdf, 6) AS ecdf,
