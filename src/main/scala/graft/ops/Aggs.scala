@@ -1363,7 +1363,23 @@ object Aggs extends OpModule {
         Tables.orders(s, d).createOrReplaceTempView("graft_orders_benford")
         s.sql(benfordSql("graft_orders_benford"))
       },
-      Some(benfordSql("orders")))
+      Some(benfordSql("orders"))),
+
+    Op("agg_benford2",
+      // second-significant-digit Benford test — the forensic
+      // follow-up auditors run when the first-digit screen passes:
+      // fabricated numbers often respect the leading digit (people
+      // know that law) but not the second, which is why
+      // second-digit tests are standard in election and accounting
+      // forensics (Mebane 2006). Same shape as agg_benford: digit
+      // counts map-side, expected P(d₂) = Σ log10(1 + 1/(10d₁+d₂))
+      // as shared literals, chi2 terms identical IEEE, total via the
+      // 6dp-DECIMAL window over 10 rows.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_b2")
+        s.sql(benford2Sql("graft_orders_b2"))
+      },
+      Some(benford2Sql("orders")))
   )
 
   /** Shared Benford SQL (agg_benford). The nine reference
@@ -1374,6 +1390,46 @@ object Aggs extends OpModule {
     * sum (the 9-term double sum would be association-ordered), CAST
     * on the window sum itself (the llm_token_budget stringify rule).
     */
+  /** Shared SQL for `agg_benford2` — SECOND-significant-digit law
+    * (the forensic follow-up auditors run when first digits pass:
+    * invented numbers often respect the leading digit but not the
+    * second; P(d₂) = Σ_{d₁=1..9} log10(1 + 1/(10d₁+d₂)) as shared
+    * literals), same chi2 shape as benfordSql. */
+  private def benford2Sql(src: String): String = {
+    val probs = Seq(
+      0 -> "1.1967926859688073e-1", 1 -> "1.1389010340755640e-1",
+      2 -> "1.0882149900550823e-1", 3 -> "1.0432956023095939e-1",
+      4 -> "1.0030820226757937e-1", 5 -> "9.6677235802322431e-2",
+      6 -> "9.3374735783036150e-2", 7 -> "9.0351989269603319e-2",
+      8 -> "8.7570053578861384e-2", 9 -> "8.4997352057692238e-2")
+    val bp = probs.map { case (dg, p) =>
+      s"SELECT $dg AS digit, $p AS bp" }.mkString("\n UNION ALL ")
+    s"""WITH c AS (
+          SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM $src WHERE o_totalprice > 0),
+        dg AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR(20)), 2, 1)
+            AS INTEGER) AS digit
+          FROM c WHERE cents >= 10),
+        o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+              FROM dg GROUP BY 1),
+        t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
+        bp AS ($bp),
+        m AS (
+          SELECT o.digit, o.n_obs, bp.bp, t.n,
+            ((CAST(o.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * bp.bp)
+             * (CAST(o.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * bp.bp))
+              / (CAST(t.n AS DOUBLE) * bp.bp) AS term
+          FROM o JOIN bp ON o.digit = bp.digit CROSS JOIN t)
+        SELECT digit, n_obs,
+          round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+          round(bp, 6) AS benford_p,
+          round(term, 6) AS chi2_term,
+          CAST(sum(CAST(round(term, 6) AS DECIMAL(18,6))) OVER ()
+            AS DOUBLE) AS chi2_total
+        FROM m ORDER BY digit"""
+  }
+
   private def benfordSql(src: String): String = {
     val probs = Seq(
       1 -> "3.0102999566398120e-1", 2 -> "1.7609125905568124e-1",

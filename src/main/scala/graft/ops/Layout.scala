@@ -547,7 +547,51 @@ object LayoutOps extends OpModule {
         FROM k CROSS JOIN t
         ORDER BY key_rows DESC, hot_key LIMIT 10"""
 
+  /** Shared embedding-audit SQL (table_embedding_audit): per-label
+    * vector-hygiene profile; the fold order inside one vector is the
+    * array order on both engines (the llm_vector_ops parity), so
+    * per-vector norms are bit-identical; per-label norm means
+    * reaccumulate 10dp-rounded doubles through DECIMAL (acf rule).
+    * `norm`/`dim` expressions are engine-spliced. */
+  private def embeddingAuditSql(table: String, norm: String,
+      dim: String): String =
+    s"""WITH v AS (
+          SELECT label, $dim AS dim, $norm AS l2 FROM $table)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+          CAST(min(dim) AS INTEGER) AS dim_min,
+          CAST(max(dim) AS INTEGER) AS dim_max,
+          CAST(sum(CASE WHEN l2 < 1e-9 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_zero,
+          CAST(sum(CASE WHEN abs(l2 - 1e0) < 1e-2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unit,
+          round(CAST(sum(CAST(round(l2, 10) AS DECIMAL(38,10)))
+            AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_l2,
+          round(min(l2), 6) AS min_l2, round(max(l2), 6) AS max_l2
+        FROM v GROUP BY label ORDER BY label"""
+
   def ops: Seq[Op] = Seq(
+
+    Op("table_embedding_audit",
+      // embedding-table hygiene audit — the ingest gate BEFORE any
+      // ANN index build (the failure modes it catches are exactly
+      // the ones that silently poison IVF/LSH: zero vectors collapse
+      // into one cell, mixed dimensions crash mid-build, un-normalized
+      // batches make cosine ≠ dot): per-label dim min/max, zero-norm
+      // and unit-norm counts, norm range and mean. Per-vector norms
+      // fold in array order on both engines (bit-identical — the
+      // llm_vector_ops parity); per-label means reaccumulate
+      // 10dp-rounded norms through DECIMAL; ONE map-combined
+      // aggregate to |labels| rows.
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .createOrReplaceTempView("graft_emb_audit")
+        s.sql(embeddingAuditSql("graft_emb_audit",
+          "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))",
+          "size(embedding)"))
+      },
+      Some(embeddingAuditSql("embeddings",
+        "sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))",
+        "len(embedding)"))),
 
     Op("table_join_preflight",
       // join-explosion preflight — the check a planner (or a careful
