@@ -1182,6 +1182,80 @@ object EventOps extends OpModule {
         FROM fit CROSS JOIN cs"""
   }
 
+  /** Shared hash-uniformity SQL (stream_ab_hash_uniformity): 256
+    * md5 buckets over distinct users, chi-squared vs uniform with
+    * the df=255 95% critical value as a shared literal
+    * (Wilson–Hilferty). Engine-spliced md5 bucket. */
+  private def hashUniformitySql(table: String, spark: Boolean): String = {
+    val bucket =
+      if (spark)
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 256"
+      else
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256"
+    s"""WITH u AS (
+          SELECT DISTINCT user_id FROM $table),
+        b AS (
+          SELECT $bucket AS bk, CAST(count(*) AS BIGINT) AS n
+          FROM u GROUP BY 1),
+        t AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nt,
+            CAST(count(*) AS BIGINT) AS nb,
+            CAST(min(n) AS BIGINT) AS nmin,
+            CAST(max(n) AS BIGINT) AS nmax
+          FROM b),
+        x AS (
+          SELECT t.nt, t.nb, t.nmin, t.nmax,
+            sum(CAST(round(
+              (CAST(b.n AS DOUBLE) - CAST(t.nt AS DOUBLE) / 256e0)
+              * (CAST(b.n AS DOUBLE) - CAST(t.nt AS DOUBLE) / 256e0)
+              / (CAST(t.nt AS DOUBLE) / 256e0), 10)
+              AS DECIMAL(38,10))) AS chi2d
+          FROM b CROSS JOIN t
+          GROUP BY t.nt, t.nb, t.nmin, t.nmax)
+        SELECT nt AS n_users, nb AS n_buckets, nmin AS min_bucket,
+          nmax AS max_bucket,
+          round(CAST(chi2d AS DOUBLE), 6) AS chi2,
+          CAST(chi2d AS DOUBLE) >= 293.246542e0 AS broken
+        FROM x"""
+  }
+
+  /** Shared dow-ANOVA SQL (stream_dow_anova): one-way F on daily
+    * cents totals across day-of-week groups; exact DECIMAL group
+    * moments, fixed IEEE finish. Engine-spliced epoch day. */
+  private def dowAnovaSql(table: String, spark: Boolean): String = {
+    val day =
+      if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
+      else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
+    s"""WITH daily AS (
+          SELECT CAST($day AS BIGINT) AS d,
+            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+              AS x
+          FROM $table GROUP BY 1),
+        g AS (
+          SELECT d % 7 AS dow, CAST(count(*) AS BIGINT) AS ng,
+            CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sg,
+            CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DOUBLE) AS ssg
+          FROM daily GROUP BY 1),
+        t AS (
+          SELECT CAST(sum(ng) AS DOUBLE) AS n,
+            CAST(count(*) AS DOUBLE) AS k,
+            CAST(sum(CAST(round(sg, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS s,
+            CAST(sum(CAST(round(ssg, 6) AS DECIMAL(38,6))) AS DOUBLE)
+              AS ss,
+            CAST(sum(CAST(round(sg * sg / CAST(ng AS DOUBLE), 6)
+              AS DECIMAL(38,6))) AS DOUBLE) AS sb
+          FROM g)
+        SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_dow,
+          round(((sb - s * s / n) / (k - 1e0))
+            / ((ss - sb) / (n - k)), 6) AS f_stat,
+          round((sb - s * s / n) / (ss - s * s / n), 6) AS eta_sq,
+          ((sb - s * s / n) / (k - 1e0)) / ((ss - sb) / (n - k))
+            >= 3e0 AS strong_effect
+        FROM t"""
+  }
+
   /** Shared burn-rate SQL (stream_burn_rate). Engine-spliced epoch
     * hour; identical window/ratio text. Budget 1% ⇒ burn = rate/1e-2. */
   private def burnRateSql(table: String, spark: Boolean): String = {
@@ -2731,6 +2805,40 @@ object EventOps extends OpModule {
         s.sql(retentionHalflifeSql("graft_ev_hl", spark = true))
       },
       Some(retentionHalflifeSql("events", spark = false))),
+
+    Op("stream_ab_hash_uniformity",
+      // hash-assignment uniformity audit — the meta-test under the
+      // whole A/B battery (lift/CUPED/SRM/ttest/ratio/sequential all
+      // trust the md5 arm split; a biased bucket function breaks
+      // every one of them at once, which is why platforms audit the
+      // hasher itself, not just each experiment's SRM): distinct
+      // users into 256 md5 buckets, chi-squared vs uniform at the
+      // df=255 95% critical value (Wilson–Hilferty literal). Bucket
+      // counts collapse map-side; chi2 terms round 10dp and
+      // re-accumulate through DECIMAL over the 256-row relation.
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_hashu")
+        s.sql(hashUniformitySql("graft_ev_hashu", spark = true))
+      },
+      Some(hashUniformitySql("events", spark = false))),
+
+    Op("stream_dow_anova",
+      // one-way ANOVA across day-of-week — the significance readout
+      // over win_seasonal_dow's profile (the profile shows per-dow
+      // means; ANOVA says whether the weekly pattern is REAL or
+      // noise, and η² says how much of the variance it explains —
+      // the pair win_seasonal_strength approximates from the
+      // residual side): F = MS_between/MS_within on daily cents
+      // totals, all from exact DECIMAL group moments (the
+      // regressionSql discipline), fixed IEEE finish on a 1-row
+      // relation; the ≥3.0 flag is a conservative fixed literal
+      // (the exact F quantile needs the incomplete beta — the
+      // stream_ab_ttest 1.96 precedent).
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_anova")
+        s.sql(dowAnovaSql("graft_ev_anova", spark = true))
+      },
+      Some(dowAnovaSql("events", spark = false))),
 
     Op("stream_ab_ttest",
       // Welch's unequal-variance t-test on per-user revenue between
