@@ -91,7 +91,11 @@ object EventOps extends OpModule {
   /** Shared CUPED SQL (stream_ab_cuped). Engine-spliced pieces: the
     * md5 arm bucket, the epoch-day expression, and integer division
     * (Spark DIV / DuckDB //); everything downstream is the identical
-    * exact-int + fixed-IEEE-sequence text. */
+    * exact-int + fixed-IEEE-sequence text. A zero-variance pre-period
+    * (n·sxx = sx², e.g. every user had identical — or zero —
+    * pre-period spend) degrades theta to 0, which reduces CUPED to
+    * the plain post-period mean instead of poisoning adj_mean with a
+    * NaN/Inf the two engines could render differently. */
   private def cupedSql(table: String): String = {
     val spark = table.startsWith("graft_")
     val arm =
@@ -130,10 +134,14 @@ object EventOps extends OpModule {
           FROM u),
         th AS (
           SELECT CAST(n AS DOUBLE) AS n_d, CAST(sx AS DOUBLE) AS sx_d,
-            CAST(CAST(n AS DECIMAL(33,0))*sxy
-                 - CAST(sx AS DECIMAL(33,0))*sy AS DOUBLE) /
-            CAST(CAST(n AS DECIMAL(33,0))*sxx
-                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE) AS theta
+            CASE WHEN CAST(n AS DECIMAL(33,0))*sxx
+                      - CAST(sx AS DECIMAL(33,0))*sx = 0
+                 THEN CAST(0 AS DOUBLE)
+                 ELSE CAST(CAST(n AS DECIMAL(33,0))*sxy
+                      - CAST(sx AS DECIMAL(33,0))*sy AS DOUBLE) /
+                 CAST(CAST(n AS DECIMAL(33,0))*sxx
+                      - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
+                 END AS theta
           FROM g),
         a AS (
           SELECT armb, CAST(count(*) AS BIGINT) AS n_users,

@@ -596,8 +596,12 @@ object Functions extends OpModule {
             count(lit(1)).as("type_n"))
         ev.join(broadcast(byType), Seq("event_type"))
           .select(col("event_id"), col("event_type"),
-            round((col("type_sum") - col("cents")).cast("double") /
-              (col("type_n") - 1L).cast("double") / lit(100.0), 6)
+            // singleton categories have no OTHER members to average —
+            // leave-one-out is undefined there; NULL (not a 0/0 or x/0
+            // IEEE artifact) keeps both engines in exact agreement
+            when(col("type_n") > 1L,
+              round((col("type_sum") - col("cents")).cast("double") /
+                (col("type_n") - 1L).cast("double") / lit(100.0), 6))
               .as("enc"))
           .orderBy("event_id")
       },
@@ -610,8 +614,10 @@ object Functions extends OpModule {
                   count(*) AS type_n
                 FROM ev GROUP BY event_type)
               SELECT ev.event_id, ev.event_type,
-                round(CAST(g.type_sum - ev.cents AS DOUBLE) /
-                  CAST(g.type_n - 1 AS DOUBLE) / 1e2, 6) AS enc
+                CASE WHEN g.type_n > 1 THEN
+                  round(CAST(g.type_sum - ev.cents AS DOUBLE) /
+                    CAST(g.type_n - 1 AS DOUBLE) / 1e2, 6)
+                END AS enc
               FROM ev JOIN g ON ev.event_type = g.event_type
               ORDER BY event_id"""))
   )

@@ -437,7 +437,11 @@ object LayoutOps extends OpModule {
     * corpus collapses to (period, bucket) map-side; everything after
     * runs on the value-grid-bounded (≤ ~30-row) bucket relation, so
     * the OVER () total is a bounded-relation window, not a global
-    * sort. Engine-spliced epoch day and integer division. */
+    * sort. Engine-spliced epoch day and integer division. The period
+    * totals are aggregate-coalesced scalars (empty period → 0, kept
+    * finite by the Laplace +nb denominator) so a one-period corpus
+    * reports a degenerate PSI instead of silently returning zero
+    * rows through an empty scalar cross join. */
   private def driftPsiSql(table: String, spark: Boolean): String = {
     val day =
       if (spark) "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
@@ -475,8 +479,10 @@ object LayoutOps extends OpModule {
             CAST(p.n_b + 1 AS DOUBLE) / CAST(tb.tot + k.nb AS DOUBLE)
               AS pb
           FROM p CROSS JOIN k
-          CROSS JOIN (SELECT tot FROM t WHERE period = 0) ta
-          CROSS JOIN (SELECT tot FROM t WHERE period = 1) tb),
+          CROSS JOIN (SELECT coalesce(max(tot), 0) AS tot FROM t
+                      WHERE period = 0) ta
+          CROSS JOIN (SELECT coalesce(max(tot), 0) AS tot FROM t
+                      WHERE period = 1) tb),
         contrib AS (
           SELECT bucket, n_a, n_b,
             round((pa - pb) * ln(pa / pb), 10) AS c10

@@ -3695,11 +3695,17 @@ object LlmOps extends OpModule {
       // whitespace vs BPE-ish regex segmentation (llm_token_count's
       // expressions, aggregated per lang instead of per doc), plus
       // chars per subword token. ONE map-combined aggregate to
-      // |langs| rows; exact int sums, IEEE ratios.
+      // |langs| rows; exact int sums, IEEE ratios. Word counts run on
+      // whitespace-NORMALIZED text (trim + \s+ collapse, the shared
+      // tokens() discipline): Spark's split drops trailing empties
+      // while DuckDB's string_split keeps them, so un-normalized text
+      // with trailing/consecutive spaces would diverge between the
+      // engines.
       (s, d) => Tables.documents(s, d)
         .groupBy("lang")
         .agg(
-          sum(size(split(col("text"), " ")).cast("long"))
+          sum(size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+            .cast("long"))
             .as("ws_tokens"),
           sum(size(regexp_extract_all(col("text"),
             lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
@@ -3710,14 +3716,14 @@ object LlmOps extends OpModule {
           "round(CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6) AS chars_per_token")
         .orderBy("lang"),
       Some("""SELECT lang,
-                CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT)
                   AS ws_tokens,
                 CAST(sum(len(regexp_extract_all(text,
                   '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
                   AS bpe_tokens,
                 round(CAST(sum(len(regexp_extract_all(text,
                     '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
-                  / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6)
+                  / CAST(sum(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS DOUBLE), 6)
                   AS fertility,
                 round(CAST(sum(n_chars) AS DOUBLE)
                   / CAST(sum(len(regexp_extract_all(text,
@@ -3736,9 +3742,12 @@ object LlmOps extends OpModule {
       // parameters sized to the fixture's 10–99-token docs; a
       // production corpus swaps in 2k/8k/32k, the plan is identical).
       // ONE map-combined aggregate collapses the corpus to a single
-      // row; all exact ints + one IEEE share per window.
+      // row; all exact ints + one IEEE share per window. Token counts
+      // run on whitespace-normalized text (same reason as
+      // llm_tokenizer_fertility: Spark split vs DuckDB string_split
+      // disagree on trailing empties).
       (s, d) => {
-        val n = size(split(col("text"), " "))
+        val n = size(split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
         def fit(w: Int) = Seq(
           sum(when(n <= w, 1L).otherwise(0L)).as(s"docs_fit_$w"),
           sum(greatest(n.cast("long") - w, lit(0L))).as(s"tok_lost_$w"))
@@ -3754,7 +3763,7 @@ object LlmOps extends OpModule {
               s"round(CAST(tok_lost_$w AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS loss_share_$w"))): _*)
       },
       Some("""WITH n AS (
-                SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                SELECT CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n
                 FROM documents),
               a AS (
                 SELECT CAST(count(*) AS BIGINT) AS n_docs,

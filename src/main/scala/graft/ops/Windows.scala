@@ -375,7 +375,12 @@ object Windows extends OpModule {
 
   /** Shared SQL for `win_vwap` — exact integer cumulants (cents ×
     * centi-unit products summed in DECIMAL), one IEEE division per
-    * day row; only the epoch-day expression is engine-spliced. */
+    * day row; only the epoch-day expression is engine-spliced. The
+    * daily accumulators are DECIMAL(38,0)/(19,0) — wide enough that
+    * a hot (flag, day) group with billions of ~1e11 cent-products
+    * cannot overflow (Spark non-ANSI turns a DECIMAL overflow into a
+    * silent NULL vwap row); the per-row product stays DECIMAL(15,0),
+    * which the ~1e11 grid bound fits with headroom. */
   private def vwapSql(table: String): String = {
     val day =
       if (table.startsWith("graft_"))
@@ -389,8 +394,8 @@ object Windows extends OpModule {
           FROM $table),
         daily AS (
           SELECT l_returnflag, eday,
-            CAST(sum(CAST(p*q AS DECIMAL(15,0))) AS DECIMAL(20,0)) AS pv,
-            CAST(sum(CAST(q AS DECIMAL(12,0))) AS DECIMAL(12,0)) AS v
+            CAST(sum(CAST(p*q AS DECIMAL(15,0))) AS DECIMAL(38,0)) AS pv,
+            CAST(sum(CAST(q AS DECIMAL(12,0))) AS DECIMAL(19,0)) AS v
           FROM r GROUP BY l_returnflag, eday),
         c AS (
           SELECT l_returnflag, eday,
