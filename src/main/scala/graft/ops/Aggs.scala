@@ -749,13 +749,43 @@ object Aggs extends OpModule {
       // price block the threshold crossing lands on the same price
       // whatever the intra-block order. One window pass over each
       // group + one conditional agg; at 100 TB the same caveat as
-      // exact percentile applies (needs the group sorted once) — the
-      // scale substitute is a weight-replicated t-digest.
+      // exact percentile applies (the cumulative-weight window sorts
+      // each returnflag group — 3 values ⇒ a third of the table per
+      // partition), so the input rides the same requireExactAggSafe
+      // gate as the other exact forms and the error names the
+      // bounded-state registered substitute,
+      // agg_percentile_weighted_approx.
       (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_wpct")
+        requireExactAggSafe(Tables.lineitem(s, d),
+            "agg_percentile_weighted", "agg_percentile_weighted_approx")
+          .createOrReplaceTempView("graft_li_wpct")
         s.sql(weightedPctSql("graft_li_wpct"))
       },
       Some(weightedPctSql("lineitem"))),
+
+    Op("agg_percentile_weighted_approx",
+      // the 100 TB weighted percentile (the bounded-state sibling
+      // agg_percentile_weighted's gate names): the exact form's
+      // per-group cumulative-weight window over the CORPUS is
+      // replaced by sub-octave log buckets on price cents (bucket =
+      // bitlen·16 + next-4-bits — pure bit arithmetic, the
+      // agg_histogram_log2 no-libm discipline; ≤1/16 relative bucket
+      // width, ≤1024 buckets for any long), per-(flag, bucket)
+      // exact-int weight sums map-side combined, an ascending cumsum
+      // over the BOUNDED bucket relation (the agg_mode rule — never a
+      // corpus window), and the crossing bucket's max observed price
+      // as the estimate. Buckets are monotone in price, so the
+      // min-over-crossing selection is the exact form's own pattern
+      // and lands on the SAME bucket the exact crossing value lies
+      // in — the estimate is ≥ exact and high by at most one bucket
+      // width (OperatorSpec pins ≤7% at sf0.1). Exact-int arithmetic
+      // end-to-end makes it fully oracleable — only the bit-shift
+      // expression is engine-spliced.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_wpcta")
+        s.sql(weightedPctApproxSql("graft_li_wpcta", spark = true))
+      },
+      Some(weightedPctApproxSql("lineitem", spark = false))),
 
     Op("agg_multi_distinct",
       // several COUNT(DISTINCT ...) over DIFFERENT columns in one
@@ -1972,6 +2002,43 @@ object Aggs extends OpModule {
           min(CASE WHEN cum * 2 >= tot THEN price END) AS wp50,
           min(CASE WHEN cum * 10 >= tot * 9 THEN price END) AS wp90
         FROM c GROUP BY rf ORDER BY rf"""
+
+  /** Shared SQL for `agg_percentile_weighted_approx` — identical text
+    * on both engines except the sub-octave shift (Spark `shiftright`
+    * / DuckDB `>>`). The bucket key is monotone nondecreasing in
+    * price cents, so per-bucket max prices are strictly increasing
+    * across nonempty buckets and the min-over-crossing-buckets
+    * selection returns the FIRST crossing bucket's hi — the same
+    * selection the exact form runs on rows. */
+  private def weightedPctApproxSql(table: String, spark: Boolean): String = {
+    val sub =
+      if (spark) "(shiftright(pc, greatest(0, length(bin(pc)) - 5)) & 15)"
+      else "((pc >> greatest(0, length(bin(pc)) - 5)) & 15)"
+    s"""WITH c AS (
+          SELECT l_returnflag AS rf, l_extendedprice AS price,
+            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+            CAST(round(l_quantity * 100, 0) AS BIGINT) AS qc
+          FROM $table),
+        k AS (
+          SELECT rf, price, qc,
+            CAST(length(bin(pc)) * 16 + $sub AS INT) AS bucket
+          FROM c),
+        h AS (
+          SELECT rf, bucket, CAST(sum(qc) AS BIGINT) AS w,
+            max(price) AS hi
+          FROM k GROUP BY rf, bucket),
+        r AS (
+          SELECT rf, bucket, hi,
+            CAST(sum(w) OVER (PARTITION BY rf ORDER BY bucket ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+            CAST(sum(w) OVER (PARTITION BY rf) AS BIGINT) AS tot
+          FROM h)
+        SELECT rf AS l_returnflag,
+          min(CASE WHEN cum * 2 >= tot THEN hi END) AS wp50,
+          min(CASE WHEN cum * 10 >= tot * 9 THEN hi END) AS wp90
+        FROM r GROUP BY rf ORDER BY rf"""
+  }
 
   /** Shared SQL for `agg_stats_moments` — the WHOLE point is that the
     * Spark plan and the DuckDB oracle run the IDENTICAL arithmetic,

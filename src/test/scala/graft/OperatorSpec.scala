@@ -203,6 +203,34 @@ class OperatorSpec extends SparkSpec {
       "approx ABC must not rank the parts relation")
   }
 
+  test("agg_percentile_weighted_approx tracks the exact weighted percentiles") {
+    def byFlag(name: String) = SparkEntry.queries(name)(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val exact = byFlag("agg_percentile_weighted")
+    val approx = byFlag("agg_percentile_weighted_approx")
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    // the approx crossing bucket is the SAME bucket the exact crossing
+    // value lies in, and the estimate is that bucket's max price — so
+    // approx >= exact and high by at most one sub-octave bucket width
+    // (1/16 relative, plus cents-rounding slack)
+    exact.foreach { case (rf, (e50, e90)) =>
+      val (a50, a90) = approx(rf)
+      assert(a50 >= e50 - 0.01 && a50 <= e50 * (1.0 + 1.0 / 16) + 0.01,
+        s"$rf wp50: approx $a50 vs exact $e50")
+      assert(a90 >= e90 - 0.01 && a90 <= e90 * (1.0 + 1.0 / 16) + 0.01,
+        s"$rf wp90: approx $a90 vs exact $e90")
+    }
+    // scale plan shape: the exact form's corpus window sorts each
+    // flag group by (price, orderkey, linenumber); the approx plan
+    // must never touch the tie-break columns — its only window runs
+    // over the bounded (flag, bucket) relation
+    val plan = SparkEntry.queries("agg_percentile_weighted_approx")(spark, sf01)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("l_linenumber") && !plan.contains("l_orderkey"),
+      "approx weighted percentile must not sort the corpus")
+  }
+
   test("agg_mad_anomaly_approx flags nearly the same rows as the exact MAD") {
     val approx = SparkEntry.queries("agg_mad_anomaly_approx")(spark, sf01)
       .collect().map(_.getLong(0)).toSet

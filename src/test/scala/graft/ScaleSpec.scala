@@ -355,6 +355,13 @@ class ScaleSpec extends SparkSpec {
       }
       assert(e3.getMessage.contains("agg_abc_class") &&
         e3.getMessage.contains("agg_abc_class_approx"))
+      // agg_percentile_weighted wiring: same refusal discipline, the
+      // error names the bounded-state weighted sibling
+      val e4 = intercept[IllegalArgumentException] {
+        SparkEntry.queries("agg_percentile_weighted")(spark, sf001)
+      }
+      assert(e4.getMessage.contains("agg_percentile_weighted") &&
+        e4.getMessage.contains("agg_percentile_weighted_approx"))
     } finally spark.conf.unset("graft.exactAgg.maxInputBytes")
     // and at catalog scale the guard passes: plan builds clean
     assert(SparkEntry.queries("agg_abc_class")(spark, sf001).columns
