@@ -372,6 +372,40 @@ object Relational extends OpModule {
               WHERE n_regionkey <= 2
               ORDER BY n_nationkey""")),
 
+    // The WRITE half of the V2 connector under the driver's hash gate
+    // (SURVEY row 7f-w, VERDICT r17 #2): a deterministic relation
+    // derived from nation flows through the full two-phase-commit
+    // writer (per-task temp → WriterCommitMessage → driver-side
+    // atomic MOVE — SourcesSpec pins the task/job abort invariants)
+    // and back out through the V2 scan with a pushed filter, and the
+    // oracle recomputes the SAME relation from the source table in
+    // DuckDB — a green hash row proves effectively-once END-TO-END
+    // VISIBILITY (every committed row, no duplicate, no torn file),
+    // not just the protocol invariants the spec asserts. The derive
+    // step shifts keys and prefixes names so a stale or partial file
+    // from any other fixture cannot alias the expected bytes.
+    Op("scan_dsv2_roundtrip",
+      (s, d) => {
+        val path = "/tmp/graft_scan_fixtures/nation_v2_roundtrip.csv"
+        Tables.nation(s, d)
+          .select(
+            (col("n_nationkey") + 100).cast("long").as("n_nationkey"),
+            concat(lit("V2_"), col("n_name")).as("n_name"),
+            (col("n_regionkey") * 2 + 1).cast("long").as("n_regionkey"))
+          .write.format("graft.sources.GraftFixtureSource")
+          .option("path", path).mode("overwrite").save()
+        s.read.format("graft.sources.GraftFixtureSource")
+          .option("path", path).load()
+          .filter(col("n_regionkey") >= 3)
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey + 100 AS BIGINT) AS n_nationkey,
+                'V2_' || n_name AS n_name,
+                CAST(n_regionkey * 2 + 1 AS BIGINT) AS n_regionkey
+              FROM nation
+              WHERE n_regionkey * 2 + 1 >= 3
+              ORDER BY n_nationkey""")),
+
     Op("scan_orc",
       // ORC scan surface (SURVEY row 7h) — the other columnar format
       // Spark ships natively; a meepo-adjacent warehouse is as likely
