@@ -945,6 +945,96 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ── op 62n streaming twin: live type-2 dimension maintenance ────
+  /** [[graft.ops.EventOps]]' `cdc_build_scd2` on the live feed: the
+    * warehouse's type-2 dimension maintained AS THE CHANGES ARRIVE
+    * instead of rebuilt from the full log. Per-key state is exactly
+    * ONE row — the open version (the UpsertEvolvingProcessor
+    * discipline); each incoming change CLOSES it (emitting the
+    * finished [valid_from, valid_to) interval exactly once, with the
+    * closer's timestamp as the exclusive bound — the batch op's
+    * lead()) and, unless it is a delete, opens the next version,
+    * re-emitted with an open bound. A version whose open and close
+    * land in different micro-batches closes from carried state —
+    * the straddle EventStreamSpec plants.
+    *
+    * Update-mode assembly (the snapshot-asof twin's pattern): closed
+    * intervals are append-only facts emitted once; open emissions for
+    * a position are identical whenever re-sent, and a later closed
+    * emission for the same (key, position) supersedes them — so the
+    * SCD2 table is `prefer closed per (key, position)`, proven ≡ the
+    * batch op row-for-row in EventStreamSpec.
+    *
+    * Same in-order-delivery precondition across micro-batches as the
+    * other CDC twins (true of a position-ordered binlog feed);
+    * within a batch the handler sorts its key's rows by (ts,
+    * position), so intra-batch arrival order never matters. 100 TB:
+    * state is O(1) per key, sharded by pk with the groupBy; emissions
+    * are per-change, never per-state-scan.
+    */
+  case class Scd2Row(user_id: Long, position: Long, op: String,
+      valid_from_us: Long, valid_to_us: Option[Long], value: Double)
+  case class Scd2Open(position: Long, ts_us: Long, op: String,
+      value: Double)
+
+  class BuildScd2Processor
+      extends StatefulProcessor[Long, FoldEvent, Scd2Row] {
+    @transient private var open: ValueState[Scd2Open] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[Scd2Open]("open",
+        Encoders.product[Scd2Open], TTLConfig.NONE)
+
+    override def handleInputRows(pk: Long, rows: Iterator[FoldEvent],
+        timerValues: TimerValues): Iterator[Scd2Row] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = if (open.exists()) Some(open.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+      sorted.foreach { e =>
+        val op = e.event_type match {
+          case "signup" => "I"; case "error" => "D"; case _ => "U"
+        }
+        // any change (deletes included) closes the open version
+        cur.foreach { o =>
+          out += Scd2Row(pk, o.position, o.op, o.ts_us, Some(e.ts_us),
+            o.value)
+        }
+        cur = if (op == "D") None
+          else Some(Scd2Open(e.event_id, e.ts_us, op, e.value))
+      }
+      cur match {
+        case Some(o) =>
+          open.update(o)
+          out += Scd2Row(pk, o.position, o.op, o.ts_us, None, o.value)
+        case None => open.clear()
+      }
+      out.iterator
+    }
+  }
+
+  def buildScd2Stream(ds: Dataset[FoldEvent]): Dataset[Scd2Row] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    requireRocksDb(spark, ds.isStreaming)
+    ds.groupByKey(_.user_id)
+      .transformWithState(new BuildScd2Processor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Batch-side assembly of [[buildScd2Stream]]'s update-mode
+    * emissions into the SCD2 table: closed supersedes open per
+    * (key, position), is_current falls out of the open bound. */
+  def assembleScd2(emissions: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "position")
+      .orderBy(col("valid_to_us").desc_nulls_last)
+    emissions.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("user_id"), col("position"), col("op"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"), col("value"))
+  }
+
   // ── op 62e: streaming delivery-gap audit (cdc_gap_audit's twin) ──
   /** Live form of the batch `cdc_gap_audit`'s two-level decomposition:
     * the consumer proves it missed nothing WHILE consuming, without a

@@ -579,6 +579,56 @@ class EventStreamSpec extends SparkSpec {
     assert(ev.filter(col("event_id") > asof).count() > 0)
   }
 
+  test("streaming SCD2 twin: live type-2 maintenance equals batch cdc_build_scd2") {
+    val batch = SparkEntry.queries("cdc_build_scd2")(spark, sf001)
+      .collect().toSeq
+    val streamed = runToMemory(
+      EventStreams.buildScd2Stream(
+        EventStreams.toFoldEvents(streamEvents)).toDF(),
+      "t_scd2", "update")
+    val got = EventStreams.assembleScd2(streamed)
+      .orderBy("user_id", "valid_from_us", "position").collect().toSeq
+    assert(got == batch)
+    assert(batch.nonEmpty)
+    // the corpus genuinely exercises both closed and current versions
+    assert(batch.exists(!_.getBoolean(5)) && batch.exists(_.getBoolean(5)))
+  }
+
+  test("streaming SCD2: a version closes across a micro-batch boundary from carried state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.FoldEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[FoldEvent]
+    val q = EventStreams.buildScd2Stream(in.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_scd2_straddle").start()
+    def ev(id: Long, tSec: Long, tpe: String, v: Double) =
+      FoldEvent(id, 7L, tSec * 1000000L, tpe, v)
+    try {
+      // batch 1: the key's first version opens (signup) — and nothing
+      // else, so its close can only come from carried state
+      in.addData(ev(1, 0, "signup", 1.0))
+      q.processAllAvailable()
+      val afterOpen = spark.table("t_scd2_straddle").collect()
+      assert(afterOpen.length == 1 && afterOpen.head.isNullAt(4),
+        "batch 1 must emit exactly the open version")
+      // batch 2: an update closes version 1 (timestamp carried across
+      // the boundary), then a delete closes version 2 — no current row
+      in.addData(ev(2, 10, "click", 2.0), ev(3, 20, "error", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val table = EventStreams.assembleScd2(spark.table("t_scd2_straddle"))
+      .orderBy("valid_from_us")
+      .collect().map(r => (r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(table == Seq(
+      (1L, "I", 0L, 10000000L, false),
+      (2L, "U", 10000000L, 20000000L, false)),
+      s"got $table")
+  }
+
   test("streaming gap audit: live in-block detection + block-summary assembly equals batch cdc_gap_audit") {
     import spark.implicits._
     val batch = SparkEntry.queries("cdc_gap_audit")(spark, sf001)
