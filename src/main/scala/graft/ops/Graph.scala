@@ -187,6 +187,51 @@ object GraphOps extends OpModule {
     }
   }
 
+  /** Shared SQL for `graph_hits_fixed` — the 5-round HITS chain in
+    * order-independent arithmetic (DECIMAL(38,10) score sums, one
+    * IEEE max-division per round re-quantized at 10dp). The ONLY
+    * engine splice is the edge source: Spark reads the persisted
+    * `graft_hits_edges` temp view (WITH inlines — ten consumers
+    * would re-run the distinct join), DuckDB gets the edges CTE
+    * inline. Every arithmetic character is identical text. */
+  private def hitsFixedSql(sparkSide: Boolean, rounds: Int = 5): String = {
+    val edgesCte =
+      if (sparkSide) "edges AS (SELECT src, dst FROM graft_hits_edges)"
+      else
+        """edges AS (
+          SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)"""
+    val sb = new StringBuilder(s"""WITH $edgesCte,
+        h0 AS (
+          SELECT c, CAST(1 AS DECIMAL(38,10)) AS hub
+          FROM (SELECT DISTINCT src AS c FROM edges) s0)""")
+    for (k <- 1 to rounds) {
+      sb.append(s""",
+        a${k}s AS (
+          SELECT e.dst AS s, CAST(sum(h.hub) AS DECIMAL(38,10)) AS x
+          FROM edges e JOIN h${k - 1} h ON e.src = h.c GROUP BY e.dst),
+        a${k}m AS (SELECT max(x) AS mx FROM a${k}s),
+        a$k AS (
+          SELECT s, CAST(round(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE), 10)
+            AS DECIMAL(38,10)) AS auth
+          FROM a${k}s, a${k}m)""")
+      if (k < rounds) sb.append(s""",
+        h${k}s AS (
+          SELECT e.src AS c, CAST(sum(a.auth) AS DECIMAL(38,10)) AS x
+          FROM edges e JOIN a$k a ON e.dst = a.s GROUP BY e.src),
+        h${k}m AS (SELECT max(x) AS mx FROM h${k}s),
+        h$k AS (
+          SELECT c, CAST(round(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE), 10)
+            AS DECIMAL(38,10)) AS hub
+          FROM h${k}s, h${k}m)""")
+    }
+    sb.append(s"""
+        SELECT s AS supplier, round(CAST(auth AS DOUBLE), 6) AS auth
+        FROM a$rounds
+        ORDER BY auth DESC, supplier ASC LIMIT 20""")
+    sb.toString
+  }
+
   /** Session-scoped memo of the support-filtered co-occurrence edge
     * list, keyed (session, corpus) — the triangle join references the
     * edge relation THREE times, and Spark's ReusedExchange only
@@ -411,6 +456,45 @@ object GraphOps extends OpModule {
         scores.orderBy(col("auth").desc, col("supplier").asc).limit(20)
       },
       None),
+
+    Op("graph_hits_fixed",
+      // HITS under the DuckDB hash gate (the r17 verdict's stretch
+      // item, strengthened): graph_hits stays rows-only because
+      // per-node FLOAT sums cross engines' association orders — so
+      // this sibling runs the SAME 5-round mutual recursion in
+      // ORDER-INDEPENDENT arithmetic end-to-end: per-round score
+      // sums accumulate in DECIMAL(38,10), max-normalization is one
+      // IEEE division of identical doubles re-quantized at 10dp back
+      // into DECIMAL (the acf/dsum discipline, per round) — both
+      // engines compute bit-identical SCORES, not just rankings, and
+      // the full top-20 authority rows hash-match. The rounds are a
+      // fixed chained-CTE pipeline (identical text both engines);
+      // each round is one equi-join of the bounded distinct trade
+      // graph against the previous score relation + one map-combined
+      // aggregate + a 1-row max broadcast — the float form's exact
+      // plan shape, with a fixed 10-stage chain instead of a loop.
+      // Spark-side the edge relation is session-memoized PERSISTED
+      // (the triEdgeCache argument: 10 CTE consumers would otherwise
+      // re-run the distinct join per reference — WITH inlines); at
+      // 100 TB that persist is the node×avg-degree trade graph,
+      // orders of magnitude under the fact tables. GraphSpec pins
+      // fixed ≡ float on the authority ordering.
+      (s, d) => {
+        val key =
+          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|hitsedges|$d"
+        val edges = key.intern.synchronized(prCache.getOrElseUpdate(key, {
+          val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+          val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          val e = li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+            .distinct().persist()
+          e.count()
+          e
+        }))
+        edges.createOrReplaceTempView("graft_hits_edges")
+        s.sql(hitsFixedSql(sparkSide = true))
+      },
+      Some(hitsFixedSql(sparkSide = false))),
 
     Op("graph_triangle_count",
       // per-node triangle counting over the supplier co-occurrence

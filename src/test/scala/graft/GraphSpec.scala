@@ -165,4 +165,22 @@ class GraphSpec extends SparkSpec {
     assert(again.map(_.toString).toSeq == top.map(_.toString).toSeq)
     ops.GraphOps.evictPrCache(spark)
   }
+
+  test("graph_hits_fixed ≡ the float HITS form on the authority ordering") {
+    // the oracled DECIMAL-quantized chain and the float loop differ
+    // only by 1e-10 per-round quantization vs float association
+    // noise — the top-20 authority ORDER must agree exactly, and the
+    // scores within the float form's 6dp output surface
+    val float = SparkEntry.queries("graph_hits")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("supplier") -> r.getDouble(1))
+    val fixed = SparkEntry.queries("graph_hits_fixed")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("supplier") -> r.getDouble(1))
+    assert(fixed.map(_._1).toSeq == float.map(_._1).toSeq,
+      s"orderings diverge: fixed=${fixed.map(_._1).mkString(",")} " +
+        s"float=${float.map(_._1).mkString(",")}")
+    fixed.zip(float).foreach { case ((s, af), (_, ff)) =>
+      assert(math.abs(af - ff) < 1e-5, s"supplier $s: fixed $af float $ff")
+    }
+    ops.GraphOps.evictPrCache(spark)
+  }
 }
