@@ -232,6 +232,63 @@ object GraphOps extends OpModule {
     sb.toString
   }
 
+  /** Shared SQL for `graph_pagerank_fixed` — 5 PageRank rounds in
+    * order-independent arithmetic on the BIDIRECTIONAL trade graph:
+    * per-edge contributions pr(u)/outdeg(u) are one IEEE division of
+    * identical doubles quantized at 10dp into DECIMAL(38,10) BEFORE
+    * the per-node sum (order-independent), the finish
+    * 0.15 + 0.85·Σ is a fixed IEEE sequence on exponent-form
+    * literals re-quantized at 10dp. The bidirectional construction
+    * reverses every edge, so no node is a sink and the float
+    * kernel's dangling-mass term is EXACTLY zero on this graph —
+    * the two forms compute the same recursion. Engine splice: edge
+    * source only (Spark persisted view / DuckDB inline CTE). */
+  private def pageRankFixedSql(sparkSide: Boolean, rounds: Int = 5): String = {
+    // integer division is the other engine splice (Spark DIV,
+    // DuckDB //): a float `/` + CAST would ROUND in DuckDB where
+    // Spark truncates, skewing odd (supplier) node ids
+    val div = if (sparkSide) "DIV" else "//"
+    val edgesCte =
+      if (sparkSide) "edges AS (SELECT src, dst FROM graft_pr_edges)"
+      else
+        """trade AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        edges AS (
+          SELECT c AS src, p AS dst FROM trade
+          UNION ALL
+          SELECT p AS src, c AS dst FROM trade)"""
+    val sb = new StringBuilder(s"""WITH $edgesCte,
+        deg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+          FROM edges GROUP BY src),
+        p0 AS (
+          SELECT src AS v, CAST(1 AS DOUBLE) AS pr
+          FROM (SELECT DISTINCT src FROM edges) n0)""")
+    for (k <- 1 to rounds) {
+      sb.append(s""",
+        c$k AS (
+          SELECT e.dst AS v,
+            CAST(sum(CAST(round(p.pr / d.outdeg, 10) AS DECIMAL(38,10)))
+              AS DECIMAL(38,10)) AS s
+          FROM edges e
+          JOIN p${k - 1} p ON e.src = p.v
+          JOIN deg d ON e.src = d.src
+          GROUP BY e.dst),
+        p$k AS (
+          SELECT v, round(15e-2 + 85e-2 * CAST(s AS DOUBLE), 10) AS pr
+          FROM c$k)""")
+    }
+    sb.append(s"""
+        SELECT v AS node,
+          CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+          CAST(v $div 2 AS BIGINT) AS entity_key,
+          round(pr, 6) AS pr
+        FROM p$rounds
+        ORDER BY pr DESC, node ASC LIMIT 20""")
+    sb.toString
+  }
+
   /** Session-scoped memo of the support-filtered co-occurrence edge
     * list, keyed (session, corpus) — the triangle join references the
     * edge relation THREE times, and Spark's ReusedExchange only
@@ -420,6 +477,41 @@ object GraphOps extends OpModule {
           .limit(20)
       },
       None),
+
+    Op("graph_pagerank_fixed",
+      // PageRank under the DuckDB hash gate — the graph_hits_fixed
+      // discipline applied to the other rows-only ranking: per-edge
+      // contributions pr(u)/outdeg(u) quantized at 10dp into DECIMAL
+      // BEFORE the per-node sum, fixed IEEE finish per round, so the
+      // top-20 relation hash-matches on full SCORES. The
+      // bidirectional trade graph has no sinks by construction
+      // (every edge is reversed), so the float kernel's
+      // dangling-mass term is exactly zero here and the two forms
+      // run the same recursion — GraphSpec pins ordering + 1e-5
+      // score agreement. Spark-side edges are session-memoized
+      // persisted (ten CTE consumers); each round is one equi-join +
+      // map-combined DECIMAL agg, the float loop's plan shape as a
+      // fixed 5-stage chain.
+      (s, d) => {
+        val key =
+          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|predges|$d"
+        val edges = key.intern.synchronized(prCache.getOrElseUpdate(key, {
+          val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+          val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          val trade = li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .select((col("o_custkey") * 2).as("c"),
+              (col("l_suppkey") * 2 + 1).as("p"))
+            .distinct()
+          val e = trade.select(col("c").as("src"), col("p").as("dst"))
+            .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
+            .persist()
+          e.count()
+          e
+        }))
+        edges.createOrReplaceTempView("graft_pr_edges")
+        s.sql(pageRankFixedSql(sparkSide = true))
+      },
+      Some(pageRankFixedSql(sparkSide = false))),
 
     Op("graph_hits",
       // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED

@@ -166,6 +166,24 @@ class GraphSpec extends SparkSpec {
     ops.GraphOps.evictPrCache(spark)
   }
 
+  test("graph_pagerank_fixed ≡ the float PageRank form on the rank ordering") {
+    // no sinks on the bidirectional trade graph, so the float
+    // kernel's dangling-mass term is exactly zero and the two forms
+    // run the same recursion — only 1e-10 quantization vs float
+    // association noise separates them
+    val float = SparkEntry.queries("graph_pagerank")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("pr"))
+    val fixed = SparkEntry.queries("graph_pagerank_fixed")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("pr"))
+    assert(fixed.map(_._1).toSeq == float.map(_._1).toSeq,
+      s"orderings diverge: fixed=${fixed.map(_._1).mkString(",")} " +
+        s"float=${float.map(_._1).mkString(",")}")
+    fixed.zip(float).foreach { case ((n, pf), (_, ff)) =>
+      assert(math.abs(pf - ff) < 1e-5, s"node $n: fixed $pf float $ff")
+    }
+    ops.GraphOps.evictPrCache(spark)
+  }
+
   test("graph_hits_fixed ≡ the float HITS form on the authority ordering") {
     // the oracled DECIMAL-quantized chain and the float loop differ
     // only by 1e-10 per-round quantization vs float association
