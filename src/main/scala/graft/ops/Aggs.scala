@@ -1286,45 +1286,17 @@ object Aggs extends OpModule {
       // bucket is assigned WHOLLY to the higher class, so
       // share(A) ≥ 0.80 by construction and exceeds it by at most the
       // crossing bucket's share — OperatorSpec pins this against the
-      // exact form at sf0.1. Not oracleable: the bucket-granularity
-      // boundary is engine-specific by design (the equidepth_approx
-      // precedent).
+      // exact form at sf0.1. ORACLED since r18: unlike its sketch
+      // siblings (approx_percentile state really is engine-specific)
+      // every step here is exact-int bit arithmetic + two IEEE
+      // threshold comparisons on identical doubles — the
+      // agg_percentile_weighted_approx argument — so both engines run
+      // the identical shared SQL; only the bit-shift is spliced.
       (s, d) => {
-        val dec = org.apache.spark.sql.types.DataTypes
-          .createDecimalType(38, 10)
-        val rev = Tables.lineitem(s, d)
-          .groupBy("l_partkey")
-          .agg((round(sum(col("l_extendedprice").cast(dec)), 2) * 100)
-            .cast("long").as("rev_c"))
-        val keyed = rev.withColumn("k", expr(
-          "CAST(length(bin(rev_c)) * 16 + " +
-            "(shiftright(rev_c, greatest(0, length(bin(rev_c)) - 5)) & 15)" +
-            " AS INT)"))
-        val hist = keyed.groupBy("k").agg(sum(col("rev_c")).as("s"))
-        val wDesc = org.apache.spark.sql.expressions.Window
-          .orderBy(col("k").desc)
-          .rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        val tot = hist.agg(sum(col("s")).as("tot_c"))
-        val cuts = hist.crossJoin(broadcast(tot))
-          .withColumn("cum", sum(col("s")).over(wDesc))
-          .agg(
-            max(when(col("cum").cast("double") >=
-              col("tot_c").cast("double") * 0.80, col("k"))).as("kA"),
-            max(when(col("cum").cast("double") >=
-              col("tot_c").cast("double") * 0.95, col("k"))).as("kB"))
-        keyed.crossJoin(broadcast(cuts))
-          .withColumn("cls",
-            when(col("k") >= col("kA"), lit("A"))
-              .when(col("k") >= col("kB"), lit("B"))
-              .otherwise(lit("C")))
-          .groupBy("cls")
-          .agg(count(lit(1)).as("n_parts"),
-            sum(col("rev_c")).as("rev_cents"))
-          .orderBy("cls")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_abca")
+        s.sql(abcApproxSql("graft_li_abca", spark = true))
       },
-      None),
+      Some(abcApproxSql("lineitem", spark = false))),
 
     Op("agg_hhi",
       // Herfindahl–Hirschman concentration index per nation — THE
@@ -2002,6 +1974,54 @@ object Aggs extends OpModule {
           min(CASE WHEN cum * 2 >= tot THEN price END) AS wp50,
           min(CASE WHEN cum * 10 >= tot * 9 THEN price END) AS wp90
         FROM c GROUP BY rf ORDER BY rf"""
+
+  /** Shared SQL for `agg_abc_class_approx` — the sub-octave log-bucket
+    * ABC classification (bitlen·16 + next-4-bits on part revenue
+    * cents), per-bucket sums map-side combined, a desc cumsum over
+    * the ≤1024-row bucket relation, 80%/95% crossing buckets from one
+    * conditional aggregate, map-side classify. Identical text both
+    * engines except the bit shift (Spark `shiftright` / DuckDB `>>`);
+    * thresholds in exponent form (`80e-2`) so both parse DOUBLE. */
+  private def abcApproxSql(table: String, spark: Boolean): String = {
+    val sub =
+      if (spark) "(shiftright(rev_c, greatest(0, length(bin(rev_c)) - 5)) & 15)"
+      else "((rev_c >> greatest(0, length(bin(rev_c)) - 5)) & 15)"
+    s"""WITH rev AS (
+          SELECT l_partkey,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2)
+              * 100 AS BIGINT) AS rev_c
+          FROM $table GROUP BY l_partkey),
+        keyed AS (
+          SELECT l_partkey, rev_c,
+            CAST(length(bin(rev_c)) * 16 + $sub AS INT) AS bucket
+          FROM rev),
+        h AS (
+          SELECT bucket, CAST(sum(rev_c) AS BIGINT) AS s_c
+          FROM keyed GROUP BY bucket),
+        t AS (SELECT CAST(sum(s_c) AS BIGINT) AS tot_c FROM h),
+        r AS (
+          SELECT bucket,
+            CAST(sum(s_c) OVER (ORDER BY bucket DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+          FROM h),
+        cuts AS (
+          SELECT
+            max(CASE WHEN CAST(cum AS DOUBLE)
+              >= CAST(tot_c AS DOUBLE) * 80e-2 THEN bucket END) AS ka,
+            max(CASE WHEN CAST(cum AS DOUBLE)
+              >= CAST(tot_c AS DOUBLE) * 95e-2 THEN bucket END) AS kb
+          FROM r, t),
+        c AS (
+          SELECT CASE WHEN keyed.bucket >= cuts.ka THEN 'A'
+                      WHEN keyed.bucket >= cuts.kb THEN 'B'
+                      ELSE 'C' END AS cls,
+            rev_c
+          FROM keyed, cuts)
+        SELECT cls, count(*) AS n_parts,
+          CAST(sum(rev_c) AS BIGINT) AS rev_cents
+        FROM c GROUP BY cls ORDER BY cls"""
+  }
 
   /** Shared SQL for `agg_percentile_weighted_approx` — identical text
     * on both engines except the sub-octave shift (Spark `shiftright`
