@@ -205,25 +205,31 @@ object GraphOps extends OpModule {
         h0 AS (
           SELECT c, CAST(1 AS DECIMAL(38,10)) AS hub
           FROM (SELECT DISTINCT src AS c FROM edges) s0)""")
+    // each round references its predecessor exactly ONCE: the
+    // max-normalizer is a window over the bounded score relation
+    // (never a separate max CTE consumed beside the sums CTE — a
+    // second reference per level builds the ~2^depth duplicated tree
+    // of the r15 kcore lesson: at 10 levels the inlined plan carried
+    // ~1024 copies of the base join and OOM'd the sf0.1 soak)
     for (k <- 1 to rounds) {
       sb.append(s""",
-        a${k}s AS (
-          SELECT e.dst AS s, CAST(sum(h.hub) AS DECIMAL(38,10)) AS x
-          FROM edges e JOIN h${k - 1} h ON e.src = h.c GROUP BY e.dst),
-        a${k}m AS (SELECT max(x) AS mx FROM a${k}s),
         a$k AS (
-          SELECT s, CAST(round(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE), 10)
+          SELECT s, CAST(round(CAST(x AS DOUBLE)
+            / CAST(max(x) OVER () AS DOUBLE), 10)
             AS DECIMAL(38,10)) AS auth
-          FROM a${k}s, a${k}m)""")
+          FROM (
+            SELECT e.dst AS s, CAST(sum(h.hub) AS DECIMAL(38,10)) AS x
+            FROM edges e JOIN h${k - 1} h ON e.src = h.c
+            GROUP BY e.dst) a${k}s)""")
       if (k < rounds) sb.append(s""",
-        h${k}s AS (
-          SELECT e.src AS c, CAST(sum(a.auth) AS DECIMAL(38,10)) AS x
-          FROM edges e JOIN a$k a ON e.dst = a.s GROUP BY e.src),
-        h${k}m AS (SELECT max(x) AS mx FROM h${k}s),
         h$k AS (
-          SELECT c, CAST(round(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE), 10)
+          SELECT c, CAST(round(CAST(x AS DOUBLE)
+            / CAST(max(x) OVER () AS DOUBLE), 10)
             AS DECIMAL(38,10)) AS hub
-          FROM h${k}s, h${k}m)""")
+          FROM (
+            SELECT e.src AS c, CAST(sum(a.auth) AS DECIMAL(38,10)) AS x
+            FROM edges e JOIN a$k a ON e.dst = a.s
+            GROUP BY e.src) h${k}s)""")
     }
     sb.append(s"""
         SELECT s AS supplier, round(CAST(auth AS DOUBLE), 6) AS auth
