@@ -656,4 +656,27 @@ class PlanSpec extends SparkSpec {
       s"A/A calibration lost its explode-Generate form:\n$aa")
     assert(!aa.contains("CartesianProduct"), aa)
   }
+
+  test("fixed-point graph chains stay LINEAR: edge-scan count bounded, no duplicated-tree blowup") {
+    // the r18 lesson: a per-level CTE referenced TWICE (sums + max)
+    // doubles the inlined tree per level — ~2^10 copies of the base
+    // join at 5 rounds, OOM at sf0.1. The fix (per-level max as a
+    // window over the bounded score relation) makes every round
+    // reference its predecessor exactly once, so the persisted edge
+    // relation is scanned a LINEAR number of times: hits = 2·rounds
+    // joins + the h0 distinct = 11; pagerank = rounds joins + deg +
+    // nodes = 7. Pin a small slack over those counts — exponential
+    // regression blows straight past it.
+    def edgeScans(name: String): Int = {
+      val p = planOf(name)
+      "InMemoryTableScan".r.findAllIn(p.split("== Initial Plan ==")(0)).size
+    }
+    val hits = edgeScans("graph_hits_fixed")
+    assert(hits <= 14, s"graph_hits_fixed edge-scan count $hits > 14 — " +
+      "chain no longer linear (duplicated-tree regression)")
+    val pr = edgeScans("graph_pagerank_fixed")
+    assert(pr <= 10, s"graph_pagerank_fixed edge-scan count $pr > 10 — " +
+      "chain no longer linear (duplicated-tree regression)")
+    ops.GraphOps.evictPrCache(spark)
+  }
 }
