@@ -1993,7 +1993,8 @@ object Aggs extends OpModule {
           FROM $table GROUP BY l_partkey),
         keyed AS (
           SELECT l_partkey, rev_c,
-            CAST(length(bin(rev_c)) * 16 + $sub AS INT) AS bucket
+            CAST(CASE WHEN rev_c <= 0 THEN 0
+                 ELSE length(bin(rev_c)) * 16 + $sub END AS INT) AS bucket
           FROM rev),
         h AS (
           SELECT bucket, CAST(sum(rev_c) AS BIGINT) AS s_c
@@ -2041,7 +2042,8 @@ object Aggs extends OpModule {
           FROM $table),
         k AS (
           SELECT rf, price, qc,
-            CAST(length(bin(pc)) * 16 + $sub AS INT) AS bucket
+            CAST(CASE WHEN pc <= 0 THEN 0
+                 ELSE length(bin(pc)) * 16 + $sub END AS INT) AS bucket
           FROM c),
         h AS (
           SELECT rf, bucket, CAST(sum(qc) AS BIGINT) AS w,
