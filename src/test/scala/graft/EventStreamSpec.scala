@@ -1090,6 +1090,55 @@ class EventStreamSpec extends SparkSpec {
       "fixture gave no cross-restart close — split drifted")
   }
 
+  test("debounce resumes from checkpointed kept-position state across a restart") {
+    val dir = tmpDir("graft_debounce_replay")
+    val gap = 48L * 3600 * 1000000
+    val ev = rawNsEvents
+    val b = ev.agg(min("ts"), max("ts")).head()
+    val midNs = (b.getLong(0) + b.getLong(1)) / 2
+    ev.filter(col("ts") < midNs).write.mode("overwrite").parquet(s"$dir/in")
+    def startQuery() = {
+      val src = spark.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/in")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      EventStreams.debounceStream(EventStreams.toFoldEvents(src), gap).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    ev.filter(col("ts") >= midNs).write.mode("append").parquet(s"$dir/in")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // reference = the same per-user decision fold over the full log
+    val evs = EventStreams.toFoldEvents(batchEvents).collect().toSeq
+    val expected = evs.groupBy(_.user_id).flatMap { case (_, xs) =>
+      var last = Long.MinValue
+      xs.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        val keep = last == Long.MinValue || e.ts_us - last > gap
+        if (keep) last = e.ts_us
+        e.event_id -> keep
+      }
+    }
+    assert(got == expected)
+    // the restart boundary mattered: some post-restart decision's
+    // kept-position was set pre-restart (a drop whose anchor keep
+    // happened before midUs) — only checkpointed state can know it
+    val midUs = midNs / 1000
+    val crossing = evs.groupBy(_.user_id).exists { case (_, xs) =>
+      var lastUs = Long.MinValue
+      xs.sortBy(e => (e.ts_us, e.event_id)).exists { e =>
+        val keep = lastUs == Long.MinValue || e.ts_us - lastUs > gap
+        val crossed = !keep && e.ts_us >= midUs && lastUs < midUs
+        if (keep) lastUs = e.ts_us
+        crossed
+      }
+    }
+    assert(crossing, "fixture gave no cross-restart drop — split drifted")
+  }
+
   test("attribution resumes from checkpointed touch state: no loss, no double credit across a restart") {
     val dir = tmpDir("graft_attr_replay")
     val ev = rawNsEvents
