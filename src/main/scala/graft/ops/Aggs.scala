@@ -891,7 +891,10 @@ object Aggs extends OpModule {
       // μ−LSL)/3σ punishes it — the pair is the standard report.
       // σ is the exact sample deviation from cents DECIMAL moments
       // (regressionSql discipline), the finish a fixed IEEE sequence;
-      // ONE map-combined aggregate, |types| rows out.
+      // ONE map-combined aggregate, |types| rows out. A singleton or
+      // zero-variance group yields NULL sd/cp/cpk (capability is
+      // undefined without spread) instead of a NaN/Inf the engines
+      // could render differently — sd_c's guard propagates.
       (s, d) => {
         Tables.events(s, d).createOrReplaceTempView("graft_ev_cpk")
         s.sql(cpkSql("graft_ev_cpk"))
@@ -1571,10 +1574,12 @@ object Aggs extends OpModule {
         d AS (
           SELECT event_type, CAST(n AS BIGINT) AS n_rows,
             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu_c,
-            sqrt(CAST(CAST(n AS DECIMAL(33,0))*sxx
-                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
-              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)))
-              AS sd_c
+            CASE WHEN n < 2 OR CAST(n AS DECIMAL(33,0))*sxx
+                   - CAST(sx AS DECIMAL(33,0))*sx = 0 THEN NULL
+                 ELSE sqrt(CAST(CAST(n AS DECIMAL(33,0))*sxx
+                   - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)))
+            END AS sd_c
           FROM g)
         SELECT event_type, n_rows,
           round(mu_c / 1e2, 6) AS mean_v,
@@ -1609,8 +1614,10 @@ object Aggs extends OpModule {
             CAST(sum(q) AS BIGINT) AS nq
           FROM w)
         SELECT np AS n_pos, nq AS n_neg,
-          round(CAST(u2 AS DOUBLE) / CAST(2 * np * nq AS DOUBLE), 6)
-            AS auc
+          CASE WHEN np = 0 OR nq = 0 THEN NULL
+               ELSE round(CAST(u2 AS DOUBLE)
+                 / CAST(2 * np * nq AS DOUBLE), 6)
+          END AS auc
         FROM u"""
 
   /** Shared SQL for `agg_ks_test` — identical text on both engines
@@ -1632,8 +1639,12 @@ object Aggs extends OpModule {
           FROM c),
         f AS (
           SELECT cent,
-            CAST(sum(c1) OVER (ORDER BY cent) AS DOUBLE) / t.n1 AS f1,
-            CAST(sum(c2) OVER (ORDER BY cent) AS DOUBLE) / t.n2 AS f2,
+            CASE WHEN t.n1 = 0 THEN NULL ELSE
+              CAST(sum(c1) OVER (ORDER BY cent) AS DOUBLE) / t.n1
+            END AS f1,
+            CASE WHEN t.n2 = 0 THEN NULL ELSE
+              CAST(sum(c2) OVER (ORDER BY cent) AS DOUBLE) / t.n2
+            END AS f2,
             t.n1 AS n1, t.n2 AS n2
           FROM c, t),
         dd AS (
@@ -1825,10 +1836,14 @@ object Aggs extends OpModule {
         SELECT pri AS o_orderpriority,
           CAST(min(cut) AS BIGINT) AS cut_c,
           CAST(sum(n) AS BIGINT) AS k_tail,
-          round(CAST(sum(n) AS DOUBLE)
-            / CAST(sum(CAST(round(CAST(n AS DOUBLE)
+          CASE WHEN CAST(sum(CAST(round(CAST(n AS DOUBLE)
                 * ln(CAST(cents AS DOUBLE) / CAST(cut AS DOUBLE)), 10)
-              AS DECIMAL(38,10))) AS DOUBLE), 6) AS hill_alpha
+              AS DECIMAL(38,10))) AS DOUBLE) = 0 THEN NULL
+            ELSE round(CAST(sum(n) AS DOUBLE)
+              / CAST(sum(CAST(round(CAST(n AS DOUBLE)
+                  * ln(CAST(cents AS DOUBLE) / CAST(cut AS DOUBLE)), 10)
+                AS DECIMAL(38,10))) AS DOUBLE), 6)
+          END AS hill_alpha
         FROM tail GROUP BY pri ORDER BY pri"""
 
   /** Shared SQL for `agg_cvar` — discrete VaR95 cut off the same

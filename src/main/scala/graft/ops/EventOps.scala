@@ -497,13 +497,16 @@ object EventOps extends OpModule {
           FROM dd GROUP BY event_type)
         SELECT event_type, n_gaps,
           round(sx / n / 1000000, 6) AS mean_s,
-          round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 1000000, 6)
-            AS sd_s,
-          round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / (sx / n), 6)
-            AS cv,
-          round((sqrt((n * sxx - sx * sx) / (n * (n - 1))) - sx / n)
-            / (sqrt((n * sxx - sx * sx) / (n * (n - 1))) + sx / n), 6)
-            AS burstiness
+          CASE WHEN n < 2 THEN NULL ELSE
+            round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 1000000, 6)
+          END AS sd_s,
+          CASE WHEN n < 2 OR sx = 0 THEN NULL ELSE
+            round(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / (sx / n), 6)
+          END AS cv,
+          CASE WHEN n < 2 OR sx = 0 THEN NULL ELSE
+            round((sqrt((n * sxx - sx * sx) / (n * (n - 1))) - sx / n)
+              / (sqrt((n * sxx - sx * sx) / (n * (n - 1))) + sx / n), 6)
+          END AS burstiness
         FROM m ORDER BY event_type"""
   }
 
@@ -533,22 +536,27 @@ object EventOps extends OpModule {
         d AS (
           SELECT armb, CAST(n AS DOUBLE) AS n_d,
             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS mean_rev,
-            CAST(CAST(n AS DECIMAL(33,0))*sxx
-                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
-              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
-              / 1e4 AS var_rev
+            CASE WHEN n < 2 THEN NULL ELSE
+              CAST(CAST(n AS DECIMAL(33,0))*sxx
+                   - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
+                / 1e4
+            END AS var_rev
           FROM g),
         p AS (
           SELECT
             CAST(a.n_d AS BIGINT) AS n_a, CAST(b.n_d AS BIGINT) AS n_b,
             round(a.mean_rev, 6) AS mean_a, round(b.mean_rev, 6) AS mean_b,
-            (a.mean_rev - b.mean_rev)
-              / sqrt(a.var_rev / a.n_d + b.var_rev / b.n_d) AS t,
-            ((a.var_rev / a.n_d + b.var_rev / b.n_d)
-             * (a.var_rev / a.n_d + b.var_rev / b.n_d))
-              / ((a.var_rev / a.n_d) * (a.var_rev / a.n_d) / (a.n_d - 1e0)
-               + (b.var_rev / b.n_d) * (b.var_rev / b.n_d) / (b.n_d - 1e0))
-              AS df
+            CASE WHEN a.var_rev / a.n_d + b.var_rev / b.n_d = 0 THEN NULL
+              ELSE (a.mean_rev - b.mean_rev)
+                / sqrt(a.var_rev / a.n_d + b.var_rev / b.n_d)
+            END AS t,
+            CASE WHEN a.var_rev / a.n_d + b.var_rev / b.n_d = 0 THEN NULL
+              ELSE ((a.var_rev / a.n_d + b.var_rev / b.n_d)
+               * (a.var_rev / a.n_d + b.var_rev / b.n_d))
+                / ((a.var_rev / a.n_d) * (a.var_rev / a.n_d) / (a.n_d - 1e0)
+                 + (b.var_rev / b.n_d) * (b.var_rev / b.n_d) / (b.n_d - 1e0))
+            END AS df
           FROM d a, d b WHERE a.armb = 0 AND b.armb = 1)
         SELECT n_a, n_b, mean_a, mean_b,
           round(t, 6) AS t_stat, round(df, 6) AS df,
@@ -584,16 +592,21 @@ object EventOps extends OpModule {
             CAST(sum(CAST(y*y AS DECIMAL(21,0))) AS DOUBLE) AS syy
           FROM u GROUP BY armb),
         d AS (
-          SELECT armb, n, sx / sy AS r,
-            ((n*sxx - sx*sx)/(n*(n-1e0))
-             - 2e0*(sx/sy)*((n*sxy - sx*sy)/(n*(n-1e0)))
-             + (sx/sy)*(sx/sy)*((n*syy - sy*sy)/(n*(n-1e0))))
-            / (n * (sy/n) * (sy/n)) AS vr
+          SELECT armb, n,
+            CASE WHEN sy = 0 THEN NULL ELSE sx / sy END AS r,
+            CASE WHEN sy = 0 OR n < 2 THEN NULL ELSE
+              ((n*sxx - sx*sx)/(n*(n-1e0))
+               - 2e0*(sx/sy)*((n*sxy - sx*sy)/(n*(n-1e0)))
+               + (sx/sy)*(sx/sy)*((n*syy - sy*sy)/(n*(n-1e0))))
+              / (n * (sy/n) * (sy/n))
+            END AS vr
           FROM g),
         p AS (
           SELECT a.r / 1e2 AS r_a, b.r / 1e2 AS r_b,
             (a.r - b.r) / 1e2 AS rdiff,
-            (a.r - b.r) / sqrt(a.vr + b.vr) AS z
+            CASE WHEN a.vr + b.vr = 0 THEN NULL
+              ELSE (a.r - b.r) / sqrt(a.vr + b.vr)
+            END AS z
           FROM d a, d b WHERE a.armb = 0 AND b.armb = 1)
         SELECT round(r_a, 6) AS rev_per_click_a,
           round(r_b, 6) AS rev_per_click_b,
@@ -944,11 +957,15 @@ object EventOps extends OpModule {
           FROM u GROUP BY event_type)
         SELECT event_type, n_users,
           round(sx / n, 6) AS mean_c,
-          round((n * sxx - sx * sx) / (n * (n - 1e0)), 6) AS var_c,
-          round(((n * sxx - sx * sx) / (n * (n - 1e0))) / (sx / n), 6)
-            AS dispersion,
-          ((n * sxx - sx * sx) / (n * (n - 1e0))) / (sx / n) > 15e-1
-            AS overdispersed
+          CASE WHEN n < 2 THEN NULL ELSE
+            round((n * sxx - sx * sx) / (n * (n - 1e0)), 6)
+          END AS var_c,
+          CASE WHEN n < 2 THEN NULL ELSE
+            round(((n * sxx - sx * sx) / (n * (n - 1e0))) / (sx / n), 6)
+          END AS dispersion,
+          CASE WHEN n < 2 THEN NULL ELSE
+            ((n * sxx - sx * sx) / (n * (n - 1e0))) / (sx / n) > 15e-1
+          END AS overdispersed
         FROM m ORDER BY event_type"""
 
   /** Shared Poisson-bootstrap SQL (stream_bootstrap_ci): 32
@@ -1180,7 +1197,9 @@ object EventOps extends OpModule {
           FROM pts),
         fit AS (
           SELECT CAST(n AS BIGINT) AS n_ages,
-            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+            CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            END AS slope
           FROM a)
         SELECT cs.n0 AS cohort_size, fit.n_ages,
           round(fit.slope, 6) AS decay_slope,
@@ -1256,11 +1275,17 @@ object EventOps extends OpModule {
               AS DECIMAL(38,6))) AS DOUBLE) AS sb
           FROM g)
         SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS k_dow,
-          round(((sb - s * s / n) / (k - 1e0))
-            / ((ss - sb) / (n - k)), 6) AS f_stat,
-          round((sb - s * s / n) / (ss - s * s / n), 6) AS eta_sq,
-          ((sb - s * s / n) / (k - 1e0)) / ((ss - sb) / (n - k))
-            >= 3e0 AS strong_effect
+          CASE WHEN k < 2 OR n <= k OR ss - sb = 0 THEN NULL
+            ELSE round(((sb - s * s / n) / (k - 1e0))
+              / ((ss - sb) / (n - k)), 6)
+          END AS f_stat,
+          CASE WHEN ss - s * s / n = 0 THEN NULL
+            ELSE round((sb - s * s / n) / (ss - s * s / n), 6)
+          END AS eta_sq,
+          CASE WHEN k < 2 OR n <= k OR ss - sb = 0 THEN NULL
+            ELSE ((sb - s * s / n) / (k - 1e0)) / ((ss - sb) / (n - k))
+              >= 3e0
+          END AS strong_effect
         FROM t"""
   }
 
