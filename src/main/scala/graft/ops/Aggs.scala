@@ -1481,10 +1481,13 @@ object Aggs extends OpModule {
   private def regressionSql(table: String): String =
     s"""SELECT l_returnflag, n_rows, slope,
           (sy_d - slope * sx_d) / (1e2 * n_d) AS intercept,
-          (num * num) / (dxx * dyy) AS r2
+          CASE WHEN dxx = 0 OR dyy = 0 THEN NULL
+            ELSE (num * num) / (dxx * dyy)
+          END AS r2
         FROM (
           SELECT l_returnflag, n_rows, n_d, sx_d, sy_d,
-            num, dxx, dyy, num / dxx AS slope
+            num, dxx, dyy,
+            CASE WHEN dxx = 0 THEN NULL ELSE num / dxx END AS slope
           FROM (
             SELECT l_returnflag,
               CAST(n AS BIGINT) AS n_rows,
@@ -1531,11 +1534,13 @@ object Aggs extends OpModule {
             pop_$k AS n_targeted, pos_$k AS n_captured,
             round(CAST(pop_$k AS DOUBLE) / CAST(n_pop AS DOUBLE), 6)
               AS pop_pct,
-            round(CAST(pos_$k AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
-              AS capture_pct,
-            round((CAST(pos_$k AS DOUBLE) / CAST(n_pos AS DOUBLE))
-              / (CAST(pop_$k AS DOUBLE) / CAST(n_pop AS DOUBLE)), 6)
-              AS lift
+            CASE WHEN n_pos = 0 THEN NULL ELSE
+              round(CAST(pos_$k AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+            END AS capture_pct,
+            CASE WHEN n_pos = 0 OR pop_$k = 0 THEN NULL ELSE
+              round((CAST(pos_$k AS DOUBLE) / CAST(n_pos AS DOUBLE))
+                / (CAST(pop_$k AS DOUBLE) / CAST(n_pop AS DOUBLE)), 6)
+            END AS lift
           FROM g"""
     }.mkString("\n          UNION ALL\n          ")
     s"""WITH b AS (
@@ -1725,13 +1730,17 @@ object Aggs extends OpModule {
           FROM m)
         SELECT * FROM (
           SELECT 'l_quantity' AS x_name, 'l_extendedprice' AS y_name,
-            n_rows, nxy / (sqrt(dxx) * sqrt(dyy)) AS corr FROM d
+            n_rows,
+            CASE WHEN dxx = 0 OR dyy = 0 THEN NULL
+              ELSE nxy / (sqrt(dxx) * sqrt(dyy)) END AS corr FROM d
           UNION ALL
           SELECT 'l_quantity', 'l_discount', n_rows,
-            nxz / (sqrt(dxx) * sqrt(dzz)) FROM d
+            CASE WHEN dxx = 0 OR dzz = 0 THEN NULL
+              ELSE nxz / (sqrt(dxx) * sqrt(dzz)) END FROM d
           UNION ALL
           SELECT 'l_extendedprice', 'l_discount', n_rows,
-            nyz / (sqrt(dyy) * sqrt(dzz)) FROM d)
+            CASE WHEN dyy = 0 OR dzz = 0 THEN NULL
+              ELSE nyz / (sqrt(dyy) * sqrt(dzz)) END FROM d)
         ORDER BY x_name, y_name"""
 
   /** Shared SQL for `agg_percentile_disc` — conditional-min over

@@ -1134,16 +1134,19 @@ object EventOps extends OpModule {
         dd AS (
           SELECT look, cut_d, armb, CAST(n AS DOUBLE) AS n_d,
             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
-            CAST(CAST(n AS DECIMAL(33,0))*sxx
-                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
-              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
-              AS var_c
+            CASE WHEN n < 2 THEN NULL ELSE
+              CAST(CAST(n AS DECIMAL(33,0))*sxx
+                   - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
+            END AS var_c
           FROM g),
         z AS (
           SELECT a.look, a.cut_d,
             CAST(a.n_d AS BIGINT) AS n_a, CAST(b.n_d AS BIGINT) AS n_b,
-            round(abs((a.mean_c - b.mean_c)
-              / sqrt(a.var_c / a.n_d + b.var_c / b.n_d)), 6) AS abs_z,
+            CASE WHEN a.var_c / a.n_d + b.var_c / b.n_d = 0 THEN NULL
+              ELSE round(abs((a.mean_c - b.mean_c)
+                / sqrt(a.var_c / a.n_d + b.var_c / b.n_d)), 6)
+            END AS abs_z,
             CASE a.look WHEN 1 THEN 48769e-4 WHEN 2 THEN 33569e-4
                  WHEN 3 THEN 26803e-4 WHEN 4 THEN 22898e-4
                  ELSE 20310e-4 END AS obf_bound
@@ -1340,18 +1343,22 @@ object EventOps extends OpModule {
         d AS (
           SELECT CAST(n AS DOUBLE) AS n_d,
             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS mean_rev,
-            CAST(CAST(n AS DECIMAL(33,0))*sxx
-                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
-              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
-              / 1e4 AS var_rev
+            CASE WHEN n < 2 THEN NULL ELSE
+              CAST(CAST(n AS DECIMAL(33,0))*sxx
+                   - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
+                / 1e4
+            END AS var_rev
           FROM g)
         SELECT CAST(n_d AS BIGINT) AS n_users,
           round(mean_rev, 6) AS mean_rev,
           round(sqrt(var_rev), 6) AS sd_rev,
           round(mean_rev * 5e-2, 6) AS mde_abs,
-          CAST(ceil(2e0 * ((196e-2 + 84e-2) * (196e-2 + 84e-2))
-                * var_rev / ((mean_rev * 5e-2) * (mean_rev * 5e-2)))
-            AS BIGINT) AS n_per_arm
+          CASE WHEN mean_rev = 0 THEN NULL ELSE
+            CAST(ceil(2e0 * ((196e-2 + 84e-2) * (196e-2 + 84e-2))
+                  * var_rev / ((mean_rev * 5e-2) * (mean_rev * 5e-2)))
+              AS BIGINT)
+          END AS n_per_arm
         FROM d"""
 
   override def ops: Seq[Op] = Seq(
