@@ -149,7 +149,9 @@ object Windows extends OpModule {
         nums AS (
           $nums)
         SELECT nums.et AS event_type, CAST(nums.lag AS INTEGER) AS lag,
-          round(nums.num / m.den, 6) AS acf
+          CASE WHEN m.den = 0 THEN NULL
+            ELSE round(nums.num / m.den, 6)
+          END AS acf
         FROM nums JOIN m ON nums.et = m.event_type
         ORDER BY event_type, lag"""
   }
@@ -229,11 +231,17 @@ object Windows extends OpModule {
               AS DOUBLE) AS srr
           FROM r GROUP BY event_type)
         SELECT event_type, CAST(n AS BIGINT) AS n_days,
-          round((sxx - sx * sx / n) / (n - 1e0) / 1e4, 6) AS var_total,
-          round((srr - sr * sr / n) / (n - 1e0) / 1e4, 6) AS var_resid,
-          round(greatest(0e0,
-            1e0 - ((srr - sr * sr / n) / (n - 1e0))
-              / ((sxx - sx * sx / n) / (n - 1e0))), 6) AS strength
+          CASE WHEN n < 2 THEN NULL ELSE
+            round((sxx - sx * sx / n) / (n - 1e0) / 1e4, 6)
+          END AS var_total,
+          CASE WHEN n < 2 THEN NULL ELSE
+            round((srr - sr * sr / n) / (n - 1e0) / 1e4, 6)
+          END AS var_resid,
+          CASE WHEN n < 2 OR sxx - sx * sx / n = 0 THEN NULL ELSE
+            round(greatest(0e0,
+              1e0 - ((srr - sr * sr / n) / (n - 1e0))
+                / ((sxx - sx * sx / n) / (n - 1e0))), 6)
+          END AS strength
         FROM m ORDER BY event_type"""
   }
 
@@ -257,9 +265,12 @@ object Windows extends OpModule {
         c AS (
           SELECT event_type,
             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-            sqrt(CAST(CAST(n AS DECIMAL(37,0))*sxx
-                 - CAST(sx AS DECIMAL(37,0))*sx AS DOUBLE)
-              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))) AS sd
+            CASE WHEN n < 2 OR CAST(n AS DECIMAL(37,0))*sxx
+                   - CAST(sx AS DECIMAL(37,0))*sx = 0 THEN NULL
+              ELSE sqrt(CAST(CAST(n AS DECIMAL(37,0))*sxx
+                   - CAST(sx AS DECIMAL(37,0))*sx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)))
+            END AS sd
           FROM st),
         s AS (
           SELECT d.event_type, d.eday, d.x,
@@ -337,13 +348,17 @@ object Windows extends OpModule {
             CAST(2 * n_pos * n_neg AS DOUBLE) AS p2
           FROM agg)
         SELECT event_type, n_pos, n_neg, runs,
-          round(1e0 + p2 / n2, 6) AS expected_runs,
-          round((CAST(runs AS DOUBLE) - (1e0 + p2 / n2))
-            / sqrt(p2 * (p2 - n2) / (n2 * n2 * (n2 - 1e0))), 6)
-            AS z_stat,
-          abs(round((CAST(runs AS DOUBLE) - (1e0 + p2 / n2))
-            / sqrt(p2 * (p2 - n2) / (n2 * n2 * (n2 - 1e0))), 6))
-            < 196e-2 AS random
+          CASE WHEN n2 = 0 THEN NULL
+            ELSE round(1e0 + p2 / n2, 6) END AS expected_runs,
+          CASE WHEN n2 < 2 OR p2 * (p2 - n2) <= 0 THEN NULL
+            ELSE round((CAST(runs AS DOUBLE) - (1e0 + p2 / n2))
+              / sqrt(p2 * (p2 - n2) / (n2 * n2 * (n2 - 1e0))), 6)
+          END AS z_stat,
+          CASE WHEN n2 < 2 OR p2 * (p2 - n2) <= 0 THEN NULL
+            ELSE abs(round((CAST(runs AS DOUBLE) - (1e0 + p2 / n2))
+              / sqrt(p2 * (p2 - n2) / (n2 * n2 * (n2 - 1e0))), 6))
+              < 196e-2
+          END AS random
         FROM m ORDER BY event_type"""
   }
 
