@@ -862,15 +862,18 @@ object EventOps extends OpModule {
         d AS (
           SELECT k, armb, CAST(n AS DOUBLE) AS n_d,
             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
-            CAST(CAST(n AS DECIMAL(33,0))*sxx
-                 - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
-              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
-              AS var_c
+            CASE WHEN n < 2 THEN NULL ELSE
+              CAST(CAST(n AS DECIMAL(33,0))*sxx
+                   - CAST(sx AS DECIMAL(33,0))*sx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
+            END AS var_c
           FROM g),
         t AS (
           SELECT a.k,
-            round(abs((a.mean_c - b.mean_c)
-              / sqrt(a.var_c / a.n_d + b.var_c / b.n_d)), 6) AS abs_t
+            CASE WHEN a.var_c / a.n_d + b.var_c / b.n_d = 0 THEN NULL
+              ELSE round(abs((a.mean_c - b.mean_c)
+                / sqrt(a.var_c / a.n_d + b.var_c / b.n_d)), 6)
+            END AS abs_t
           FROM d a JOIN d b ON a.k = b.k
           WHERE a.armb = 0 AND b.armb = 1)
         SELECT CAST(count(*) AS BIGINT) AS n_splits,
