@@ -254,20 +254,25 @@ object GraphOps extends OpModule {
     // DuckDB //): a float `/` + CAST would ROUND in DuckDB where
     // Spark truncates, skewing odd (supplier) node ids
     val div = if (sparkSide) "DIV" else "//"
+    // outdeg rides ON the edge relation (the float kernel's
+    // loop-invariant degree-join hoist): the Spark side persists
+    // (src, dst, outdeg) once, so every round is ONE join instead of
+    // two — five joins fewer across the chain
     val edgesCte =
-      if (sparkSide) "edges AS (SELECT src, dst FROM graft_pr_edges)"
+      if (sparkSide) "edges AS (SELECT src, dst, outdeg FROM graft_pr_edges)"
       else
         """trade AS (
           SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS p
           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        edges AS (
+        edges0 AS (
           SELECT c AS src, p AS dst FROM trade
           UNION ALL
-          SELECT p AS src, c AS dst FROM trade)"""
+          SELECT p AS src, c AS dst FROM trade),
+        edges AS (
+          SELECT src, dst,
+            CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg
+          FROM edges0)"""
     val sb = new StringBuilder(s"""WITH $edgesCte,
-        deg AS (
-          SELECT src, CAST(count(*) AS BIGINT) AS outdeg
-          FROM edges GROUP BY src),
         p0 AS (
           SELECT src AS v, CAST(1 AS DOUBLE) AS pr
           FROM (SELECT DISTINCT src FROM edges) n0)""")
@@ -275,11 +280,10 @@ object GraphOps extends OpModule {
       sb.append(s""",
         c$k AS (
           SELECT e.dst AS v,
-            CAST(sum(CAST(round(p.pr / d.outdeg, 10) AS DECIMAL(38,10)))
+            CAST(sum(CAST(round(p.pr / e.outdeg, 10) AS DECIMAL(38,10)))
               AS DECIMAL(38,10)) AS s
           FROM edges e
           JOIN p${k - 1} p ON e.src = p.v
-          JOIN deg d ON e.src = d.src
           GROUP BY e.dst),
         p$k AS (
           SELECT v, round(15e-2 + 85e-2 * CAST(s AS DOUBLE), 10) AS pr
@@ -508,8 +512,14 @@ object GraphOps extends OpModule {
             .select((col("o_custkey") * 2).as("c"),
               (col("l_suppkey") * 2 + 1).as("p"))
             .distinct()
-          val e = trade.select(col("c").as("src"), col("p").as("dst"))
+          val edges0 = trade.select(col("c").as("src"), col("p").as("dst"))
             .unionByName(trade.select(col("p").as("src"), col("c").as("dst")))
+          // loop-invariant outdeg attached ONCE (the float kernel's
+          // degree-join hoist) — per-round work drops to one join
+          val e = edges0
+            .withColumn("outdeg",
+              count(lit(1)).over(org.apache.spark.sql.expressions.Window
+                .partitionBy("src")).cast("long"))
             .persist()
           e.count()
           e
