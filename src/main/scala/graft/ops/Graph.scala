@@ -210,29 +210,33 @@ object GraphOps extends OpModule {
     // (never a separate max CTE consumed beside the sums CTE — a
     // second reference per level builds the ~2^depth duplicated tree
     // of the r15 kcore lesson: at 10 levels the inlined plan carried
-    // ~1024 copies of the base join and OOM'd the sf0.1 soak)
+    // ~1024 copies of the base join and OOM'd the sf0.1 soak).
+    // Only the HUB side normalizes per round: with hub ≤ 1 the raw
+    // auth sums are bounded by in-degree (≤ |customers| — far inside
+    // DECIMAL(38,10) at any scale), and max-normalization is
+    // scale-invariant, so normalizing auth once at the very end
+    // yields the same scores while halving the single-partition
+    // window stages (the chain's latency floor).
     for (k <- 1 to rounds) {
       sb.append(s""",
         a$k AS (
-          SELECT s, CAST(round(CAST(x AS DOUBLE)
-            / CAST(max(x) OVER () AS DOUBLE), 10)
-            AS DECIMAL(38,10)) AS auth
-          FROM (
-            SELECT e.dst AS s, CAST(sum(h.hub) AS DECIMAL(38,10)) AS x
-            FROM edges e JOIN h${k - 1} h ON e.src = h.c
-            GROUP BY e.dst) a${k}s)""")
+          SELECT e.dst AS s, CAST(sum(h.hub) AS DECIMAL(38,10)) AS x
+          FROM edges e JOIN h${k - 1} h ON e.src = h.c
+          GROUP BY e.dst)""")
       if (k < rounds) sb.append(s""",
         h$k AS (
           SELECT c, CAST(round(CAST(x AS DOUBLE)
             / CAST(max(x) OVER () AS DOUBLE), 10)
             AS DECIMAL(38,10)) AS hub
           FROM (
-            SELECT e.src AS c, CAST(sum(a.auth) AS DECIMAL(38,10)) AS x
+            SELECT e.src AS c, CAST(sum(a.x) AS DECIMAL(38,10)) AS x
             FROM edges e JOIN a$k a ON e.dst = a.s
             GROUP BY e.src) h${k}s)""")
     }
     sb.append(s"""
-        SELECT s AS supplier, round(CAST(auth AS DOUBLE), 6) AS auth
+        SELECT s AS supplier,
+          round(CAST(x AS DOUBLE) / CAST(max(x) OVER () AS DOUBLE), 6)
+            AS auth
         FROM a$rounds
         ORDER BY auth DESC, supplier ASC LIMIT 20""")
     sb.toString
