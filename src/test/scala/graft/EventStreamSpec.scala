@@ -1090,6 +1090,53 @@ class EventStreamSpec extends SparkSpec {
       "fixture gave no cross-restart close — split drifted")
   }
 
+  test("CEP pattern resumes from checkpointed lookback state across a restart") {
+    val dir = tmpDir("graft_cep_replay")
+    // the corpus alone does not guarantee a run straddling the exact
+    // midpoint, so PLANT one on an out-of-corpus user: view + click
+    // pre-restart, purchase post-restart — it can only fire from
+    // checkpointed lookback state
+    val plantUid = 1000000007L
+    val b0 = rawNsEvents.agg(min("ts"), max("ts"), max("event_id")).head()
+    val midNs = (b0.getLong(0) + b0.getLong(1)) / 2
+    val idBase = b0.getLong(2) + 1
+    import spark.implicits._
+    val planted = Seq(
+      (idBase, midNs - 2000000000L, plantUid, "view", 1.0, "{}"),
+      (idBase + 1, midNs - 1000000000L, plantUid, "click", 1.0, "{}"),
+      (idBase + 2, midNs + 1000000000L, plantUid, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ev = rawNsEvents.unionByName(planted)
+    ev.filter(col("ts") < midNs).write.mode("overwrite").parquet(s"$dir/in")
+    def startQuery() = {
+      val src = spark.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/in")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      EventStreams.patternSeqStream(EventStreams.toFoldEvents(src)).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    ev.filter(col("ts") >= midNs).write.mode("append").parquet(s"$dir/in")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly the batch op's corpus matches + the planted straddle,
+    // each fired once (the planted one only exists if the restart
+    // resumed the two-event lookback from the checkpoint)
+    val expected = SparkEntry.queries("stream_pattern_seq")(spark, sf001)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("span_us"))).toSet
+    val plantedMatch = (plantUid, idBase, idBase + 2, 3000000L)
+    assert(got.toSet == expected + plantedMatch)
+    assert(got.length == expected.size + 1,
+      "a restart double-fired a match")
+    assert(expected.nonEmpty)
+  }
+
   test("debounce resumes from checkpointed kept-position state across a restart") {
     val dir = tmpDir("graft_debounce_replay")
     val gap = 48L * 3600 * 1000000
