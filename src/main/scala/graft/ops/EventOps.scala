@@ -93,9 +93,14 @@ object EventOps extends OpModule {
     * (Spark DIV / DuckDB //); everything downstream is the identical
     * exact-int + fixed-IEEE-sequence text. A zero-variance pre-period
     * (n·sxx = sx², e.g. every user had identical — or zero —
-    * pre-period spend) degrades theta to 0, which reduces CUPED to
-    * the plain post-period mean instead of poisoning adj_mean with a
-    * NaN/Inf the two engines could render differently. */
+    * pre-period spend) degrades theta AND adj_mean to NULL — the
+    * sweep-wide convention (degenerate → NULL, never an
+    * engine-divergent NaN/Inf, and never a silently plausible
+    * fallback value): a theta of literal 0 is a legitimate
+    * no-correlation estimate, so the r18 guard's theta := 0 left a
+    * consumer unable to tell a real adjustment from the degraded
+    * case (ADVICE r18). mean_post/mean_pre stay populated, so the
+    * un-adjusted readout survives the degenerate input. */
   private def cupedSql(table: String): String = {
     val spark = table.startsWith("graft_")
     val arm =
@@ -136,7 +141,7 @@ object EventOps extends OpModule {
           SELECT CAST(n AS DOUBLE) AS n_d, CAST(sx AS DOUBLE) AS sx_d,
             CASE WHEN CAST(n AS DECIMAL(33,0))*sxx
                       - CAST(sx AS DECIMAL(33,0))*sx = 0
-                 THEN CAST(0 AS DOUBLE)
+                 THEN CAST(NULL AS DOUBLE)
                  ELSE CAST(CAST(n AS DECIMAL(33,0))*sxy
                       - CAST(sx AS DECIMAL(33,0))*sy AS DOUBLE) /
                  CAST(CAST(n AS DECIMAL(33,0))*sxx

@@ -386,7 +386,13 @@ object Relational extends OpModule {
     // from any other fixture cannot alias the expected bytes.
     Op("scan_dsv2_roundtrip",
       (s, d) => {
-        val path = "/tmp/graft_scan_fixtures/nation_v2_roundtrip.csv"
+        // (session, corpus)-keyed path (ADVICE r18): a shared
+        // hard-coded /tmp file races when two sessions run
+        // concurrently on one host — one overwrites while the other
+        // reads. The oracle never touches this path (it recomputes
+        // the relation from the source table), so keying is free.
+        val path =
+          s"${Tables.fixtureRoot(s, d, "dsv2_roundtrip")}/nation_v2_roundtrip.csv"
         Tables.nation(s, d)
           .select(
             (col("n_nationkey") + 100).cast("long").as("n_nationkey"),

@@ -968,7 +968,12 @@ object EventStreams {
     * Same in-order-delivery precondition across micro-batches as the
     * other CDC twins (true of a position-ordered binlog feed);
     * within a batch the handler sorts its key's rows by (ts,
-    * position), so intra-batch arrival order never matters. 100 TB:
+    * position), so intra-batch arrival order never matters — and
+    * since r19 the CROSS-batch case is enforced, not just
+    * documented: an event timestamped before the checkpointed open
+    * version fails the batch with the key and both timestamps named
+    * (ADVICE r18 — the silent alternative was an inverted interval
+    * undetectable downstream). 100 TB:
     * state is O(1) per key, sharded by pk with the groupBy; emissions
     * are per-change, never per-state-scan.
     */
@@ -996,6 +1001,21 @@ object EventStreams {
         }
         // any change (deletes included) closes the open version
         cur.foreach { o =>
+          // enforce the cross-batch in-order precondition (ADVICE
+          // r18): the intra-batch sort cannot order an event against
+          // the CHECKPOINTED open version, so a feed that delivers
+          // ts < the open version's ts across a batch boundary would
+          // silently emit an inverted [valid_from, valid_to)
+          // interval (valid_to < valid_from) that nothing downstream
+          // can detect. Fail fast with the key and both timestamps —
+          // a mis-ordered feed is a broken capture pipeline, not a
+          // case to paper over.
+          if (e.ts_us < o.ts_us)
+            throw new IllegalStateException(
+              s"SCD2 in-order precondition violated for key $pk: " +
+                s"event at ts_us=${e.ts_us} (position ${e.event_id}) " +
+                s"arrived after open version at ts_us=${o.ts_us} " +
+                s"(position ${o.position}) from an earlier micro-batch")
           out += Scd2Row(pk, o.position, o.op, o.ts_us, Some(e.ts_us),
             o.value)
         }

@@ -629,6 +629,40 @@ class EventStreamSpec extends SparkSpec {
       s"got $table")
   }
 
+  test("streaming SCD2: a cross-batch out-of-order event FAILS the batch instead of emitting an inverted interval") {
+    // ADVICE r18: the intra-batch sort cannot order an event against
+    // the CHECKPOINTED open version — before the guard, an event
+    // timestamped earlier than the open version silently produced
+    // [valid_from, valid_to) with valid_to < valid_from, undetectable
+    // downstream. Plant exactly that feed and require the query to
+    // fail with the named precondition.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.FoldEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[FoldEvent]
+    val q = EventStreams.buildScd2Stream(in.toDS()).toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_scd2_misorder").start()
+    def ev(id: Long, tSec: Long, tpe: String, v: Double) =
+      FoldEvent(id, 9L, tSec * 1000000L, tpe, v)
+    try {
+      in.addData(ev(1, 100, "signup", 1.0))
+      q.processAllAvailable()
+      // batch 2 delivers ts 50 < the open version's ts 100
+      in.addData(ev(2, 50, "click", 2.0))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(err).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("in-order precondition violated for key 9")),
+        s"expected the SCD2 misorder guard, got: $err")
+    } finally q.stop()
+  }
+
   test("streaming gap audit: live in-block detection + block-summary assembly equals batch cdc_gap_audit") {
     import spark.implicits._
     val batch = SparkEntry.queries("cdc_gap_audit")(spark, sf001)
