@@ -1281,6 +1281,401 @@ class EventStreamSpec extends SparkSpec {
       .count() > 0, "fixture gave no cross-restart credit — split drifted")
   }
 
+  // ── r19: crash-resume parity for the REMAINING stateful processors
+  // (VERDICT r18 "next round" #3). Template = the fold/SCD2/CEP/
+  // debounce/attribution restart specs above: split the input, run to
+  // a checkpoint, STOP the query, append the rest, restart from the
+  // same checkpoint, prove the total output ≡ the batch op, and plant
+  // an assertion that the restart boundary was genuinely crossed with
+  // carried state (not vacuously green on a lucky split).
+
+  test("cdc envelope resumes from checkpointed before-image state across a restart") {
+    val dir = tmpDir("graft_cdcenv_replay")
+    val ev = rawNsEvents
+    // TIME split: the before-image chain is order-sensitive per pk
+    val b = ev.agg(min("ts"), max("ts")).head()
+    val midNs = (b.getLong(0) + b.getLong(1)) / 2
+    ev.filter(col("ts") < midNs).write.mode("overwrite").parquet(s"$dir/in")
+    def startQuery() = {
+      val src = spark.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/in")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      EventStreams.cdcEnvelopeStream(EventStreams.toFoldEvents(src)).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    ev.filter(col("ts") >= midNs).write.mode("append").parquet(s"$dir/in")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val cols = Seq("position", "pk", "ts_us", "op", "txn_id", "txn_seq",
+      "before_value", "after_value", "ddl_stmt")
+    val got = spark.read.parquet(s"$dir/out")
+      .select(cols.map(col): _*).orderBy("position").collect().toSeq
+    val batch = EventStreams.envelopeTxn(batchEvents)
+      .select(col("position"), col("pk"), unix_micros(col("ts")).as("ts_us"),
+        col("op"), col("txn_id"), col("txn_seq"),
+        col("before.value").as("before_value"),
+        col("after.value").as("after_value"), col("ddl_stmt"))
+      .orderBy("position").collect().toSeq
+    assert(got == batch)
+    assert(batch.nonEmpty)
+    // carried across the restart: some record emitted at-or-after mid
+    // carries a BEFORE image whose source event arrived before mid —
+    // possible only via the checkpointed last-image state
+    val midUs = midNs / 1000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy("position")
+    val crossing = spark.read.parquet(s"$dir/out")
+      .withColumn("prev_ts", lag("ts_us", 1).over(w))
+      .filter(col("ts_us") >= midUs && col("prev_ts") < midUs &&
+        col("before_value").isNotNull)
+    assert(crossing.count() > 0,
+      "fixture gave no cross-restart before-image — split drifted")
+  }
+
+  test("LOCF resumes from checkpointed newest-good-reading state across a restart") {
+    val dir = tmpDir("graft_locf_replay")
+    val ev = rawNsEvents
+    val b = ev.agg(min("ts"), max("ts")).head()
+    val midNs = (b.getLong(0) + b.getLong(1)) / 2
+    ev.filter(col("ts") < midNs).write.mode("overwrite").parquet(s"$dir/in")
+    def startQuery() = {
+      val src = spark.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/in")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      EventStreams.fillForward(EventStreams.toLocfEvents(src)).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    ev.filter(col("ts") >= midNs).write.mode("append").parquet(s"$dir/in")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("event_id", "reading", "reading_ffill")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq.sortBy(_._1)
+    val batch = SparkEntry.queries("win_fill_forward")(spark, sf001)
+      .select("event_id", "reading", "reading_ffill")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSeq.sortBy(_._1)
+    assert(got == batch)
+    assert(batch.nonEmpty)
+    // a post-restart void was filled by a PRE-restart reading — the
+    // fill source can only live in the checkpointed state
+    val midUs = midNs / 1000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val crossing = spark.read.parquet(s"$dir/out")
+      .withColumn("src_ts", last(
+        when(col("reading").isNotNull, col("ts_us")),
+        ignoreNulls = true).over(w))
+      .filter(col("reading").isNull && col("reading_ffill").isNotNull &&
+        col("ts_us") >= midUs && col("src_ts") < midUs)
+    assert(crossing.count() > 0,
+      "fixture gave no cross-restart fill — split drifted")
+  }
+
+  test("upsert-evolve resumes from checkpointed per-key images across a restart") {
+    val dir = tmpDir("graft_upsert_replay")
+    val ev = rawNsEvents
+    val b = ev.agg(min("ts"), max("ts")).head()
+    val midNs = (b.getLong(0) + b.getLong(1)) / 2
+    val ddlPos = batchEvents.filter(col("event_type") === "view")
+      .agg(min("event_id")).head().getLong(0)
+    ev.filter(col("ts") < midNs).write.mode("overwrite").parquet(s"$dir/in")
+    def startQuery() = {
+      val src = spark.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/in")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      EventStreams.cdcApplyUpsertEvolvingStream(
+          EventStreams.toFoldEvents(src), ddlPos).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$dir/out/batch_$id"); ()
+        }.start()
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    ev.filter(col("ts") >= midNs).write.mode("append").parquet(s"$dir/in")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val emitted = spark.read.parquet(s"$dir/out/batch_*")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    val finalState = emitted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .drop("rn", "n_seen")
+      .orderBy("user_id").collect().toSeq
+    val batch = EventStreams.cdcApplyUpsertEvolving(batchEvents)
+      .orderBy("user_id").collect().toSeq
+    assert(finalState == batch)
+    assert(batch.nonEmpty)
+    // the per-key n_seen counters RESUMED (a restart that reset state
+    // would leave max n_seen short of the full per-key event count).
+    // 'view' rows are the DDL channel here — arbitrate(viewIsDdl =
+    // true) never counts them
+    val seen = emitted.groupBy("user_id").agg(max("n_seen").as("mx"))
+    val full = batchEvents.filter(col("event_type") =!= "view")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(seen.join(full, "user_id")
+      .filter(col("mx") =!= col("n")).count() == 0,
+      "some key's n_seen did not resume across the restart")
+    val midUs = midNs / 1000
+    assert(batchEvents.filter(unix_micros(col("ts")) >= midUs).count() > 0 &&
+      batchEvents.filter(unix_micros(col("ts")) < midUs).count() > 0,
+      "split drifted — one side empty")
+  }
+
+  test("snapshot-asof resumes its position-bounded replay across a restart") {
+    val dir = tmpDir("graft_snap_replay")
+    val ev = rawNsEvents
+    val asof = Tables.events(spark, sf001)
+      .agg(max("event_id")).head().getLong(0) * 3 / 5
+    val b = ev.agg(min("ts"), max("ts")).head()
+    val midNs = (b.getLong(0) + b.getLong(1)) / 2
+    ev.filter(col("ts") < midNs).write.mode("overwrite").parquet(s"$dir/in")
+    def startQuery() = {
+      val src = spark.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/in")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      EventStreams.cdcSnapshotAsOfStream(
+          EventStreams.toFoldEvents(src), asof).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$dir/out/batch_$id"); ()
+        }.start()
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    ev.filter(col("ts") >= midNs).write.mode("append").parquet(s"$dir/in")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val emitted = spark.read.parquet(s"$dir/out/batch_*")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    val finalState = emitted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D").drop("rn", "n_seen")
+      .orderBy("user_id").collect().toSeq
+    val batch = EventStreams.cdcSnapshotAsOf(Tables.events(spark, sf001))
+      .drop("asof_pos").orderBy("user_id").collect().toSeq
+    assert(finalState == batch)
+    assert(batch.nonEmpty)
+    // counters resumed: per key, max n_seen == that key's in-bound
+    // event count over the WHOLE log
+    val seen = emitted.groupBy("user_id").agg(max("n_seen").as("mx"))
+    val full = batchEvents.filter(col("event_id") <= asof)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(seen.join(full, "user_id")
+      .filter(col("mx") =!= col("n")).count() == 0,
+      "some key's replay did not resume across the restart")
+    // the bounded replay genuinely straddled the restart
+    val midUs = midNs / 1000
+    assert(batchEvents.filter(col("event_id") <= asof)
+      .filter(unix_micros(col("ts")) >= midUs).count() > 0,
+      "no in-bound events after the restart — split drifted")
+  }
+
+  test("gap audit resumes from checkpointed last-position state across a restart") {
+    val dir = tmpDir("graft_gap_replay")
+    val batch = SparkEntry.queries("cdc_gap_audit")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // same planted holes as the batch op (positions ≡ 0 mod 97
+    // removed); split AT one of the holes, chosen block-INTERIOR for
+    // blockW = 1024 so detecting it needs the checkpointed in-block
+    // last-position, not the cross-block summary lag
+    val ids = rawNsEvents.filter(col("event_id") % 97 =!= 0)
+    val maxId = ids.agg(max("event_id")).head().getLong(0)
+    val mid = (maxId / 2 / 97 * 97 to maxId by 97)
+      .find(m => (m - 1) / 1024 == (m + 1) / 1024)
+      .getOrElse(fail("no block-interior hole found"))
+    ids.filter(col("event_id") < mid).write.mode("overwrite")
+      .parquet(s"$dir/in")
+    def startQuery() = {
+      val raw = spark.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/in")
+      EventStreams.gapAuditStream(raw.select("event_id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong)).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    ids.filter(col("event_id") >= mid).write.mode("append")
+      .parquet(s"$dir/in")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val got = EventStreams.assembleGapAudit(spark.read.parquet(s"$dir/out"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == batch)
+    assert(batch.nonEmpty)
+    // the hole AT the restart boundary was detected — its left
+    // neighbor arrived pre-restart, its right neighbor post-restart,
+    // so only the checkpointed last-position could see the jump
+    assert(got.exists(g => g._1 <= mid && mid <= g._2),
+      s"the planted cross-restart hole at $mid was not audited")
+  }
+
+  test("hourly counts resume from checkpointed per-hour state across a restart") {
+    val dir = tmpDir("graft_anom_replay")
+    val batch = SparkEntry.queries("stream_anomaly_zscore")(spark, sf001)
+      .collect().toSeq
+    val ev = rawNsEvents
+    val mid = ev.agg(max("event_id")).head().getLong(0) / 2
+    ev.filter(col("event_id") < mid).write.mode("overwrite")
+      .parquet(s"$dir/in")
+    def startQuery() = {
+      val raw = spark.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/in")
+      val typed = raw.select(col("event_type"),
+          expr("(ts DIV 1000) DIV 3600000000").as("hour_id"))
+        .as[(String, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+      EventStreams.hourlyCountsStream(typed).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$dir/out/batch_$id"); ()
+        }.start()
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val run1Batches = new java.io.File(s"$dir/out").list().toSet
+    ev.filter(col("event_id") >= mid).write.mode("append")
+      .parquet(s"$dir/in")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val emitted = spark.read.parquet(s"$dir/out/batch_*")
+    val got = EventStreams.assembleAnomalyZscore(emitted).collect().toSeq
+    assert(got == batch)
+    assert(batch.nonEmpty)
+    // some hour's count GREW across the restart: emitted in both a
+    // run-1 and a run-2 batch with a larger count the second time —
+    // a reset counter could never exceed its run-1 value with only
+    // the post-restart events of that hour... but ≡-batch above
+    // already pins the totals; here pin the boundary was crossed
+    val run2Batches = new java.io.File(s"$dir/out").list().toSet -- run1Batches
+    assert(run2Batches.nonEmpty, "restart produced no new batches")
+    val r1 = spark.read.parquet(run1Batches.map(b => s"$dir/out/$b").toSeq: _*)
+      .groupBy("event_type", "hour_id").agg(max("x").as("x1"))
+    val r2 = spark.read.parquet(run2Batches.map(b => s"$dir/out/$b").toSeq: _*)
+      .groupBy("event_type", "hour_id").agg(max("x").as("x2"))
+    assert(r1.join(r2, Seq("event_type", "hour_id"))
+      .filter(col("x2") > col("x1")).count() > 0,
+      "no hour's count grew across the restart — split drifted")
+  }
+
+  test("session timers resume from checkpointed sessions AND timers across a restart") {
+    import graft.streaming.StatefulProcessors
+    val dir = tmpDir("graft_sess_replay")
+    Tables.configure(spark)
+    val ev = rawNsEvents
+    val b = ev.agg(min("ts"), max("ts")).head()
+    val midNs = (b.getLong(0) + b.getLong(1)) / 2
+    ev.filter(col("ts") < midNs).write.mode("overwrite").parquet(s"$dir/in")
+    def startQuery() = {
+      val raw = spark.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/in")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val timed = raw.select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+        .as[StatefulProcessors.TimedEvent](
+          org.apache.spark.sql.Encoders.product[StatefulProcessors.TimedEvent])
+        .withWatermark("ts", "0 seconds")
+      StatefulProcessors.sessionsWithTimers(timed).toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val afterRun1 = spark.read.parquet(s"$dir/out")
+      .collect().map(_.toString).toSet
+    // run 2: the rest of the log, then a sentinel 2 h past the data so
+    // the RESTORED timers close every tail session in a no-data batch
+    ev.filter(col("ts") >= midNs).write.mode("append").parquet(s"$dir/in")
+    val sentinel = Tables.events(spark, sf001)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) +
+      2L * 3600 * 1000 * 1000
+    locally { import spark.implicits._
+      Seq((9999999L, sentinel * 1000L, 10000000L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(s"$dir/in") }
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .filter(col("user_id") =!= 10000000L)
+      .withColumn("total_value", round(col("total_value"), 6))
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    val batch = EventStreams.sessionized(batchEvents)
+      .select(col("user_id"), col("session_start_us"), col("n_events"),
+        col("total_value"))
+      .orderBy("user_id", "session_start_us").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // a session OPENED before the restart closed after it — emitted by
+    // run 2 with a pre-restart start, possible only from checkpointed
+    // session state (and, for the tail sessions, restored timers)
+    val midUs = midNs / 1000
+    val run2New = spark.read.parquet(s"$dir/out")
+      .filter(col("user_id") =!= 10000000L)
+      .collect().filter(r => !afterRun1.contains(r.toString))
+    assert(run2New.exists(_.getLong(1) < midUs),
+      "no session straddled the restart — split drifted")
+  }
+
+  test("profile resumes MapState counters and the bounded error buffer across a restart") {
+    import graft.streaming.StatefulProcessors
+    val dir = tmpDir("graft_profile_replay")
+    Tables.configure(spark)
+    val evs = EventStreams.toFoldEvents(batchEvents).collect().toSeq
+    val mid = (evs.map(_.ts_us).min + evs.map(_.ts_us).max) / 2
+    val ev = rawNsEvents
+    ev.filter(expr("ts DIV 1000") < mid).write.mode("overwrite")
+      .parquet(s"$dir/in")
+    def startQuery() = {
+      val raw = spark.readStream.schema(EventStreams.rawSchema)
+        .parquet(s"$dir/in")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      StatefulProcessors.userProfiles(EventStreams.toFoldEvents(raw)).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.write.mode("overwrite").parquet(s"$dir/out/batch_$id"); ()
+        }.start()
+    }
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    ev.filter(expr("ts DIV 1000") >= mid).write.mode("append")
+      .parquet(s"$dir/in")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_total").desc)
+    val streamed = spark.read.parquet(s"$dir/out/batch_*")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n_total", "n_types", "top_type", "recent_error_ids")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getSeq[Long](4).toList)).toSet
+    val expected = evs.groupBy(_.user_id).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts_us, e.event_id))
+      val counts = sorted.groupBy(_.event_type).view.mapValues(_.size.toLong).toMap
+      val top = counts.toSeq.minBy { case (t, n) => (-n, t) }._1
+      val errs = sorted.filter(_.event_type == "error").map(_.event_id).takeRight(3)
+      (u, es.size.toLong, counts.size.toLong, top, errs.toList)
+    }.toSet
+    assert(streamed == expected)
+    // the bounded buffer genuinely straddled the restart: some user's
+    // final error window holds ids from BOTH sides of the split —
+    // only possible if the ListState was restored, since a reset
+    // buffer could hold post-restart ids alone
+    val errTs = evs.filter(_.event_type == "error")
+      .map(e => e.event_id -> e.ts_us).toMap
+    assert(expected.exists { case (_, _, _, _, errIds) =>
+      errIds.exists(id => errTs(id) < mid) &&
+        errIds.exists(id => errTs(id) >= mid)
+    }, "no error buffer straddled the restart — split drifted")
+  }
+
   test("rate source: synthetic load generator drives the same transforms") {
     val rate = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
       .select(col("value").as("event_id"), col("timestamp").as("ts"),
