@@ -405,11 +405,53 @@ object LayoutOps extends OpModule {
   private val compactFragWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Run the `layout_compact` maintenance cycle: write the
+    * 64-shard fragmented demo input once per (session, corpus), then
+    * compact it. Shared by `layout_compact` (file-grain readout,
+    * rows-only) and `layout_compact_digest` (content readout, fully
+    * oracled — r19). Returns (dstDir, files_before, files_after,
+    * rows). */
+  private def compactCycle(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, Int, Int, Long) = {
+    // SESSION-scoped root: sessions never overwrite each other's
+    // scratch mid-scan, and the memo below can't outlive its files
+    val root = Tables.fixtureRoot(s, d, "compact_demo")
+    val (srcDir, dstDir) = (s"$root/frag", s"$root/compacted")
+    // the fragmented INPUT is fixture setup (in production it is
+    // the stream sink's own output, which a maintenance run never
+    // re-creates) — write it once per (session, corpus) so the
+    // steady-state run measures the compact cycle itself; the cold
+    // pass still carries (and discloses) the fixture write, the
+    // same split llm_ivf_append_probe reports. Memoized only AFTER
+    // the write succeeds (a failed write must retry, never feed
+    // compact a partial dir); root.intern guards same-session
+    // concurrent callers
+    root.intern.synchronized {
+      if (!compactFragWritten.contains(root) ||
+          !new java.io.File(srcDir).exists()) {
+        Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+          .repartition(64, col("c_custkey"))
+          .write.mode("overwrite").parquet(srcDir)
+        compactFragWritten.add(root)
+      }
+    }
+    val (before, after, rows) =
+      compact(s, srcDir, dstDir, "c_custkey", targetRowsPerFile = 500L)
+    (dstDir, before, after, rows)
+  }
+
   /** Delete this session's `layout_compact` scratch dirs — teardown
     * for a long-lived service, mirroring `LlmOps.evictIvfCache`. */
   def evictCompactScratch(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // the scratch lives under Tables.fixtureRoot(_, _, "compact_demo")
+    // = /tmp/graft_fixtures/compact_demo/<sid>/<corpus-digest> (the
+    // r18-and-earlier prefix /tmp/graft_compact_demo predates the
+    // fixtureRoot move and matched NOTHING, so eviction of the memo
+    // keys silently no-opped — caught in the r19 refactor; harmless
+    // only because misses re-verify the dir on disk)
     val prefix =
-      s"/tmp/graft_compact_demo/${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}"
+      s"/tmp/graft_fixtures/compact_demo/${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}"
     val it = compactFragWritten.iterator()
     while (it.hasNext) {
       val root = it.next()
@@ -954,31 +996,7 @@ object LayoutOps extends OpModule {
       // and overwritten in place each run, so a long-lived service's
       // repeat cadence holds /tmp at one copy per corpus.
       (s, d) => {
-        // SESSION-scoped root: sessions never overwrite each other's
-        // scratch mid-scan, and the memo below can't outlive its files
-        val root = Tables.fixtureRoot(s, d, "compact_demo")
-        val (srcDir, dstDir) = (s"$root/frag", s"$root/compacted")
-        // the fragmented INPUT is fixture setup (in production it is
-        // the stream sink's own output, which a maintenance run never
-        // re-creates) — write it once per (session, corpus) so the
-        // steady-state run measures the compact cycle itself; the cold
-        // pass still carries (and discloses) the fixture write, the
-        // same split llm_ivf_append_probe reports. Memoized only AFTER
-        // the write succeeds (a failed write must retry, never feed
-        // compact a partial dir); root.intern guards same-session
-        // concurrent callers of this query
-        root.intern.synchronized {
-          if (!compactFragWritten.contains(root) ||
-              !new java.io.File(srcDir).exists()) {
-            Tables.customer(s, d)
-              .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
-              .repartition(64, col("c_custkey"))
-              .write.mode("overwrite").parquet(srcDir)
-            compactFragWritten.add(root)
-          }
-        }
-        val (before, after, rows) =
-          compact(s, srcDir, dstDir, "c_custkey", targetRowsPerFile = 500L)
+        val (dstDir, before, after, rows) = compactCycle(s, d)
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("min_key"))
         s.read.parquet(dstDir)
           .groupBy(input_file_name().as("f"))
@@ -993,6 +1011,56 @@ object LayoutOps extends OpModule {
           .orderBy("file_seq")
       },
       None),
+
+    Op("layout_compact_digest",
+      // the CONTENT half of the maintenance cycle under the hash gate
+      // (VERDICT r18 #4 — the abc_approx lesson applied once more):
+      // layout_compact's per-FILE readout is rows-only by necessity
+      // (file boundaries come from Spark's range-partitioner
+      // sampling, which no portable SQL reproduces), but what the
+      // cycle must PRESERVE — the table's rows — is not
+      // engine-specific at all. This sibling runs the SAME cycle
+      // (shared compactCycle: fixture write, fragment, compact), then
+      // computes the table_checksum digest over the POST-COMPACT
+      // files: per-row md5 fingerprint over a canonical '|'-joined
+      // rendering (acctbal via round(·*100) cents — never a raw
+      // double), SUM + XOR combined (order/partition/file-split
+      // independent). The oracle recomputes the identical digest
+      // from the customer table directly — a green hash row proves
+      // the maintenance cycle is content-preserving END-TO-END under
+      // the driver's gate, not just under LayoutSpec's in-engine
+      // row-preservation pin. 100 TB: one scan of the compacted
+      // table, map-side partial agg, 3 numbers per partition.
+      (s, d) => {
+        val (dstDir, _, _, _) = compactCycle(s, d)
+        val h = md5(concat_ws("|",
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")))
+        s.read.parquet(dstDir)
+          .select(conv(substring(h, 1, 8), 16, 10).cast("decimal(38,0)")
+            .as("fp"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("fp")).cast("long").as("checksum_sum"),
+            expr("bit_xor(cast(fp AS bigint))").as("checksum_xor"))
+      },
+      Some("""WITH fp AS (
+                SELECT md5(concat_ws('|', c_custkey, c_name, c_nationkey,
+                         CAST(round(c_acctbal * 100, 0) AS BIGINT))) AS h
+                FROM customer),
+              v AS (SELECT
+                  (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+                + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+                + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+                + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+                + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+                + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+                + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substr(h, 8, 1)) - 1) AS fp
+                FROM fp)
+              SELECT count(*) AS n_rows,
+                CAST(sum(fp) AS BIGINT) AS checksum_sum,
+                CAST(bit_xor(fp) AS BIGINT) AS checksum_xor
+              FROM v""")),
 
     Op("table_checksum",
       // source↔target consistency validation — the artifact a
