@@ -147,6 +147,67 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  property("hitsFixedWithHandle == in-memory DECIMAL recursion (oracle arithmetic) on arbitrary graphs") = {
+    // the r19 rewrite's risk surface: the Spark chain (per-round
+    // persisted frames, co-partitioned joins, literal-max normalizer)
+    // must compute EXACTLY the oracle SQL's arithmetic — DECIMAL(38,10)
+    // sums, round(x/max, 10) re-quantized per round, round(·, 6)
+    // finish — for any graph, not just the trade fixture the hash
+    // gate sees. The reference mirrors each Spark step mechanically:
+    // exact java BigDecimal sums at scale 10; the double round via
+    // BigDecimal.valueOf (Double.toString semantics — what Spark's
+    // round(double, n) and double→decimal cast both use).
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 30)
+      es <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(1L, 8L), Gen.choose(101L, 106L)))
+    } yield es.distinct
+    def hubVal(q: Double): java.math.BigDecimal = {
+      val r = java.math.BigDecimal.valueOf(q)
+        .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue
+      java.math.BigDecimal.valueOf(r)
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+    }
+    def reference(edges: List[(Long, Long)], rounds: Int): Map[Long, Double] = {
+      if (edges.isEmpty) return Map.empty
+      val one = java.math.BigDecimal.ONE.setScale(10)
+      var hub: Map[Long, java.math.BigDecimal] =
+        edges.map(_._1).distinct.map(_ -> one).toMap
+      def sumBy(pairs: List[(Long, java.math.BigDecimal)]) =
+        pairs.groupBy(_._1).view.mapValues(
+          _.map(_._2).reduce(_ add _)).toMap
+      var k = 1
+      var auth: Map[Long, Double] = Map.empty
+      while (k <= rounds) {
+        val a = sumBy(edges.flatMap { case (c, s2) =>
+          hub.get(c).map(h => s2 -> h) })
+        if (k < rounds) {
+          val raw = sumBy(edges.flatMap { case (c, s2) =>
+            a.get(s2).map(x => c -> x) })
+          val mx = raw.values.max.doubleValue
+          hub = raw.view.mapValues(x => hubVal(x.doubleValue / mx)).toMap
+        } else {
+          val mx = a.values.max.doubleValue
+          auth = a.view.mapValues(x =>
+            java.math.BigDecimal.valueOf(x.doubleValue / mx)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue).toMap
+        }
+        k += 1
+      }
+      auth
+    }
+    Prop.forAll(genEdges, Gen.choose(1, 3)) { (edges, rounds) =>
+      val s = spark
+      import s.implicits._
+      val df = edges.toDF("src", "dst")
+      val (out, handles) = ops.GraphOps.hitsFixedWithHandle(df, rounds)
+      val got = out.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      handles.foreach(_.unpersist(blocking = false))
+      got == reference(edges, rounds)
+    }
+  }
+
   property("window_hashes: (h1,h2) pair equality == w-token window equality") = {
     // the llm_dedup_substring posting key (VectorExprs.WindowHashes):
     // equality of the two-lane 128-bit rolling hash must coincide
