@@ -149,7 +149,60 @@ object Aggs extends OpModule {
         WHERE d.ad > 3 * m.mad
         ORDER BY d.event_id"""
 
+  /** Shared SQL for `agg_shipdelay_profile`: exact integer day
+    * deltas collapsed to the (flag, delay-day) VALUE GRID, discrete
+    * P90 read off cumulative counts (the iqr/winsorized discipline —
+    * support-bounded, no corpus window), DECIMAL-summed mean, one
+    * IEEE division. Engine splices: table names + the date
+    * subtraction (`dd`: Spark datediff / DuckDB date minus date —
+    * both exact integer days). */
+  private def shipDelaySql(li: String, ord: String, dd: String): String =
+    s"""WITH j AS (
+          SELECT l.l_returnflag AS flag, $dd AS days
+          FROM $li l JOIN $ord o ON l.l_orderkey = o.o_orderkey),
+        g AS (
+          SELECT flag, days, CAST(count(*) AS BIGINT) AS cnt
+          FROM j GROUP BY flag, days),
+        c AS (
+          SELECT flag, days, cnt,
+            CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+            CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+          FROM g)
+        SELECT flag AS l_returnflag,
+          CAST(max(n) AS BIGINT) AS n,
+          round(CAST(sum(CAST(days * cnt AS DECIMAL(20,0)))
+              AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS avg_days,
+          CAST(min(days) AS BIGINT) AS min_days,
+          CAST(max(days) AS BIGINT) AS max_days,
+          CAST(min(CASE WHEN cum * 10 >= n * 9 THEN days END)
+            AS BIGINT) AS p90_days
+        FROM c GROUP BY flag ORDER BY l_returnflag"""
+
   override def ops: Seq[Op] = Seq(
+
+    Op("agg_shipdelay_profile",
+      // order-to-ship lead time per return flag — the fulfilment SLA
+      // report a logistics/ops dashboard runs nightly (the only
+      // cross-table DATE-INTERVAL analytic in the registry: every
+      // other date op works within one table). Day deltas are exact
+      // integers; the corpus collapses map-side to the (flag,
+      // delay-day) value grid, so the windows below run over a
+      // support-bounded relation (the agg_iqr_outliers argument —
+      // no corpus-sized window, no guard needed); P90 is the
+      // discrete cut off exact cumulative counts; the mean sums
+      // day·count in DECIMAL and finishes with one IEEE division.
+      // 100 TB: one co-partitioned orderkey join (the fact-fact
+      // join every TPC-H variant shares), then grid-grain work only.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_shipd")
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_shipd")
+        s.sql(shipDelaySql("graft_li_shipd", "graft_ord_shipd",
+          "datediff(CAST(l.l_shipdate AS DATE), CAST(o.o_orderdate AS DATE))"))
+      },
+      Some(shipDelaySql("lineitem", "orders",
+        "(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE))"))),
 
     // flagship — TPC-H Q1 shape (SparkEntry.entry points here)
     Op("agg_hash_group",

@@ -617,7 +617,74 @@ object LayoutOps extends OpModule {
           round(min(l2), 6) AS min_l2, round(max(l2), 6) AS max_l2
         FROM v GROUP BY label ORDER BY label"""
 
+  /** Shared SQL for `table_fk_orphans`: one branch per declared
+    * foreign-key edge of the schema, each = child-side row/key
+    * counts + NOT EXISTS orphan counts (null-safe where NOT IN is
+    * not; Spark plans it as a left-anti join). Table names are the
+    * ONLY splice — the arithmetic text is identical. */
+  private def fkOrphansSql(t: String => String): String = {
+    val rels = Seq(
+      ("lineitem.l_orderkey->orders.o_orderkey",
+        t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+      ("lineitem.l_partkey->part.p_partkey",
+        t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+      ("lineitem.l_suppkey->supplier.s_suppkey",
+        t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+      ("orders.o_custkey->customer.c_custkey",
+        t("orders"), "o_custkey", t("customer"), "c_custkey"),
+      ("customer.c_nationkey->nation.n_nationkey",
+        t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+      ("supplier.s_nationkey->nation.n_nationkey",
+        t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+      ("nation.n_regionkey->region.r_regionkey",
+        t("nation"), "n_regionkey", t("region"), "r_regionkey"))
+    rels.map { case (fk, child, ck, parent, pk) =>
+      s"""SELECT '$fk' AS fk,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(count(DISTINCT $ck) AS BIGINT) AS n_keys,
+            CAST(sum(CASE WHEN NOT EXISTS (
+                SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)
+              THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+            CAST(count(DISTINCT CASE WHEN NOT EXISTS (
+                SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)
+              THEN $ck END) AS BIGINT) AS orphan_keys
+          FROM $child c"""
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+  }
+
   def ops: Seq[Op] = Seq(
+
+    Op("table_fk_orphans",
+      // referential-integrity preflight — the data-quality audit a
+      // warehouse runs before trusting joins (dbt relationship
+      // tests / Deequ isContainedIn; a CDC target where deletes
+      // outran inserts, or a partial backfill, shows up here first):
+      // for EVERY declared FK edge of the schema, child row/key
+      // counts plus orphan rows/keys (children whose parent key does
+      // not exist). The non-orphan counts are data-dependent, so the
+      // hash gate checks the counting machinery, and the zero orphan
+      // columns are the audit's assertion on this corpus. NOT EXISTS
+      // (never NOT IN — one NULL parent key silently empties a NOT
+      // IN) plans as a left-anti join per branch. 100 TB: each
+      // branch is key-grain — distinct child keys anti-joined to the
+      // parent key set (broadcast for dims, co-partitioned shuffle
+      // for orders), counts map-combined; seven bounded branches,
+      // never a row-grain product.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_fko_li")
+        Tables.orders(s, d).createOrReplaceTempView("graft_fko_ord")
+        Tables.customer(s, d).createOrReplaceTempView("graft_fko_cust")
+        Tables.supplier(s, d).createOrReplaceTempView("graft_fko_supp")
+        Tables.part(s, d).createOrReplaceTempView("graft_fko_part")
+        Tables.nation(s, d).createOrReplaceTempView("graft_fko_nat")
+        Tables.region(s, d).createOrReplaceTempView("graft_fko_reg")
+        val m = Map("lineitem" -> "graft_fko_li", "orders" -> "graft_fko_ord",
+          "customer" -> "graft_fko_cust", "supplier" -> "graft_fko_supp",
+          "part" -> "graft_fko_part", "nation" -> "graft_fko_nat",
+          "region" -> "graft_fko_reg")
+        s.sql(fkOrphansSql(m))
+      },
+      Some(fkOrphansSql(identity))),
 
     Op("table_embedding_audit",
       // embedding-table hygiene audit — the ingest gate BEFORE any
