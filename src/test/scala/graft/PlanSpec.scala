@@ -679,6 +679,32 @@ class PlanSpec extends SparkSpec {
     ops.GraphOps.evictPrCache(spark)
   }
 
+  test("fk orphans: existence joins with broadcast parents, no cartesian") {
+    // the referential-integrity audit must keep each branch an
+    // ExistenceJoin (NOT EXISTS → anti-join family, key-grain) with
+    // the dimension parents BROADCAST — a refactor that degrades a
+    // NOT EXISTS into a correlated per-row subquery or a cartesian
+    // would be quadratic at scale
+    val p = planOf("table_fk_orphans")
+    assert(p.contains("ExistenceJoin"),
+      s"fk audit lost its existence-join shape:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"fk audit no longer broadcasts dimension parents:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ship-delay profile: windows run over the collapsed day grid, not the corpus") {
+    // the value-grid discipline: the cumulative-count window must
+    // partition by the return flag AFTER the (flag, days) collapse —
+    // a window keyed on the raw joined relation would sort corpus
+    // rows per flag
+    val p = planOf("agg_shipdelay_profile")
+    assert("""windowspecdefinition\(flag#\d+, days#\d+""".r
+      .findFirstIn(p).isDefined,
+      s"ship-delay window no longer runs on the (flag, days) grid:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("graph_hits_fixed: no Window operator anywhere in the chain (broadcast-scalar max)") {
     // the r18 verdict's one weak item: the oracle SQL's per-round
     // `max(x) OVER ()` empty-frame window, executed by Spark, moved
