@@ -822,9 +822,14 @@ object LlmOps extends OpModule {
     * bounded pair generation (SemDeDup row 162; the verdict-r14 #1
     * item). Any cluster with more than `maxClusterSize` members gets
     * Lloyd re-run INSIDE it (k = ⌈size/(cap/2)⌉ sub-centroids, seeds
-    * = the k smallest vec_ids, `iters` refinement passes), members
-    * re-assigned to injectively re-encoded sub-cluster ids, and the
-    * check recursed to `maxDepth` for stragglers. Returns the input
+    * = k members rank-STRIDED across the cluster's vec_id order —
+    * r19: the previous k-smallest-vec_id seeds clump at one end of
+    * id-ordered geometry and stall the split — `iters` refinement
+    * passes), members re-assigned to injectively re-encoded
+    * sub-cluster ids, the check recursed to `maxDepth`, and any
+    * cluster STILL over the cap at depth exhaustion rank-BANDED so
+    * the ≤-cap invariant holds by construction (r19 — the 512× soak
+    * found Lloyd-resistant degenerate clusters). Returns the input
     * DataFrame UNCHANGED (same object — callers key caching off
     * `eq`) when nothing exceeds the cap, so below threshold every
     * existing plan and pin is byte-identical.
@@ -867,8 +872,38 @@ object LlmOps extends OpModule {
       val sizes = cur.groupBy("cid").agg(count(lit(1)).as("sz"))
         .collect().map(r => r.getLong(0) -> r.getLong(1))
       val big = sizes.filter(_._2 > maxClusterSize)
-      if (big.isEmpty || depth >= maxDepth) cur
-      else {
+      if (big.isEmpty) cur
+      else if (depth >= maxDepth) {
+        // HARD BOUND (r19): clusters Lloyd could not split within
+        // maxDepth — degenerate geometry, e.g. hundreds of
+        // near-identical members, where every seed choice yields the
+        // same argmax — get rank-BANDED instead: order members by
+        // vec_id within the cluster and cut every `target` rows, so
+        // the ≤-cap invariant holds BY CONSTRUCTION and the confirm
+        // join's Σ s² ≤ n·cap bound is unconditional. The trade is
+        // the documented SemDeDup boundary loss, and on exactly the
+        // clusters where it matters least: a blob that resists Lloyd
+        // is mutually near-identical, so any band still carries the
+        // dup signal and the drop rule keeps one representative per
+        // band. Found at the 512× soak: replica-shifted embeddings
+        // form tight lines; smallest-vec_id seeds clumped at one end,
+        // each depth peeled only the seed neighborhood, and the
+        // stragglers' pair join went quadratic (1727 s cold — vs
+        // linear after this bound).
+        val bigDf = broadcast(big.map(_._1).toSeq.toDF("cid"))
+        val keep = cur.join(bigDf, Seq("cid"), "left_anti")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy("vec_id")
+        val off = sizes.map(_._1).max + 1
+        val maxBands = big.map { case (_, sz) =>
+          math.ceil(sz.toDouble / target).toLong }.max
+        val banded = cur.join(bigDf, Seq("cid"), "left_semi")
+          .withColumn("rn", row_number().over(w))
+          .select(col("vec_id"), col("e"),
+            (lit(off) + col("cid") * lit(maxBands) +
+              ((col("rn") - 1) / lit(target)).cast("long")).as("cid"))
+        keep.select("vec_id", "e", "cid").unionByName(banded)
+      } else {
         val bigDf = broadcast(big.map(_._1).toSeq.toDF("cid"))
         val keep = cur.join(bigDf, Seq("cid"), "left_anti")
         val mem = cur.join(bigDf, Seq("cid"), "left_semi")
@@ -878,14 +913,27 @@ object LlmOps extends OpModule {
           cid -> math.max(2, math.min(64,
             math.ceil(sz.toDouble / target).toInt))
         }.toMap
-        // seeds: the k_c smallest vec_ids per cluster — one window
-        // (cold path only; the result is cached by the caller)
+        val szOf: Map[Long, Long] = big.toMap
+        // seeds: k_c members rank-STRIDED across the cluster's
+        // vec_id order (the Bresenham selector ((rn−1)·k) mod sz <
+        // k picks exactly k evenly spaced ranks; seed index =
+        // (rn−1)·k DIV sz is injective over the picks). r18 used the
+        // k SMALLEST vec_ids — for ordered geometry (the 512× soak's
+        // replica-shifted lines, or any id-correlated embedding
+        // drift) that clumps every seed at one end of the cluster,
+        // Lloyd assigns ~everything to the clump's far edge, and the
+        // split stalls against maxDepth. One window either way (cold
+        // path only; the result is cached by the caller).
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("cid").orderBy("vec_id")
+        val kCol = element_at(typedLit(kOf), col("cid")).cast("long")
+        val szCol = element_at(typedLit(szOf), col("cid"))
         val seedRows = mem
           .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= element_at(typedLit(kOf), col("cid")))
-          .select(col("cid"), col("rn"), col("e"))
+          .filter(((col("rn") - 1) * kCol) % szCol < kCol)
+          .select(col("cid"),
+            (((col("rn") - 1) * kCol) / szCol).cast("int").as("sidx"),
+            col("e"))
           .collect()
         var cents: Map[Long, Seq[Seq[Double]]] = seedRows
           .groupBy(_.getLong(0))
