@@ -567,6 +567,17 @@ object PipelineOps extends OpModule {
       sig = newSig
       rounds += 1
     }
+    // the r19 semdedup lesson (a guard that can give up needs its
+    // give-up path handled): alternating star contraction provably
+    // converges in O(log n) rounds, so 50 covers ~2^50 components —
+    // but IF that invariant is ever broken (a bug in the round
+    // bodies), exiting here silently would hand back WRONG labels.
+    // Fail loudly instead; correctness never degrades quietly.
+    if (!done)
+      throw new IllegalStateException(
+        s"star contraction did not converge within $rounds rounds — " +
+          "the O(log n) invariant is broken; refusing to emit " +
+          "unconverged component labels")
     // at convergence e holds (child → component-min) star edges; a
     // component's root has no outgoing edge and labels itself
     val labels = nodes
