@@ -899,9 +899,13 @@ object LlmOps extends OpModule {
           math.ceil(sz.toDouble / target).toLong }.max
         val banded = cur.join(bigDf, Seq("cid"), "left_semi")
           .withColumn("rn", row_number().over(w))
+          // integral DIV, not IEEE `/`+cast: the floor is then exact
+          // by construction, not by double-precision headroom (the
+          // numerator stays under 2^53 today, but the intent is
+          // integer band arithmetic — ADVICE r19)
           .select(col("vec_id"), col("e"),
             (lit(off) + col("cid") * lit(maxBands) +
-              ((col("rn") - 1) / lit(target)).cast("long")).as("cid"))
+              expr(s"(rn - 1) DIV $target")).as("cid"))
         keep.select("vec_id", "e", "cid").unionByName(banded)
       } else {
         val bigDf = broadcast(big.map(_._1).toSeq.toDF("cid"))
@@ -930,9 +934,14 @@ object LlmOps extends OpModule {
         val szCol = element_at(typedLit(szOf), col("cid"))
         val seedRows = mem
           .withColumn("rn", row_number().over(w))
-          .filter(((col("rn") - 1) * kCol) % szCol < kCol)
+          .withColumn("kc", kCol)
+          .withColumn("szc", szCol)
+          .filter(((col("rn") - 1) * col("kc")) % col("szc") < col("kc"))
+          // integral DIV for the seed index (ADVICE r19): exact floor
+          // by construction instead of IEEE `/` + cast riding on
+          // sub-2^53 headroom
           .select(col("cid"),
-            (((col("rn") - 1) * kCol) / szCol).cast("int").as("sidx"),
+            expr("CAST(((rn - 1) * kc) DIV szc AS INT)").as("sidx"),
             col("e"))
           .collect()
         var cents: Map[Long, Seq[Seq[Double]]] = seedRows

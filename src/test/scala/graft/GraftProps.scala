@@ -196,7 +196,11 @@ object GraftProps extends Properties("graft") {
       }
       auth
     }
-    Prop.forAll(genEdges, Gen.choose(1, 3)) { (edges, rounds) =>
+    // rounds spans [1, 5]: 5 is the shipped op's production depth —
+    // at ≤30 edges the extra rounds are cheap, and stopping at 3
+    // would leave the arbitrary-graph arithmetic pin short of the
+    // depth the hash gate exercises only on the trade fixture
+    Prop.forAll(genEdges, Gen.choose(1, 5)) { (edges, rounds) =>
       val s = spark
       import s.implicits._
       val df = edges.toDF("src", "dst")
