@@ -370,6 +370,223 @@ object LlmOps extends OpModule {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Shared SQL for `llm_dedup_simhash_md5` — the hash-gated twin of
+    * [[simHashPairs]] (the rendezvous_md5 / abc_approx lesson, applied
+    * a third time): llm_dedup_simhash's no-oracle label belongs to the
+    * Spark-only `graft_simhash_text` HASH, not to the SimHash votes or
+    * the Manku triple-banding, which are pure integer arithmetic. This
+    * twin derives the per-token 64-bit hash from md5 (16 hex digits ×
+    * 4 bits, the table_checksum digit idiom), accumulates the ±1 votes
+    * per bit as exact integers, packs the fingerprint into two 32-bit
+    * halves (bit 63 would overflow a signed BIGINT pack), bands via
+    * the SAME 6-block/20-triple pigeonhole construction as
+    * [[mankuBandVals]], and confirms hamming ≤ 3 by
+    * bit_count(xor(half_a, half_b)) — every stage integer-exact, so
+    * the full pair relation hash-matches DuckDB and the banding +
+    * confirm machinery itself sits under the driver's gate. Engine
+    * splices: explode/unnest, DIV///, shiftleft/<<, ^/xor(), list
+    * slicing for the clone texts; every other character is shared.
+    * Plan shape matches production: candidates come from a
+    * (band_id, band_val) equi self-join, never doc×doc; the md5
+    * per-token cost is why the REGISTERED production op keeps the
+    * codegen kernel and this twin carries the gate. */
+  private def simHashMd5Sql(sparkSide: Boolean): String = {
+    val div = if (sparkSide) "DIV" else "//"
+    def shl(a: String, b: String) =
+      if (sparkSide) s"shiftleft($a, $b)" else s"($a << ($b))"
+    def bitcnt(a: String, b: String) =
+      if (sparkSide) s"bit_count($a ^ $b)" else s"bit_count(xor($a, $b))"
+    val docsRel = if (sparkSide) "graft_shmd5_docs" else "documents"
+    val toks =
+      if (sparkSide) "explode(split(text, ' '))"
+      else "unnest(string_split(text, ' '))"
+    // clone = drop the last whitespace token (the production op's
+    // near-dup construction, rendered portably); high-bit tag is
+    // additive 2^40 ≡ bitwiseOR for ids < 2^40
+    val cloneText =
+      if (sparkSide)
+        "array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')"
+      else
+        ("array_to_string(list_slice(string_split(text, ' '), 1, " +
+          "len(string_split(text, ' ')) - 1), ' ')")
+    def rng(a: Int, endEx: Int, alias: String) =
+      if (sparkSide) s"(SELECT explode(sequence($a, ${endEx - 1})) AS $alias)"
+      else s"(SELECT unnest(range($a, $endEx)) AS $alias)"
+    // 64 bits in 6 blocks (maxHamming 3 + 3): widths 11,11,11,11,10,10
+    // ONE-PASS PIVOTED voting: md5 runs once per token occurrence
+    // (projection, no shuffle), the 16 digit values ride as 16
+    // columns, and the 64 bit votes are 64 sum expressions in ONE
+    // doc-grain aggregate — the whole fingerprint build is a single
+    // tokenize pass + one map-combined shuffle on doc_id. (A
+    // vocabulary-grain variant — md5 per DISTINCT token + tf join —
+    // measured SLOWER here: the (doc, tok) pre-aggregation shuffle
+    // and the second tokenize pass cost more than the duplicate
+    // hashes they save on this corpus' low token-repeat rate.)
+    def digitOf(dd: Int) =
+      s"instr('0123456789abcdef', substr(h, $dd, 1)) - 1"
+    val digitCols = (1 to 16).map(dd => s"${digitOf(dd)} AS d$dd").mkString(", ")
+    // vote_j over token occurrences: j = (d-1)*4 + b, MSB-first
+    // within the digit
+    val voteSums = (0 until 64).map { j =>
+      val dd = j / 4 + 1
+      val b = j % 4
+      val w = 1 << (3 - b)
+      s"sum(2 * ((d$dd $div $w) % 2) - 1) AS v$j"
+    }.mkString(", ")
+    def bitOf(j: Int) = s"(CASE WHEN v$j > 0 THEN 1 ELSE 0 END)"
+    def packBits(js: Range, off: Int) = js.map { j =>
+      s"${bitOf(j)} * ${shl("CAST(1 AS BIGINT)", (j - off).toString)}"
+    }.mkString(" + ")
+    // 64 bits in 6 blocks (maxHamming 3 + 3): widths 11,11,11,11,10,10
+    val offs = Seq(0, 11, 22, 33, 44, 54, 64)
+    val blockCols = (0 until 6).map { g =>
+      s"${packBits(offs(g) until offs(g + 1), offs(g))} AS b$g"
+    }.mkString(", ")
+    // C(6,3) = 20 block triples packed at 21-bit stride (injective:
+    // block values < 2^11, top slot shifted by 42 stays < 2^53)
+    val combos = (0 until 6).combinations(3).toSeq
+    val bandArms = combos.zipWithIndex.map { case (c, id) =>
+      s"WHEN $id THEN b${c(0)} * 4398046511104 + b${c(1)} * 2097152 + b${c(2)}"
+    }.mkString(" ")
+    s"""WITH corpus AS (
+          SELECT doc_id, text FROM $docsRel
+          UNION ALL
+          SELECT doc_id + 1099511627776 AS doc_id, $cloneText AS text
+          FROM $docsRel),
+        tk AS (SELECT doc_id, $toks AS tok FROM corpus),
+        dgt AS (
+          SELECT doc_id, $digitCols
+          FROM (SELECT doc_id, md5(tok) AS h FROM tk) t0),
+        votes AS (
+          SELECT doc_id, $voteSums
+          FROM dgt
+          GROUP BY doc_id),
+        fp AS (
+          SELECT doc_id,
+            ${packBits(0 until 32, 0)} AS lo,
+            ${packBits(32 until 64, 32)} AS hi,
+            $blockCols
+          FROM votes),
+        bands AS (
+          SELECT doc_id, tt.band_id AS band_id,
+            CASE tt.band_id $bandArms END AS band_val
+          FROM fp CROSS JOIN ${rng(0, combos.size, "band_id")} tt),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id),
+        ham AS (
+          SELECT c.doc_a, c.doc_b,
+            CAST(${bitcnt("ha.lo", "hb.lo")} + ${bitcnt("ha.hi", "hb.hi")}
+              AS INTEGER) AS hamming
+          FROM cand c
+          JOIN fp ha ON ha.doc_id = c.doc_a
+          JOIN fp hb ON hb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, hamming FROM ham
+        WHERE hamming <= 3
+        ORDER BY doc_a, doc_b"""
+  }
+
+  /** Shared SQL for `llm_simsearch_lsh_md5` — the hash-gated twin of
+    * [[rpBandCandidates]]-backed LSH search: llm_simsearch_lsh's
+    * no-oracle label belongs to the Spark-only hyperplane RNG inside
+    * `graft_rpbands`, not to sign-random-projection banding or the
+    * candidate→exact-rescue pipeline. This twin draws RADEMACHER
+    * hyperplanes (±1 components — Achlioptas's database-friendly
+    * projections, the same LSH family guarantee as Gaussian) from
+    * md5(band|bit|dim) parity, so both engines construct bit-identical
+    * hyperplanes; each signature bit is the sign of a DECIMAL(38,10)
+    * sum of round(±e_i, 10) terms (±1 weights flip sign losslessly, so
+    * the projection is order-independent — the hash-gate discipline
+    * for float sums), bands pack 6 bits, candidates come from the same
+    * (band, band_val) probe⋈corpus equi-join as production, and the
+    * exact cosine rescue uses the shared left-fold idiom
+    * (Spark aggregate ≡ DuckDB list_reduce). 4 bands × 6 bits: a
+    * random pair collides per band at ~2^-6, so candidates stay ~2% of
+    * the corpus while a true near-dup pair (θ≈0) survives with
+    * near-certainty. Production keeps the codegen kernel; this twin
+    * puts the banding + probe + rescue machinery under the gate. */
+  private def lshMd5Sql(sparkSide: Boolean): String = {
+    val embRel = if (sparkSide) "graft_lshmd5_emb" else "embeddings"
+    // Spark-only shared-exchange pin — see simHashMd5Sql's hint note
+    def hint(h: String) = if (sparkSide) s"/*+ $h */ " else ""
+    def rng(a: Int, endEx: Int, alias: String) =
+      if (sparkSide) s"(SELECT explode(sequence($a, ${endEx - 1})) AS $alias)"
+      else s"(SELECT unnest(range($a, $endEx)) AS $alias)"
+    val elem =
+      if (sparkSide) "element_at(e.embedding, ii.i)" else "e.embedding[ii.i]"
+    // exact dot/norm via the rank-ordered left fold both engines
+    // evaluate in the same association order (the ivf_exact idiom)
+    def dot(x: String, y: String) =
+      if (sparkSide)
+        (s"aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (a, k) -> " +
+          s"a + CAST(element_at($x, k) AS DOUBLE) * " +
+          s"CAST(element_at($y, k) AS DOUBLE))")
+      else
+        (s"list_reduce(list_transform(range(1, 65), k -> " +
+          s"$x[k]::DOUBLE * $y[k]::DOUBLE), (a, b) -> a + b)")
+    // hyperplanes pivoted to 64 rows × 24 sign columns, projections
+    // as 24 sum expressions in ONE vec-grain aggregate (the same
+    // pivot that fixed the simhash twin's 16× md5 recompute): the
+    // per-vector work is a single 64-row join + aggregate, no
+    // (vec × band × bit × dim) row explosion
+    val sgnCols = (0 until 24).map { q =>
+      val t = q / 6; val r = q % 6
+      (s"max(CASE WHEN t = $t AND r = $r THEN sgn END) AS s$q")
+    }.mkString(", ")
+    val projSums = (0 until 24).map(q => s"sum(x * s$q) AS p$q").mkString(", ")
+    // band t's value packs its 6 sign bits: Σ_r (p_{t*6+r} > 0)·2^r
+    val bandArms = (0 until 4).map { t =>
+      val terms = (0 until 6).map(r =>
+        s"(CASE WHEN p${t * 6 + r} > 0 THEN 1 ELSE 0 END) * ${1 << r}")
+        .mkString(" + ")
+      s"WHEN $t THEN $terms"
+    }.mkString(" ")
+    s"""WITH hp AS (
+          SELECT tt.t AS t, rr.r AS r, ii.i AS i,
+            CASE WHEN (instr('0123456789abcdef',
+                substr(md5(concat_ws('|', tt.t, rr.r, ii.i)), 1, 1)) - 1)
+                % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+          FROM ${rng(0, 4, "t")} tt
+          CROSS JOIN ${rng(0, 6, "r")} rr
+          CROSS JOIN ${rng(1, 65, "i")} ii),
+        hpw AS (SELECT i, $sgnCols FROM hp GROUP BY i),
+        ev AS (
+          SELECT vec_id, ii.i AS i,
+            CAST(round(CAST($elem AS DOUBLE), 10) AS DECIMAL(38,10)) AS x
+          FROM $embRel e CROSS JOIN ${rng(1, 65, "i")} ii),
+        proj AS (
+          SELECT ${hint("REPARTITION(vec_id)")}v.vec_id, $projSums
+          FROM ev v JOIN hpw h ON v.i = h.i
+          GROUP BY v.vec_id),
+        sig AS (
+          SELECT vec_id, tt.t AS t,
+            CAST(CASE tt.t $bandArms END AS BIGINT) AS band_val
+          FROM proj CROSS JOIN ${rng(0, 4, "t")} tt),
+        cand AS (
+          SELECT DISTINCT p.vec_id AS p_id, c.vec_id AS vec_id
+          FROM (SELECT * FROM sig WHERE vec_id < 5) p
+          JOIN sig c ON p.t = c.t AND p.band_val = c.band_val),
+        scored AS (
+          SELECT cd.p_id, cd.vec_id,
+            round(${dot("pe.embedding", "ce.embedding")}
+              / (sqrt(${dot("pe.embedding", "pe.embedding")})
+               * sqrt(${dot("ce.embedding", "ce.embedding")})), 6) AS cosine
+          FROM cand cd
+          JOIN $embRel pe ON pe.vec_id = cd.p_id
+          JOIN $embRel ce ON ce.vec_id = cd.vec_id),
+        ranked AS (
+          SELECT p_id, vec_id, cosine,
+            row_number() OVER (PARTITION BY p_id
+              ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT p_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine
+        FROM ranked WHERE rank <= 10
+        ORDER BY p_id, rank"""
+  }
+
   /** Banded random-hyperplane candidate pairs over an embedding
     * column: per vector one `graft_rpbands` signature (r bits ×
     * `bands` bands, one codegen pass), then the same
@@ -2605,6 +2822,28 @@ object LlmOps extends OpModule {
       },
       None),
 
+    Op("llm_dedup_simhash_md5",
+      // the hash-gated twin of llm_dedup_simhash (r20 — the
+      // rendezvous_md5/abc_approx no-oracle-label audit, third
+      // application): the production op's no-oracle label belongs to
+      // the graft_simhash_text HASH, not to SimHash voting or Manku
+      // triple-banding, so this sibling derives per-token bits from
+      // md5 and runs the IDENTICAL vote→6-block→20-triple-band→
+      // equi-self-join→hamming-confirm pipeline in shared integer SQL
+      // — the full pair relation hash-matches DuckDB, putting the
+      // banding machinery itself under the driver's gate. Clone
+      // construction (drop-last-token + high-bit tag) mirrors the
+      // production fixture portably. md5 costs more per token than
+      // the codegen kernel, which is exactly why production keeps the
+      // kernel and THIS op carries the gate; the candidate join is
+      // the same (band_id, band_val) shuffle — never doc×doc.
+      (s, d) => {
+        Tables.documents(s, d).select("doc_id", "text")
+          .createOrReplaceTempView("graft_shmd5_docs")
+        s.sql(simHashMd5Sql(sparkSide = true))
+      },
+      Some(simHashMd5Sql(sparkSide = false))),
+
     Op("llm_dedup_embed",
       // A REAL near-dup workload: the synthetic embeddings are
       // isotropic noise (round-1's τ=0.45 pairs were random-overlap
@@ -3104,6 +3343,27 @@ object LlmOps extends OpModule {
       (s, d) => simSearchLsh(Tables.embeddings(s, d), nProbes = 5, topK = 10)
         .orderBy("p_id", "rank"),
       None),
+
+    Op("llm_simsearch_lsh_md5",
+      // the hash-gated twin of llm_simsearch_lsh (r20): the
+      // production op's no-oracle label belongs to graft_rpbands'
+      // Spark-only hyperplane RNG, not to sign-random-projection
+      // banding or the candidate→exact-rescue pipeline. Rademacher
+      // hyperplanes drawn from md5 parity reproduce bit-identically
+      // in both engines; ±1 weights make each projection a lossless
+      // sign-flip sum, DECIMAL-accumulated so the signature bits are
+      // order-independent; candidates come from the same
+      // (band, band_val) probe⋈corpus equi-join as production and
+      // the exact cosine rescue is the shared left-fold idiom — the
+      // full top-k relation hash-matches DuckDB. Production keeps
+      // the codegen kernel for throughput; this twin carries the
+      // gate for the banding + probe + rescue machinery.
+      (s, d) => {
+        Tables.embeddings(s, d).select("vec_id", "embedding")
+          .createOrReplaceTempView("graft_lshmd5_emb")
+        s.sql(lshMd5Sql(sparkSide = true))
+      },
+      Some(lshMd5Sql(sparkSide = false))),
 
     Op("llm_vector_ops",
       (s, d) => {
