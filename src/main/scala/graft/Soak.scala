@@ -120,11 +120,11 @@ object Soak {
     spark.stop()
   }
 
-  private def dirFor(base: String, work: String, k: Int): String =
+  private[graft] def dirFor(base: String, work: String, k: Int): String =
     if (k == 1) base else s"$work/x$k"
 
   /** Generate the k× corpus once; a marker file makes re-runs free. */
-  private def ensureScaled(spark: SparkSession, base: String, work: String,
+  private[graft] def ensureScaled(spark: SparkSession, base: String, work: String,
       k: Int): Unit = {
     if (k == 1) return
     val dir = s"$work/x$k"
