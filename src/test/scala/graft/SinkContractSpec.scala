@@ -159,4 +159,87 @@ class SinkContractSpec extends SparkSpec {
       .collect().sortBy(_.position).toSeq
     assert(v2.size == src.size && v2.forall(_.source == "binlog"))
   }
+
+  test("2pc fan-out: crash between stage and decision leaves NO sink " +
+      "showing the batch; redelivery commits everywhere") {
+    import graft.streaming.{ParquetStagedSink, TwoPhaseFanOut}
+    val dir = tmpDir("graft_2pc_abort")
+    val a = new ParquetStagedSink(s"$dir/a")
+    val b = new ParquetStagedSink(s"$dir/b")
+    val coord = new TwoPhaseFanOut(s"$dir/log", Seq(a, b))
+    val batch = batchOf(50)
+    // PLANTED CRASH: phase 1 completes on both sinks, the process
+    // dies before the decision marker lands
+    coord.stageAll(batch, 0L)
+    assert(!coord.committed(0L))
+    assert(a.visibleBatches.isEmpty && b.visibleBatches.isEmpty,
+      "staged data leaked into a committed view")
+    assert(coord.readCommitted(spark, a, 0L).isEmpty)
+    assert(coord.readCommitted(spark, b, 0L).isEmpty)
+    // restart: presumed abort discards staging...
+    val coord2 = new TwoPhaseFanOut(s"$dir/log", Seq(a, b))
+    coord2.recover(Seq(0L))
+    assert(a.visibleBatches.isEmpty && b.visibleBatches.isEmpty)
+    // ...and the stream redelivers batch 0, which now commits whole
+    coord2.fanOut(batch, 0L)
+    assert(a.visibleBatches == Seq(0L) && b.visibleBatches == Seq(0L))
+    assert(coord2.readCommitted(spark, a, 0L).get.count() == 50L)
+    assert(coord2.readCommitted(spark, b, 0L).get.count() == 50L)
+  }
+
+  test("2pc fan-out: crash after decision mid-commit — a coordinated " +
+      "reader NEVER sees a partial cross-sink batch; recovery converges") {
+    import graft.streaming.{ParquetStagedSink, TwoPhaseFanOut}
+    val dir = tmpDir("graft_2pc_forward")
+    val a = new ParquetStagedSink(s"$dir/a")
+    val b = new ParquetStagedSink(s"$dir/b")
+    val coord = new TwoPhaseFanOut(s"$dir/log", Seq(a, b))
+    val batch = batchOf(40)
+    // PLANTED CRASH: decision recorded, sink A rolled forward, the
+    // process dies before sink B's flip
+    coord.stageAll(batch, 0L)
+    coord.decide(0L)
+    a.commitStaged(0L)
+    assert(a.visibleBatches == Seq(0L) && b.visibleBatches.isEmpty,
+      "test precondition: direct views diverge at the crash point")
+    // the atomicity contract: BOTH coordinated reads return the whole
+    // batch (read repair rolls B forward on first touch)
+    assert(coord.readCommitted(spark, a, 0L).get.count() == 40L)
+    assert(coord.readCommitted(spark, b, 0L).get.count() == 40L)
+    assert(b.visibleBatches == Seq(0L), "read repair did not roll B forward")
+    // a fresh coordinator's recovery is a no-op on the converged state
+    val coord2 = new TwoPhaseFanOut(s"$dir/log", Seq(a, b))
+    coord2.recover(Seq(0L))
+    assert(a.visibleBatches == Seq(0L) && b.visibleBatches == Seq(0L))
+    // and full-protocol redelivery of the decided batch stays stable
+    coord2.fanOut(batch, 0L)
+    assert(spark.read.parquet(s"$dir/a/committed/batch_0").count() == 40L)
+    assert(spark.read.parquet(s"$dir/b/committed/batch_0").count() == 40L)
+  }
+
+  test("2pc fan-out: streaming attach delivers every micro-batch " +
+      "atomically across sinks; fanOut is redelivery-idempotent") {
+    import graft.streaming.{ParquetStagedSink, TwoPhaseFanOut}
+    val dir = tmpDir("graft_2pc_stream")
+    val a = new ParquetStagedSink(s"$dir/a")
+    val b = new ParquetStagedSink(s"$dir/b")
+    val coord = new TwoPhaseFanOut(s"$dir/log", Seq(a, b))
+    val src = EventStreams.readEventStream(spark, sf001)
+      .select(col("event_id").as("id"), col("event_type").as("payload"))
+    val q = coord.attach(src, s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    val n = Tables.events(spark, sf001).count()
+    assert(a.visibleBatches == b.visibleBatches && a.visibleBatches.nonEmpty)
+    val aRows = a.visibleBatches.map(bid =>
+      coord.readCommitted(spark, a, bid).get.count()).sum
+    val bRows = b.visibleBatches.map(bid =>
+      coord.readCommitted(spark, b, bid).get.count()).sum
+    assert(aRows == n && bRows == n)
+    // redelivery of an already-decided batch through the full round
+    coord.fanOut(batchOf(1), a.visibleBatches.head)
+    assert(coord.readCommitted(spark, a, a.visibleBatches.head).get.count() +
+      coord.readCommitted(spark, b, b.visibleBatches.head).get.count() ==
+      2 * spark.read.parquet(s"$dir/a/committed/batch_${a.visibleBatches.head}")
+        .count(), "redelivered decided batch was re-staged")
+  }
 }
