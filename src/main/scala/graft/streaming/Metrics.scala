@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Operational metrics surface (VERDICT r19 missing #5): meepo-family
+  * middleware ships position-lag/throughput metrics and an admin view;
+  * the engine side of that is a [[StreamingQueryListener]] that
+  * publishes every micro-batch's progress as ROWS — so the same
+  * engine that runs the pipelines can query its own operational state
+  * (the `cdc_liveness` idiom pointed at the stream instead of the
+  * data).
+  *
+  * The listener buffers one [[StreamMetrics.BatchMetric]] per
+  * QueryProgressEvent (bounded: `keep` newest rows — an admin surface
+  * is a ring buffer, not a log; the durable log is the sink's job) and
+  * [[StreamMetrics.MetricsListener.publish]] registers the buffer as a
+  * temp view. Everything is driver-side and O(batches): progress
+  * events are one row each, never touching executor data paths — the
+  * production analogue pushes the same rows at a metrics topic.
+  */
+object StreamMetrics {
+
+  /** One micro-batch's operational row. Timestamps in exact integer
+    * µs (the repo's convention — no raw timestamp outputs). */
+  case class BatchMetric(query_name: String, run_id: String, batch_id: Long,
+      wall_ts_us: Long, num_input_rows: Long, input_rows_per_sec: Double,
+      processed_rows_per_sec: Double, trigger_ms: Long, watermark_us: Long,
+      state_rows: Long, state_mem_bytes: Long, sink_rows: Long)
+
+  private def isoToUs(iso: String): Long =
+    try java.time.Instant.parse(iso).toEpochMilli * 1000L
+    catch { case _: Exception => 0L }
+
+  class MetricsListener(keep: Int = 10000) extends StreamingQueryListener {
+    private val buf =
+      new java.util.concurrent.ConcurrentLinkedDeque[BatchMetric]()
+
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val wm = Option(p.eventTime.get("watermark")).map(isoToUs).getOrElse(0L)
+      val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+      val stateBytes = p.stateOperators.map(_.memoryUsedBytes).sum
+      buf.addLast(BatchMetric(
+        Option(p.name).getOrElse(""), p.runId.toString, p.batchId,
+        isoToUs(p.timestamp), p.numInputRows,
+        // NaN (no prior batch) normalizes to 0 — a metrics row must
+        // stay aggregable
+        if (p.inputRowsPerSecond.isNaN) 0.0 else p.inputRowsPerSecond,
+        if (p.processedRowsPerSecond.isNaN) 0.0 else p.processedRowsPerSecond,
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue)
+          .getOrElse(0L),
+        wm, stateRows, stateBytes,
+        math.max(p.sink.numOutputRows, 0L)))
+      while (buf.size() > keep) { buf.pollFirst(); () }
+    }
+
+    def rows: Seq[BatchMetric] = {
+      val it = buf.iterator(); val b = Seq.newBuilder[BatchMetric]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      rows.toDF()
+    }
+
+    /** Register the current buffer as a queryable view — the admin
+      * surface (`SELECT ... FROM graft_stream_metrics`). */
+    def publish(spark: SparkSession,
+        view: String = "graft_stream_metrics"): DataFrame = {
+      val df = toDF(spark)
+      df.createOrReplaceTempView(view)
+      df
+    }
+  }
+
+  /** The `cdc_liveness` staleness audit pointed at the METRICS table:
+    * per query, how far the latest batch's wall clock and watermark
+    * sit behind the fleet head, plus state growth between the first
+    * and last observed batch — the "is this subscription still
+    * flowing, and is its state bounded?" admin query. Same plan shape
+    * as the data-side op: one map-combined per-query aggregate, a
+    * 1-row broadcast head. */
+  def liveness(metrics: DataFrame): DataFrame = {
+    val per = metrics.groupBy("query_name")
+      .agg(max("wall_ts_us").as("last_wall_us"),
+        max("watermark_us").as("last_watermark_us"),
+        sum("num_input_rows").as("rows_in"),
+        count(lit(1)).as("n_batches"),
+        // batch_id-anchored endpoints, not first/last (which depend on
+        // partition layout): deterministic on any row order
+        max_by(col("state_rows"), col("batch_id")).as("state_rows"),
+        (max_by(col("state_rows"), col("batch_id")) -
+          min_by(col("state_rows"), col("batch_id"))).as("state_rows_delta"))
+    val head = per.agg(max(col("last_wall_us")).as("head_us"))
+    per.crossJoin(broadcast(head))
+      .select(col("query_name"), col("n_batches"), col("rows_in"),
+        col("state_rows"), col("state_rows_delta"),
+        (col("head_us") - col("last_wall_us")).as("staleness_us"),
+        (col("last_wall_us") - col("last_watermark_us"))
+          .as("watermark_lag_us"))
+      .orderBy("query_name")
+  }
+}
