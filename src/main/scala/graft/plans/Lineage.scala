@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId}
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Expand, Generate, LeafNode, LogicalPlan, Union}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Column-level lineage extracted from the ANALYZED logical plan —
@@ -66,14 +66,57 @@ object Lineage {
         val srcs = g.generator.references.toSeq
           .flatMap(r => fromChildren.getOrElse(r.exprId, Set.empty)).toSet
         fromChildren ++ g.generatorOutput.map(a => a.exprId -> srcs).toMap
+      case e: Expand =>
+        // unpivot/cube/rollup: output attrs are fresh references that
+        // align POSITIONALLY with each projection row — lineage of
+        // output i is the union of projections(·)(i)'s references
+        val positional = e.output.zipWithIndex.map { case (a, i) =>
+          a.exprId -> e.projections.flatMap(proj =>
+            proj(i).references.toSeq
+              .flatMap(r => fromChildren.getOrElse(r.exprId, Set.empty[Source])))
+            .toSet
+        }.toMap
+        fromChildren ++ positional
       case _ =>
+        val childSources: Set[Source] = p.children.flatMap(_.output)
+          .flatMap(a => fromChildren.getOrElse(a.exprId, Set.empty[Source]))
+          .toSet
         val aliased = p.expressions.flatMap(_.collect {
           case al: Alias =>
-            al.exprId -> al.child.references.toSeq
+            val refs = al.child.references.toSeq
               .flatMap(r => fromChildren.getOrElse(r.exprId, Set.empty[Source]))
               .toSet
+            // a reference-free AGGREGATE (count(1), count_if over a
+            // literal) still derives from the relation's rows, and a
+            // reference-free SERIALIZER expression (invoke over
+            // input[0] at a typed/object boundary — BoundReference,
+            // not AttributeReference) derives from the lambda's input
+            // relation — both get relation-level lineage. A
+            // reference-free PLAIN alias is a literal: keep it empty
+            // (the per-column constant-folding canary).
+            val srcs =
+              if (refs.nonEmpty) refs
+              else if (al.child.exists(e =>
+                e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+                  .aggregate.AggregateExpression] ||
+                e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+                  .BoundReference])) childSources
+              else refs
+            al.exprId -> srcs
         })
-        fromChildren ++ aliased
+        val base = fromChildren ++ aliased
+        // typed/object boundaries (SerializeFromObject, MapPartitions,
+        // mapGroups shapes): outputs are fresh attrs with NO Catalyst
+        // reference chain to the inputs — map them coarsely to the
+        // union of the child's sources ("derived from this relation"),
+        // which is the honest answer at an opaque lambda. Alias-bound
+        // constants are NOT caught here: an all-literal Alias is
+        // already in `base` with an empty source set, keeping the
+        // constant-folding canary per column intact.
+        val missing = p.output.filterNot(a => base.contains(a.exprId))
+        if (missing.isEmpty) base
+        else if (childSources.isEmpty) base
+        else base ++ missing.map(_.exprId -> childSources).toMap
     }
   }
 

@@ -38,6 +38,33 @@ class PlanSpec extends SparkSpec {
     assert(Lineage.lineage(ranked).toSet ==
       Set(("o_orderkey", "orders", "o_orderkey"),
         ("r", "orders", "o_custkey"), ("r", "orders", "o_orderdate")))
+    // reference-free aggregates get RELATION-level lineage (count(1)
+    // derives from the rows), while a literal alias stays empty —
+    // the per-column constant-folding canary
+    val counted = Tables.orders(spark, sf001)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", lit(1))
+    val edges = Lineage.lineage(counted)
+    assert(edges.filter(_._1 == "n").nonEmpty &&
+      edges.filter(_._1 == "n").forall(_._2 == "orders"))
+    assert(edges.filter(_._1 == "k").isEmpty, "literal alias gained lineage")
+  }
+
+  test("lineage: EVERY registered query resolves to non-empty leaf " +
+      "coordinates (the registry-wide governance artifact, LINEAGE.tsv)") {
+    // the whole surface: an all-empty lineage would mean an output
+    // accidentally constant-folded to literals, or a plan shape the
+    // walker cannot see through — both worth failing loudly. Built at
+    // the smallest SF (plans are analyzed, not executed; only memo/
+    // fixture builds run).
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val edges = graft.plans.Lineage.lineage(fn(spark, sf001))
+        if (edges.isEmpty) Some(name) else None
+    }
+    assert(empty.isEmpty,
+      s"queries with EMPTY lineage: ${empty.mkString(", ")}")
   }
 
   test("scan_partitioned: the predicate prunes hive partitions at the scan, not as a data filter") {
