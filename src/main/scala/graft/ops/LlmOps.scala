@@ -587,6 +587,115 @@ object LlmOps extends OpModule {
         ORDER BY p_id, rank"""
   }
 
+  /** Shared SQL for `llm_dedup_near_md5` — the hash-gated twin of
+    * [[nearDupPairs]] (fifth no-oracle-label promotion): the
+    * production op's label belongs to the seeded-FNV kernel hashes,
+    * not to MinHash itself or the b×r banding. This twin draws the
+    * per-shingle base value from md5's first 32 bits and the k
+    * signature functions from the classic universal-hash family
+    * h_i(x) = (a_i·x + b_i) mod p (Carter–Wegman; odd a_i, prime
+    * p > 2^32 — every operation exact BIGINT), takes the k mins in
+    * ONE doc-grain pivoted aggregate, combines each band's r rows
+    * with an exact polynomial fold mod 1e9+7, and confirms candidates
+    * with exact shingle-set Jaccard — the full pair relation
+    * hash-matches DuckDB, putting the banding + confirm machinery
+    * under the driver's gate. Same plan class as production:
+    * candidates from a (band_id, band_hash) equi self-join, never
+    * doc×doc; the confirm is a postings equi-join on the shingle
+    * string over candidate docs only. k=16, bands=4, rows=4,
+    * τ=0.5 mirror the production operating point. */
+  private def nearDupMd5Sql(sparkSide: Boolean): String = {
+    val docsRel = if (sparkSide) "graft_nearmd5_docs" else "documents"
+    val toks =
+      if (sparkSide) "split(text, ' ')" else "string_split(text, ' ')"
+    val sz = if (sparkSide) "size" else "len"
+    val cloneText =
+      if (sparkSide)
+        "array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')"
+      else
+        ("array_to_string(list_slice(string_split(text, ' '), 1, " +
+          "len(string_split(text, ' ')) - 1), ' ')")
+    // distinct 3-gram shingles; <3-token docs fall back to one
+    // whole-text shingle (the production normText fallback, portably)
+    val grams =
+      if (sparkSide)
+        ("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+          "element_at(toks, i), element_at(toks, i + 1), " +
+          "element_at(toks, i + 2)))")
+      else
+        ("list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', " +
+          "toks[i], toks[i + 1], toks[i + 2]))")
+    val unn = if (sparkSide) "explode" else "unnest"
+    val hint =
+      if (sparkSide) "/*+ REPARTITION(doc_id) */ " else ""
+    // 32-bit base value from md5's first 8 hex digits (the
+    // table_checksum digit idiom — identical text both engines)
+    val xExpr = (1 to 8).map { j =>
+      val w = 1L << (4 * (8 - j))
+      // weights as explicit BIGINT: an INT×INT product overflows
+      // under Spark's ANSI mode at digit positions 1-2
+      s"(instr('0123456789abcdef', substr(h, $j, 1)) - 1) * CAST($w AS BIGINT)"
+    }.mkString(" + ")
+    // k=16 universal hashes, min per doc in one pivoted aggregate
+    val P = 4294967311L
+    val minCols = (0 until 16).map { i =>
+      s"min((${2 * i + 1} * x + ${7919 * (i + 1)}) % $P) AS m$i"
+    }.mkString(", ")
+    // band b = exact polynomial fold of its 4 minhashes mod 1e9+7
+    val M = 1000000007L; val R = 1000003L
+    val bandArms = (0 until 4).map { b =>
+      val v = (0 until 4).map(r => s"m${4 * b + r}")
+        .foldLeft("CAST(0 AS BIGINT)")((acc, m) => s"((($acc) * $R + $m) % $M)")
+      s"WHEN $b THEN $v"
+    }.mkString(" ")
+    val bandRange =
+      if (sparkSide) "(SELECT explode(sequence(0, 3)) AS band_id)"
+      else "(SELECT unnest(range(0, 4)) AS band_id)"
+    s"""WITH corpus AS (
+          SELECT doc_id, text FROM $docsRel
+          UNION ALL
+          SELECT doc_id + 1099511627776 AS doc_id, $cloneText AS text
+          FROM $docsRel),
+        tk AS (SELECT doc_id, text, $toks AS toks FROM corpus),
+        sh AS (
+          SELECT ${hint}doc_id, sh FROM (
+            SELECT DISTINCT doc_id, sh FROM (
+              SELECT doc_id, $unn(CASE WHEN $sz(toks) >= 3
+                THEN $grams
+                ELSE ${if (sparkSide) "array(text)" else "[text]"} END) AS sh
+              FROM tk) s0) s1),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        hx AS (
+          SELECT doc_id, $xExpr AS x
+          FROM (SELECT doc_id, md5(sh) AS h FROM sh) h0),
+        mh AS (SELECT ${hint}doc_id, $minCols FROM hx GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, tt.band_id AS band_id,
+            CASE tt.band_id $bandArms END AS band_hash
+          FROM mh CROSS JOIN $bandRange tt),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY c.doc_a, c.doc_b),
+        j AS (
+          SELECT i.doc_a, i.doc_b,
+            round(CAST(i.n_common AS DOUBLE) /
+              CAST(na.n_sh + nb.n_sh - i.n_common AS DOUBLE), 6) AS jaccard
+          FROM inter i
+          JOIN sizes na ON na.doc_id = i.doc_a
+          JOIN sizes nb ON nb.doc_id = i.doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j
+        WHERE jaccard >= 0.5
+        ORDER BY doc_a, doc_b"""
+  }
+
   /** Banded random-hyperplane candidate pairs over an embedding
     * column: per vector one `graft_rpbands` signature (r bits ×
     * `bands` bands, one codegen pass), then the same
@@ -2259,6 +2368,26 @@ object LlmOps extends OpModule {
           .orderBy("doc_a", "doc_b")
       },
       None),
+
+    Op("llm_dedup_near_md5",
+      // the hash-gated twin of llm_dedup_near (r20, fifth no-oracle
+      // label promotion): the production label belongs to the
+      // seeded-FNV kernel, not to MinHash or the b×r banding — this
+      // sibling draws base values from md5's first 32 bits, signature
+      // functions from the Carter–Wegman universal family (exact
+      // BIGINT arithmetic), bands from an exact polynomial fold, and
+      // confirms with exact shingle-set Jaccard, so the full pair
+      // relation hash-matches DuckDB at the production operating
+      // point (k=16, b=4, r=4, τ=0.5). Same candidate plan class
+      // (band equi self-join, postings confirm); md5 + the portable
+      // rendering cost more than the fused kernel, which is exactly
+      // why production keeps the kernel and THIS op carries the gate.
+      (s, d) => {
+        Tables.documents(s, d).select("doc_id", "text")
+          .createOrReplaceTempView("graft_nearmd5_docs")
+        s.sql(nearDupMd5Sql(sparkSide = true))
+      },
+      Some(nearDupMd5Sql(sparkSide = false))),
 
     Op("llm_dedup_jaccard",
       // exact n-gram Jaccard pairs (prefix filter, [[jaccardPairs]]) on
