@@ -147,6 +147,55 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  property("2pc fan-out: arbitrary crash/redeliver interleavings never " +
+      "yield a torn cross-sink view and converge to all-committed") = {
+    // each step of a random schedule either crashes the round at a
+    // protocol point (after staging / after the decision / mid
+    // roll-forward) or completes it; after EVERY step the atomicity
+    // invariant must hold for a coordinator-consulting reader —
+    // committed(b) false ⇒ NO sink's committed view has b, true ⇒
+    // readCommitted returns the WHOLE batch at EVERY sink — and a
+    // final clean redelivery converges both direct views.
+    import graft.streaming.{ParquetStagedSink, TwoPhaseFanOut}
+    val genStep = Gen.oneOf("crash_staged", "crash_decided", "crash_mid",
+      "complete", "recover_redeliver")
+    Prop.forAll(Gen.listOfN(5, genStep)) { steps =>
+      val s = spark
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_2pc_prop").toString
+      val a = new ParquetStagedSink(s"$dir/a")
+      val b = new ParquetStagedSink(s"$dir/b")
+      val coord = new TwoPhaseFanOut(s"$dir/log", Seq(a, b))
+      val batch = Seq((1L, "x"), (2L, "y")).toDF("id", "payload")
+      val bid = 0L
+      def invariant(): Boolean =
+        if (!coord.committed(bid))
+          a.visibleBatches.isEmpty && b.visibleBatches.isEmpty
+        else
+          coord.readCommitted(s, a, bid).exists(_.count() == 2L) &&
+            coord.readCommitted(s, b, bid).exists(_.count() == 2L)
+      val ok = steps.forall { step =>
+        step match {
+          case "crash_staged" => if (!coord.committed(bid)) coord.stageAll(batch, bid)
+          case "crash_decided" =>
+            if (!coord.committed(bid)) { coord.stageAll(batch, bid); coord.decide(bid) }
+          case "crash_mid" =>
+            if (!coord.committed(bid)) { coord.stageAll(batch, bid); coord.decide(bid) }
+            a.commitStaged(bid)
+          case "complete" => coord.fanOut(batch, bid)
+          case "recover_redeliver" =>
+            coord.recover(Seq(bid)); coord.fanOut(batch, bid)
+        }
+        invariant()
+      }
+      // final clean redelivery: both DIRECT views converge whole
+      coord.fanOut(batch, bid)
+      ok && a.visibleBatches == Seq(bid) && b.visibleBatches == Seq(bid) &&
+        s.read.parquet(s"$dir/a/committed/batch_0").count() == 2L &&
+        s.read.parquet(s"$dir/b/committed/batch_0").count() == 2L
+    }
+  }
+
   property("hitsFixedWithHandle == in-memory DECIMAL recursion (oracle arithmetic) on arbitrary graphs") = {
     // the r19 rewrite's risk surface: the Spark chain (per-round
     // persisted frames, co-partitioned joins, literal-max normalizer)
