@@ -61,7 +61,8 @@ object StreamSoak {
     val scales = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
       else Seq(1, 8, 64)
     val pipelines = if (args.length > 3) args(3).split(",").toSeq
-      else Seq("fanout_routed", "cdc_envelope", "session_timer", "scd2")
+      else Seq("fanout_routed", "fanout_2pc", "cdc_envelope",
+        "session_timer", "scd2")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
@@ -148,6 +149,20 @@ object StreamSoak {
                   col("op") === "U", Seq("position", "pk", "ts")),
                 EventStreams.Route(new ParquetDirSink(sinkDirs(3)),
                   lit(true))), ckpt)
+            })
+          case "fanout_2pc" =>
+            // the cross-sink ATOMIC fan-out over the same envelope
+            // feed: 2 staged parquet sinks + the decision log — its
+            // delta vs fanout_routed is the measured price of
+            // cross-sink atomicity (stage dir + rename + marker per
+            // batch per sink)
+            val roots = (0 until 2).map(i => freshDir(s"fan2pc_${k}_$i"))
+            val log2pc = freshDir(s"fan2pc_${k}_log")
+            run("fan2pc", nEvents, ckpt => {
+              val env = EventStreams.envelope(eventStream(dir, Some(8)))
+              new graft.streaming.TwoPhaseFanOut(log2pc,
+                roots.map(new graft.streaming.ParquetStagedSink(_)))
+                .attach(env, ckpt)
             })
           case "cdc_envelope" =>
             run("cdcenv", nEvents, ckpt =>
