@@ -270,6 +270,28 @@ object Aggs extends OpModule {
         .orderBy("l_returnflag"),
       None),
 
+    Op("agg_approx_hll_md5",
+      // the hash-gated twin of agg_approx_hll (r20, seventh no-oracle
+      // label promotion — and the deepest: not just the hash but the
+      // whole ESTIMATOR is re-derived portably): a complete
+      // HyperLogLog — md5-based register assignment, integer
+      // leading-zero ranks, rational Σ2^(-M) (exact BIGINT
+      // numerator), the αm·m² finish as one shared IEEE sequence, and
+      // the small-range linear-counting correction as 255
+      // precomputed shortest-round-trip double literals (V has only
+      // 255 possible values — the libm-free-literal discipline). The
+      // per-group estimates hash-match DuckDB next to the exact
+      // distinct counts; production keeps Spark's native sketch for
+      // speed and mergeability, this twin proves the estimator
+      // arithmetic under the gate. m=256 ⇒ ±6.5% standard error —
+      // OperatorSpec-free by design: the gate IS the check.
+      (s, d) => {
+        Tables.lineitem(s, d).select("l_returnflag", "l_partkey")
+          .createOrReplaceTempView("graft_hll_lineitem")
+        s.sql(hllMd5Sql(sparkSide = true))
+      },
+      Some(hllMd5Sql(sparkSide = false))),
+
     Op("agg_rollup",
       (s, d) => {
         val c = Tables.customer(s, d)
@@ -1166,6 +1188,27 @@ object Aggs extends OpModule {
       },
       None),
 
+    Op("agg_cms_heavy_md5",
+      // the hash-gated twin of agg_cms_heavy (r20, sixth no-oracle
+      // label promotion): the production label belongs to xxhash64,
+      // not to the count-min sketch — the COUNTERS are plain sums,
+      // the estimate is a min over d rows, and the one-sided
+      // error/merge laws are hash-independent. This sibling derives
+      // the d=4 row hashes from a 32-bit md5 base value through the
+      // Carter–Wegman universal family (exact BIGINT), so the full
+      // (user, true, estimate) relation hash-matches DuckDB and the
+      // sketch machinery itself sits under the driver's gate. Same
+      // plan shape: ONE map-combined (row, bucket) aggregate over the
+      // 4-way explode, the true-top-10 relation re-hashed and joined
+      // back. md5 per event costs more than the codegen hash — the
+      // production key keeps xxhash64, this twin carries the gate.
+      (s, d) => {
+        Tables.events(s, d).select("user_id")
+          .createOrReplaceTempView("graft_cms_events")
+        s.sql(cmsMd5Sql(sparkSide = true))
+      },
+      Some(cmsMd5Sql(sparkSide = false))),
+
     Op("agg_ohlc",
       // OHLC candle aggregation — the time-series rollup every
       // monitoring/market system runs (open/high/low/close per series
@@ -1453,6 +1496,147 @@ object Aggs extends OpModule {
     * invented numbers often respect the leading digit but not the
     * second; P(d₂) = Σ_{d₁=1..9} log10(1 + 1/(10d₁+d₂)) as shared
     * literals), same chi2 shape as benfordSql. */
+  /** Shared SQL for `agg_approx_hll_md5` — a COMPLETE HyperLogLog
+    * (Flajolet et al. 2007) in portable exact arithmetic, so the
+    * ESTIMATOR itself sits under the DuckDB hash gate (the production
+    * `agg_approx_hll` wraps Spark's native sketch — its label is
+    * engine-ownership, not the algorithm):
+    *
+    *  - base value x = md5's first 32 bits of the key (exact BIGINT
+    *    digit arithmetic);
+    *  - m=256 registers: idx = top 8 bits, rank = leading-zero count
+    *    of the remaining 24 bits + 1 — an integer CASE ladder, no
+    *    floats;
+    *  - Σ 2^(−M_j) kept RATIONAL: numerator Σ 2^(25−M_j) ≤ 2^33 is an
+    *    exact BIGINT sum (register max via one grouped max; absent
+    *    registers join in as M=0 from a generated grid);
+    *  - raw estimate αm·m²·2^25/num is one IEEE division of identical
+    *    doubles (αm spelled as its defining arithmetic
+    *    0.7213/(1+1.079/m) — both engines evaluate the same ops);
+    *  - the small-range LINEAR-COUNTING correction m·ln(m/V) needs a
+    *    libm ln of a data-dependent value — but V only takes 255
+    *    possible values, so every possible correction is a
+    *    PRECOMPUTED shortest-round-trip double literal in a CASE
+    *    (the llm_ann_ndcg libm-free-literal discipline). Large-range
+    *    (32-bit collision) correction omitted: it activates at
+    *    ~1.4e8 distinct — beyond any per-group cardinality here, and
+    *    a 64-bit-hash production sketch never needs it. */
+  private def hllMd5Sql(sparkSide: Boolean): String = {
+    val liRel = if (sparkSide) "graft_hll_lineitem" else "lineitem"
+    val div = if (sparkSide) "DIV" else "//"
+    def shl(a: String, b: String) =
+      if (sparkSide) s"shiftleft($a, $b)" else s"($a << ($b))"
+    val iRange =
+      if (sparkSide) "(SELECT explode(sequence(0, 255)) AS i)"
+      else "(SELECT unnest(range(0, 256)) AS i)"
+    val xExpr = (1 to 8).map { j =>
+      val w = 1L << (4 * (8 - j))
+      s"(instr('0123456789abcdef', substr(h, $j, 1)) - 1) * CAST($w AS BIGINT)"
+    }.mkString(" + ")
+    // rank = 25 - bit_length(rest) over the low 24 bits (rest = 0 →
+    // rank 25: all-zero suffix)
+    val rankCase = "CASE " + (23 to 0 by -1).map { b =>
+      s"WHEN rest >= ${1L << b} THEN ${25 - (b + 1)}"
+    }.mkString(" ") + " ELSE 25 END"
+    // shortest-round-trip double literals parse to the identical
+    // double in both engines; e0 keeps DuckDB from typing them DECIMAL
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains('E')) s.replace("E", "e") else s + "e0"
+    }
+    val lcCase = "CASE v " + (1 to 255).map { v =>
+      s"WHEN $v THEN ${dlit(256.0 * math.log(256.0 / v))}"
+    }.mkString(" ") + " ELSE e END"
+    s"""WITH dp AS (
+          SELECT DISTINCT l_returnflag, l_partkey FROM $liRel),
+        hx AS (
+          SELECT l_returnflag, $xExpr AS x
+          FROM (SELECT l_returnflag,
+                  md5(concat_ws('|', l_partkey)) AS h FROM dp) h0),
+        rk AS (
+          SELECT l_returnflag, idx, $rankCase AS rank
+          FROM (SELECT l_returnflag, x $div 16777216 AS idx,
+                  x % 16777216 AS rest FROM hx) r0),
+        regs AS (
+          SELECT l_returnflag, idx, max(rank) AS m
+          FROM rk GROUP BY l_returnflag, idx),
+        grid AS (
+          SELECT f.l_returnflag, ii.i AS idx
+          FROM (SELECT DISTINCT l_returnflag FROM dp) f
+          CROSS JOIN $iRange ii),
+        fullr AS (
+          SELECT g.l_returnflag, coalesce(r.m, 0) AS m
+          FROM grid g LEFT JOIN regs r
+            ON r.l_returnflag = g.l_returnflag AND r.idx = g.idx),
+        agg AS (
+          SELECT l_returnflag,
+            CAST(sum(${shl("CAST(1 AS BIGINT)", "25 - m")}) AS BIGINT) AS num,
+            CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+          FROM fullr GROUP BY l_returnflag),
+        est AS (
+          SELECT l_returnflag, v,
+            (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0
+              / CAST(num AS DOUBLE) AS e
+          FROM agg),
+        ex AS (
+          SELECT l_returnflag, count(*) AS exact_parts
+          FROM dp GROUP BY l_returnflag)
+        SELECT e.l_returnflag,
+          round(CASE WHEN e.e <= 640.0 AND e.v > 0
+            THEN $lcCase ELSE e.e END, 3) AS hll_parts,
+          CAST(x.exact_parts AS BIGINT) AS exact_parts
+        FROM est e JOIN ex x ON x.l_returnflag = e.l_returnflag
+        ORDER BY e.l_returnflag"""
+  }
+
+  /** Shared SQL for `agg_cms_heavy_md5` — count-min with portable
+    * hashes: base value x = md5's first 32 bits of the key, row-r
+    * bucket = ((a_r·x + b_r) mod p) mod w with odd a_r and prime
+    * p > 2^32 (Carter–Wegman pairwise-independent family — the same
+    * construction the MinHash twin uses). Everything else is the
+    * production op verbatim: d=4 × w=1024 counters as ONE
+    * map-combined aggregate, estimate = min over the 4 rows for the
+    * true top-10 keys. Engine splices: explode/unnest only. */
+  private def cmsMd5Sql(sparkSide: Boolean): String = {
+    val evRel = if (sparkSide) "graft_cms_events" else "events"
+    val rRange =
+      if (sparkSide) "(SELECT explode(sequence(0, 3)) AS r)"
+      else "(SELECT unnest(range(0, 4)) AS r)"
+    val xExpr = (1 to 8).map { j =>
+      val w = 1L << (4 * (8 - j))
+      s"(instr('0123456789abcdef', substr(h, $j, 1)) - 1) * CAST($w AS BIGINT)"
+    }.mkString(" + ")
+    val P = 4294967311L
+    // bucket for row r over base x (a_r = 2r+1 odd, b_r = 7919(r+1))
+    def bucket(x: String, r: String) =
+      s"(((2 * $r + 1) * $x + 7919 * ($r + 1)) % $P) % 1024"
+    s"""WITH x AS (
+          SELECT user_id, $xExpr AS x
+          FROM (SELECT user_id,
+                  md5(concat_ws('|', user_id)) AS h
+                FROM $evRel) h0),
+        cms AS (
+          SELECT r, bucket, count(*) AS cnt FROM (
+            SELECT rr.r AS r, ${bucket("x", "rr.r")} AS bucket
+            FROM x CROSS JOIN $rRange rr) b
+          GROUP BY r, bucket),
+        top AS (
+          SELECT user_id, count(*) AS true_cnt FROM $evRel
+          GROUP BY user_id
+          ORDER BY true_cnt DESC, user_id ASC LIMIT 10),
+        q AS (
+          SELECT t.user_id, t.true_cnt, rr.r AS r,
+            ${bucket("tx.x", "rr.r")} AS bucket
+          FROM top t
+          JOIN (SELECT DISTINCT user_id, x FROM x) tx
+            ON tx.user_id = t.user_id
+          CROSS JOIN $rRange rr)
+        SELECT q.user_id, q.true_cnt, min(c.cnt) AS est_cnt
+        FROM q JOIN cms c ON c.r = q.r AND c.bucket = q.bucket
+        GROUP BY q.user_id, q.true_cnt
+        ORDER BY q.true_cnt DESC, q.user_id ASC"""
+  }
+
   private def benford2Sql(src: String): String = {
     val probs = Seq(
       0 -> "1.1967926859688073e-1", 1 -> "1.1389010340755640e-1",
