@@ -1136,4 +1136,43 @@ class LlmSpec extends SparkSpec {
       r.getAs[Double]("bpe_per_word")).sum / rows.length
     assert(avg < 4.0, s"avg bpe tokens per word $avg — merges not applied?")
   }
+
+  test("md5 gate twins: each text twin RECOVERS its planted clone pairs " +
+      "(recall pin — the hash gate proves cross-engine equality, this " +
+      "proves the shared answer is the RIGHT one)") {
+    // all three text twins plant drop-last-token clones under the
+    // high-bit tag; a twin that hash-matched DuckDB but lost the
+    // planted pairs (both engines wrong together — e.g. a banding bug
+    // present in the shared SQL) would pass the gate and fail here.
+    val tag = 1L << 40
+    def plantedRecall(key: String): (Double, Long) = {
+      val pairs = SparkEntry.queries(key)(spark, sf01)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nDocs = Tables.documents(spark, sf01).count()
+      val found = pairs.count { case (a, b) => b == (a | tag) }
+      (found.toDouble / nDocs, nDocs)
+    }
+    // simhash's pin is lower than minhash's: the banding GUARANTEE is
+    // "every pair within hamming ≤ 3 is found" (pigeonhole — exact),
+    // but whether a drop-last-token edit LANDS within radius 3 is a
+    // property of the per-bit vote margins, which differ by hash
+    // family (measured: 0.71 under md5 votes vs ~0.9 under the
+    // production kernel). The pin guards the banding machinery, not
+    // the edit's radius.
+    val (simhashR, _) = plantedRecall("llm_dedup_simhash_md5")
+    assert(simhashR >= 0.6,
+      s"simhash_md5 planted-clone recall $simhashR — banding lost pairs")
+    val (nearR, _) = plantedRecall("llm_dedup_near_md5")
+    assert(nearR >= 0.8,
+      s"near_md5 planted-clone recall $nearR — banding lost pairs")
+    // and precision-ish: the non-clone pair mass stays bounded (band
+    // collisions confirm-filtered) — a degenerate all-pairs banding
+    // would explode this
+    val all = SparkEntry.queries("llm_dedup_near_md5")(spark, sf01).count()
+    val clones = SparkEntry.queries("llm_dedup_near_md5")(spark, sf01)
+      .filter(col("doc_b") === (col("doc_a").bitwiseOR(lit(tag)))).count()
+    assert(all <= clones * 2,
+      s"near_md5 emitted $all pairs for $clones planted — candidates leak")
+  }
 }
