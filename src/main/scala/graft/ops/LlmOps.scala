@@ -696,6 +696,118 @@ object LlmOps extends OpModule {
         ORDER BY doc_a, doc_b"""
   }
 
+  /** Shared SQL for `llm_dedup_incr_near_md5` — the hash-gated twin
+    * of [[PipelineOps.dedupIncrementalNear]] (the batch-vs-corpus
+    * MinHash form): same Carter–Wegman-over-md5 signature machinery
+    * as [[nearDupMd5Sql]], but candidates come from a BATCH-side ⋈
+    * CORPUS-side band equi-join — the corpus never self-pairs, the
+    * incremental posture's defining property — and each batch doc
+    * reports its best corpus match (jaccard DESC, corpus_id ASC — the
+    * production max(struct(jaccard, −id)) tiebreak) or NULLs. The
+    * workload mirrors the production key: corpus = doc_id % 10 ≠ 0,
+    * batch = the rest ∪ drop-last-token clones (tag 2^41) of corpus
+    * docs with doc_id % 7 = 1, so planted batch clones must match
+    * their corpus originals. */
+  private def incrNearMd5Sql(sparkSide: Boolean): String = {
+    val docsRel = if (sparkSide) "graft_incrmd5_docs" else "documents"
+    val toks =
+      if (sparkSide) "split(text, ' ')" else "string_split(text, ' ')"
+    val sz = if (sparkSide) "size" else "len"
+    val cloneText =
+      if (sparkSide)
+        "array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')"
+      else
+        ("array_to_string(list_slice(string_split(text, ' '), 1, " +
+          "len(string_split(text, ' ')) - 1), ' ')")
+    val grams =
+      if (sparkSide)
+        ("transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+          "element_at(toks, i), element_at(toks, i + 1), " +
+          "element_at(toks, i + 2)))")
+      else
+        ("list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', " +
+          "toks[i], toks[i + 1], toks[i + 2]))")
+    val unn = if (sparkSide) "explode" else "unnest"
+    val hint = if (sparkSide) "/*+ REPARTITION(doc_id) */ " else ""
+    val xExpr = (1 to 8).map { j =>
+      val w = 1L << (4 * (8 - j))
+      s"(instr('0123456789abcdef', substr(h, $j, 1)) - 1) * CAST($w AS BIGINT)"
+    }.mkString(" + ")
+    val P = 4294967311L
+    val minCols = (0 until 16).map { i =>
+      s"min((${2 * i + 1} * x + ${7919 * (i + 1)}) % $P) AS m$i"
+    }.mkString(", ")
+    val M = 1000000007L; val R = 1000003L
+    val bandArms = (0 until 4).map { b =>
+      val v = (0 until 4).map(r => s"m${4 * b + r}")
+        .foldLeft("CAST(0 AS BIGINT)")((acc, m) => s"((($acc) * $R + $m) % $M)")
+      s"WHEN $b THEN $v"
+    }.mkString(" ")
+    val bandRange =
+      if (sparkSide) "(SELECT explode(sequence(0, 3)) AS band_id)"
+      else "(SELECT unnest(range(0, 4)) AS band_id)"
+    s"""WITH corpus AS (
+          SELECT doc_id, text FROM $docsRel WHERE doc_id % 10 <> 0),
+        batch AS (
+          SELECT doc_id, text FROM $docsRel WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 2199023255552 AS doc_id, $cloneText AS text
+          FROM corpus WHERE doc_id % 7 = 1),
+        allr AS (
+          SELECT 0 AS side, doc_id, text FROM corpus
+          UNION ALL
+          SELECT 1 AS side, doc_id, text FROM batch),
+        tk AS (SELECT side, doc_id, text, $toks AS toks FROM allr),
+        sh AS (
+          SELECT ${hint}side, doc_id, sh FROM (
+            SELECT DISTINCT side, doc_id, sh FROM (
+              SELECT side, doc_id, $unn(CASE WHEN $sz(toks) >= 3
+                THEN $grams
+                ELSE ${if (sparkSide) "array(text)" else "[text]"} END) AS sh
+              FROM tk) s0) s1),
+        sizes AS (
+          SELECT side, doc_id, count(*) AS n_sh FROM sh GROUP BY side, doc_id),
+        hx AS (
+          SELECT side, doc_id, $xExpr AS x
+          FROM (SELECT side, doc_id, md5(sh) AS h FROM sh) h0),
+        mh AS (SELECT ${hint}side, doc_id, $minCols
+               FROM hx GROUP BY side, doc_id),
+        bands AS (
+          SELECT side, doc_id, tt.band_id AS band_id,
+            CASE tt.band_id $bandArms END AS band_hash
+          FROM mh CROSS JOIN $bandRange tt),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+          FROM (SELECT * FROM bands WHERE side = 1) b
+          JOIN (SELECT * FROM bands WHERE side = 0) c
+            ON b.band_id = c.band_id AND b.band_hash = c.band_hash),
+        inter AS (
+          SELECT cd.batch_id, cd.corpus_id, count(*) AS n_common
+          FROM cand cd
+          JOIN sh sa ON sa.side = 1 AND sa.doc_id = cd.batch_id
+          JOIN sh sb ON sb.side = 0 AND sb.doc_id = cd.corpus_id
+            AND sb.sh = sa.sh
+          GROUP BY cd.batch_id, cd.corpus_id),
+        j AS (
+          SELECT i.batch_id, i.corpus_id,
+            round(CAST(i.n_common AS DOUBLE) /
+              CAST(na.n_sh + nb.n_sh - i.n_common AS DOUBLE), 6) AS jaccard
+          FROM inter i
+          JOIN sizes na ON na.side = 1 AND na.doc_id = i.batch_id
+          JOIN sizes nb ON nb.side = 0 AND nb.doc_id = i.corpus_id),
+        best AS (
+          SELECT batch_id, corpus_id, jaccard,
+            row_number() OVER (PARTITION BY batch_id
+              ORDER BY jaccard DESC, corpus_id ASC) AS rn
+          FROM j WHERE jaccard >= 0.5)
+        SELECT b.doc_id, w.corpus_id AS dup_of, w.jaccard,
+          w.corpus_id IS NOT NULL AS is_dup
+        FROM batch b
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) w
+          ON w.batch_id = b.doc_id
+        ORDER BY b.doc_id"""
+  }
+
   /** Banded random-hyperplane candidate pairs over an embedding
     * column: per vector one `graft_rpbands` signature (r bits ×
     * `bands` bands, one codegen pass), then the same
@@ -2388,6 +2500,23 @@ object LlmOps extends OpModule {
         s.sql(nearDupMd5Sql(sparkSide = true))
       },
       Some(nearDupMd5Sql(sparkSide = false))),
+
+    Op("llm_dedup_incr_near_md5",
+      // the hash-gated twin of llm_dedup_incr_near (r20, eighth
+      // no-oracle label promotion): the production label belongs to
+      // the seeded kernel, not to the incremental posture — batch
+      // band signatures meeting CORPUS band signatures in an
+      // equi-join (the corpus never self-pairs), best-match selection
+      // per batch doc, exact confirm. Same Carter–Wegman-over-md5
+      // machinery as llm_dedup_near_md5; the full
+      // (doc, dup_of, jaccard, is_dup) relation hash-matches DuckDB,
+      // putting the batch-vs-corpus join + tiebreak under the gate.
+      (s, d) => {
+        Tables.documents(s, d).select("doc_id", "text")
+          .createOrReplaceTempView("graft_incrmd5_docs")
+        s.sql(incrNearMd5Sql(sparkSide = true))
+      },
+      Some(incrNearMd5Sql(sparkSide = false))),
 
     Op("llm_dedup_jaccard",
       // exact n-gram Jaccard pairs (prefix filter, [[jaccardPairs]]) on

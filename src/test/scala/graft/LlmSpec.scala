@@ -1174,5 +1174,14 @@ class LlmSpec extends SparkSpec {
       .filter(col("doc_b") === (col("doc_a").bitwiseOR(lit(tag)))).count()
     assert(all <= clones * 2,
       s"near_md5 emitted $all pairs for $clones planted — candidates leak")
+    // incremental twin: each planted batch clone must best-match its
+    // EXACT corpus original (the tiebreak + batch⋈corpus join under
+    // recall, not just the gate)
+    val incr = SparkEntry.queries("llm_dedup_incr_near_md5")(spark, sf01)
+      .filter(col("doc_id") >= lit(1L << 41)).collect()
+    val matched = incr.count(r => !r.isNullAt(1) &&
+      r.getLong(1) == r.getLong(0) - (1L << 41))
+    assert(matched.toDouble / incr.length >= 0.8,
+      s"incr_near_md5: only $matched/${incr.length} clones matched exactly")
   }
 }
