@@ -1127,6 +1127,82 @@ object LlmOps extends OpModule {
     }
   }
 
+  /** Shared SQL for `llm_boilerplate_rank_fixed` — the hash-gated
+    * twin of [[boilerplateRank]], composing TWO already-proven
+    * disciplines: the winnow-pair edge layer is portable md5
+    * arithmetic (the llm_winnow_pairs oracle verbatim — the
+    * `graft_winnow_fps` kernel computes the identical fingerprints,
+    * proven by that key's green hash row), and the rank layer is the
+    * pageRankFixedSql DECIMAL(38,10) 5-round chain (per-edge
+    * contributions quantized at 10dp BEFORE the per-node sum, fixed
+    * IEEE finish per round). The winnow graph is bidirectional by
+    * construction, so the float kernel's dangling-mass term is zero —
+    * same recursion class as graph_pagerank_fixed. Engine splice:
+    * edge source only (Spark persisted kernel-built view / DuckDB
+    * inline winnow CTE chain). */
+  private def boilerRankFixedSql(sparkSide: Boolean,
+      rounds: Int = 5): String = {
+    val edgesCte =
+      if (sparkSide) "edges AS (SELECT src, dst, outdeg FROM graft_wr_edges)"
+      else
+        """pos AS (
+            SELECT doc_id, text,
+              unnest(generate_series(1, length(text) - 7)) AS i
+            FROM documents WHERE length(text) >= 11),
+          h AS (
+            SELECT doc_id, i,
+              substr(md5(substring(text, CAST(i AS INT), 8)), 1, 12) AS hh,
+              length(text) - 7 AS npos
+            FROM pos),
+          m AS (
+            SELECT doc_id, i, npos,
+              min(hh) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM h),
+          f AS (
+            SELECT DISTINCT doc_id, fp FROM m WHERE i <= npos - 3),
+          keep AS (
+            SELECT fp FROM f GROUP BY fp
+            HAVING count(*) BETWEEN 2 AND 16),
+          g AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2),
+          edges0 AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs),
+          edges AS (
+            SELECT src, dst,
+              CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg
+            FROM edges0)"""
+    val sb = new StringBuilder(s"""WITH $edgesCte,
+        p0 AS (
+          SELECT src AS v, CAST(1 AS DOUBLE) AS pr
+          FROM (SELECT DISTINCT src FROM edges) n0)""")
+    for (k <- 1 to rounds) {
+      sb.append(s""",
+        c$k AS (
+          SELECT e.dst AS v,
+            CAST(sum(CAST(round(p.pr / e.outdeg, 10) AS DECIMAL(38,10)))
+              AS DECIMAL(38,10)) AS s
+          FROM edges e
+          JOIN p${k - 1} p ON e.src = p.v
+          GROUP BY e.dst),
+        p$k AS (
+          SELECT v, round(15e-2 + 85e-2 * CAST(s AS DOUBLE), 10) AS pr
+          FROM c$k)""")
+    }
+    sb.append(s""",
+        deg AS (SELECT DISTINCT src AS node, outdeg AS degree FROM edges)
+        SELECT p.v AS doc_id, d.degree, round(p.pr, 6) AS pr
+        FROM p$rounds p JOIN deg d ON d.node = p.v
+        ORDER BY round(p.pr, 6) DESC, p.v ASC LIMIT 20""")
+    sb.toString
+  }
+
   private[graft] def boilerplateRank(docs: DataFrame,
       minShared: Long = 2L, iters: Int = 5,
       cacheKey: Option[String] = None): DataFrame = {
@@ -3224,6 +3300,44 @@ object LlmOps extends OpModule {
         .orderBy(col("pr").desc, col("doc_id").asc)
         .limit(20),
       None),
+
+    Op("llm_boilerplate_rank_fixed",
+      // the hash-gated twin of llm_boilerplate_rank (r20, ninth
+      // no-oracle label promotion — and the first CROSS-LAYER one):
+      // the float PageRank above has no portable rendering, but its
+      // two layers separately do — winnow pairs are md5 arithmetic
+      // (llm_winnow_pairs' green row proves kernel ≡ oracle) and the
+      // fixed-point DECIMAL chain is the graph_pagerank_fixed
+      // discipline — so their COMPOSITION goes under the gate: the
+      // full top-20 (doc, degree, score) relation hash-matches
+      // DuckDB. Spark side feeds the chain from the kernel-built
+      // edge relation (persisted, outdeg hoisted); converged scores
+      // session-memoized like every fixed-point rank (cold discloses
+      // the winnow + chain build).
+      (s, d) => {
+        val key =
+          s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|wrankfx|$d"
+        val scores = key.intern.synchronized(wrankCache.getOrElseUpdate(key, {
+          val p = winnowPairsOf(Tables.documents(s, d))
+            .filter(col("n_shared") >= 2)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          val edges0 = p.unionByName(
+            p.select(col("dst").as("src"), col("src").as("dst")))
+          val edges = edges0
+            .withColumn("outdeg",
+              count(lit(1)).over(org.apache.spark.sql.expressions.Window
+                .partitionBy("src")).cast("long"))
+            .persist()
+          edges.count()
+          edges.createOrReplaceTempView("graft_wr_edges")
+          val r = s.sql(boilerRankFixedSql(sparkSide = true)).persist()
+          r.count()
+          edges.unpersist(blocking = false)
+          r
+        }))
+        scores.orderBy(col("pr").desc, col("doc_id").asc)
+      },
+      Some(boilerRankFixedSql(sparkSide = false))),
 
     Op("llm_ngram_novelty",
       // corpus-order novelty scoring — the crawl-curation metric

@@ -1184,4 +1184,23 @@ class LlmSpec extends SparkSpec {
     assert(matched.toDouble / incr.length >= 0.8,
       s"incr_near_md5: only $matched/${incr.length} clones matched exactly")
   }
+
+  test("boilerplate rank: fixed-point twin ≡ float kernel on ordering " +
+      "and scores (the GraphSpec fixed≡float pin, cross-layer)") {
+    // same edges (winnow pairs ≥ 2 shared), same 5 rounds, no sinks
+    // (bidirectional) — the DECIMAL-quantized chain and the float
+    // kernel run the same recursion, so the top-20 must agree on
+    // membership+order and scores to ~1e-5 (per-round 10dp rounding
+    // is the only divergence source)
+    val float = SparkEntry.queries("llm_boilerplate_rank")(spark, sf01)
+      .select("doc_id", "pr").collect()
+    val fixed = SparkEntry.queries("llm_boilerplate_rank_fixed")(spark, sf01)
+      .select("doc_id", "pr").collect()
+    assert(float.map(_.getLong(0)).toSeq == fixed.map(_.getLong(0)).toSeq,
+      "fixed and float top-20 orderings diverge")
+    float.zip(fixed).foreach { case (a, b) =>
+      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-5,
+        s"doc ${a.getLong(0)}: float ${a.getDouble(1)} fixed ${b.getDouble(1)}")
+    }
+  }
 }
