@@ -1511,8 +1511,11 @@ object Aggs extends OpModule {
     *    exact BIGINT sum (register max via one grouped max; absent
     *    registers join in as M=0 from a generated grid);
     *  - raw estimate αm·m²·2^25/num is one IEEE division of identical
-    *    doubles (αm spelled as its defining arithmetic
-    *    0.7213/(1+1.079/m) — both engines evaluate the same ops);
+    *    doubles (the whole αm·m²·2^25 factor precomputed as ONE
+    *    shortest-round-trip double literal — ADVICE r20: spelling it
+    *    as 0.7213/(1+1.079/m)·… let Spark type the literals DECIMAL
+    *    and round differently from DuckDB's double division, a
+    *    3.7e-9 split that could flip round(e,3) near a boundary);
     *  - the small-range LINEAR-COUNTING correction m·ln(m/V) needs a
     *    libm ln of a data-dependent value — but V only takes 255
     *    possible values, so every possible correction is a
@@ -1575,7 +1578,7 @@ object Aggs extends OpModule {
           FROM fullr GROUP BY l_returnflag),
         est AS (
           SELECT l_returnflag, v,
-            (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0
+            ${dlit((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0)}
               / CAST(num AS DOUBLE) AS e
           FROM agg),
         ex AS (

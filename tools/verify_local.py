@@ -10,16 +10,22 @@ compares row-by-row. Reports per-query PASS/FAIL with the first diff.
 """
 import sys, json, glob, os
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
-    # match driver-style value hashing: stringify everything
+    # match driver-style value hashing: stringify everything.
+    # None and float NaN are the SAME null token: pyarrow renders a
+    # null bool/object cell as None where duckdb fetchdf renders NaN —
+    # the driver passes those queries (all green in r20), so the two
+    # null spellings must compare equal here too.
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return repr(v)
+        return "NULL" if v != v else repr(v)
     return str(v)
 
 def main():
@@ -42,8 +48,21 @@ def main():
             n_fail += 1
             continue
         try:
-            ours = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            # Read the Spark side via pyarrow, NOT duckdb read_parquet:
+            # duckdb coerces decimal128 to float64 exactly like the
+            # oracle side, hiding the rendering divergence the driver's
+            # comparator sees (VERDICT r20 #3 — the r20 digest
+            # regression shipped because this tool read both sides
+            # through duckdb). pyarrow preserves decimal/int types so
+            # stringification here matches the driver's.
+            # date_as_object=False: DATE columns land as datetime64 on
+            # both sides (DuckDB fetchdf does the same), mirroring the
+            # driver's passing behaviour for the many date-output
+            # queries; decimals and ints keep their pyarrow types.
+            ours = pd.concat(
+                [pq.read_table(f).to_pandas(date_as_object=False)
+                 for f in files],
+                ignore_index=True)
             ref = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
@@ -85,11 +104,31 @@ def main():
                 n_fail += 1
                 break
         if ok:
-            dtypes = ",".join(str(t) for t in ours.dtypes)
-            rdtypes = ",".join(str(t) for t in ref.dtypes)
-            warn = "" if dtypes == rdtypes else f"  [dtype warn: {dtypes} vs {rdtypes}]"
-            print(f"PASS {name} ({len(ours)} rows){warn}")
-            n_pass += 1
+            # Type-class mismatch is a FAIL, not a warning (VERDICT
+            # r20 #3): a numerically equal value rendered by a
+            # different type class (decimal vs float, int vs float)
+            # splits the driver's stringifying comparator even when
+            # every norm()'d value above happened to agree here.
+            def tclass(t):
+                s = str(t)
+                if s.startswith(("int", "uint")):
+                    return "int"
+                if s.startswith("float"):
+                    return "float"
+                # unit differences (datetime64[ms]/[ns]/[us]) stringify
+                # identically and pass the driver — one class
+                if s.startswith("datetime64"):
+                    return "datetime"
+                return s
+            mism = [(c, str(a), str(b))
+                    for c, a, b in zip(ours.columns, ours.dtypes, ref.dtypes)
+                    if tclass(a) != tclass(b)]
+            if mism:
+                print(f"FAIL {name}: dtype class mismatch {mism}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(ours)} rows)")
+                n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, "
           f"{len(oracle) - n_pass - n_fail} skipped ==")
     sys.exit(1 if n_fail else 0)
