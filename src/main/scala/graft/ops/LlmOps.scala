@@ -390,7 +390,7 @@ object LlmOps extends OpModule {
     * (band_id, band_val) equi self-join, never doc×doc; the md5
     * per-token cost is why the REGISTERED production op keeps the
     * codegen kernel and this twin carries the gate. */
-  private def simHashMd5Sql(sparkSide: Boolean): String = {
+  private[graft] def simHashMd5Sql(sparkSide: Boolean): String = {
     val div = if (sparkSide) "DIV" else "//"
     def shl(a: String, b: String) =
       if (sparkSide) s"shiftleft($a, $b)" else s"($a << ($b))"
@@ -507,7 +507,7 @@ object LlmOps extends OpModule {
     * the corpus while a true near-dup pair (θ≈0) survives with
     * near-certainty. Production keeps the codegen kernel; this twin
     * puts the banding + probe + rescue machinery under the gate. */
-  private def lshMd5Sql(sparkSide: Boolean): String = {
+  private[graft] def lshMd5Sql(sparkSide: Boolean): String = {
     val embRel = if (sparkSide) "graft_lshmd5_emb" else "embeddings"
     // Spark-only shared-exchange pin — see simHashMd5Sql's hint note
     def hint(h: String) = if (sparkSide) s"/*+ $h */ " else ""
@@ -604,7 +604,7 @@ object LlmOps extends OpModule {
     * doc×doc; the confirm is a postings equi-join on the shingle
     * string over candidate docs only. k=16, bands=4, rows=4,
     * τ=0.5 mirror the production operating point. */
-  private def nearDupMd5Sql(sparkSide: Boolean): String = {
+  private[graft] def nearDupMd5Sql(sparkSide: Boolean): String = {
     val docsRel = if (sparkSide) "graft_nearmd5_docs" else "documents"
     val toks =
       if (sparkSide) "split(text, ' ')" else "string_split(text, ' ')"
@@ -708,7 +708,7 @@ object LlmOps extends OpModule {
     * batch = the rest ∪ drop-last-token clones (tag 2^41) of corpus
     * docs with doc_id % 7 = 1, so planted batch clones must match
     * their corpus originals. */
-  private def incrNearMd5Sql(sparkSide: Boolean): String = {
+  private[graft] def incrNearMd5Sql(sparkSide: Boolean): String = {
     val docsRel = if (sparkSide) "graft_incrmd5_docs" else "documents"
     val toks =
       if (sparkSide) "split(text, ' ')" else "string_split(text, ' ')"
@@ -806,6 +806,346 @@ object LlmOps extends OpModule {
         LEFT JOIN (SELECT * FROM best WHERE rn = 1) w
           ON w.batch_id = b.doc_id
         ORDER BY b.doc_id"""
+  }
+
+  // ---- r21 OPTIMIZATION: session-memoized twin signature bases ----
+  //
+  // VERDICT r20 "Next round" #4 (the round's one endorsed perf item
+  // for the twin family): llm_dedup_near_md5 and
+  // llm_dedup_incr_near_md5 rebuilt the SAME distinct-shingle +
+  // md5-base-value + 16-minhash relation per call (~6.3 s combined
+  // local min); llm_dedup_simhash_md5 and llm_simsearch_lsh_md5
+  // likewise rebuilt their per-doc fingerprint / per-vector
+  // projection relations. These are exactly the structures a
+  // production dedup/ANN pipeline maintains INCREMENTALLY as a
+  // signature index (the ivfCache / tokCache analogue), so they are
+  // session-memoized per (session, corpus) with the established
+  // discipline: key-scoped lock, persist + count() to materialize,
+  // cold pass discloses the build (Bench pass 1 pays it), evictable.
+  // The DuckDB oracle SQL is UNCHANGED and self-contained — the
+  // driver's hash gate re-proves the restructured Spark side against
+  // the identical oracle relation, and LlmSpec pins restructured ≡
+  // monolithic shared-SQL results row-for-row at sf0.01.
+  //
+  // 100 TB reading (guide §2.4): the memo removes the re-tokenize /
+  // re-hash / re-aggregate passes that dominated the twins — the
+  // per-query work left is banding projections plus the candidate and
+  // confirm equi-joins, which is the marginal cost an incremental
+  // signature index gives a production pipeline on every batch.
+  private val md5TwinCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Evict this session's memoized twin signature relations —
+    * companion to [[evictTokCache]] / [[evictIvfCache]]. */
+  def evictMd5TwinCache(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val prefix =
+      s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(spark)}|md5t|"
+    md5TwinCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+      md5TwinCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  private def md5TwinMemo(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, tag: String, view: String)(build: => DataFrame): Unit = {
+    val key = s"${org.apache.spark.sql.graftbridge.Bridge
+      .sessionUUID(spark)}|md5t|$tag|$sfDir"
+    val df = key.intern.synchronized(md5TwinCache.getOrElseUpdate(key, {
+      val b = build
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.count()
+      b
+    }))
+    df.createOrReplaceTempView(view)
+  }
+
+  // shared fragments for the restructured Spark sides — same
+  // constants/arithmetic as the monolithic builders above (drift is
+  // pinned away by LlmSpec's restructured≡monolithic test)
+  private def md5X32(h: String): String = (1 to 8).map { j =>
+    val w = 1L << (4 * (8 - j))
+    s"(instr('0123456789abcdef', substr($h, $j, 1)) - 1) * CAST($w AS BIGINT)"
+  }.mkString(" + ")
+  private def minhashMinCols: String = (0 until 16).map { i =>
+    s"min((${2 * i + 1} * x + ${7919 * (i + 1)}) % 4294967311) AS m$i"
+  }.mkString(", ")
+  private def minhashBandArms: String = (0 until 4).map { b =>
+    val v = (0 until 4).map(r => s"m${4 * b + r}")
+      .foldLeft("CAST(0 AS BIGINT)")((acc, m) =>
+        s"((($acc) * 1000003 + $m) % 1000000007)")
+    s"WHEN $b THEN $v"
+  }.mkString(" ")
+  private val SparkCloneText =
+    "array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')"
+  private val SparkGrams =
+    "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+      "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"
+
+  /** Registers `graft_md5sh_base` (src, doc_id, sh, x) and
+    * `graft_md5sig_base` (src, doc_id, m0..m15, n_sh): the distinct
+    * 3-gram shingle relation with md5 base values and the per-doc
+    * Carter–Wegman 16-minhash signature + shingle count, for raw
+    * docs (src=0) and drop-last-token clones (src=1). Both MinHash
+    * twins derive their corpus/batch/clone relations from these two
+    * frames by pure filters + id arithmetic. */
+  private def minhashTwinViews(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .createOrReplaceTempView("graft_md5twin_docs")
+    md5TwinMemo(spark, sfDir, "sh", "graft_md5sh_base") {
+      spark.sql(s"""
+        SELECT /*+ REPARTITION(doc_id) */ src, doc_id, sh,
+          ${md5X32("md5(sh)")} AS x
+        FROM (
+          SELECT DISTINCT src, doc_id, sh FROM (
+            SELECT src, doc_id, explode(CASE WHEN size(toks) >= 3
+              THEN $SparkGrams
+              ELSE array(text) END) AS sh
+            FROM (SELECT src, doc_id, text, split(text, ' ') AS toks
+                  FROM (SELECT 0 AS src, doc_id, text
+                          FROM graft_md5twin_docs
+                        UNION ALL
+                        SELECT 1 AS src, doc_id, $SparkCloneText AS text
+                          FROM graft_md5twin_docs) r) t) s0) s1""")
+    }
+    md5TwinMemo(spark, sfDir, "sig", "graft_md5sig_base") {
+      spark.sql(s"""
+        SELECT /*+ REPARTITION(doc_id) */ src, doc_id, $minhashMinCols,
+          count(*) AS n_sh
+        FROM graft_md5sh_base GROUP BY src, doc_id""")
+    }
+  }
+
+  /** Restructured Spark side of `llm_dedup_near_md5` over the
+    * memoized base views: identical relation to
+    * [[nearDupMd5Sql]](sparkSide = true) — corpus ids are src=0 raw /
+    * src=1 clone + 2^40, all arithmetic unchanged. */
+  private[graft] def nearDupMd5SparkSql: String =
+    s"""WITH sh AS (
+          SELECT doc_id + src * 1099511627776 AS doc_id, sh
+          FROM graft_md5sh_base),
+        sig AS (
+          SELECT doc_id + src * 1099511627776 AS doc_id,
+            ${(0 until 16).map(i => s"m$i").mkString(", ")}, n_sh
+          FROM graft_md5sig_base),
+        bands AS (
+          SELECT doc_id, tt.band_id AS band_id,
+            CASE tt.band_id $minhashBandArms END AS band_hash
+          FROM sig CROSS JOIN (SELECT explode(sequence(0, 3)) AS band_id) tt),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY c.doc_a, c.doc_b),
+        j AS (
+          SELECT i.doc_a, i.doc_b,
+            round(CAST(i.n_common AS DOUBLE) /
+              CAST(na.n_sh + nb.n_sh - i.n_common AS DOUBLE), 6) AS jaccard
+          FROM inter i
+          JOIN sig na ON na.doc_id = i.doc_a
+          JOIN sig nb ON nb.doc_id = i.doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j
+        WHERE jaccard >= 0.5
+        ORDER BY doc_a, doc_b"""
+
+  /** Restructured Spark side of `llm_dedup_incr_near_md5` over the
+    * memoized base views: corpus = src=0 ∧ id%10≠0, batch = src=0 ∧
+    * id%10=0 ∪ (src=1 ∧ id%10≠0 ∧ id%7=1) + 2^41 — the same
+    * relations [[incrNearMd5Sql]](sparkSide = true) builds inline. */
+  private[graft] def incrNearMd5SparkSql: String = {
+    def sideMap(cols: String) =
+      s"""SELECT 0 AS side, doc_id, $cols FROM graft_md5%BASE%
+            WHERE src = 0 AND doc_id % 10 <> 0
+          UNION ALL
+          SELECT 1 AS side, doc_id, $cols FROM graft_md5%BASE%
+            WHERE src = 0 AND doc_id % 10 = 0
+          UNION ALL
+          SELECT 1 AS side, doc_id + 2199023255552 AS doc_id, $cols
+            FROM graft_md5%BASE%
+            WHERE src = 1 AND doc_id % 10 <> 0 AND doc_id % 7 = 1"""
+    val shSide = sideMap("sh").replace("%BASE%", "sh_base")
+    val sigCols = (0 until 16).map(i => s"m$i").mkString(", ") + ", n_sh"
+    val sigSide = sideMap(sigCols).replace("%BASE%", "sig_base")
+    s"""WITH sh AS ($shSide),
+        sig AS ($sigSide),
+        bands AS (
+          SELECT side, doc_id, tt.band_id AS band_id,
+            CASE tt.band_id $minhashBandArms END AS band_hash
+          FROM sig CROSS JOIN (SELECT explode(sequence(0, 3)) AS band_id) tt),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+          FROM (SELECT * FROM bands WHERE side = 1) b
+          JOIN (SELECT * FROM bands WHERE side = 0) c
+            ON b.band_id = c.band_id AND b.band_hash = c.band_hash),
+        inter AS (
+          SELECT cd.batch_id, cd.corpus_id, count(*) AS n_common
+          FROM cand cd
+          JOIN sh sa ON sa.side = 1 AND sa.doc_id = cd.batch_id
+          JOIN sh sb ON sb.side = 0 AND sb.doc_id = cd.corpus_id
+            AND sb.sh = sa.sh
+          GROUP BY cd.batch_id, cd.corpus_id),
+        j AS (
+          SELECT i.batch_id, i.corpus_id,
+            round(CAST(i.n_common AS DOUBLE) /
+              CAST(na.n_sh + nb.n_sh - i.n_common AS DOUBLE), 6) AS jaccard
+          FROM inter i
+          JOIN sig na ON na.side = 1 AND na.doc_id = i.batch_id
+          JOIN sig nb ON nb.side = 0 AND nb.doc_id = i.corpus_id),
+        best AS (
+          SELECT batch_id, corpus_id, jaccard,
+            row_number() OVER (PARTITION BY batch_id
+              ORDER BY jaccard DESC, corpus_id ASC) AS rn
+          FROM j WHERE jaccard >= 0.5),
+        batch AS (SELECT DISTINCT doc_id FROM sig WHERE side = 1)
+        SELECT b.doc_id, w.corpus_id AS dup_of, w.jaccard,
+          w.corpus_id IS NOT NULL AS is_dup
+        FROM batch b
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) w
+          ON w.batch_id = b.doc_id
+        ORDER BY b.doc_id"""
+  }
+
+  /** Build SQL for the memoized SimHash-md5 fingerprint relation
+    * `graft_shmd5_fp` (doc_id, lo, hi, b0..b5) — the corpus→tokens→
+    * md5-digits→64-vote→pack pipeline of
+    * [[simHashMd5Sql]](sparkSide = true), verbatim fragments. */
+  private def simhashFpSparkSql: String = {
+    def digitOf(dd: Int) = s"instr('0123456789abcdef', substr(h, $dd, 1)) - 1"
+    val digitCols =
+      (1 to 16).map(dd => s"${digitOf(dd)} AS d$dd").mkString(", ")
+    val voteSums = (0 until 64).map { j =>
+      val dd = j / 4 + 1; val b = j % 4; val w = 1 << (3 - b)
+      s"sum(2 * ((d$dd DIV $w) % 2) - 1) AS v$j"
+    }.mkString(", ")
+    def bitOf(j: Int) = s"(CASE WHEN v$j > 0 THEN 1 ELSE 0 END)"
+    def packBits(js: Range, off: Int) = js.map { j =>
+      s"${bitOf(j)} * shiftleft(CAST(1 AS BIGINT), ${j - off})"
+    }.mkString(" + ")
+    val offs = Seq(0, 11, 22, 33, 44, 54, 64)
+    val blockCols = (0 until 6).map { g =>
+      s"${packBits(offs(g) until offs(g + 1), offs(g))} AS b$g"
+    }.mkString(", ")
+    s"""WITH corpus AS (
+          SELECT doc_id, text FROM graft_shmd5_docs
+          UNION ALL
+          SELECT doc_id + 1099511627776 AS doc_id, $SparkCloneText AS text
+          FROM graft_shmd5_docs),
+        tk AS (SELECT doc_id, explode(split(text, ' ')) AS tok FROM corpus),
+        dgt AS (
+          SELECT doc_id, $digitCols
+          FROM (SELECT doc_id, md5(tok) AS h FROM tk) t0),
+        votes AS (SELECT doc_id, $voteSums FROM dgt GROUP BY doc_id)
+        SELECT doc_id, ${packBits(0 until 32, 0)} AS lo,
+          ${packBits(32 until 64, 32)} AS hi, $blockCols
+        FROM votes"""
+  }
+
+  /** Restructured Spark side of `llm_dedup_simhash_md5` over the
+    * memoized fingerprint view: bands → equi self-join → hamming
+    * confirm, identical to the tail of [[simHashMd5Sql]]. */
+  private[graft] def simhashMd5QuerySparkSql: String = {
+    val combos = (0 until 6).combinations(3).toSeq
+    val bandArms = combos.zipWithIndex.map { case (c, id) =>
+      s"WHEN $id THEN b${c(0)} * 4398046511104 + b${c(1)} * 2097152 + b${c(2)}"
+    }.mkString(" ")
+    s"""WITH bands AS (
+          SELECT doc_id, tt.band_id AS band_id,
+            CASE tt.band_id $bandArms END AS band_val
+          FROM graft_shmd5_fp CROSS JOIN
+            (SELECT explode(sequence(0, ${combos.size - 1})) AS band_id) tt),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id),
+        ham AS (
+          SELECT c.doc_a, c.doc_b,
+            CAST(bit_count(ha.lo ^ hb.lo) + bit_count(ha.hi ^ hb.hi)
+              AS INTEGER) AS hamming
+          FROM cand c
+          JOIN graft_shmd5_fp ha ON ha.doc_id = c.doc_a
+          JOIN graft_shmd5_fp hb ON hb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, hamming FROM ham
+        WHERE hamming <= 3
+        ORDER BY doc_a, doc_b"""
+  }
+
+  /** Build SQL for the memoized LSH-md5 projection relation
+    * `graft_lshmd5_proj` (vec_id, p0..p23) — the hp/hpw/ev/proj
+    * pipeline of [[lshMd5Sql]](sparkSide = true), verbatim. */
+  private def lshProjSparkSql: String = {
+    def rng(a: Int, endEx: Int, alias: String) =
+      s"(SELECT explode(sequence($a, ${endEx - 1})) AS $alias)"
+    val sgnCols = (0 until 24).map { q =>
+      val t = q / 6; val r = q % 6
+      s"max(CASE WHEN t = $t AND r = $r THEN sgn END) AS s$q"
+    }.mkString(", ")
+    val projSums = (0 until 24).map(q => s"sum(x * s$q) AS p$q").mkString(", ")
+    s"""WITH hp AS (
+          SELECT tt.t AS t, rr.r AS r, ii.i AS i,
+            CASE WHEN (instr('0123456789abcdef',
+                substr(md5(concat_ws('|', tt.t, rr.r, ii.i)), 1, 1)) - 1)
+                % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+          FROM ${rng(0, 4, "t")} tt
+          CROSS JOIN ${rng(0, 6, "r")} rr
+          CROSS JOIN ${rng(1, 65, "i")} ii),
+        hpw AS (SELECT i, $sgnCols FROM hp GROUP BY i),
+        ev AS (
+          SELECT vec_id, ii.i AS i,
+            CAST(round(CAST(element_at(e.embedding, ii.i) AS DOUBLE), 10)
+              AS DECIMAL(38,10)) AS x
+          FROM graft_lshmd5_emb e CROSS JOIN ${rng(1, 65, "i")} ii)
+        SELECT /*+ REPARTITION(vec_id) */ v.vec_id, $projSums
+        FROM ev v JOIN hpw h ON v.i = h.i
+        GROUP BY v.vec_id"""
+  }
+
+  /** Restructured Spark side of `llm_simsearch_lsh_md5` over the
+    * memoized projection view: band-pack → probe⋈corpus candidates →
+    * exact cosine rescue → top-10, identical to the tail of
+    * [[lshMd5Sql]]. */
+  private[graft] def lshMd5QuerySparkSql: String = {
+    def dot(x: String, y: String) =
+      s"aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (a, k) -> " +
+        s"a + CAST(element_at($x, k) AS DOUBLE) * " +
+        s"CAST(element_at($y, k) AS DOUBLE))"
+    val bandArms = (0 until 4).map { t =>
+      val terms = (0 until 6).map(r =>
+        s"(CASE WHEN p${t * 6 + r} > 0 THEN 1 ELSE 0 END) * ${1 << r}")
+        .mkString(" + ")
+      s"WHEN $t THEN $terms"
+    }.mkString(" ")
+    s"""WITH sig AS (
+          SELECT vec_id, tt.t AS t,
+            CAST(CASE tt.t $bandArms END AS BIGINT) AS band_val
+          FROM graft_lshmd5_proj CROSS JOIN
+            (SELECT explode(sequence(0, 3)) AS t) tt),
+        cand AS (
+          SELECT DISTINCT p.vec_id AS p_id, c.vec_id AS vec_id
+          FROM (SELECT * FROM sig WHERE vec_id < 5) p
+          JOIN sig c ON p.t = c.t AND p.band_val = c.band_val),
+        scored AS (
+          SELECT cd.p_id, cd.vec_id,
+            round(${dot("pe.embedding", "ce.embedding")}
+              / (sqrt(${dot("pe.embedding", "pe.embedding")})
+               * sqrt(${dot("ce.embedding", "ce.embedding")})), 6) AS cosine
+          FROM cand cd
+          JOIN graft_lshmd5_emb pe ON pe.vec_id = cd.p_id
+          JOIN graft_lshmd5_emb ce ON ce.vec_id = cd.vec_id),
+        ranked AS (
+          SELECT p_id, vec_id, cosine,
+            row_number() OVER (PARTITION BY p_id
+              ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT p_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine
+        FROM ranked WHERE rank <= 10
+        ORDER BY p_id, rank"""
   }
 
   /** Banded random-hyperplane candidate pairs over an embedding
@@ -2570,10 +2910,14 @@ object LlmOps extends OpModule {
       // (band equi self-join, postings confirm); md5 + the portable
       // rendering cost more than the fused kernel, which is exactly
       // why production keeps the kernel and THIS op carries the gate.
+      // r21: the Spark side reads the session-memoized shingle +
+      // signature base ([[minhashTwinViews]] — VERDICT r20 #4); the
+      // oracle SQL is the unchanged self-contained relation, so the
+      // driver's hash gate re-proves the restructure. LlmSpec
+      // additionally pins restructured ≡ monolithic row-for-row.
       (s, d) => {
-        Tables.documents(s, d).select("doc_id", "text")
-          .createOrReplaceTempView("graft_nearmd5_docs")
-        s.sql(nearDupMd5Sql(sparkSide = true))
+        minhashTwinViews(s, d)
+        s.sql(nearDupMd5SparkSql)
       },
       Some(nearDupMd5Sql(sparkSide = false))),
 
@@ -2587,10 +2931,13 @@ object LlmOps extends OpModule {
       // machinery as llm_dedup_near_md5; the full
       // (doc, dup_of, jaccard, is_dup) relation hash-matches DuckDB,
       // putting the batch-vs-corpus join + tiebreak under the gate.
+      // r21: shares the SAME memoized base as llm_dedup_near_md5
+      // (the two twins previously rebuilt the identical
+      // shingle+signature relation per call — VERDICT r20 #4); the
+      // batch/corpus split is pure filters + id arithmetic on it.
       (s, d) => {
-        Tables.documents(s, d).select("doc_id", "text")
-          .createOrReplaceTempView("graft_incrmd5_docs")
-        s.sql(incrNearMd5Sql(sparkSide = true))
+        minhashTwinViews(s, d)
+        s.sql(incrNearMd5SparkSql)
       },
       Some(incrNearMd5Sql(sparkSide = false))),
 
@@ -3171,10 +3518,18 @@ object LlmOps extends OpModule {
       // the codegen kernel, which is exactly why production keeps the
       // kernel and THIS op carries the gate; the candidate join is
       // the same (band_id, band_val) shuffle — never doc×doc.
+      // r21: the fingerprint relation (md5 per token occurrence + 64
+      // vote sums — the dominant cost) is the signature index a
+      // production SimHash dedup maintains incrementally; it is
+      // session-memoized ([[md5TwinMemo]], cold build disclosed) and
+      // the per-call work is bands + candidate join + hamming
+      // confirm. Oracle unchanged; LlmSpec pins restructured ≡
+      // monolithic.
       (s, d) => {
         Tables.documents(s, d).select("doc_id", "text")
           .createOrReplaceTempView("graft_shmd5_docs")
-        s.sql(simHashMd5Sql(sparkSide = true))
+        md5TwinMemo(s, d, "shfp", "graft_shmd5_fp")(s.sql(simhashFpSparkSql))
+        s.sql(simhashMd5QuerySparkSql)
       },
       Some(simHashMd5Sql(sparkSide = false))),
 
@@ -3730,10 +4085,17 @@ object LlmOps extends OpModule {
       // full top-k relation hash-matches DuckDB. Production keeps
       // the codegen kernel for throughput; this twin carries the
       // gate for the banding + probe + rescue machinery.
+      // r21: the per-vector Rademacher projection relation (64-row
+      // explode ⋈ hyperplanes + 24 DECIMAL sums — the dominant cost)
+      // is the LSH signature index; session-memoized like the IVF
+      // index ([[md5TwinMemo]]), per-call work = band-pack + probe
+      // join + exact rescue. Oracle unchanged; LlmSpec pins
+      // restructured ≡ monolithic.
       (s, d) => {
         Tables.embeddings(s, d).select("vec_id", "embedding")
           .createOrReplaceTempView("graft_lshmd5_emb")
-        s.sql(lshMd5Sql(sparkSide = true))
+        md5TwinMemo(s, d, "lshp", "graft_lshmd5_proj")(s.sql(lshProjSparkSql))
+        s.sql(lshMd5QuerySparkSql)
       },
       Some(lshMd5Sql(sparkSide = false))),
 

@@ -1185,6 +1185,41 @@ class LlmSpec extends SparkSpec {
       s"incr_near_md5: only $matched/${incr.length} clones matched exactly")
   }
 
+  test("r21 twin memo restructure: each memoized twin ≡ its monolithic " +
+      "shared-SQL form row-for-row (the optimization changed the Spark " +
+      "plan, not the relation)") {
+    // the r21 optimization reads session-memoized signature bases
+    // instead of rebuilding them inline; the DuckDB oracle is the
+    // unchanged monolithic SQL, and this pin proves the Spark sides
+    // agree with each other too — a drifted fragment (band arms, hash
+    // constants, clone construction) would split here even if both
+    // engines drifted together
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    Tables.documents(spark, sf001).select("doc_id", "text")
+      .createOrReplaceTempView("graft_nearmd5_docs")
+    Tables.documents(spark, sf001).select("doc_id", "text")
+      .createOrReplaceTempView("graft_incrmd5_docs")
+    Tables.documents(spark, sf001).select("doc_id", "text")
+      .createOrReplaceTempView("graft_shmd5_docs")
+    Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+      .createOrReplaceTempView("graft_lshmd5_emb")
+    val mono = Map(
+      "llm_dedup_near_md5" -> LlmOps.nearDupMd5Sql(sparkSide = true),
+      "llm_dedup_incr_near_md5" -> LlmOps.incrNearMd5Sql(sparkSide = true),
+      "llm_dedup_simhash_md5" -> LlmOps.simHashMd5Sql(sparkSide = true),
+      "llm_simsearch_lsh_md5" -> LlmOps.lshMd5Sql(sparkSide = true))
+    // monolithic SQL reads graft_nearmd5_docs / graft_incrmd5_docs;
+    // those views exist only here (the ops now read the memoized base)
+    mono.foreach { case (key, monoSql) =>
+      val restructured = rows(SparkEntry.queries(key)(spark, sf001))
+      val monolithic = rows(spark.sql(monoSql))
+      assert(restructured == monolithic,
+        s"$key: memoized restructure diverged from monolithic SQL " +
+          s"(${restructured.size} vs ${monolithic.size} rows)")
+    }
+  }
+
   test("boilerplate rank: fixed-point twin ≡ float kernel on ordering " +
       "and scores (the GraphSpec fixed≡float pin, cross-layer)") {
     // same edges (winnow pairs ≥ 2 shared), same 5 rounds, no sinks
