@@ -1148,6 +1148,51 @@ object LlmOps extends OpModule {
         ORDER BY p_id, rank"""
   }
 
+  /** Distinct 4-gram postings (doc_id, g) off the memoized tokenized
+    * corpus — shared base of the novelty forms below. */
+  private def noveltyPostings(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    graft.functions.VectorKernels.register(s)
+    tokenizedDocs(s, d)
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"), explode(call_function(
+        "graft_shingles_sorted", col("toks"), lit(4))).as("g"))
+  }
+
+  /** `llm_ngram_novelty`, r21 doc-grain form: n_shingles collapses
+    * map-side, the first-seen owner is the one g-keyed aggregate, and
+    * n_novel is a count over the first-doc relation — no shingle-grain
+    * join anywhere. */
+  private[graft] def ngramNovelty(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val ng = noveltyPostings(s, d)
+    val ns = ng.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = ng.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("nn"))
+    ns.join(novel, ns("doc_id") === novel("first_doc"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("nn"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** The pre-r21 join-back form, kept as the LlmSpec reference the
+    * doc-grain form is pinned against. */
+  private[graft] def ngramNoveltyJoinForm(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ng = noveltyPostings(s, d)
+    val first = ng.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    ng.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Banded random-hyperplane candidate pairs over an embedding
     * column: per vector one `graft_rpbands` signature (r bits ×
     * `bands` bands, one codegen pass), then the same
@@ -3712,21 +3757,20 @@ object LlmOps extends OpModule {
       // no doc×doc product anywhere, and the incremental form is the
       // same query with min over (corpus ∪ batch) — first-seen owners
       // are append-stable because doc_ids only grow.
+      // r21 (guide §2.3/§2.4): the join-back form carried the FULL
+      // postings relation through the g-exchange into a shingle-grain
+      // SortMergeJoin and re-aggregated it to doc grain. Both numbers
+      // are doc-grain aggregates, so compute them that way: n_shingles
+      // collapses map-side (partial agg — the postings never shuffle
+      // for it), n_novel = count per first-seen owner over the
+      // first-doc relation (the one g-keyed exchange that is
+      // fundamentally required), and a doc-grain left join stitches
+      // the two ≤|docs| relations. The shingle-grain join + its
+      // sort are gone; LlmSpec pins new ≡ join-form row-for-row and
+      // the unchanged oracle re-proves it under the hash gate.
       (s, d) => {
         graft.functions.VectorKernels.register(s)
-        val ng = tokenizedDocs(s, d)
-          .filter(size(col("toks")) >= 4)
-          .select(col("doc_id"), explode(call_function(
-            "graft_shingles_sorted", col("toks"), lit(4))).as("g"))
-        val first = ng.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-        ng.join(first, "g")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("first_doc") === col("doc_id"), 1L)
-              .otherwise(0L)).as("n_novel"))
-          .withColumn("novelty",
-            round(col("n_novel").cast("double") / col("n_shingles"), 6))
-          .orderBy("doc_id")
+        ngramNovelty(s, d)
       },
       Some("""WITH tk AS (
                 SELECT doc_id, string_split(

@@ -1218,6 +1218,11 @@ class LlmSpec extends SparkSpec {
         s"$key: memoized restructure diverged from monolithic SQL " +
           s"(${restructured.size} vs ${monolithic.size} rows)")
     }
+    // ngram novelty: the r21 doc-grain form (no shingle-grain join)
+    // must equal the join-back reference row-for-row
+    assert(rows(LlmOps.ngramNovelty(spark, sf001)) ==
+      rows(LlmOps.ngramNoveltyJoinForm(spark, sf001)),
+      "ngram_novelty doc-grain form diverged from the join form")
   }
 
   test("boilerplate rank: fixed-point twin ≡ float kernel on ordering " +

@@ -623,4 +623,27 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
     assert(rows == Set((5000L, 2), (4000L, 1)), s"frontier: $rows")
   }
+
+  test("r21 grid memo restructure: each value-grid query ≡ its " +
+      "monolithic shared-SQL form row-for-row") {
+    // the r21 optimization reads the session-memoized (key, cents)
+    // cumulative grid instead of rebuilding it inline; the DuckDB
+    // oracle is the unchanged monolithic SQL and this pin proves the
+    // Spark sides agree with each other too
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    Tables.lineitem(spark, sf001).createOrReplaceTempView("graft_li_mono")
+    Tables.orders(spark, sf001).createOrReplaceTempView("graft_ord_mono")
+    val mono = Map(
+      "agg_iqr_outliers" -> ops.Aggs.iqrOutliersSql("graft_li_mono"),
+      "agg_winsorized_mean" -> ops.Aggs.winsorizedMeanSql("graft_li_mono"),
+      "agg_hill_tail" -> ops.Aggs.hillTailSql("graft_ord_mono"),
+      "agg_cvar" -> ops.Aggs.cvarSql("graft_ord_mono"))
+    mono.foreach { case (key, monoSql) =>
+      val restructured = rows(SparkEntry.queries(key)(spark, sf001))
+      val monolithic = rows(spark.sql(monoSql))
+      assert(restructured == monolithic,
+        s"$key: memoized grid restructure diverged from monolithic SQL")
+    }
+  }
 }
