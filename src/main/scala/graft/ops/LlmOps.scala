@@ -868,12 +868,21 @@ object LlmOps extends OpModule {
   private def minhashMinCols: String = (0 until 16).map { i =>
     s"min((${2 * i + 1} * x + ${7919 * (i + 1)}) % 4294967311) AS m$i"
   }.mkString(", ")
-  private def minhashBandArms: String = (0 until 4).map { b =>
-    val v = (0 until 4).map(r => s"m${4 * b + r}")
+  private def minhashBandExprs: Seq[String] = (0 until 4).map { b =>
+    (0 until 4).map(r => s"m${4 * b + r}")
       .foldLeft("CAST(0 AS BIGINT)")((acc, m) =>
         s"((($acc) * 1000003 + $m) % 1000000007)")
-    s"WHEN $b THEN $v"
-  }.mkString(" ")
+  }
+  // banding as ONE Generate (stack), not a CROSS JOIN against an
+  // exploded 0..3 range: the range form planned as a
+  // BroadcastNestedLoopJoin (broadcast build + join stage) per call —
+  // stack emits the same (band_id, band_hash) rows inside the same
+  // whole-stage span (r21, guide §2.4)
+  private def minhashBandStack: String = {
+    val args = minhashBandExprs.zipWithIndex
+      .map { case (e, b) => s"$b, $e" }.mkString(", ")
+    s"stack(4, $args) AS (band_id, band_hash)"
+  }
   private val SparkCloneText =
     "array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')"
   private val SparkGrams =
@@ -928,9 +937,7 @@ object LlmOps extends OpModule {
             ${(0 until 16).map(i => s"m$i").mkString(", ")}, n_sh
           FROM graft_md5sig_base),
         bands AS (
-          SELECT doc_id, tt.band_id AS band_id,
-            CASE tt.band_id $minhashBandArms END AS band_hash
-          FROM sig CROSS JOIN (SELECT explode(sequence(0, 3)) AS band_id) tt),
+          SELECT doc_id, $minhashBandStack FROM sig),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
@@ -974,9 +981,7 @@ object LlmOps extends OpModule {
     s"""WITH sh AS ($shSide),
         sig AS ($sigSide),
         bands AS (
-          SELECT side, doc_id, tt.band_id AS band_id,
-            CASE tt.band_id $minhashBandArms END AS band_hash
-          FROM sig CROSS JOIN (SELECT explode(sequence(0, 3)) AS band_id) tt),
+          SELECT side, doc_id, $minhashBandStack FROM sig),
         cand AS (
           SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
           FROM (SELECT * FROM bands WHERE side = 1) b
@@ -1050,14 +1055,14 @@ object LlmOps extends OpModule {
     * confirm, identical to the tail of [[simHashMd5Sql]]. */
   private[graft] def simhashMd5QuerySparkSql: String = {
     val combos = (0 until 6).combinations(3).toSeq
-    val bandArms = combos.zipWithIndex.map { case (c, id) =>
-      s"WHEN $id THEN b${c(0)} * 4398046511104 + b${c(1)} * 2097152 + b${c(2)}"
-    }.mkString(" ")
+    // stack-banding, not CROSS JOIN — see [[minhashBandStack]]
+    val stackArgs = combos.zipWithIndex.map { case (c, id) =>
+      s"$id, b${c(0)} * 4398046511104 + b${c(1)} * 2097152 + b${c(2)}"
+    }.mkString(", ")
     s"""WITH bands AS (
-          SELECT doc_id, tt.band_id AS band_id,
-            CASE tt.band_id $bandArms END AS band_val
-          FROM graft_shmd5_fp CROSS JOIN
-            (SELECT explode(sequence(0, ${combos.size - 1})) AS band_id) tt),
+          SELECT doc_id,
+            stack(${combos.size}, $stackArgs) AS (band_id, band_val)
+          FROM graft_shmd5_fp),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
@@ -1115,17 +1120,16 @@ object LlmOps extends OpModule {
       s"aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (a, k) -> " +
         s"a + CAST(element_at($x, k) AS DOUBLE) * " +
         s"CAST(element_at($y, k) AS DOUBLE))"
-    val bandArms = (0 until 4).map { t =>
+    // stack-banding, not CROSS JOIN — see [[minhashBandStack]]
+    val stackArgs = (0 until 4).map { t =>
       val terms = (0 until 6).map(r =>
         s"(CASE WHEN p${t * 6 + r} > 0 THEN 1 ELSE 0 END) * ${1 << r}")
         .mkString(" + ")
-      s"WHEN $t THEN $terms"
-    }.mkString(" ")
+      s"$t, CAST($terms AS BIGINT)"
+    }.mkString(", ")
     s"""WITH sig AS (
-          SELECT vec_id, tt.t AS t,
-            CAST(CASE tt.t $bandArms END AS BIGINT) AS band_val
-          FROM graft_lshmd5_proj CROSS JOIN
-            (SELECT explode(sequence(0, 3)) AS t) tt),
+          SELECT vec_id, stack(4, $stackArgs) AS (t, band_val)
+          FROM graft_lshmd5_proj),
         cand AS (
           SELECT DISTINCT p.vec_id AS p_id, c.vec_id AS vec_id
           FROM (SELECT * FROM sig WHERE vec_id < 5) p

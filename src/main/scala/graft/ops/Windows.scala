@@ -109,13 +109,40 @@ object Windows extends OpModule {
   /** Shared SQL for `win_acf` — 7 leads in one window pass, per-lag
     * DECIMAL-reaccumulated products, exact-moment denominator;
     * engine-spliced epoch day. */
-  private def acfSql(table: String, spark: Boolean): String = {
+  private[graft] def acfSql(table: String, spark: Boolean): String = {
     val day =
       if (spark) "datediff(CAST(ts AS DATE), DATE '1970-01-01')"
       else "(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')"
     val leads = (1 to 7)
       .map(k => s"lead(x, $k) OVER w AS x$k").mkString(", ")
-    val nums = (1 to 7).map { k =>
+    // nums is an ENGINE SPLICE (r21, guide §2.3 — aggregate before
+    // you shuffle). The original shared form was a UNION ALL of 7
+    // branches, each re-joining l⋈m and re-aggregating by event_type
+    // — 7 joins + 7 grouped aggregates + 7 exchanges over the same
+    // tiny relation. Spark computes the 7 lag sums in ONE join + ONE
+    // grouped aggregate (each branch's WHERE x_k IS NOT NULL becomes
+    // the CASE inside its sum — sum skips NULLs, identical DECIMAL
+    // terms) and unpivots with stack(); a lag with no qualifying rows
+    // produced NO row in the UNION form, so NULL nums are dropped to
+    // match. DuckDB keeps the UNION form (stack is Spark-only; its
+    // planner flattens the union cheaply) — same relation, re-proven
+    // by the driver's hash gate per engine-splice discipline.
+    val nums =
+      if (spark) {
+        val sums = (1 to 7).map { k =>
+          s"""CAST(round(sum(CASE WHEN l.x$k IS NOT NULL
+                THEN CAST((CAST(l.x AS DOUBLE) - m.mu)
+                  * (CAST(l.x$k AS DOUBLE) - m.mu) AS DECIMAL(38,10))
+                END), 6) AS DOUBLE) AS num$k"""
+        }.mkString(", ")
+        val stackArgs = (1 to 7).map(k => s"$k, num$k").mkString(", ")
+        s"""SELECT et, lag, num FROM (
+              SELECT et, stack(7, $stackArgs) AS (lag, num) FROM (
+                SELECT l.event_type AS et, $sums
+                FROM l JOIN m ON l.event_type = m.event_type
+                GROUP BY l.event_type) s1) s2
+            WHERE num IS NOT NULL"""
+      } else (1 to 7).map { k =>
       s"""SELECT l.event_type AS et, $k AS lag,
             CAST(round(sum(CAST((CAST(l.x AS DOUBLE) - m.mu)
                 * (CAST(l.x$k AS DOUBLE) - m.mu) AS DECIMAL(38,10))),
