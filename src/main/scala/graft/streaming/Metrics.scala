@@ -36,6 +36,11 @@ object StreamMetrics {
   class MetricsListener(keep: Int = 10000) extends StreamingQueryListener {
     private val buf =
       new java.util.concurrent.ConcurrentLinkedDeque[BatchMetric]()
+    // ring-buffer size tracked explicitly (ADVICE r20):
+    // ConcurrentLinkedDeque.size() is O(n), so once the buffer reaches
+    // `keep` every progress event walked ~keep nodes on the Spark
+    // listener-bus thread — a counter keeps the trim O(1)
+    private val n = new java.util.concurrent.atomic.AtomicInteger(0)
 
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -59,7 +64,11 @@ object StreamMetrics {
           .getOrElse(0L),
         wm, stateRows, stateBytes,
         math.max(p.sink.numOutputRows, 0L)))
-      while (buf.size() > keep) { buf.pollFirst(); () }
+      n.incrementAndGet()
+      while (n.get() > keep) {
+        if (buf.pollFirst() != null) n.decrementAndGet()
+        else n.set(0) // raced empty — resync rather than spin
+      }
     }
 
     def rows: Seq[BatchMetric] = {

@@ -187,13 +187,24 @@ class ParquetStagedSink(root: String) extends StagedSink {
   override def stage(batch: DataFrame, batchId: Long): Unit =
     batch.write.mode("overwrite").parquet(stagingDir(batchId).getPath)
 
-  override def commitStaged(batchId: Long): Unit = {
+  override def commitStaged(batchId: Long): Unit = synchronized {
+    // synchronized (ADVICE r20): two concurrent readCommitted/recover
+    // callers could both pass the exists() check and the loser's
+    // ATOMIC_MOVE threw NoSuchFileException even though the batch
+    // committed. The lock serializes the check+move; the catch below
+    // additionally absorbs a cross-PROCESS racer (same rule: a
+    // committed directory after the failed move IS success).
     val s = stagingDir(batchId); val c = committedDir(batchId)
     if (c.exists()) { abortStaged(batchId); return } // redelivered after success
     require(s.exists(), s"$name: nothing staged for batch $batchId")
     c.getParentFile.mkdirs()
-    java.nio.file.Files.move(s.toPath, c.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      java.nio.file.Files.move(s.toPath, c.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: java.nio.file.FileSystemException if c.exists() =>
+        abortStaged(batchId) // leftover staging, committed dir exists
+    }
     ()
   }
 

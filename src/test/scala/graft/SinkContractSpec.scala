@@ -61,6 +61,27 @@ class SinkContractSpec extends SparkSpec {
     }
   }
 
+  test("r21: concurrent commitStaged of one batch — exactly one wins, " +
+      "none throws (the ADVICE r20 read-repair race)") {
+    import graft.streaming.ParquetStagedSink
+    val dir = tmpDir("graft_sink_race")
+    val sink = new ParquetStagedSink(s"$dir/p")
+    (0L to 3L).foreach { b =>
+      sink.stage(batchOf(10), b)
+      // two "read-repair" callers race the same staged batch: before
+      // the r21 fix both could pass the exists() check and the
+      // loser's ATOMIC_MOVE threw NoSuchFileException after the batch
+      // had committed
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (1 to 2).map(_ => new Thread(() =>
+        try sink.commitStaged(b)
+        catch { case t: Throwable => errs.add(t); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty, s"racing commit threw: ${errs.peek()}")
+    }
+    assert(sink.visibleBatches == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("jdbc upsert: merge semantics, replayed old batch cannot regress rows") {
     import spark.implicits._
     val dir = tmpDir("graft_sink_jdbc")
