@@ -1055,7 +1055,13 @@ object LlmOps extends OpModule {
     * confirm, identical to the tail of [[simHashMd5Sql]]. */
   private[graft] def simhashMd5QuerySparkSql: String = {
     val combos = (0 until 6).combinations(3).toSeq
-    // stack-banding, not CROSS JOIN — see [[minhashBandStack]]
+    // stack-banding, not CROSS JOIN — see [[minhashBandStack]].
+    // Pair-dedup AFTER the hamming confirm, not between candidates and
+    // scoring (the production simHashPairs r10 rule, applied to the
+    // twin in r21): band collisions outnumber true near-dups ~50×,
+    // hamming is identical for every banded copy of a pair, so
+    // filtering first means the DISTINCT shuffle moves only survivors
+    // — same relation, LlmSpec-pinned against the monolithic form.
     val stackArgs = combos.zipWithIndex.map { case (c, id) =>
       s"$id, b${c(0)} * 4398046511104 + b${c(1)} * 2097152 + b${c(2)}"
     }.mkString(", ")
@@ -1064,7 +1070,7 @@ object LlmOps extends OpModule {
             stack(${combos.size}, $stackArgs) AS (band_id, band_val)
           FROM graft_shmd5_fp),
         cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
             ON a.band_id = b.band_id AND a.band_val = b.band_val
            AND a.doc_id < b.doc_id),
@@ -1075,7 +1081,7 @@ object LlmOps extends OpModule {
           FROM cand c
           JOIN graft_shmd5_fp ha ON ha.doc_id = c.doc_a
           JOIN graft_shmd5_fp hb ON hb.doc_id = c.doc_b)
-        SELECT doc_a, doc_b, hamming FROM ham
+        SELECT DISTINCT doc_a, doc_b, hamming FROM ham
         WHERE hamming <= 3
         ORDER BY doc_a, doc_b"""
   }
