@@ -2023,7 +2023,12 @@ object Aggs extends OpModule {
     val key = s"${org.apache.spark.sql.graftbridge.Bridge
       .sessionUUID(spark)}|grid|$tag|$sfDir"
     val df = key.intern.synchronized(gridCache.getOrElseUpdate(key, {
-      val b = build
+      // r22: persist + register the CTE-INLINED form — the grid
+      // builds are WITH-clause SQL, and a WithCTE view fragment's CTE
+      // def ids renumber inside each consumer, so it never matches
+      // CacheManager's standalone cache key and the r21 memo silently
+      // missed (see md5TwinMemo).
+      val b = org.apache.spark.sql.graftbridge.Bridge.inlineCtes(build)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       b.count()
       b

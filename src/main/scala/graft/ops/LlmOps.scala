@@ -850,7 +850,15 @@ object LlmOps extends OpModule {
     val key = s"${org.apache.spark.sql.graftbridge.Bridge
       .sessionUUID(spark)}|md5t|$tag|$sfDir"
     val df = key.intern.synchronized(md5TwinCache.getOrElseUpdate(key, {
-      val b = build
+      // r22: persist + register the CTE-INLINED form. A `WITH`-clause
+      // build stores a WithCTE plan in the temp view, and CTE def ids
+      // renumber relative to each consumer during normalization, so
+      // CacheManager's fragment walk never matches the embedded view
+      // against the standalone cache key — the memo silently misses
+      // (exactly the r21 simhash/lsh defect: warm ≈ cold, no
+      // InMemoryRelation in the plan). The near/incr builds worked
+      // only because they happened to be CTE-free.
+      val b = org.apache.spark.sql.graftbridge.Bridge.inlineCtes(build)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       b.count()
       b
