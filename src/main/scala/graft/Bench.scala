@@ -153,6 +153,36 @@ object Bench {
     // with NO maps at all — headline scalars only, well under 200
     // chars; the full per-query maps, spread, and error text live in
     // the file report ($out), where size is unbounded.
+    // r22 (VERDICT r21 "Next round" #3, additions-only): the full
+    // per-query line above has exceeded the driver's ~2 KB tail
+    // capture since the registry passed ~90 queries, which left
+    // PERF_r*.json with per_query:{} for two rounds. Re-emit the same
+    // min map as CHUNKED standalone JSON lines (each ≤ ~1.5 KB, each
+    // independently parseable, slowest queries LAST so the entries
+    // most worth auditing sit inside any bounded tail), then one
+    // short slowest-20 line. No timing or env changes; the final
+    // compact line stays the last line, unchanged.
+    val asc = minQ.toSeq.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+    def entry(kv: (String, Double)): String =
+      s"\"" + kv._1 + "\":" + (if (kv._2 < 0) "-1"
+        else String.format(java.util.Locale.ROOT, "%.3f", Double.box(kv._2)))
+    val chunks = scala.collection.mutable.ArrayBuffer[Seq[(String, Double)]]()
+    var cur = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    var curLen = 0
+    asc.foreach { kv =>
+      val l = entry(kv).length + 1
+      if (curLen + l > 1400 && cur.nonEmpty) {
+        chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer(); curLen = 0
+      }
+      cur += kv; curLen += l
+    }
+    if (cur.nonEmpty) chunks += cur.toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_part","i":${i + 1},"of":${chunks.size},""" +
+        s""""queries":${c.map(entry).mkString("{", ",", "}")}}""")
+    }
+    println(s"""{"metric":"slowest","queries":${
+      asc.takeRight(20).reverse.map(entry).mkString("{", ",", "}")}}""")
     val compact = s"""{"metric":"total","value":${total(minQ)},"unit":"sec",""" +
       s""""n_queries":${minQ.size},"value_cold":${total(cold)},""" +
       s""""n_failed":$nFailed,"sf":"$sfDir"}"""
