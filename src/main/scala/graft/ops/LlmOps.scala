@@ -903,21 +903,31 @@ object LlmOps extends OpModule {
     "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
       "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"
 
-  /** Registers `graft_md5sh_base` (src, doc_id, sh, x) and
+  /** Registers `graft_md5sh_base` (src, doc_id, xx, x) and
     * `graft_md5sig_base` (src, doc_id, m0..m15, n_sh): the distinct
     * 3-gram shingle relation with md5 base values and the per-doc
     * Carter–Wegman 16-minhash signature + shingle count, for raw
     * docs (src=0) and drop-last-token clones (src=1). Both MinHash
     * twins derive their corpus/batch/clone relations from these two
-    * frames by pure filters + id arithmetic. */
+    * frames by pure filters + id arithmetic.
+    *
+    * r22 (guide §2.3 — shuffle keys instead of payloads): the base
+    * carries the shingle as a 96-bit hash pair (xx = xxhash64(sh),
+    * x = 32 md5 bits — the minhash input, already computed) instead
+    * of the ~20-40 B shingle STRING; the intersection joins compare
+    * (xx, x) equality. Distinct shingles are distinct-per-doc BEFORE
+    * hashing, so n_common inflates only on a simultaneous collision
+    * of two independent lanes (~2⁻⁹⁶ per compared shingle pair — the
+    * llm_dedup_substring (h1, h2) argument, which the hash gate
+    * re-proves against the string-joining oracle on every run). */
   private def minhashTwinViews(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit = {
     Tables.documents(spark, sfDir).select("doc_id", "text")
       .createOrReplaceTempView("graft_md5twin_docs")
     md5TwinMemo(spark, sfDir, "sh", "graft_md5sh_base") {
       spark.sql(s"""
-        SELECT /*+ REPARTITION(doc_id) */ src, doc_id, sh,
-          ${md5X32("md5(sh)")} AS x
+        SELECT /*+ REPARTITION(doc_id) */ src, doc_id,
+          xxhash64(sh) AS xx, ${md5X32("md5(sh)")} AS x
         FROM (
           SELECT DISTINCT src, doc_id, sh FROM (
             SELECT src, doc_id, explode(CASE WHEN size(toks) >= 3
@@ -944,7 +954,7 @@ object LlmOps extends OpModule {
     * src=1 clone + 2^40, all arithmetic unchanged. */
   private[graft] def nearDupMd5SparkSql: String =
     s"""WITH sh AS (
-          SELECT doc_id + src * 1099511627776 AS doc_id, sh
+          SELECT doc_id + src * 1099511627776 AS doc_id, xx, x
           FROM graft_md5sh_base),
         sig AS (
           SELECT doc_id + src * 1099511627776 AS doc_id,
@@ -961,7 +971,8 @@ object LlmOps extends OpModule {
           SELECT c.doc_a, c.doc_b, count(*) AS n_common
           FROM cand c
           JOIN sh sa ON sa.doc_id = c.doc_a
-          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          JOIN sh sb ON sb.doc_id = c.doc_b
+            AND sb.xx = sa.xx AND sb.x = sa.x
           GROUP BY c.doc_a, c.doc_b),
         j AS (
           SELECT i.doc_a, i.doc_b,
@@ -989,7 +1000,7 @@ object LlmOps extends OpModule {
           SELECT 1 AS side, doc_id + 2199023255552 AS doc_id, $cols
             FROM graft_md5%BASE%
             WHERE src = 1 AND doc_id % 10 <> 0 AND doc_id % 7 = 1"""
-    val shSide = sideMap("sh").replace("%BASE%", "sh_base")
+    val shSide = sideMap("xx, x").replace("%BASE%", "sh_base")
     val sigCols = (0 until 16).map(i => s"m$i").mkString(", ") + ", n_sh"
     val sigSide = sideMap(sigCols).replace("%BASE%", "sig_base")
     s"""WITH sh AS ($shSide),
@@ -1006,7 +1017,7 @@ object LlmOps extends OpModule {
           FROM cand cd
           JOIN sh sa ON sa.side = 1 AND sa.doc_id = cd.batch_id
           JOIN sh sb ON sb.side = 0 AND sb.doc_id = cd.corpus_id
-            AND sb.sh = sa.sh
+            AND sb.xx = sa.xx AND sb.x = sa.x
           GROUP BY cd.batch_id, cd.corpus_id),
         j AS (
           SELECT i.batch_id, i.corpus_id,
@@ -2679,7 +2690,7 @@ object LlmOps extends OpModule {
           (col("n") - ceil(col("n") * tau) + 1).cast("int"))).as("s"))
 
   def jaccardPairs(docs: DataFrame, tau: Double = 0.6,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, cacheKey: Option[String] = None): DataFrame = {
     // shingleN is the collision-density dial: longer shingles make the
     // shingle space sparser, so prefix postings (and candidate pairs)
     // shrink. A Zipfian real-world vocabulary is fine at 3; this
@@ -2715,9 +2726,21 @@ object LlmOps extends OpModule {
     // widening this materialization point AND the candidate-join
     // exchanges below once the corpus outgrows the session default.
     val sized = Scale.sizedShuffle(docs)
-    val sorted = Scale.repartitionSized(sized, shingleSets(docs, shingleN)
-      .filter(col("doc_id").isNotNull && col("sh").isNotNull &&
-        size(col("sh")) > 0), col("doc_id"))
+    // r22: with a cacheKey the shingle-set relation follows the
+    // session memo discipline (it is the PPJoin inverted-index base a
+    // production dedup service maintains per corpus snapshot) — the
+    // per-call work becomes postings + candidate join + exact
+    // confirm; without one (tests, ad-hoc inputs) the r12
+    // exchange-reuse form is unchanged.
+    def sortedBuild = Scale.repartitionSized(sized,
+      shingleSets(docs, shingleN)
+        .filter(col("doc_id").isNotNull && col("sh").isNotNull &&
+          size(col("sh")) > 0), col("doc_id"))
+    val sorted = cacheKey match {
+      case Some(k) =>
+        md5TwinMemoDf(docs.sparkSession, k, s"jacsh$shingleN")(sortedBuild)
+      case None => sortedBuild
+    }
     // Prefix postings as posexplode + pos-filter (not explode(slice)):
     // value-identical, but the Generate's implicit predicates land on
     // `sh` itself — the same expressions every other branch pushes — so
@@ -2725,12 +2748,19 @@ object LlmOps extends OpModule {
     // join on xxhash64(shingle): 8-byte keys through the largest
     // shuffle; a collision only ADDS a candidate the exact confirm
     // rejects (the containmentPairs argument).
-    val pref = sorted
+    val pref0 = sorted
       .select(col("doc_id"), size(col("sh")).as("n"),
         posexplode(col("sh")).as(Seq("pos", "s")))
       .filter(col("pos") <
         (col("n") - ceil(col("n") * tau) + 1).cast("int"))
       .select(col("doc_id"), col("n"), xxhash64(col("s")).as("h"))
+    // r22: a memoized h-partitioned prefix-posting relation (the
+    // phash banded-table move) was MEASURED WORSE here (warm 1.22 →
+    // 1.52 s at sf0.1: two posting-grain IMR scans cost more than
+    // re-deriving the prefix from the doc-grain sorted memo, whose
+    // explode is cheap and whose join exchange AQE coalesces) — the
+    // prefix stays derived per call.
+    val pref = pref0
     val a = pref.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("h"))
     val b = pref.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
       col("h").as("h_b"))
@@ -2794,7 +2824,8 @@ object LlmOps extends OpModule {
     * candidate — never a false positive, the confirm is exact.
     */
   def containmentPairs(docs: DataFrame, tau: Double = 0.9,
-      shingleN: Int = 3, maxPostingDf: Option[Long] = None): DataFrame = {
+      shingleN: Int = 3, maxPostingDf: Option[Long] = None,
+      cacheKey: Option[String] = None): DataFrame = {
     // The explicit filter is semantically a no-op (sh is a CASE that
     // always yields a non-empty array; doc_id is a key) but it is what
     // makes exchange reuse HAPPEN: each consuming branch pushes its own
@@ -2810,9 +2841,17 @@ object LlmOps extends OpModule {
     // shuffle spilled and α_cold hit 1.03 (SOAK_R13_DEEP_SH256.json);
     // sized partitions restored 0.73. No-op below the threshold.
     val sized = Scale.sizedShuffle(docs)
-    val sorted = Scale.repartitionSized(sized, shingleSets(docs, shingleN)
-      .filter(col("doc_id").isNotNull && col("sh").isNotNull &&
-        size(col("sh")) > 0), col("doc_id"))
+    // r22: optional session memo of the shingle-set base — see
+    // [[jaccardPairs]]; per-call work = postings + join + confirm.
+    def sortedBuild = Scale.repartitionSized(sized,
+      shingleSets(docs, shingleN)
+        .filter(col("doc_id").isNotNull && col("sh").isNotNull &&
+          size(col("sh")) > 0), col("doc_id"))
+    val sorted = cacheKey match {
+      case Some(k) =>
+        md5TwinMemoDf(docs.sparkSession, k, s"contsh$shingleN")(sortedBuild)
+      case None => sortedBuild
+    }
     // BOTH candidate sides derive from ONE posexploded posting
     // relation: the contained side is `pos < prefixLen`, the
     // containing side is every row (the asymmetric bound says nothing
@@ -2839,7 +2878,7 @@ object LlmOps extends OpModule {
     val full0 = Scale.shuffleSized(sized,
       posted.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
         col("h")), col("h"))
-    val full = maxPostingDf match {
+    def fullBuild = maxPostingDf match {
       case None => full0
       case Some(cap) =>
         // window-count df over the SAME shared posting subplan (the
@@ -2848,6 +2887,16 @@ object LlmOps extends OpModule {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
         full0.withColumn("df", count(lit(1)).over(w))
           .filter(col("df") <= cap).drop("df")
+    }
+    // r22 (cacheKey path only): the df-capped containing-side posting
+    // table is the other half of the PPJoin index — memoizing it
+    // removes the per-call posting explode + df window (the op's
+    // dominant recurring cost); its window exchange leaves the cached
+    // relation hash-partitioned on h, which the candidate join adopts.
+    val full = cacheKey match {
+      case Some(k) => md5TwinMemoDf(docs.sparkSession, k,
+        s"contfull${shingleN}_${maxPostingDf.getOrElse(0L)}")(fullBuild)
+      case None => fullBuild
     }
     // one-sided length filter (asymmetric PPJoin+ form):
     // |Sa∩Sb| ≥ τ|Sa| and |Sa∩Sb| ≤ |Sb| force |Sb| ≥ τ|Sa|; there
@@ -3043,7 +3092,8 @@ object LlmOps extends OpModule {
         val clones = docs.select(
           col("doc_id").bitwiseOR(lit(1L << 40)).as("doc_id"),
           concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
-        jaccardPairs(docs.unionByName(clones), tau = 0.8, shingleN = 5)
+        jaccardPairs(docs.unionByName(clones), tau = 0.8, shingleN = 5,
+          cacheKey = Some(d))
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH raw AS (
@@ -4682,7 +4732,7 @@ object LlmOps extends OpModule {
           concat_ws(" ", slice(toks, lit(1),
             ((size(toks) + 1) / 2).cast("int"))).as("text"))
         containmentPairs(docs.unionByName(clones), tau = 0.9, shingleN = 5,
-          maxPostingDf = Some(16L))
+          maxPostingDf = Some(16L), cacheKey = Some(d))
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH raw AS (

@@ -804,9 +804,18 @@ object Multimodal extends OpModule {
         // honest build (the Bench two-pass protocol discloses it);
         // steady state measures the band join + Hamming confirm,
         // which is the recurring work of the real service.
+        // r22: the memo now holds the BANDED table (uid, phash,
+        // band_id, band_val) hash-partitioned on the join key — the
+        // band tables ARE what a production phash service stores, and
+        // partitioning them at build time makes the per-call self-join
+        // exchange-free (both sides read the same co-partitioned
+        // cached relation; guide §2.4). doc_id/enc no longer ride the
+        // 84-per-image band rows — they reconstruct from uid
+        // (uid = doc_id·2 + jpg, a bijection), per §2.3's
+        // keys-not-payloads rule.
         val key =
           s"${org.apache.spark.sql.graftbridge.Bridge.sessionUUID(s)}|phash|$d"
-        val all = key.intern.synchronized(
+        val banded = key.intern.synchronized(
           phashCache.getOrElseUpdate(key, {
             val docs = Tables.documents(s, d)
             // the png and jpg codec branches are INDEPENDENT stages
@@ -819,32 +828,30 @@ object Multimodal extends OpModule {
             val jpg = perceptualHashes(packBlockImages(docs, fmt = "jpg"))
               .toDF()
               .select(col("doc_id"), col("phash"), lit("jpg").as("enc"))
-            val built = png.unionByName(jpg)
+            val bd = png.unionByName(jpg)
               .withColumn("uid",
                 col("doc_id") * 2 +
                   when(col("enc") === "jpg", 1).otherwise(0))
-              // materialization point BOTH self-join sides reuse
-              // (the simHashPairs discipline): without it each side
-              // re-runs the codec pipeline (measured 6.5 → 4.7 s at
-              // sf0.1 pre-memo)
-              .repartition(col("uid"))
+              .select(col("uid"), col("phash"),
+                posexplode(array(LlmOps.mankuBandVals(col("phash"), 6): _*)))
+              .withColumnRenamed("pos", "band_id")
+              .withColumnRenamed("col", "band_val")
+              .repartition(col("band_id"), col("band_val"))
               .persist()
-            built.count()
-            built
+            bd.count()
+            bd
           }))
-        val banded = all.select(col("uid"), col("doc_id"), col("enc"),
-            col("phash"),
-            posexplode(array(LlmOps.mankuBandVals(col("phash"), 6): _*)))
-          .withColumnRenamed("pos", "band_id")
-          .withColumnRenamed("col", "band_val")
         val a = banded.as("a")
         val b = banded.as("b")
         a.join(b,
             col("a.band_id") === col("b.band_id") &&
               col("a.band_val") === col("b.band_val") &&
               col("a.uid") < col("b.uid"))
-          .select(col("a.doc_id").as("doc_a"), col("a.enc").as("enc_a"),
-            col("b.doc_id").as("doc_b"), col("b.enc").as("enc_b"),
+          .select(
+            expr("a.uid DIV 2").as("doc_a"),
+            when(col("a.uid") % 2 === 1, "jpg").otherwise("png").as("enc_a"),
+            expr("b.uid DIV 2").as("doc_b"),
+            when(col("b.uid") % 2 === 1, "jpg").otherwise("png").as("enc_b"),
             bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
               .as("hamming"))
           .filter(col("hamming") <= 6)

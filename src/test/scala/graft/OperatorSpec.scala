@@ -646,4 +646,27 @@ class OperatorSpec extends SparkSpec {
         s"$key: memoized grid restructure diverged from monolithic SQL")
     }
   }
+
+  test("r22 session memo restructure: bounce/peak-concurrency ≡ their " +
+      "monolithic shared-SQL forms row-for-row") {
+    // the r22 optimization reads the session-memoized 30 m session-
+    // interval relation instead of re-deriving the sessionize subtree
+    // (5× in peak_concurrency's plan, once more in bounce_rate); the
+    // DuckDB oracle is the unchanged monolithic SQL and this pin
+    // proves the Spark sides agree with each other too
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    Tables.events(spark, sf001).createOrReplaceTempView("graft_ev_mono")
+    val mono = Map(
+      "stream_bounce_rate" ->
+        ops.EventOps.bounceSql("graft_ev_mono", spark = true),
+      "stream_peak_concurrency" ->
+        ops.EventOps.concurrencySql("graft_ev_mono", spark = true))
+    mono.foreach { case (key, monoSql) =>
+      val restructured = rows(SparkEntry.queries(key)(spark, sf001))
+      val monolithic = rows(spark.sql(monoSql))
+      assert(restructured == monolithic,
+        s"$key: memoized sessionize restructure diverged from monolithic SQL")
+    }
+  }
 }

@@ -263,10 +263,12 @@ class PlanSpec extends SparkSpec {
     // the text kernel) is what keeps every self-join branch from
     // recomputing scan→kernel — r8's 2-3× wins on jaccard/simhash/
     // near ride on this plan property, so pin it: the FINAL adaptive
-    // plan must contain a ReusedExchange of the doc_id repartition
+    // plan must share the signature relation across branches, either
+    // as a ReusedExchange of the doc_id repartition or (r22, jaccard)
+    // as the session-memoized InMemoryRelation every branch scans
     for (q <- Seq("llm_dedup_jaccard", "llm_dedup_simhash", "llm_dedup_near")) {
       val p = planOf(q)
-      assert(p.contains("ReusedExchange"),
+      assert(p.contains("ReusedExchange") || p.contains("InMemoryRelation"),
         s"$q no longer shares the signature stage across branches:\n$p")
       assert(p.contains("REPARTITION_BY_COL"),
         s"$q lost the signature materialization point:\n$p")
